@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for the driver's local[32] harness but with settings chosen to
+  * survive a real multi-executor cluster at ~100 TB:
+  *   - AQE on (runtime coalescing, skew-join splitting, plan re-opt)
+  *   - modest static shuffle partitions for local runs; AQE raises the
+  *     effective parallelism from `advisoryPartitionSizeInBytes` at scale
+  *   - auto broadcast threshold left at default (10 MB) — dims (TLD list,
+  *     GeoIP ranges, region/nation) broadcast automatically; we also hint
+  *     explicitly at call sites.
+  */
+object GraftSession {
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      // testdata events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.driver.host", "127.0.0.1")
+  }
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,327 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Core relational query surface (SURVEY §2.3-2.7): joins (inner,
+  * broadcast, semi, anti, range), aggregation + top-k, ranking windows,
+  * keyset pagination, set ops, distinct, rollup.
+  *
+  * Every query is written for determinism against the DuckDB oracle:
+  *   - double aggregates go through DECIMAL(18,2) (exact, order-independent)
+  *     and are cast back to double;
+  *   - every output is fully ordered with tie-breaking keys;
+  *   - top-k always breaks count ties on the group key.
+  *
+  * Scale notes are on each query — these run identically on a 1000-executor
+  * cluster; the plan shapes (broadcast vs shuffle, partial agg) are asserted
+  * in PlanSpec tests.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact, order-independent sum of a double column, returned as double. */
+  private def dsum(c: String): Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // A1/A3-style: full-table agg with partial (map-side) aggregation.
+  // Scale: one shuffle on (l_returnflag, l_linestatus) — 6 groups; partial
+  // agg reduces 100TB to KBs before the exchange.
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_price"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(col("l_quantity"))).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // A1+O3: group-count top-k (the reference's apex top-100,
+  // misc/clickhouse_queries.md:35-43). Scale: partial agg + single shuffle,
+  // then TakeOrderedAndProject — no global sort materialization.
+  def topkCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("o_custkey"))
+      .limit(100)
+
+  val topkCustomersSql: String =
+    """SELECT o_custkey, count(*) AS cnt FROM orders
+      |GROUP BY o_custkey ORDER BY cnt DESC, o_custkey ASC LIMIT 100""".stripMargin
+
+  // Fact-fact equi-join + agg. Scale: both sides shuffle on the join key
+  // (sort-merge or shuffled-hash chosen by AQE); at 100TB co-locate via
+  // bucketing on custkey to eliminate the exchange.
+  def joinOrdersCustomer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), dsum("o_totalprice").as("revenue"))
+      .orderBy("c_mktsegment")
+
+  val joinOrdersCustomerSql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // J1-style broadcast dimension chain: customer ⋈ nation ⋈ region.
+  // Scale: nation/region broadcast (no shuffle for the joins; single
+  // shuffle for the final agg).
+  def joinBroadcastDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("cnt"),
+        dsum("c_acctbal").as("total_acctbal"))
+      .orderBy("r_name")
+
+  val joinBroadcastDimsSql: String =
+    """SELECT r_name, count(*) AS cnt,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // J3: left anti join (the 25-day-history dedup shape,
+  // daily_certstream_download.sh:75-93). Scale: anti join shuffles both
+  // sides on the key; if history fits in memory, broadcast the right side.
+  def antiJoinCustomersNoOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val antiJoinCustomersNoOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // Left semi join: customers having at least one open order.
+  def semiJoinOpenOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  val semiJoinOpenOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  // J2-style range join: point-in-interval against a broadcast dim
+  // (the GeoIP lookup shape, App.java:406-425). Scale: broadcast
+  // nested-loop with a tiny build side — no shuffle of the fact.
+  def rangeJoinQuantityBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 200.0, "high"))
+      .toDF("lo", "hi", "band")
+    t(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), dsum("l_extendedprice").as("sum_price"))
+      .orderBy("band")
+  }
+
+  val rangeJoinQuantityBandsSql: String =
+    """SELECT band, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |JOIN (VALUES (0.0,10.0,'low'),(10.0,25.0,'mid'),(25.0,200.0,'high'))
+      |  AS r(lo, hi, band)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  // W1: per-partition limit (CQL `PER PARTITION LIMIT 1`, KB.md:1-4) —
+  // first clustering-ordered row per partition key via ranking window.
+  // Scale: one shuffle on the partition key; no global sort.
+  def perPartitionLimit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    // extend the clustering order so rank-1 is deterministic on the
+    // projected columns.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_quantity")
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  val perPartitionLimitSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+      |  FROM lineitem) WHERE rn = 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  // W2: keyset pagination (Cassandra page-state semantics, KB.md:7-11):
+  // strictly-after-key predicate + limit, never OFFSET. Scale: the key
+  // predicate prunes at the scan (min/max row-group stats), so each page
+  // is O(page) not O(offset).
+  def keysetPage(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") > 1000)
+      .orderBy("o_orderkey")
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val keysetPageSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  // E1: EXCEPT (comm -23 shape, daily_certstream_download.sh:84).
+  def exceptCustkeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      .except(
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val exceptCustkeysSql: String =
+    """SELECT custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  EXCEPT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY custkey""".stripMargin
+
+  // E2: UNION ALL (cat a >> b shape).
+  def unionAllKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey").as("key"), lit("customer").as("src"))
+      .unionByName(
+        t(s, dir, "supplier")
+          .select(col("s_suppkey").as("key"), lit("supplier").as("src")))
+      .orderBy("src", "key")
+
+  val unionAllKeysSql: String =
+    """SELECT key, src FROM (
+      |  SELECT c_custkey AS key, 'customer' AS src FROM customer
+      |  UNION ALL
+      |  SELECT s_suppkey AS key, 'supplier' AS src FROM supplier)
+      |ORDER BY src, key""".stripMargin
+
+  // INTERSECT (free generalization).
+  def intersectNationkeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  val intersectNationkeysSql: String =
+    """SELECT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey AS nationkey FROM supplier)
+      |ORDER BY nationkey""".stripMargin
+
+  // A2: distinct.
+  def distinctFlags(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val distinctFlagsSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // A3: count rows (wc -l shape).
+  def countLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  val countLineitemSql: String = "SELECT count(*) AS cnt FROM lineitem"
+
+  // Rollup (grouping-sets generalization; free via Catalyst).
+  def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum("l_quantity").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val rollupPricingSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // Analytic window: lag within user session (free generalization, §2.5).
+  // Delta of consecutive event values — exact double arithmetic, no
+  // aggregation-order sensitivity.
+  def windowLagDelta(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("prev_value", lag("value", 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .select("event_id", "user_id", "value", "prev_value", "delta")
+      .orderBy("event_id")
+  }
+
+  val windowLagDeltaSql: String =
+    """SELECT event_id, user_id, value,
+      |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // Time-bucketed aggregation (tumbling-window batch analog, §2.9).
+  // Timestamp rendered as string to make the hash representation-stable.
+  // (events.ts arrives as long nanos — see nanosAsLong in GraftSession.)
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts_t")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum("value").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val eventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** name -> (query, oracleSql) for this module. */
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_agg_pricing" -> (aggPricing _, aggPricingSql),
+    "q_topk_customers" -> (topkCustomers _, topkCustomersSql),
+    "q_join_orders_customer" -> (joinOrdersCustomer _, joinOrdersCustomerSql),
+    "q_join_broadcast_dims" -> (joinBroadcastDims _, joinBroadcastDimsSql),
+    "q_join_anti" -> (antiJoinCustomersNoOrders _, antiJoinCustomersNoOrdersSql),
+    "q_join_semi" -> (semiJoinOpenOrders _, semiJoinOpenOrdersSql),
+    "q_join_range" -> (rangeJoinQuantityBands _, rangeJoinQuantityBandsSql),
+    "q_window_pplimit" -> (perPartitionLimit _, perPartitionLimitSql),
+    "q_window_keyset_page" -> (keysetPage _, keysetPageSql),
+    "q_set_except" -> (exceptCustkeys _, exceptCustkeysSql),
+    "q_set_union_all" -> (unionAllKeys _, unionAllKeysSql),
+    "q_set_intersect" -> (intersectNationkeys _, intersectNationkeysSql),
+    "q_distinct" -> (distinctFlags _, distinctFlagsSql),
+    "q_count" -> (countLineitem _, countLineitemSql),
+    "q_rollup" -> (rollupPricing _, rollupPricingSql),
+    "q_window_lag" -> (windowLagDelta _, windowLagDeltaSql),
+    "q_events_hourly" -> (eventsHourly _, eventsHourlySql))
+}
