@@ -1,0 +1,154 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{DomainFunctions, IpFunctions}
+
+/** The reference's core CSV -> three-table pipeline (App.java:341-478)
+  * as a declarative Spark job.
+  *
+  * Behavior parity notes (all observable semantics, none of the HOW):
+  *  - arity < 3 rows silently dropped (App.java:346);
+  *  - invalid domains: the engine adopts the Go cleaner's semantics and
+  *    KEEPS successfully repaired domains (`*.`/`\"` prefix strip); the
+  *    Java path drops even repaired ones via an unconditional return
+  *    (App.java:364) — divergence documented in SURVEY §7.4;
+  *  - recordType != "A" means CNAME (App.java:389); the cnames row is
+  *    observably (target=ip field, apexDomain=ip field, domain) because
+  *    the reference reassigns apexDomain to the target before the write
+  *    (App.java:393,443) — quirk preserved;
+  *  - A-records write BOTH an rdnsv4 row and a subdomains row;
+  *  - unparseable IPv4 on the A-branch drops the row (App.java:395-400);
+  *  - GeoIP misses leave country=""/city=""/asn=0/as_name="" (not null);
+  *  - firstSeen exists in the DDL but is never written (null here);
+  *    lastSeen/updatedAt are ingest-time timestamps (T3).
+  *
+  * Scale: one broadcast join for TLD membership, one broadcast range
+  * join for GeoIP, zero fact-side shuffles until the ordered sink.
+  */
+object Migrator {
+
+  final case class Outputs(
+      rdnsv4: DataFrame, subdomains: DataFrame, cnames: DataFrame)
+
+  private def cleanUdf = udf((s: String) =>
+    DomainFunctions.validOrRepaired(s).orNull)
+
+  /** Parse raw massdns CSV lines (`domain,recordType,ip`) into the
+    * validated, domain-parts-annotated intermediate. */
+  def parse(lines: DataFrame, tlds: Set[String]): DataFrame = {
+    // Java split("\\,") drops trailing empty fields
+    val parts = DomainPartsTransform.splitLikeJava(col("value"), ",")
+    val parsed = lines
+      .withColumn("__p", parts)
+      .filter(size(col("__p")) >= 3)                       // F1
+      .select(
+        element_at(col("__p"), 1).as("raw_domain"),
+        element_at(col("__p"), 2).as("recordType"),
+        element_at(col("__p"), 3).as("ipStr"))
+      .withColumn("domain", cleanUdf(col("raw_domain")))   // F2+F3 (Go)
+      .filter(col("domain").isNotNull)
+      .drop("raw_domain")
+    DomainPartsTransform.withDomainParts(parsed, "domain", tlds)
+      .filter(col("dp_success"))                           // X1 failure drop
+  }
+
+  /** Full pipeline: intermediate -> three output tables. `geo` is the
+    * broadcast GeoIP range dim (Dims.loadGeo schema) or None to
+    * null-enrich (the mmdb-absent configuration). */
+  def run(lines: DataFrame, tlds: Set[String], geo: Option[DataFrame],
+          source: String): Outputs = {
+    val parsed = parse(lines, tlds).cache()
+
+    val isCname = col("recordType") =!= "A"                // F4
+
+    // ---- cnames branch (quirk: apexDomain column = target) ----
+    val cnames = parsed.filter(isCname)
+      .filter(length(col("ipStr")) > 0)                    // F6 on target
+      .select(
+        col("ipStr").as("target"),
+        col("ipStr").as("apexDomain"),
+        col("domain"),
+        lit(source).as("source"),
+        lit(null).cast("timestamp").as("firstSeen"),
+        current_timestamp().as("lastSeen"),
+        current_timestamp().as("updatedAt"))
+
+    // ---- A branch: parse IP, derive blocks, geo-enrich ----
+    val aRows = parsed.filter(!isCname)
+      .withColumn("ip_int", IpFunctions.ipToLongCol(col("ipStr")))
+      .filter(col("ip_int").isNotNull)                     // F5
+      .filter(length(col("apex")) > 0)                     // F6
+      .withColumn("ip8_int", IpFunctions.ipBlockCol(col("ip_int"), 8))
+      .withColumn("ip16_int", IpFunctions.ipBlockCol(col("ip_int"), 16))
+      .withColumn("ip24_int", IpFunctions.ipBlockCol(col("ip_int"), 24))
+
+    val enriched = geo match {
+      case Some(g) =>
+        aRows.join(broadcast(g),
+            col("ip_int").between(col("start_ip"), col("end_ip")), "left")
+          .drop("start_ip", "end_ip")
+      case None =>
+        aRows.withColumn("country", lit(null).cast("string"))
+          .withColumn("city", lit(null).cast("string"))
+          .withColumn("asn", lit(null).cast("int"))
+          .withColumn("as_name", lit(null).cast("string"))
+    }
+
+    val rdnsv4 = enriched.select(
+      IpFunctions.longToIpCol(col("ip8_int")).as("ip8"),
+      IpFunctions.longToIpCol(col("ip16_int")).as("ip16"),
+      IpFunctions.longToIpCol(col("ip24_int")).as("ip24"),
+      col("ipStr").as("ipAddress"),
+      col("ip_int"),
+      col("p1"), col("p2"), col("p3"), col("p4"),
+      col("p5"), col("p6"), col("p7"),
+      coalesce(col("country"), lit("")).as("country"),
+      coalesce(col("city"), lit("")).as("city"),
+      coalesce(col("asn"), lit(0)).as("asn"),
+      coalesce(col("as_name"), lit("")).as("as_name"),
+      lit(source).as("source"),
+      col("recordType").as("sourceRecordType"),
+      lit(null).cast("timestamp").as("firstSeen"),
+      current_timestamp().as("lastSeen"),
+      current_timestamp().as("updatedAt"))
+
+    val subdomains = parsed.filter(!isCname)
+      .withColumn("ip_int", IpFunctions.ipToLongCol(col("ipStr")))
+      .filter(col("ip_int").isNotNull)
+      .filter(length(col("apex")) > 0)
+      .select(
+        col("p1"), col("p2"), col("p3"), col("p4"),
+        col("p5"), col("p6"), col("p7"),
+        lit(source).as("source"),
+        col("recordType").as("sourceRecordType"),
+        lit(null).cast("timestamp").as("firstSeen"),
+        current_timestamp().as("lastSeen"),
+        current_timestamp().as("updatedAt"))
+
+    Outputs(rdnsv4, subdomains, cnames)
+  }
+
+  /** Subdomain-list variant (App.java:480-533): one column in, one
+    * subdomains row out, sourceRecordType = NOT_RESOLVED. */
+  def runSubdomainList(lines: DataFrame, tlds: Set[String],
+                       source: String): DataFrame = {
+    val parsed = lines
+      .withColumn("__p", DomainPartsTransform.splitLikeJava(col("value"), ","))
+      .filter(size(col("__p")) >= 1)
+      .select(element_at(col("__p"), 1).as("raw_domain"))
+      .withColumn("domain", cleanUdf(col("raw_domain")))
+      .filter(col("domain").isNotNull)
+    DomainPartsTransform.withDomainParts(parsed, "domain", tlds)
+      .filter(col("dp_success"))
+      .filter(length(col("apex")) > 0)
+      .select(
+        col("p1"), col("p2"), col("p3"), col("p4"),
+        col("p5"), col("p6"), col("p7"),
+        lit(source).as("source"),
+        lit("NOT_RESOLVED").as("sourceRecordType"),
+        lit(null).cast("timestamp").as("firstSeen"),
+        current_timestamp().as("lastSeen"),
+        current_timestamp().as("updatedAt"))
+  }
+}
