@@ -1,11 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.query.CoreQueries
+import graft.query.{CoreQueries, DomainQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  private def oracleBacked
+      : Map[String, ((SparkSession, String) => DataFrame, String)] =
+    CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-operator: broadcast dim chain + fact join + agg + top-k. */
@@ -14,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all.map { case (k, (fn, _)) => k -> fn }
+    oracleBacked.map { case (k, (fn, _)) => k -> fn } ++ TextQueries.rowsOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    CoreQueries.all.map { case (k, (_, sql)) => k -> sql }
+    oracleBacked.map { case (k, (_, sql)) => k -> sql }
 }

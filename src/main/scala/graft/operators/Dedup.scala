@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All are shuffle-based
+  * bucket joins — no driver-side loops, no n² at corpus scale; the
+  * quadratic step only ever runs within a candidate bucket.
+  *
+  * Scale shape (100 TB): shingle/signature derivation is a scan
+  * projection; the only shuffles are the groupBy on bucket keys and the
+  * candidate-pair verification join, both on keys whose cardinality the
+  * band/row parameters control.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical key. */
+  def exact(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dedup_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Word k-shingles (distinct) of a text column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokenize(text)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded xxhash64 families,
+    * the min hash over the shingle set. Pure column expressions. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join on
+    * (band index, band hash), emit distinct (a, b) id pairs with a < b.
+    *
+    * bands * rowsPerBand must equal numHashes. */
+  def minhashCandidates(df: DataFrame, idCol: String, text: Column,
+                        numHashes: Int = 16, bands: Int = 4,
+                        shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("id", "band", "band_hash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, 0.0)
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        size(array_union(a, b)))
+
+  /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, text: Column,
+                      threshold: Double, numHashes: Int = 16,
+                      bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    val withShingles = df.select(col(idCol).as("id"),
+      shingles(text, shingleK).as("sh"))
+    minhashCandidates(df, idCol, text, numHashes, bands, shingleK)
+      .join(withShingles.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(withShingles.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash from token xxhashes: per-bit majority vote. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokenize(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1) * 2 - 1)
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
+    * 4x16-bit block banding (pigeonhole: distance <= 3 implies at least
+    * one identical block) then exact bit_count verification. */
+  def simhashNearDups(df: DataFrame, idCol: String, text: Column,
+                      maxDist: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(text).as("sig"))
+    val blocks = sigs.select(col("id"), col("sig"), posexplode(
+      array((0 until 4).map(b =>
+        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("id", "sig", "block", "block_val")
+    blocks.as("a").join(blocks.as("b"),
+        col("a.block") === col("b.block") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Pairwise n-gram Jaccard over a (bounded) candidate set — the
+    * brute-force verifier used by specs and small corpora. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
+                        k: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(text, k).as("sh"))
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+  }
+}

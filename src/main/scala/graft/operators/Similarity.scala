@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForcePairs]] / [[bruteForceTopK]]: exact cosine, O(n²)
+  *    cross join — the correctness baseline, bounded corpora only.
+  *  - [[lshBucketTopK]]: random-hyperplane LSH — sign-bit signature
+  *    buckets the vectors, the quadratic step runs within buckets only.
+  *    This is the 100 TB path: signature derivation is a scan
+  *    projection; one shuffle on the bucket key.
+  *
+  * All arithmetic is promoted to double before accumulation
+  * (float32 -> float64 is exact) and folds left-to-right, so results
+  * are bit-deterministic.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All pairs (idA < idB) with cosine similarity. */
+  def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id_a"), col(vecCol).as("va")).crossJoin(
+        df.select(col(idCol).as("id_b"), col(vecCol).as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos"))
+
+  /** Global top-k most-similar pairs (ties broken on ids). */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame =
+    bruteForcePairs(df, idCol, vecCol)
+      .orderBy(desc("cos"), asc("id_a"), asc("id_b"))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * (plane, dim) — xxhash64-derived, stable across runs/executors. */
+  private def planeComponent(plane: Int, d: Column): Column =
+    (pmod(xxhash64(lit(plane), d), lit(2000003L)).cast("double") /
+      lit(1000001.5)) - 1.0
+
+  /** Sign-bit LSH signature with `numPlanes` hyperplanes. */
+  def lshSignature(vecCol: Column, numPlanes: Int): Column = {
+    val v = asDouble(vecCol)
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(1), size(v)),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** Approximate per-query top-k: candidates share the LSH bucket,
+    * ranked by exact cosine within it. Recall grows with fewer planes
+    * (bigger buckets); specs measure it against brute force. */
+  def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), numPlanes).as("bucket"))
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

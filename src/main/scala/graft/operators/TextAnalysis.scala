@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over a
+  * `documents(doc_id, text, ...)` table: token counting, quality
+  * scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built-in column expressions (whole-stage codegen; no
+  * UDFs) — at 100 TB these run as a single scan projection with no
+  * shuffle. Token model: whitespace split (the BPE-ish regex variant is
+  * [[tokenizeRegex]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, trailing/consecutive separators preserved as in
+    * a plain split (empty tokens possible on double spaces). */
+  def tokenize(text: Column): Column = split(text, " ", -1)
+
+  /** BPE-ish word/number/punct-run tokenizer. */
+  def tokenizeRegex(text: Column): Column =
+    filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])", -1),
+      t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokenize(text))
+
+  /** Characters that are neither alphanumeric nor space. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+
+  def upperCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", ""))
+
+  /** Mean token length (0.0 for empty text). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokenize(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks))
+  }
+
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "in", "to", "is", "on", "for")
+
+  /** Fraction of tokens found in `words` (duplicates counted). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = tokenize(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        size(filter(toks, t => t.isin(words: _*))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: weighted mix of length band,
+    * stopword presence and punctuation sparsity — the shape of a
+    * pretraining quality filter (weights are engine policy, not
+    * reference semantics). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, enStopwords) * 5.0, lit(1.0))
+    val punctScore = greatest(lit(0.0),
+      lit(1.0) - punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double") * 10.0)
+    lenScore * 0.4 + stopScore * 0.4 + punctScore * 0.2
+  }
+
+  /** Tiny per-language marker lists for the n-gram/stopword heuristic. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "la", "y", "es", "los"))
+
+  /** argmax-by-marker-hits language guess; ties resolve to the
+    * lexicographically-first language code (deterministic). */
+  def langGuess(text: Column): Column = {
+    val toks = tokenize(text)
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("hits"),
+        // invert code ordering inside the struct max so ties pick the
+        // lexicographically smallest language
+        lit(lang).as("lang"))
+    }
+    // greatest(struct) compares hits first, then lang string; to make
+    // ties deterministic-smallest we compare on (hits, negated order)
+    // — simpler: reduce with explicit when
+    scored.reduce { (a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a)
+    }.getField("lang")
+  }
+
+  /** Rolling fingerprint: xxhash64 chaining over tokens — order-sensitive
+    * and deterministic, with no overflow under ANSI mode. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

@@ -1,0 +1,213 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Migrator
+import graft.functions.DomainFunctions
+import graft.sources.Tables
+
+/** Domain-operator queries, oracle-checked end to end.
+  *
+  * The reference's domain inputs don't exist in the synthetic testdata,
+  * so these queries SYNTHESIZE deterministic domain/massdns lines from
+  * the TPC-H tables (same construction in the DuckDB oracle SQL) and
+  * then run the REAL pipeline — Migrator.run with TLD broadcast join,
+  * domain-parts decomposition, IP block math, and the GeoIP range join —
+  * with the oracle replicating the expected output closed-form. This
+  * puts reference parity (SURVEY §2.1-2.3, §2.8) under the hash gate,
+  * not just under unit tests.
+  */
+object DomainQueries {
+
+  /** TLD set used by the oracle-facing queries; the suffix cycle below
+    * only exercises 'co' as a 2-level TLD, so the closed-form oracle
+    * stays simple. */
+  private val tlds = Set("com", "co", "uk", "de", "net")
+
+  // Shared construction: one massdns line per customer.
+  //   suffix: c%3 = 0 -> .co.uk (l2 layout) | 1 -> .example.com | 2 -> .de
+  //   A-record ip octets: deterministic int arithmetic on c
+  //   c%10 == 0 -> CNAME line instead (target tgt<c>.cdn.net)
+  private def massdnsLines(s: SparkSession, dir: String): DataFrame = {
+    val c = col("c_custkey")
+    val suffix = when(c % 3 === 0, ".co.uk")
+      .when(c % 3 === 1, ".example.com").otherwise(".de")
+    val domain = concat(lit("www.s"), c, suffix)
+    val ip = concat_ws(".",
+      (c * 7 % 224 + 1).cast("string"), (c * 13 % 256).cast("string"),
+      (c * 17 % 256).cast("string"), (c * 23 % 256).cast("string"))
+    val target = concat(lit("tgt"), c, lit(".cdn.net"))
+    Tables.load(s, dir, "customer").select(
+      when(c % 10 === 0, concat_ws(",", domain, lit("CNAME"), target))
+        .otherwise(concat_ws(",", domain, lit("A"), ip)).as("value"))
+  }
+
+  /** Inline geo dim: o1 1..100 -> AA/Alpha, 101..199 -> BB/Beta,
+    * 200..224 -> miss. */
+  private def geoDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (16777216L, 1694498815L, "AA", "Alpha", 100, "NetA"),
+      (1694498816L, 3355443199L, "BB", "Beta", 200, "NetB"))
+      .toDF("start_ip", "end_ip", "country", "city", "asn", "as_name")
+  }
+
+  private val oracleCommon =
+    """WITH src AS (
+      |  SELECT c_custkey AS c,
+      |    CASE c_custkey % 3 WHEN 0 THEN '.co.uk'
+      |                       WHEN 1 THEN '.example.com' ELSE '.de' END AS sfx,
+      |    (c_custkey*7) % 224 + 1 AS o1, (c_custkey*13) % 256 AS o2,
+      |    (c_custkey*17) % 256 AS o3, (c_custkey*23) % 256 AS o4
+      |  FROM customer),
+      |geo AS (SELECT * FROM (VALUES
+      |  (16777216, 1694498815, 'AA', 'Alpha', 100, 'NetA'),
+      |  (1694498816, 3355443199, 'BB', 'Beta', 200, 'NetB'))
+      |  g(start_ip, end_ip, country, city, asn, as_name))
+      |""".stripMargin
+
+  // Full migrator A-branch through the oracle: blocks, parts layout,
+  // geo enrichment. Timestamps excluded (ingest-time, inherently
+  // nondeterministic).
+  def migratorRdns(s: SparkSession, dir: String): DataFrame =
+    Migrator.run(massdnsLines(s, dir), tlds, Some(geoDim(s)), "oracle")
+      .rdnsv4
+      .select("ip8", "ip16", "ip24", "ipAddress", "ip_int",
+        "p1", "p2", "p3", "p4", "p5", "p6", "p7",
+        "country", "city", "asn", "as_name", "source", "sourceRecordType")
+      .orderBy("ip_int", "p1", "p2", "p3", "p4", "p5")
+
+  val migratorRdnsSql: String = oracleCommon +
+    """SELECT
+      |  o1 || '.0.0.0' AS ip8, o1 || '.' || o2 || '.0.0' AS ip16,
+      |  o1 || '.' || o2 || '.' || o3 || '.0' AS ip24,
+      |  o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ipAddress,
+      |  o1*16777216 + o2*65536 + o3*256 + o4 AS ip_int,
+      |  CASE c % 3 WHEN 0 THEN 'uk' WHEN 1 THEN 'com' ELSE 'de' END AS p1,
+      |  CASE c % 3 WHEN 0 THEN 'co' ELSE '' END AS p2,
+      |  CASE c % 3 WHEN 0 THEN '' WHEN 1 THEN 'example'
+      |    ELSE 's' || c END AS p3,
+      |  CASE c % 3 WHEN 0 THEN 's' || c WHEN 1 THEN 's' || c
+      |    ELSE 'www' END AS p4,
+      |  CASE c % 3 WHEN 2 THEN '' ELSE 'www' END AS p5,
+      |  '' AS p6, '' AS p7,
+      |  COALESCE(g.country, '') AS country, COALESCE(g.city, '') AS city,
+      |  CAST(COALESCE(g.asn, 0) AS INTEGER) AS asn,
+      |  COALESCE(g.as_name, '') AS as_name,
+      |  'oracle' AS source, 'A' AS sourceRecordType
+      |FROM src LEFT JOIN geo g
+      |  ON o1*16777216 + o2*65536 + o3*256 + o4 BETWEEN g.start_ip AND g.end_ip
+      |WHERE c % 10 <> 0
+      |ORDER BY ip_int, p1, p2, p3, p4, p5""".stripMargin
+
+  // CNAME branch incl. the apexDomain=target quirk.
+  def migratorCnames(s: SparkSession, dir: String): DataFrame =
+    Migrator.run(massdnsLines(s, dir), tlds, None, "oracle")
+      .cnames
+      .select("target", "apexDomain", "domain", "source")
+      .orderBy("target")
+
+  val migratorCnamesSql: String =
+    """SELECT 'tgt' || c_custkey || '.cdn.net' AS target,
+      |  'tgt' || c_custkey || '.cdn.net' AS apexDomain,
+      |  'www.s' || c_custkey ||
+      |    CASE c_custkey % 3 WHEN 0 THEN '.co.uk'
+      |                       WHEN 1 THEN '.example.com' ELSE '.de' END AS domain,
+      |  'oracle' AS source
+      |FROM customer WHERE c_custkey % 10 = 0
+      |ORDER BY target""".stripMargin
+
+  // A1 flagship: apex top-k over a skewed synthetic domain column
+  // (misc/clickhouse_queries.md:35-43), naive 2-label apex (X2).
+  def topkApex(s: SparkSession, dir: String): DataFrame = {
+    val domain = concat(lit("www.a"), col("o_custkey") % 97, lit(".com"))
+    Tables.load(s, dir, "orders")
+      .select(DomainFunctions.apexNaive(domain).as("apexdomain"))
+      .groupBy("apexdomain")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("apexdomain"))
+      .limit(100)
+  }
+
+  val topkApexSql: String =
+    """SELECT regexp_extract('www.a' || (o_custkey % 97) || '.com',
+      |         '([^.]+\.[^.]+)$', 1) AS apexdomain, count(*) AS cnt
+      |FROM orders GROUP BY 1 ORDER BY cnt DESC, apexdomain ASC LIMIT 100""".stripMargin
+
+  // X6+X7: Common Crawl SURT cdx host extraction.
+  def surtHosts(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(lit("com,cc"), col("s_suppkey"), lit(",www)/path 20240601"))
+    Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").as("k"),
+        DomainFunctions.reverseSurtCol(
+          DomainFunctions.surtHost(line)).as("host"))
+      .orderBy("k")
+  }
+
+  val surtHostsSql: String =
+    """SELECT s_suppkey AS k,
+      |  array_to_string(list_reverse(string_split(
+      |    split_part('com,cc' || s_suppkey || ',www)/path 20240601', ')', 1),
+      |    ',')), '.') AS host
+      |FROM supplier ORDER BY k""".stripMargin
+
+  // F2+X2 over a mixed-validity corpus: the UDFs vs closed-form truth.
+  def validateAndApex(s: SparkSession, dir: String): DataFrame = {
+    DomainFunctions.register(s, tlds)
+    val k = col("p_partkey")
+    val domain = when(k % 4 === 0, concat(lit("x_"), k, lit(".example.com")))
+      .when(k % 4 === 1, concat(lit("-bad"), k, lit(".com")))
+      .when(k % 4 === 2, concat(k, lit(".123")))
+      .otherwise(concat(lit("ok"), k, lit(".co.uk")))
+    Tables.load(s, dir, "part")
+      .select(k.as("k"), domain.as("domain"))
+      .withColumn("valid", expr("is_valid_domain(domain)"))
+      .withColumn("apex",
+        when(col("valid"), expr("apex_domain(domain)")).otherwise(lit(null)))
+      .orderBy("k")
+  }
+
+  val validateAndApexSql: String =
+    """SELECT p_partkey AS k,
+      |  CASE p_partkey % 4
+      |    WHEN 0 THEN 'x_' || p_partkey || '.example.com'
+      |    WHEN 1 THEN '-bad' || p_partkey || '.com'
+      |    WHEN 2 THEN p_partkey || '.123'
+      |    ELSE 'ok' || p_partkey || '.co.uk' END AS domain,
+      |  p_partkey % 4 IN (0, 3) AS valid,
+      |  CASE p_partkey % 4
+      |    WHEN 0 THEN 'example.com'
+      |    WHEN 3 THEN 'ok' || p_partkey || '.co.uk' END AS apex
+      |FROM part ORDER BY k""".stripMargin
+
+  // J3/T2: history anti-join — latest-day user_ids never seen on a
+  // prior day (the 25-day dedup shape on the events table).
+  def historyNewUsers(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        to_date(timestamp_micros((col("ts") / 1000L).cast("long"))).as("day"))
+    val maxDay = d.agg(max("day").as("max_day"))
+    val today = d.join(broadcast(maxDay), col("day") === col("max_day"))
+      .select("user_id").distinct()
+    val history = d.join(broadcast(maxDay), col("day") < col("max_day"))
+      .select("user_id").distinct()
+    today.join(history, Seq("user_id"), "left_anti").orderBy("user_id")
+  }
+
+  val historyNewUsersSql: String =
+    """WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |           FROM events),
+      |m AS (SELECT max(day) AS max_day FROM d)
+      |SELECT DISTINCT user_id FROM d, m
+      |WHERE day = max_day AND NOT EXISTS (
+      |  SELECT 1 FROM d h, m WHERE h.user_id = d.user_id AND h.day < max_day)
+      |ORDER BY user_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
+    "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
+    "q_topk_apex" -> (topkApex _, topkApexSql),
+    "q_surt_hosts" -> (surtHosts _, surtHostsSql),
+    "q_validate_apex" -> (validateAndApex _, validateAndApexSql),
+    "q_history_new_users" -> (historyNewUsers _, historyNewUsersSql))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Dedup-family semantics on a corpus with PLANTED near-duplicates —
+  * the LSH paths must find the planted pairs and only high-similarity
+  * pairs, independent of any oracle. */
+class DedupSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 20 distinct base docs + 3 planted near-dups of doc 0/1/2.
+  lazy val docs = {
+    // word ids unique per doc -> base docs are pairwise disjoint
+    val base = (0 until 20).map { i =>
+      val words = (0 until 40).map(j => s"w${i * 1000 + j}")
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = Seq(
+      (100L, base(0)._2.replace("w0", "wX")),       // ~1 word changed
+      (101L, base(1)._2 + " extra tail"),            // appended words
+      (102L, base(2)._2))                            // exact copy
+    (base ++ nearDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs, "doc_id", col("text"))
+      .filter(col("copies") > 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("keep_id") == 2L) // doc 2 == doc 102
+    assert(r(0).getAs[Long]("copies") == 2L)
+  }
+
+  test("minhash LSH finds the planted near-dups with high jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+        threshold = 0.5, numHashes = 16, bands = 16, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((1L, 101L)))
+    assert(pairs.contains((2L, 102L)))
+    // base docs are word-disjoint-ish: no cross-base pair should pass 0.5
+    assert(pairs.forall { case (a, b) => b - a == 100 })
+  }
+
+  test("simhash near-dups rank planted pairs closest") {
+    val r = Dedup.simhashNearDups(docs, "doc_id", col("text"), maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r.contains((2L, 102L)))  // identical text -> distance 0
+    assert(r.contains((0L, 100L)) || r.contains((1L, 101L)))
+  }
+
+  test("exact copy has identical simhash and jaccard 1.0") {
+    val sig = docs.filter(col("doc_id").isin(2L, 102L))
+      .select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(sig(0) == sig(1))
+    val j = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id").isin(2L, 102L)), "doc_id", col("text"))
+      .collect()(0).getAs[Double]("jaccard")
+    assert(j == 1.0)
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val a = docs.select(Dedup.minhashSignature(
+      Dedup.shingles(col("text")), 8)).collect().map(_.getSeq[Long](0))
+    val b = docs.select(Dedup.minhashSignature(
+      Dedup.shingles(col("text")), 8)).collect().map(_.getSeq[Long](0))
+    assert(a.toSeq == b.toSeq)
+  }
+}

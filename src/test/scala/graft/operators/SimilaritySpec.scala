@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // 3 clusters of vectors around orthogonal axes + noise dims.
+  lazy val vecs = {
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 10
+    } yield {
+      val v = Array.tabulate(16) { d =>
+        val base = if (d == c * 5) 10.0f else 0.0f
+        base + ((i * 31 + d * 7) % 5) * 0.1f
+      }
+      ((c * 10 + i).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine is 1.0 for identical vectors, high within cluster") {
+    val self = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === col("b.vec_id"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k pairs are within-cluster") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 20)
+      .collect()
+    top.foreach { r =>
+      assert(r.getLong(0) / 10 == r.getLong(1) / 10,
+        s"cross-cluster pair in top-k: $r")
+      assert(r.getAs[Double]("cos") > 0.9)
+    }
+  }
+
+  test("LSH buckets recover most brute-force neighbors (recall)") {
+    val brute = Similarity.bruteForcePairs(vecs, "vec_id", "embedding")
+      .filter(col("cos") > 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshBucketTopK(vecs, "vec_id", "embedding",
+        k = 9, numPlanes = 4)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val recall = brute.count(lsh.contains).toDouble / math.max(brute.size, 1)
+    assert(recall > 0.5, s"LSH recall $recall too low (found ${lsh.size})")
+  }
+
+  test("signatures deterministic across runs") {
+    val s1 = vecs.select(Similarity.lshSignature(col("embedding"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = vecs.select(Similarity.lshSignature(col("embedding"), 8))
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2)
+  }
+}
