@@ -41,23 +41,37 @@ object Dedup {
     * (band index, band hash), emit distinct (a, b) id pairs with a < b.
     *
     * bands * rowsPerBand must equal numHashes. */
+  /** (id, sig) signatures. The shingle array is materialized ONCE via a
+    * projection before the per-hash-family min scans — passing the
+    * shingle expression straight into [[minhashSignature]] would
+    * re-shingle the text numHashes times. */
+  def minhashSignatures(df: DataFrame, idCol: String, text: Column,
+                        numHashes: Int, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(text, shingleK).as("__sh"))
+      .select(col("id"), minhashSignature(col("__sh"), numHashes).as("sig"))
+
   def minhashCandidates(df: DataFrame, idCol: String, text: Column,
                         numHashes: Int = 16, bands: Int = 4,
                         shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+    val sig = minhashSignatures(df, idCol, text, numHashes, shingleK)
+    val banded = sig.select(col("id"), col("sig"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("id", "band", "band_hash")
+      .toDF("id", "sig", "band", "band_hash")
+    // signature agreement is a cheap Jaccard estimate — used by
+    // minhashNearDups to prune before the exact array verification
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"),
+          (x, y) => x === y), b => b)).cast("double") /
+          size(col("a.sig"))).as("est_jaccard"))
+      .groupBy("id_a", "id_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
   }
 
   /** Exact Jaccard similarity of two shingle-set columns. */
@@ -67,12 +81,23 @@ object Dedup {
         size(array_union(a, b)))
 
   /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold. */
+  /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold.
+    * Candidates whose signature-estimated Jaccard is far below the
+    * threshold are pruned before the exact (array-intersect) check —
+    * at corpus scale the estimate prunes the bulk of band collisions
+    * for the cost of one zip over the signatures. */
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
                       threshold: Double, numHashes: Int = 16,
                       bands: Int = 4, shingleK: Int = 3): DataFrame = {
     val withShingles = df.select(col(idCol).as("id"),
       shingles(text, shingleK).as("sh"))
+    // prune bar: at least 2 agreeing components (1 is just the band
+    // collision itself under r=1 banding) and within 2x of the target —
+    // costs some recall exactly at the threshold, prunes the bulk of
+    // band-collision noise before the exact array intersect
     minhashCandidates(df, idCol, text, numHashes, bands, shingleK)
+      .filter(col("est_jaccard") >=
+        math.max(threshold / 2, 2.0 / numHashes))
       .join(withShingles.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(withShingles.withColumnRenamed("id", "id_b")
@@ -82,9 +107,10 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash from token xxhashes: per-bit majority vote. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokenize(text), t => xxhash64(t))
+  /** 64-bit SimHash (per-bit majority vote) over a MATERIALIZED token
+    * hash array column — the 64 per-bit aggregates each scan the array,
+    * so the tokenize+hash work must not be inlined into them. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + shiftright(h, i).bitwiseAND(1) * 2 - 1)
@@ -93,12 +119,38 @@ object Dedup {
     bits.reduce((a, b) => a + b)
   }
 
+  /** (id, sig) simhash signatures via explode + 64 bit-vote sums.
+    * One tokenize pass, one shuffle with map-side partial aggregation —
+    * robust against projection collapse re-inlining the token hashing
+    * into each of the 64 per-bit scans. Docs with zero tokens produce
+    * no row (tokenize of non-empty text always yields >= 1 token). */
+  def simhashSignatures(df: DataFrame, idCol: String,
+                        text: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokenize(text)).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(1) * 2 - 1).as(s"v$i"))
+    val sig = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    exploded.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** Convenience single-column form (re-derives hashes; prefer
+    * [[simhashSignatures]] in bulk paths). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextAnalysis.tokenize(text),
+      t => xxhash64(t)))
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
     * 4x16-bit block banding (pigeonhole: distance <= 3 implies at least
     * one identical block) then exact bit_count verification. */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
                       maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(text).as("sig"))
+    val sigs = simhashSignatures(df, idCol, text)
     val blocks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(b =>
         shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))

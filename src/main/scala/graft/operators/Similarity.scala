@@ -50,9 +50,8 @@ object Similarity {
     (pmod(xxhash64(lit(plane), d), lit(2000003L)).cast("double") /
       lit(1000001.5)) - 1.0
 
-  /** Sign-bit LSH signature with `numPlanes` hyperplanes. */
-  def lshSignature(vecCol: Column, numPlanes: Int): Column = {
-    val v = asDouble(vecCol)
+  /** Sign-bit LSH signature over a materialized double-array column. */
+  def lshSignatureFromDoubles(v: Column, numPlanes: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(1), size(v)),
@@ -63,14 +62,22 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** Sign-bit LSH signature with `numPlanes` hyperplanes. */
+  def lshSignature(vecCol: Column, numPlanes: Int): Column =
+    lshSignatureFromDoubles(asDouble(vecCol), numPlanes)
+
   /** Approximate per-query top-k: candidates share the LSH bucket,
     * ranked by exact cosine within it. Recall grows with fewer planes
     * (bigger buckets); specs measure it against brute force. */
   def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, numPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialize the double-cast vector once; the per-plane projections
+    // each scan it (don't inline the cast numPlanes times)
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), numPlanes).as("bucket"))
+        asDouble(col(vecCol)).as("__vd"))
+      .select(col("id"), col("v"),
+        lshSignatureFromDoubles(col("__vd"), numPlanes).as("bucket"))
     val pairs = sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),

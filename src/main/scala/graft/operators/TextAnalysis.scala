@@ -25,6 +25,13 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokenize(text))
 
+  /** Mean token length from a materialized token array column. */
+  def avgTokenLenFromTokens(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks))
+
   /** Characters that are neither alphanumeric nor space. */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[a-zA-Z0-9 ]", ""))

@@ -21,12 +21,14 @@ object TextQueries {
   // ---- text analysis (oracle) ----
 
   def textStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-      TextAnalysis.punctCount(col("text")).as("n_punct"),
-      TextAnalysis.upperCount(col("text")).as("n_upper"),
-      TextAnalysis.avgTokenLen(col("text")).as("avg_token_len"))
+    docs(s, dir)
+      .withColumn("__toks", TextAnalysis.tokenize(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).as("n_tokens"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"),
+        TextAnalysis.upperCount(col("text")).as("n_upper"),
+        TextAnalysis.avgTokenLenFromTokens(col("__toks")).as("avg_token_len"))
       .orderBy("doc_id")
 
   val textStatsSql: String =
