@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import graft.etl.Migrator
+import graft.sources.OrderedSink
+
+/** Structured-Streaming form of the daily ingest (SURVEY §2.9).
+  *
+  * The reference streams operationally — cron moves processed files to
+  * `old_csv_input/` for exactly-once-per-file (T1,
+  * daily_all_upload.sh:16-19) and dedups against 25 daily snapshots via
+  * `comm -23` (T2, daily_certstream_download.sh:75-93). Here:
+  *
+  *  - T1 = checkpointed file source + `Trigger.AvailableNow`: each file
+  *    processed exactly once across restarts, no file moves;
+  *  - T2 = `withWatermark("obs_ts", "25 days").dropDuplicates("domain")`:
+  *    state expires exactly when the reference's window forgets;
+  *  - T3 = ingest timestamps are applied inside Migrator at write;
+  *  - T4 = last-write-wins compaction via [[DomainStateTracker]]
+  *    (mapGroupsWithState) or batch row_number dedup.
+  *
+  * Scale: the watermark bounds state to ~25 days of distinct domains;
+  * state is hash-partitioned across executors. foreachBatch keeps the
+  * three-table fan-out a plain batch write per micro-batch.
+  */
+object StreamingIngest {
+
+  /** T1+T3: checkpointed exactly-once ingest of massdns CSV files into
+    * the three tables. Blocks until all currently-available files are
+    * processed (AvailableNow). */
+  def ingestAvailableNow(spark: SparkSession, inputDir: String,
+                         checkpointDir: String, outDir: String,
+                         tlds: Set[String], geo: Option[DataFrame],
+                         source: String): StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 64)
+      .text(inputDir)
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = Migrator.run(batch, tlds, geo, source)
+        // append mode: each micro-batch adds date-partition-like files;
+        // compaction to the clustered layout runs as a separate job
+        out.rdnsv4.write.mode("append").parquet(s"$outDir/rdnsv4")
+        out.subdomains.write.mode("append").parquet(s"$outDir/subdomains")
+        out.cnames.write.mode("append").parquet(s"$outDir/cnames")
+        ()
+      }
+      .start()
+  }
+
+  /** T2: streaming dedup with a 25-day watermark. Input must carry
+    * (domain STRING, obs_ts TIMESTAMP). Late rows beyond the watermark
+    * are dropped; a domain re-observed within the window is suppressed. */
+  def dedupWindow(domains: DataFrame, watermark: String = "25 days"): DataFrame =
+    domains
+      .withWatermark("obs_ts", watermark)
+      .dropDuplicates("domain")
+
+  final case class DomainObs(domain: String, obs_ts: java.sql.Timestamp)
+  final case class DomainState(domain: String, firstSeen: java.sql.Timestamp,
+                               lastSeen: java.sql.Timestamp, observations: Long)
+
+  /** T4: per-domain first/last-seen tracking — the Cassandra
+    * last-write-wins upsert semantics as explicit keyed state. */
+  def trackDomainState(obs: Dataset[DomainObs]): Dataset[DomainState] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.domain)
+      .mapGroupsWithState[DomainState, DomainState](
+        GroupStateTimeout.NoTimeout) {
+        case (domain, rows, state: GroupState[DomainState]) =>
+          val sorted = rows.toSeq.sortBy(_.obs_ts.getTime)
+          val prev = state.getOption
+          val first = prev.map(_.firstSeen).getOrElse(sorted.head.obs_ts)
+          val next = DomainState(domain, first, sorted.last.obs_ts,
+            prev.map(_.observations).getOrElse(0L) + sorted.size)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch compaction to the reference's clustered layout (run after
+    * streaming appends): last-write-wins per full key. */
+  def compactSubdomains(df: DataFrame, outPath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val key = Seq("p1", "p2", "p3", "p4", "p5", "p6", "p7")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(desc("updatedAt"), desc("lastSeen"))
+    val compacted = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    OrderedSink.writeSubdomains(compacted, outPath)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.query
+
+import graft.SparkTestBase
+import graft.etl.Migrator
+import graft.sources.Dims
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions (SURVEY §4): these lock the scale
+  * properties — broadcast joins stay broadcast, filters and projections
+  * reach the parquet scan, aggregates keep their partial (map-side)
+  * phase, top-k compiles to TakeOrderedAndProject, and the hot paths
+  * stay inside whole-stage codegen. A regression here is a performance
+  * bug at 100 TB even when results stay correct.
+  */
+class PlanSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("dimension chain joins are broadcast, not shuffled") {
+    val p = plan(CoreQueries.joinBroadcastDims(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("range join compiles to broadcast nested loop (tiny build side)") {
+    val p = plan(CoreQueries.rangeJoinQuantityBands(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("keyset pagination predicate is pushed to the parquet scan") {
+    val p = plan(CoreQueries.keysetPage(spark, dir))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThan(o_orderkey,1000)"), p)
+  }
+
+  test("column pruning: projection-only query reads only needed columns") {
+    val df = CoreQueries.keysetPage(spark, dir)
+    val scanLine = plan(df).linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("o_orderkey") &&
+      !scanLine.contains("o_orderdate"), scanLine)
+  }
+
+  test("aggregation keeps the partial (map-side) phase") {
+    val p = plan(CoreQueries.aggPricing(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(CoreQueries.topkCustomers(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("anti join does not broadcast the big probe side semantics") {
+    val p = plan(CoreQueries.antiJoinCustomersNoOrders(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("migrator TLD membership join is broadcast; no fact shuffle") {
+    import spark.implicits._
+    val lines = Seq("www.example.com,A,1.2.3.4").toDF("value")
+    val p = plan(Migrator.parse(lines, Dims.defaultTlds))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("scan-heavy queries run inside whole-stage codegen") {
+    // under AQE the codegen annotations appear on the finalized plan
+    val df = CoreQueries.aggPricing(spark, dir)
+    df.collect()
+    // '*(n)' prefixes mark whole-stage-codegen stages in plan toString;
+    // both aggregate phases and the scan must carry one
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) ColumnarToRow"), p)
+  }
+}

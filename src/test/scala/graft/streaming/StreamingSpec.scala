@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.sources.Dims
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("T1: AvailableNow file ingest is exactly-once across restarts") {
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+
+    Files.writeString(java.nio.file.Paths.get(s"$in/day1.csv"),
+      "www.example.com,A,1.2.3.4\nalias.b.de,CNAME,real.b.de\n")
+    val q1 = StreamingIngest.ingestAvailableNow(spark, in, ckpt, out,
+      Dims.defaultTlds, None, "stream-test")
+    q1.awaitTermination()
+    assert(spark.read.parquet(s"$out/rdnsv4").count() == 1)
+    assert(spark.read.parquet(s"$out/cnames").count() == 1)
+
+    // restart with one NEW file: only the new file is processed
+    Files.writeString(java.nio.file.Paths.get(s"$in/day2.csv"),
+      "mail.example.com,A,5.6.7.8\n")
+    val q2 = StreamingIngest.ingestAvailableNow(spark, in, ckpt, out,
+      Dims.defaultTlds, None, "stream-test")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$out/rdnsv4").count() == 2)
+    assert(spark.read.parquet(s"$out/cnames").count() == 1)
+  }
+
+  test("T2: watermarked dropDuplicates suppresses re-observations") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = StreamingIngest.dedupWindow(
+      mem.toDF().toDF("domain", "obs_ts"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+
+    def ts(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 00:00:00")
+    mem.addData(("a.com", ts(1)), ("b.com", ts(1)))
+    q.processAllAvailable()
+    mem.addData(("a.com", ts(2)), ("c.com", ts(2)))  // a.com repeat
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT domain FROM dedup_out")
+      .collect().map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(rows == Seq("a.com", "b.com", "c.com"))
+  }
+
+  test("T4: mapGroupsWithState tracks first/last seen per domain") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.DomainObs]
+    val q = StreamingIngest.trackDomainState(mem.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+
+    def ts(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 00:00:00")
+    mem.addData(StreamingIngest.DomainObs("a.com", ts(1)))
+    q.processAllAvailable()
+    mem.addData(StreamingIngest.DomainObs("a.com", ts(5)),
+      StreamingIngest.DomainObs("b.com", ts(5)))
+    q.processAllAvailable()
+    val byDomain = spark.sql(
+        "SELECT domain, max(observations) obs FROM state_out GROUP BY domain")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aRows = spark.sql(
+        """SELECT firstSeen, lastSeen FROM state_out
+          |WHERE domain='a.com' AND observations=2""".stripMargin).collect()
+    q.stop()
+    assert(byDomain == Map("a.com" -> 2L, "b.com" -> 1L))
+    assert(aRows.length == 1)
+    assert(aRows(0).getTimestamp(0) == ts(1))  // firstSeen survives update
+    assert(aRows(0).getTimestamp(1) == ts(5))
+  }
+
+  test("compaction keeps last-write-wins per key") {
+    val out = Files.createTempDirectory("graft-compact").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("com", "", "a", "", "", "", "", "s1", "A",
+        t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00")),
+      ("com", "", "a", "", "", "", "", "s2", "A",
+        t("2024-06-02 00:00:00"), t("2024-06-02 00:00:00")),
+      ("com", "", "b", "", "", "", "", "s1", "A",
+        t("2024-06-01 00:00:00"), t("2024-06-01 00:00:00")))
+      .toDF("p1", "p2", "p3", "p4", "p5", "p6", "p7", "source",
+        "sourceRecordType", "lastSeen", "updatedAt")
+    StreamingIngest.compactSubdomains(df, s"$out/subdomains")
+    val rows = spark.read.parquet(s"$out/subdomains")
+      .select("p3", "source").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(("a", "s2"), ("b", "s1")))  // newer s2 wins for key a
+  }
+}
