@@ -28,7 +28,13 @@ object Cleaner {
 
   import DomainFunctions.stripDotCol
 
-  private def validUdf = udf((s: String) => DomainFunctions.isValidDomain(s))
+  /** Validator as the codegen'd native expression (no UDF in the hot
+    * path); null input -> false to mirror the UDF's boolean semantics
+    * under filter negation. */
+  private def validCol(lines: DataFrame)(c: Column): Column = {
+    graft.plans.GraftExtensions.install(lines.sparkSession)
+    coalesce(call_function("is_valid_domain_native", c), lit(false))
+  }
   private def cleanUdf = udf((s: String) =>
     DomainFunctions.validOrRepaired(s).orNull)
   private def apexUdf(tlds: Set[String]) = udf((s: String) =>
@@ -61,6 +67,7 @@ object Cleaner {
     * apex+domain, re-derives the apex and rejects mismatches (EA). No
     * repair in this mode. Valid output: (source, domain, ts). */
   def cleanRdnsV1(lines: DataFrame, tlds: Set[String]): CleanResult = {
+    val valid = validCol(lines) _
     val parts = split0(col("value"))
     val tagged = lines
       .withColumn("__p", parts)
@@ -70,7 +77,7 @@ object Cleaner {
         when(size(col("__p")) >= 3, stripDotCol(element_at(col("__p"), 3))))
       .withColumn("err_code",
         when(size(col("__p")) =!= 4, "EL")
-          .when(!validUdf(col("__dom")), "ED")
+          .when(!valid(col("__dom")), "ED")
           .when(stripDotCol(apexUdf(tlds)(col("__dom"))) =!= col("__apex"), "EA"))
     CleanResult(
       valid = tagged.filter(col("err_code").isNull)
@@ -87,6 +94,7 @@ object Cleaner {
     * validate. Valid output: (domain, last_seen); ED payload is the
     * REBUILT domain + last_seen, not the input line (Go quirk kept). */
   def cleanSubs(lines: DataFrame): CleanResult = {
+    val valid = validCol(lines) _
     val parts = split0(col("value"))
     // reference strips each part before the skip test
     val stripped = transform(slice(col("__p"), 1, 7),
@@ -101,7 +109,7 @@ object Cleaner {
         when(size(col("__p")) === 8, element_at(col("__p"), 8)))
       .withColumn("err_code",
         when(size(col("__p")) =!= 8, "EL")
-          .when(!validUdf(col("__dom")), "ED"))
+          .when(!valid(col("__dom")), "ED"))
     CleanResult(
       valid = tagged.filter(col("err_code").isNull)
         .select(col("__dom").as("domain"), col("__last_seen").as("last_seen")),
@@ -117,14 +125,15 @@ object Cleaner {
     * three fields must validate (no dot-stripping in this mode). Valid
     * output: (target, domain). */
   def cleanCname(lines: DataFrame): CleanResult = {
+    val valid = validCol(lines) _
     val parts = split0(col("value"))
     val tagged = lines
       .withColumn("__p", parts)
       .withColumn("err_code",
         when(size(col("__p")) =!= 3, "EL")
-          .when(!(validUdf(element_at(col("__p"), 1)) &&
-                  validUdf(element_at(col("__p"), 2)) &&
-                  validUdf(element_at(col("__p"), 3))), "ED"))
+          .when(!(valid(element_at(col("__p"), 1)) &&
+                  valid(element_at(col("__p"), 2)) &&
+                  valid(element_at(col("__p"), 3))), "ED"))
     CleanResult(
       valid = tagged.filter(col("err_code").isNull)
         .select(

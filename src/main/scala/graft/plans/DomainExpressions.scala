@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the domain hot path.
+  *
+  * A Scala UDF forces Catalyst to treat the call as an opaque black box
+  * (no null-safety elision, boxing via the encoder bridge, breaks
+  * whole-stage pipelining assumptions); a native `Expression` with
+  * `doGenCode` emits a direct static call inside the generated code.
+  * The semantics are exactly [[graft.functions.DomainFunctions]] — the
+  * expression layer adds codegen, never behavior.
+  */
+object DomainExpressions {
+
+  /** Validator working directly on UTF8String bytes (ASCII rules, so
+    * byte-wise scanning is exact): avoids the String allocation of the
+    * pure-Scala form in the per-row path. */
+  def isValidDomainUtf8(s: UTF8String): Boolean = {
+    if (s == null) return false
+    val n = s.numBytes()
+    if (n == 0 || n > 254) return false
+    var last: Byte = '.'
+    var nonNumeric = false
+    var partlen = 0
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_') {
+        nonNumeric = true; partlen += 1
+      } else if (c >= '0' && c <= '9') {
+        partlen += 1
+      } else if (c == '-') {
+        if (last == '.') return false
+        nonNumeric = true; partlen += 1
+      } else if (c == '.') {
+        if (last == '.' || last == '-') return false
+        if (partlen > 63 || partlen == 0) return false
+        partlen = 0
+      } else {
+        return false  // any non-ASCII byte is also rejected here
+      }
+      last = c
+      i += 1
+    }
+    if (n == 254 && last != '.') return false
+    if (last == '-' || partlen > 63) return false
+    nonNumeric
+  }
+}
+
+/** `is_valid_domain_native(domain)` — codegen'd Go-semantics validator. */
+case class IsValidDomainExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"is_valid_domain_native requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "is_valid_domain_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DomainExpressions.isValidDomainUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.DomainExpressions.isValidDomainUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : IsValidDomainExpr = copy(child = newChild)
+}
+
+object IsValidDomainExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[IsValidDomainExpr].getName, "is_valid_domain_native")
+}
