@@ -1,0 +1,56 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's declared query surface as reusable operators
+  * (SURVEY §2.5-2.6): CQL per-partition limits and page-state
+  * pagination, generalized.
+  */
+object QueryOps {
+
+  /** W1: CQL `PER PARTITION LIMIT n` — first n clustering-ordered rows
+    * per partition key. One shuffle on the partition key; no global
+    * sort, no driver materialization. */
+  def perPartitionLimit(df: DataFrame, n: Int,
+                        partitionKeys: Seq[String],
+                        clusteringOrder: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+      .orderBy(clusteringOrder: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** W2: keyset (page-state) pagination — strictly-after-key predicate
+    * plus limit, never OFFSET. `after` is None for the first page; the
+    * caller threads the last row's key as the next page state. The key
+    * predicate reaches the scan (row-group pruning), so each page costs
+    * O(page), not O(offset) — the Cassandra forward-only contract. */
+  def keysetPage(df: DataFrame, keyCol: String, after: Option[Any],
+                 pageSize: Int): DataFrame = {
+    val base = after match {
+      case Some(k) => df.filter(col(keyCol) > lit(k))
+      case None    => df
+    }
+    base.orderBy(col(keyCol)).limit(pageSize)
+  }
+
+  /** A1/O3: group-count top-k with deterministic tie-break. */
+  def topK(df: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt") +: groupCols.map(c => asc(c)): _*)
+      .limit(k)
+
+  /** A4: running counters — the reference's processedEntries /
+    * lookedUpEntries log counters as observable metrics attached to the
+    * plan (collected by a QueryExecutionListener or streaming progress,
+    * no second pass over the data). */
+  def withIngestMetrics(df: DataFrame, name: String = "graft_metrics",
+                        enriched: Column = lit(true)): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("processed_entries"),
+      count(when(enriched, 1)).as("looked_up_entries"))
+}

@@ -47,10 +47,14 @@ object Dims {
 
   /** Sanity check for the disjointness contract (driver-side, dim-scale). */
   def assertDisjoint(geo: DataFrame): Unit = {
-    val overlaps = geo.as("a").join(geo.as("b"),
+    val strictOverlaps = geo.as("a").join(geo.as("b"),
         col("a.start_ip") < col("b.start_ip") &&
         col("b.start_ip") <= col("a.end_ip"))
       .count()
-    require(overlaps == 0, s"geo dim has $overlaps overlapping ranges")
+    val duplicateStarts = geo.groupBy("start_ip").count()
+      .filter(col("count") > 1).count()
+    require(strictOverlaps == 0 && duplicateStarts == 0,
+      s"geo dim has $strictOverlaps overlapping and " +
+        s"$duplicateStarts duplicate-start ranges")
   }
 }

@@ -1,0 +1,79 @@
+package graft.query
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class QueryOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  lazy val df = Seq(
+    ("pk1", 3, "c"), ("pk1", 1, "a"), ("pk1", 2, "b"),
+    ("pk2", 1, "x"), ("pk2", 2, "y")).toDF("pk", "ck", "v")
+
+  test("W1: per-partition limit keeps first n by clustering order") {
+    val got = QueryOps.perPartitionLimit(df, 2, Seq("pk"), Seq(col("ck")))
+      .orderBy("pk", "ck").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(got.toSeq == Seq(("pk1", 1), ("pk1", 2), ("pk2", 1), ("pk2", 2)))
+  }
+
+  test("W2: keyset pagination pages forward without overlap") {
+    val keys = (1 to 25).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    val page1 = QueryOps.keysetPage(keys, "k", None, 10)
+      .collect().map(_.getLong(0))
+    val page2 = QueryOps.keysetPage(keys, "k", Some(page1.last), 10)
+      .collect().map(_.getLong(0))
+    val page3 = QueryOps.keysetPage(keys, "k", Some(page2.last), 10)
+      .collect().map(_.getLong(0))
+    assert(page1.toSeq == (1L to 10L))
+    assert(page2.toSeq == (11L to 20L))
+    assert(page3.toSeq == (21L to 25L))
+  }
+
+  test("top-k breaks count ties deterministically") {
+    val got = QueryOps.topK(
+        Seq("b", "b", "a", "a", "c").toDF("g"), Seq("g"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("A4: observed metrics report processed and enriched counts") {
+    import scala.collection.mutable
+    val seen = mutable.Map.empty[String, (Long, Long)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = {
+        qe.observedMetrics.get("graft_metrics").foreach { row =>
+          seen("m") = (row.getLong(0), row.getLong(1))
+        }
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      QueryOps.withIngestMetrics(df, enriched = col("ck") > 1).collect()
+      var waited = 0
+      while (!seen.contains("m") && waited < 50) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(seen.get("m").contains((5L, 3L)))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("Graft.init wires views, UDFs and native expressions for SQL") {
+    graft.Graft.init(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT count(*) AS c,
+        |  apex_domain('a.b.example.co.uk') AS apex,
+        |  is_valid_domain_native('ok.com') AS v,
+        |  long_to_ip(ip_block(ip_to_long('1.2.3.4'), 24)) AS blk
+        |FROM lineitem""".stripMargin).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(r.getString(1) == "example.co.uk")
+    assert(r.getBoolean(2))
+    assert(r.getString(3) == "1.2.3.0")
+  }
+}
