@@ -56,9 +56,14 @@ object Migrator {
   /** Full pipeline: intermediate -> three output tables. `geo` is the
     * broadcast GeoIP range dim (Dims.loadGeo schema) or None to
     * null-enrich (the mmdb-absent configuration). */
+  /** `cacheParsed`: set true only when materializing more than one of
+    * the three outputs in the same job (MigratorJob does); a
+    * single-output consumer would just leak executor memory. At 100 TB
+    * prefer a persisted staging table over executor cache. */
   def run(lines: DataFrame, tlds: Set[String], geo: Option[DataFrame],
-          source: String): Outputs = {
-    val parsed = parse(lines, tlds).cache()
+          source: String, cacheParsed: Boolean = false): Outputs = {
+    val parsedRaw = parse(lines, tlds)
+    val parsed = if (cacheParsed) parsedRaw.cache() else parsedRaw
 
     val isCname = col("recordType") =!= "A"                // F4
 

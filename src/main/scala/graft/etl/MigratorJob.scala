@@ -34,7 +34,7 @@ object MigratorJob {
 
     fileType match {
       case "CSV" =>
-        val out = Migrator.run(lines, tlds, geo, source)
+        val out = Migrator.run(lines, tlds, geo, source, cacheParsed = true)
         OrderedSink.writeRdnsv4(out.rdnsv4, s"$outDir/rdnsv4")
         OrderedSink.writeSubdomains(out.subdomains, s"$outDir/subdomains")
         OrderedSink.writeCnames(out.cnames, s"$outDir/cnames")

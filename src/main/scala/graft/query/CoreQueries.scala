@@ -305,8 +305,59 @@ object CoreQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  // SQL-text parity: the SAME ANSI SQL string runs through spark.sql
+  // on registered views and through DuckDB — the §3.3 declared-query
+  // surface (parse -> Catalyst) exercised end to end.
+  val sqlParityText: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def sqlParity(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(sqlParityText)
+  }
+
+  // Sliding window (2h window, 1h slide) over events — each event lands
+  // in two windows; Spark's window() generator vs an explicit shifted-
+  // tumbling union in the oracle.
+  def eventsSliding(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .groupBy(window(col("ts_t"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("event_type"), col("cnt"))
+      .orderBy("w_start", "event_type")
+
+  val eventsSlidingSql: String =
+    """WITH shifted AS (
+      |  SELECT date_trunc('hour', ts) AS w_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type FROM events)
+      |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+      |  count(*) AS cnt
+      |FROM shifted GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // CUBE over two dims (grouping-sets generalization).
+  def cubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val cubePricingSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** name -> (query, oracleSql) for this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_sql_parity" -> (sqlParity _, sqlParityText),
+    "q_events_sliding" -> (eventsSliding _, eventsSlidingSql),
+    "q_cube" -> (cubePricing _, cubePricingSql),
     "q_agg_pricing" -> (aggPricing _, aggPricingSql),
     "q_topk_customers" -> (topkCustomers _, topkCustomersSql),
     "q_join_orders_customer" -> (joinOrdersCustomer _, joinOrdersCustomerSql),
