@@ -35,8 +35,20 @@ object Cleaner {
     graft.plans.GraftExtensions.install(lines.sparkSession)
     coalesce(call_function("is_valid_domain_native", c), lit(false))
   }
-  private def cleanUdf = udf((s: String) =>
-    DomainFunctions.validOrRepaired(s).orNull)
+
+  /** Column form of validOrRepaired (F2+F3, Go keep-repaired
+    * semantics): valid -> unchanged; `*.`/`\"`-prefixed with a valid
+    * remainder -> repaired; else null. Fully codegen over the native
+    * validator — no UDF in the bulk path. */
+  def validOrRepairedCol(lines: DataFrame)(c: Column): Column = {
+    val valid = validCol(lines) _
+    val repaired = substring(c, 3, Int.MaxValue)
+    when(valid(c), c)
+      .when(length(c) > 2 &&
+        (substring(c, 1, 2) === "*." || substring(c, 1, 2) === "\\\"") &&
+        valid(repaired), repaired)
+      .otherwise(lit(null).cast("string"))
+  }
   private def apexUdf(tlds: Set[String]) = udf((s: String) =>
     DomainFunctions.apexDomain(s, tlds))
 
@@ -52,7 +64,7 @@ object Cleaner {
       .withColumn("__ip", stripDotCol(element_at(col("__p"), 1)))
       .withColumn("__dom",
         when(size(col("__p")) >= 2, stripDotCol(element_at(col("__p"), 2))))
-      .withColumn("__cleaned", cleanUdf(col("__dom")))
+      .withColumn("__cleaned", validOrRepairedCol(lines)(col("__dom")))
       .withColumn("err_code",
         when(size(col("__p")) =!= 2, "EL")
           .when(col("__cleaned").isNull, "ED"))

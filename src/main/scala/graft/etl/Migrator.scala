@@ -31,8 +31,9 @@ object Migrator {
   final case class Outputs(
       rdnsv4: DataFrame, subdomains: DataFrame, cnames: DataFrame)
 
-  private def cleanUdf = udf((s: String) =>
-    DomainFunctions.validOrRepaired(s).orNull)
+  // validation+repair as codegen'd columns (no UDF in the bulk path)
+  private def cleanCol(lines: DataFrame) =
+    Cleaner.validOrRepairedCol(lines) _
 
   /** Parse raw massdns CSV lines (`domain,recordType,ip`) into the
     * validated, domain-parts-annotated intermediate. */
@@ -46,7 +47,7 @@ object Migrator {
         element_at(col("__p"), 1).as("raw_domain"),
         element_at(col("__p"), 2).as("recordType"),
         element_at(col("__p"), 3).as("ipStr"))
-      .withColumn("domain", cleanUdf(col("raw_domain")))   // F2+F3 (Go)
+      .withColumn("domain", cleanCol(lines)(col("raw_domain")))  // F2+F3 (Go)
       .filter(col("domain").isNotNull)
       .drop("raw_domain")
     DomainPartsTransform.withDomainParts(parsed, "domain", tlds)
@@ -142,7 +143,7 @@ object Migrator {
       .withColumn("__p", DomainPartsTransform.splitLikeJava(col("value"), ","))
       .filter(size(col("__p")) >= 1)
       .select(element_at(col("__p"), 1).as("raw_domain"))
-      .withColumn("domain", cleanUdf(col("raw_domain")))
+      .withColumn("domain", cleanCol(lines)(col("raw_domain")))
       .filter(col("domain").isNotNull)
     DomainPartsTransform.withDomainParts(parsed, "domain", tlds)
       .filter(col("dp_success"))

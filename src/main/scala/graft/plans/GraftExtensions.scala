@@ -2,6 +2,22 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule: rewrite the registered `is_valid_domain` Scala UDF
+  * into the codegen'd native expression — ad-hoc SQL written against
+  * the UDF gets the native plan for free (§4 optional rule (a) in
+  * SURVEY). Semantics are identical by DomainExpressionsSpec. */
+object RewriteValidatorUdf extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case u: ScalaUDF if u.udfName.contains("is_valid_domain") &&
+          u.children.size == 1 =>
+        IsValidDomainExpr(u.children.head)
+    }
+}
 
 /** SparkSessionExtensions entry point: install with
   *
@@ -18,6 +34,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.isValidDomainEntry)
+    ext.injectOptimizerRule(_ => RewriteValidatorUdf)
   }
 }
 

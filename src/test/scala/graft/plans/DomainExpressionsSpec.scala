@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.SparkTestBase
 import graft.functions.DomainFunctions
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.col
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.Gen
 import graft.GenForAll.forAll
@@ -46,6 +46,33 @@ class DomainExpressionsSpec extends SparkTestBase {
       .selectExpr("is_valid_domain_native(d) AS v")
       .collect().map(_.getBoolean(0)).toSeq
     assert(got == corpus.map(DomainFunctions.isValidDomain))
+  }
+
+  test("optimizer rule rewrites the registered UDF to the native expr") {
+    GraftExtensions.install(spark)
+    DomainFunctions.register(spark, Set("com"))
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rule").toString
+    Seq("a.com", "-bad-").toDF("d").write.mode("overwrite").parquet(dir)
+    // force the optimizer rule in even without build-time extensions
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteValidatorUdf
+    val df = spark.read.parquet(dir)
+      .selectExpr("d", "is_valid_domain(d) AS v")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("is_valid_domain_native"), p)
+    assert(df.collect().map(r => (r.getString(0), r.getBoolean(1))).toMap ==
+      Map("a.com" -> true, "-bad-" -> false))
+  }
+
+  test("validOrRepairedCol matches the pure repair semantics") {
+    import spark.implicits._
+    val inputs = Seq("good.com", "*.wild.example.com", "\\\"quoted.com",
+      "*.123.456", "ab", "-bad-", "*.x", "plain", "*.")
+    val got = graft.etl.Cleaner.validOrRepairedCol(inputs.toDF("d"))(col("d"))
+    val rows = inputs.toDF("d").select(got.as("r"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(rows == inputs.map(DomainFunctions.validOrRepaired))
   }
 
   test("cleaner hot path plans the native expression, not a UDF filter") {

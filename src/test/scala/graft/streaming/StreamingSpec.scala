@@ -80,6 +80,28 @@ class StreamingSpec extends SparkTestBase {
     assert(aRows(0).getTimestamp(1) == ts(5))
   }
 
+  test("session windows group events separated by gaps (free per §2.9)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    def ts(m: Int) = Timestamp.valueOf(f"2024-06-01 10:$m%02d:00")
+    // two bursts 30 min apart -> two sessions; advance watermark to close
+    mem.addData((1L, ts(0)), (1L, ts(5)), (1L, ts(40)), (1L, ts(42)))
+    q.processAllAvailable()
+    mem.addData((2L, Timestamp.valueOf("2024-06-01 13:00:00")))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT user_id, events FROM sessions_out WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    q.stop()
+    assert(rows == Seq((1L, 2L), (1L, 2L)))  // two sessions of two events
+  }
+
   test("compaction keeps last-write-wins per key") {
     val out = Files.createTempDirectory("graft-compact").toString
     def t(s: String) = Timestamp.valueOf(s)
