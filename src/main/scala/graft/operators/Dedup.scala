@@ -56,22 +56,22 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, text, numHashes, shingleK)
-    val banded = sig.select(col("id"), col("sig"), posexplode(
+    val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("id", "sig", "band", "band_hash")
-    // signature agreement is a cheap Jaccard estimate — used by
-    // minhashNearDups to prune before the exact array verification
+      .toDF("id", "band", "band_hash")
+    // est_jaccard = fraction of agreeing bands, computed from the
+    // band-collision COUNT per pair — the join ships only (id, band,
+    // hash) rows, never the signatures, and the estimate falls out of
+    // the same groupBy that dedups the pairs. For r=1 this equals the
+    // signature-agreement fraction; for r>1 it is a (valid, stricter)
+    // underestimate.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(filter(zip_with(col("a.sig"), col("b.sig"),
-          (x, y) => x === y), b => b)).cast("double") /
-          size(col("a.sig"))).as("est_jaccard"))
-      .groupBy("id_a", "id_b")
-      .agg(first("est_jaccard").as("est_jaccard"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg((count(lit(1)).cast("double") / bands).as("est_jaccard"))
   }
 
   /** Exact Jaccard similarity of two shingle-set columns. */
