@@ -165,6 +165,25 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Embedding-cosine near-dup: pairs above `threshold` found via LSH
+    * hyperplane buckets (the scale path — no global n²), plus the
+    * keep/drop decision: the smaller id of each near-dup pair is kept,
+    * any id that appears as the larger side of some pair is dropped.
+    * Returns (id_a, id_b, cos) pairs; [[embeddingDropIds]] derives the
+    * drop set. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, numPlanes: Int = 8): DataFrame =
+    Similarity.lshBucketPairs(df, idCol, vecCol, numPlanes)
+      .filter(col("cos") >= threshold)
+      .filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos"))
+
+  /** Ids to remove so that no kept pair exceeds the threshold
+    * (greedy keep-smallest-id policy). */
+  def embeddingDropIds(nearDups: DataFrame): DataFrame =
+    nearDups.select(col("id_b").as("drop_id")).distinct()
+
   /** Pairwise n-gram Jaccard over a (bounded) candidate set — the
     * brute-force verifier used by specs and small corpora. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,

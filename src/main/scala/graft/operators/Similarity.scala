@@ -66,25 +66,86 @@ object Similarity {
   def lshSignature(vecCol: Column, numPlanes: Int): Column =
     lshSignatureFromDoubles(asDouble(vecCol), numPlanes)
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; each query probes its `nprobe` nearest
+    * cells and ranks candidates by exact cosine. The 100 TB shape:
+    * training samples the corpus (driver-side, nlist centroids only),
+    * assignment is a scan projection against broadcast centroids, and
+    * the candidate join shuffles on the cell id.
+    *
+    * Deterministic: fixed seed, fixed init, deterministic input order
+    * from the id sort. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 2,
+              trainSampleLimit: Int = 10000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_to_vector(transform(col(vecCol), _.cast("double"))).as("fv"))
+
+    val model = new KMeans().setK(nlist).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.orderBy("id").limit(trainSampleLimit))
+
+    import spark.implicits._
+    val centDf = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+
+    val assigned = model.transform(base).select("id", "v", "cell")
+
+    // nprobe nearest centroids per vector (broadcast nlist rows)
+    val probes = base.crossJoin(broadcast(centDf))
+      .withColumn("dist",
+        aggregate(zip_with(asDouble(col("v")), col("centroid"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("id").orderBy(asc("dist"), asc("cell"))))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+
+    val pairs = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+      // a neighbor can appear via multiple probed cells only if
+      // assignment were ambiguous — cells are disjoint, so no dedup
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate per-query top-k: candidates share the LSH bucket,
     * ranked by exact cosine within it. Recall grows with fewer planes
     * (bigger buckets); specs measure it against brute force. */
-  def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int, numPlanes: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** All same-bucket pairs with exact cosine — the shared candidate
+    * generator for LSH top-k and cosine near-dup dedup. */
+  def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int = 8): DataFrame = {
     // materialize the double-cast vector once; the per-plane projections
     // each scan it (don't inline the cast numPlanes times)
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         asDouble(col(vecCol)).as("__vd"))
       .select(col("id"), col("v"),
         lshSignatureFromDoubles(col("__vd"), numPlanes).as("bucket"))
-    val pairs = sig.as("a").join(sig.as("b"),
+    sig.as("a").join(sig.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
         cosine(col("a.v"), col("b.v")).as("cos"))
+  }
+
+  def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, numPlanes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w))
+    lshBucketPairs(df, idCol, vecCol, numPlanes)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 }

@@ -166,9 +166,24 @@ object TextQueries {
     "q_sim_bruteforce" -> (simBruteForce _, simBruteForceSql))
 
   /** Spark-only entries (rows-only driver check; semantics spec-locked). */
+  // the synthetic embeddings max out near cosine 0.51 — 0.4 captures
+  // the genuinely-similar tail (threshold is caller policy on real data)
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 4)
+      .orderBy("id_a", "id_b")
+
+  def simIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(s, dir).filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank")
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embedding" -> (dedupEmbedding _),
     "q_lang_fingerprint" -> (langFingerprint _),
-    "q_sim_lsh" -> (simLsh _))
+    "q_sim_lsh" -> (simLsh _),
+    "q_sim_ivf" -> (simIvf _))
 }

@@ -52,6 +52,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.5, s"LSH recall $recall too low (found ${lsh.size})")
   }
 
+  test("IVF probes recover most brute-force neighbors (recall)") {
+    val brute = Similarity.bruteForcePairs(vecs, "vec_id", "embedding")
+      .filter(col("cos") > 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        k = 9, nlist = 3, nprobe = 1)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val recall = brute.count(ivf.contains).toDouble / math.max(brute.size, 1)
+    assert(recall > 0.8, s"IVF recall $recall too low (found ${ivf.size})")
+  }
+
+  test("embedding near-dup dedup finds cluster twins and drop set") {
+    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      threshold = 0.98, numPlanes = 4)
+    val pairs = dups.collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(0) / 10 == r.getLong(1) / 10)  // within-cluster only
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    val dropped = Dedup.embeddingDropIds(dups)
+      .collect().map(_.getLong(0)).toSet
+    // kept ids: at least one per cluster survives
+    (0 until 3).foreach { c =>
+      assert((0 until 10).exists(i => !dropped.contains((c * 10 + i).toLong)))
+    }
+  }
+
   test("signatures deterministic across runs") {
     val s1 = vecs.select(Similarity.lshSignature(col("embedding"), 8))
       .collect().map(_.getLong(0)).toSeq
