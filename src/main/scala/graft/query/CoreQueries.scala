@@ -353,6 +353,20 @@ object CoreQueries {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // approx_count_distinct exposure (§2.4 built-ins): HLL estimates are
+  // engine-specific, so this is a rows-only entry — the spec bounds the
+  // estimate against the exact count instead of an oracle.
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct("o_custkey").as("approx_custs"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** Spark-only entries (driver rows-only check). */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct" -> (approxDistinct _))
+
   /** name -> (query, oracleSql) for this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_sql_parity" -> (sqlParity _, sqlParityText),
