@@ -203,7 +203,33 @@ object DomainQueries {
       |  SELECT 1 FROM d h, m WHERE h.user_id = d.user_id AND h.day < max_day)
       |ORDER BY user_id""".stripMargin
 
+  // As-of join: latest order (by date) per customer at or before each
+  // event's timestamp — oracle is DuckDB's native ASOF JOIN.
+  def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id").as("custkey"),
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("ev_ts"))
+    val orders = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
+      .agg(max("o_totalprice").as("last_price"))
+    graft.query.QueryOps.asofJoin(events, orders, Seq("custkey"),
+        "ev_ts", "o_orderdate", Seq("last_price"))
+      .select(col("event_id"), col("custkey"),
+        col("last_price"))
+      .orderBy("event_id")
+  }
+
+  val asofLatestOrderSql: String =
+    """WITH r AS (SELECT o_custkey AS custkey, o_orderdate,
+      |             max(o_totalprice) AS last_price
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id AS custkey, r.last_price
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.custkey AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_asof_latest_order" -> (asofLatestOrder _, asofLatestOrderSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),

@@ -44,6 +44,49 @@ object QueryOps {
       .orderBy(desc("cnt") +: groupCols.map(c => asc(c)): _*)
       .limit(k)
 
+  /** As-of join (inclusive): for each left row, the right row with the
+    * greatest `rightTime` <= `leftTime` within the same key group —
+    * composed from union + a running `last(ignoreNulls)` window, no
+    * custom physical operator needed (builder-prompt preference (a)).
+    *
+    * Contract: key columns share names across sides; `right` must be
+    * unique per (keys, rightTime) — pre-aggregate ties away (the specs
+    * and q_asof_latest_order do). NULL right values where no right row
+    * precedes the left row.
+    *
+    * Scale: one shuffle on the key columns; state per partition is the
+    * running last values — no n x m join blowup for dense right sides,
+    * which is exactly where a range-join formulation degrades. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightValues: Seq[String]): DataFrame = {
+    val leftPayload = left.columns.filterNot(c => keys.contains(c)).toSeq
+    val l = left
+      .withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__is_l", lit(1))
+    val lAligned = rightValues.foldLeft(l) { (df, c) =>
+      df.withColumn(c,
+        lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right
+      .withColumn("__t", col(rightTime).cast("timestamp"))
+      .withColumn("__is_l", lit(0))
+    val rAligned = leftPayload.foldLeft(r0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val cols = keys ++ Seq("__t", "__is_l") ++ leftPayload ++ rightValues
+    val unioned = lAligned.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
+    // right rows sort before left rows at equal time -> inclusive (>=)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValues.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_l") === 1).drop("__t", "__is_l")
+  }
+
   /** A4: running counters — the reference's processedEntries /
     * lookedUpEntries log counters as observable metrics attached to the
     * plan (collected by a QueryExecutionListener or streaming progress,

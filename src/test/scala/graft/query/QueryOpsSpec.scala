@@ -37,6 +37,29 @@ class QueryOpsSpec extends SparkTestBase {
     assert(got.toSeq == Seq(("a", 2L), ("b", 2L)))
   }
 
+  test("as-of join picks latest right row at-or-before, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, "k1", ts("2024-06-05 00:00:00")),
+      (2L, "k1", ts("2024-06-01 00:00:00")),  // equal ts -> inclusive
+      (3L, "k1", ts("2023-01-01 00:00:00")),  // before all -> null
+      (4L, "k2", ts("2024-06-05 00:00:00")),
+      (5L, "k3", ts("2024-06-05 00:00:00"))   // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-06-01 00:00:00"), 10.0),
+      ("k1", ts("2024-06-03 00:00:00"), 30.0),
+      ("k2", ts("2024-06-04 00:00:00"), 40.0)
+    ).toDF("k", "rt", "v")
+    val got = QueryOps.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(
+      1L -> Some(30.0), 2L -> Some(10.0), 3L -> None,
+      4L -> Some(40.0), 5L -> None))
+  }
+
   test("A4: observed metrics report processed and enriched counts") {
     import scala.collection.mutable
     val seen = mutable.Map.empty[String, (Long, Long)]
