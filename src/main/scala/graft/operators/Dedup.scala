@@ -172,8 +172,9 @@ object Dedup {
     * Returns (id_a, id_b, cos) pairs; [[embeddingDropIds]] derives the
     * drop set. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, numPlanes: Int = 8): DataFrame =
-    Similarity.lshBucketPairs(df, idCol, vecCol, numPlanes)
+                        threshold: Double, numPlanes: Int = 4,
+                        tables: Int = 6, dims: Int = 64): DataFrame =
+    Similarity.lshBucketPairs(df, idCol, vecCol, numPlanes, tables, dims)
       .filter(col("cos") >= threshold)
       .filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),

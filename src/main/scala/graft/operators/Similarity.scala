@@ -45,17 +45,28 @@ object Similarity {
       .limit(k)
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
-    * (plane, dim) — xxhash64-derived, stable across runs/executors. */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(2000003L)).cast("double") /
-      lit(1000001.5)) - 1.0
+    * (plane, dim): splitmix64 finalizer over the pair — computed once
+    * driver-side; the plan embeds the plane rows as LITERAL arrays
+    * (never per-row hashing on executors). */
+  private[operators] def planeComponent(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 2000003L).toDouble / 1000001.5) - 1.0
+  }
 
-  /** Sign-bit LSH signature over a materialized double-array column. */
-  def lshSignatureFromDoubles(v: Column, numPlanes: Int): Column = {
+  /** Sign-bit LSH signature over a materialized double-array column of
+    * exactly `dims` elements; `planeOffset` selects an independent
+    * plane family (multi-table). Plane rows are literal arrays of the
+    * same length — the projection is a pure fused multiply-add loop. */
+  def lshSignatureFromDoubles(v: Column, numPlanes: Int, dims: Int,
+                              planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
+      val planeRow = typedlit(
+        (1 to dims).map(d => planeComponent(planeOffset + p, d)))
       val proj = aggregate(
-        zip_with(v, sequence(lit(1), size(v)),
-          (x, i) => x * planeComponent(p, i)),
+        zip_with(v, planeRow, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -63,8 +74,8 @@ object Similarity {
   }
 
   /** Sign-bit LSH signature with `numPlanes` hyperplanes. */
-  def lshSignature(vecCol: Column, numPlanes: Int): Column =
-    lshSignatureFromDoubles(asDouble(vecCol), numPlanes)
+  def lshSignature(vecCol: Column, numPlanes: Int, dims: Int = 64): Column =
+    lshSignatureFromDoubles(asDouble(vecCol), numPlanes, dims)
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
@@ -120,31 +131,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Approximate per-query top-k: candidates share the LSH bucket,
-    * ranked by exact cosine within it. Recall grows with fewer planes
-    * (bigger buckets); specs measure it against brute force. */
-  /** All same-bucket pairs with exact cosine — the shared candidate
-    * generator for LSH top-k and cosine near-dup dedup. */
+  /** Same-bucket pairs with exact cosine — the shared candidate
+    * generator for LSH top-k and cosine near-dup dedup.
+    *
+    * Multi-table (OR-amplified) LSH: `tables` independent signatures of
+    * `numPlanes` sign bits each; a pair is a candidate if ANY table
+    * agrees (recall 1-(1-p^numPlanes)^tables for per-plane agreement
+    * p = 1 - angle/pi). One posexplode + one shuffle on
+    * (table, signature); cosine computed once per distinct pair. */
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
-                     numPlanes: Int = 8): DataFrame = {
+                     numPlanes: Int = 4, tables: Int = 6,
+                     dims: Int = 64): DataFrame = {
     // materialize the double-cast vector once; the per-plane projections
     // each scan it (don't inline the cast numPlanes times)
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         asDouble(col(vecCol)).as("__vd"))
-      .select(col("id"), col("v"),
-        lshSignatureFromDoubles(col("__vd"), numPlanes).as("bucket"))
-    sig.as("a").join(sig.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+      .select(col("id"), col("v"), array((0 until tables).map { t =>
+        lshSignatureFromDoubles(col("__vd"), numPlanes, dims,
+          t * numPlanes)
+      }: _*).as("__sigs"))
+    val banded = sigs.select(col("id"),
+      posexplode(col("__sigs"))).toDF("id", "table", "sig")
+    // candidate pairs carry only ids through the dedup shuffle; vectors
+    // join back afterwards (broadcast/AQE-chosen) — never shuffle
+    // vectors per band collision. Norms are precomputed per vector so
+    // the per-pair cost is one dot product plus a scalar divide.
+    val vecs = sigs.select(col("id"), asDouble(col("v")).as("v"))
+      .withColumn("n", norm(col("v")))
+    banded.as("a").join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_lo"), col("b.id").as("id_hi"))
+      .distinct()
+      .join(vecs.withColumnRenamed("id", "id_lo")
+        .withColumnRenamed("v", "va").withColumnRenamed("n", "na"), "id_lo")
+      .join(vecs.withColumnRenamed("id", "id_hi")
+        .withColumnRenamed("v", "vb").withColumnRenamed("n", "nb"), "id_hi")
+      .select(col("id_lo"), col("id_hi"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      // emit both directions so per-query top-k sees every neighbor
+      .select(explode(array(
+          struct(col("id_lo").as("query_id"), col("id_hi").as("neighbor_id"),
+            col("cos")),
+          struct(col("id_hi").as("query_id"), col("id_lo").as("neighbor_id"),
+            col("cos")))).as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("p.cos"))
   }
 
   def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int, numPlanes: Int = 8): DataFrame = {
+                    k: Int, numPlanes: Int = 4, tables: Int = 6,
+                    dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
-    lshBucketPairs(df, idCol, vecCol, numPlanes)
+    lshBucketPairs(df, idCol, vecCol, numPlanes, tables, dims)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -170,7 +170,7 @@ object TextQueries {
   // the genuinely-similar tail (threshold is caller policy on real data)
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.4, numPlanes = 4)
+        threshold = 0.4, numPlanes = 6, tables = 4)
       .orderBy("id_a", "id_b")
 
   def simIvf(s: SparkSession, dir: String): DataFrame =

@@ -45,7 +45,7 @@ class SimilaritySpec extends SparkTestBase {
       .filter(col("cos") > 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.lshBucketTopK(vecs, "vec_id", "embedding",
-        k = 9, numPlanes = 4)
+        k = 9, numPlanes = 4, tables = 6, dims = 16)
       .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
         math.max(r.getLong(0), r.getLong(1)))).toSet
     val recall = brute.count(lsh.contains).toDouble / math.max(brute.size, 1)
@@ -66,7 +66,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("embedding near-dup dedup finds cluster twins and drop set") {
     val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
-      threshold = 0.98, numPlanes = 4)
+      threshold = 0.98, numPlanes = 4, tables = 6, dims = 16)
     val pairs = dups.collect()
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
@@ -82,9 +82,9 @@ class SimilaritySpec extends SparkTestBase {
   }
 
   test("signatures deterministic across runs") {
-    val s1 = vecs.select(Similarity.lshSignature(col("embedding"), 8))
+    val s1 = vecs.select(Similarity.lshSignature(col("embedding"), 8, dims = 16))
       .collect().map(_.getLong(0)).toSeq
-    val s2 = vecs.select(Similarity.lshSignature(col("embedding"), 8))
+    val s2 = vecs.select(Similarity.lshSignature(col("embedding"), 8, dims = 16))
       .collect().map(_.getLong(0)).toSeq
     assert(s1 == s2)
   }
