@@ -29,11 +29,11 @@ object Cleaner {
   import DomainFunctions.stripDotCol
 
   /** Validator as the codegen'd native expression (no UDF in the hot
-    * path); null input -> false to mirror the UDF's boolean semantics
-    * under filter negation. */
+    * path); the expression itself is non-nullable (NULL -> false), so
+    * negation-safe without a coalesce guard. */
   private def validCol(lines: DataFrame)(c: Column): Column = {
     graft.plans.GraftExtensions.install(lines.sparkSession)
-    coalesce(call_function("is_valid_domain_native", c), lit(false))
+    call_function("is_valid_domain_native", c)
   }
 
   /** Column form of validOrRepaired (F2+F3, Go keep-repaired

@@ -146,14 +146,25 @@ object Dedup {
       t => xxhash64(t)))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
-    * 4x16-bit block banding (pigeonhole: distance <= 3 implies at least
-    * one identical block) then exact bit_count verification. */
+    * (maxDist+1)-block banding then exact bit_count verification. The
+    * 64 bits split into maxDist+1 near-equal blocks, so by pigeonhole
+    * any pair within maxDist differing bits shares at least one
+    * identical block — full recall at the requested distance. Larger
+    * maxDist means narrower blocks and more candidate collisions; keep
+    * maxDist small (<= ~10) at corpus scale. */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
                       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"maxDist must be in [0, 32), got $maxDist")
+    val nb = maxDist + 1
+    val bounds = (0 to nb).map(b => b * 64 / nb)
     val sigs = simhashSignatures(df, idCol, text)
     val blocks = sigs.select(col("id"), col("sig"), posexplode(
-      array((0 until 4).map(b =>
-        shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      array((0 until nb).map { b =>
+        val width = bounds(b + 1) - bounds(b)
+        shiftrightunsigned(col("sig"), bounds(b))
+          .bitwiseAND((1L << width) - 1)
+      }: _*)))
       .toDF("id", "sig", "block", "block_val")
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") &&

@@ -1,7 +1,8 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -54,7 +55,12 @@ object DomainExpressions {
   }
 }
 
-/** `is_valid_domain_native(domain)` — codegen'd Go-semantics validator. */
+/** `is_valid_domain_native(domain)` — codegen'd Go-semantics validator.
+  *
+  * Non-nullable: NULL input yields `false`, exactly like the registered
+  * `is_valid_domain` Scala UDF it replaces (`isValidDomain(null)` is
+  * false), so [[RewriteValidatorUdf]] is semantics-preserving on NULL
+  * domains — including under negation (`NOT is_valid_domain(d)`). */
 case class IsValidDomainExpr(child: Expression)
     extends UnaryExpression {
 
@@ -63,15 +69,23 @@ case class IsValidDomainExpr(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"is_valid_domain_native requires STRING, got ${child.dataType.sql}")
   override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
   override def prettyName: String = "is_valid_domain_native"
 
-  override protected def nullSafeEval(input: Any): Any =
-    DomainExpressions.isValidDomainUtf8(input.asInstanceOf[UTF8String])
+  override def eval(input: InternalRow): Any =
+    DomainExpressions.isValidDomainUtf8(
+      child.eval(input).asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.plans.DomainExpressions.isValidDomainUtf8($c)")
+                                   ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        boolean ${ev.value} = graft.plans.DomainExpressions.isValidDomainUtf8(
+          ${c.isNull} ? null : ${c.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression)
       : IsValidDomainExpr = copy(child = newChild)

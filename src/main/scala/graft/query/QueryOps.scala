@@ -61,30 +61,37 @@ object QueryOps {
                leftTime: String, rightTime: String,
                rightValues: Seq[String]): DataFrame = {
     val leftPayload = left.columns.filterNot(c => keys.contains(c)).toSeq
+    // all right values travel in ONE struct filled by a single
+    // last(ignoreNulls) — so every output value comes from the same
+    // (latest) right row, and a legitimate NULL inside that row is
+    // preserved rather than resurrecting an older row's value
+    // (DuckDB ASOF JOIN semantics)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValues.map(c => right.schema(c)))
     val l = left
       .withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__is_l", lit(1))
-    val lAligned = rightValues.foldLeft(l) { (df, c) =>
-      df.withColumn(c,
-        lit(null).cast(right.schema(c).dataType))
-    }
+      .withColumn("__rv", lit(null).cast(rvType))
     val r0 = right
       .withColumn("__t", col(rightTime).cast("timestamp"))
       .withColumn("__is_l", lit(0))
+      .withColumn("__rv", struct(rightValues.map(col): _*))
     val rAligned = leftPayload.foldLeft(r0) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val cols = keys ++ Seq("__t", "__is_l") ++ leftPayload ++ rightValues
-    val unioned = lAligned.select(cols.map(col): _*)
+    val cols = keys ++ Seq("__t", "__is_l", "__rv") ++ leftPayload
+    val unioned = l.select(cols.map(col): _*)
       .unionByName(rAligned.select(cols.map(col): _*))
     // right rows sort before left rows at equal time -> inclusive (>=)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValues.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__is_l") === 1).drop("__t", "__is_l")
+    val filled = unioned
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+    rightValues.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__rv").getField(c))
+    }.drop("__t", "__is_l", "__rv")
   }
 
   /** A4: running counters — the reference's processedEntries /

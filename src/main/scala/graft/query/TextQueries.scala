@@ -122,8 +122,11 @@ object TextQueries {
         threshold = 0.1, numHashes = 16, bands = 16, shingleK = 2)
       .orderBy("id_a", "id_b")
 
+  // maxDist=8 -> 9-block banding with guaranteed recall at distance 8;
+  // 16 would need 17 blocks of 3-4 bits (collision blowup at corpus
+  // scale) for little extra signal on this corpus.
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(docs(s, dir), "doc_id", col("text"), maxDist = 16)
+    Dedup.simhashNearDups(docs(s, dir), "doc_id", col("text"), maxDist = 8)
       .orderBy("id_a", "id_b")
 
   def langFingerprint(s: SparkSession, dir: String): DataFrame =

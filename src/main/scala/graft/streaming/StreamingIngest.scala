@@ -29,7 +29,15 @@ object StreamingIngest {
 
   /** T1+T3: checkpointed exactly-once ingest of massdns CSV files into
     * the three tables. Blocks until all currently-available files are
-    * processed (AvailableNow). */
+    * processed (AvailableNow).
+    *
+    * Exactly-once END-TO-END, not just at the source: foreachBatch is
+    * only at-least-once (a crash between the table writes and the
+    * checkpoint commit replays the batch), so each write lands in a
+    * `batch=<id>` subdirectory with OVERWRITE — a replayed batch
+    * rewrites its own directory instead of appending duplicates.
+    * Readers see one partition-discovery column `batch`; compaction to
+    * the clustered layout runs as a separate job. */
   def ingestAvailableNow(spark: SparkSession, inputDir: String,
                          checkpointDir: String, outDir: String,
                          tlds: Set[String], geo: Option[DataFrame],
@@ -42,11 +50,14 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = Migrator.run(batch, tlds, geo, source)
-        // append mode: each micro-batch adds date-partition-like files;
-        // compaction to the clustered layout runs as a separate job
-        out.rdnsv4.write.mode("append").parquet(s"$outDir/rdnsv4")
-        out.subdomains.write.mode("append").parquet(s"$outDir/subdomains")
-        out.cnames.write.mode("append").parquet(s"$outDir/cnames")
+        // idempotent per batchId: replay after a mid-write crash
+        // overwrites the same directories -> no duplicate rows
+        out.rdnsv4.write.mode("overwrite")
+          .parquet(s"$outDir/rdnsv4/batch=$batchId")
+        out.subdomains.write.mode("overwrite")
+          .parquet(s"$outDir/subdomains/batch=$batchId")
+        out.cnames.write.mode("overwrite")
+          .parquet(s"$outDir/cnames/batch=$batchId")
         ()
       }
       .start()

@@ -50,6 +50,26 @@ class DedupSpec extends SparkTestBase {
     assert(r.contains((0L, 100L)) || r.contains((1L, 101L)))
   }
 
+  test("simhash banding has full recall: equals brute-force hamming") {
+    // blocks are derived from maxDist (pigeonhole), so the banded result
+    // must EQUAL the all-pairs answer at the requested distance
+    for (maxDist <- Seq(3, 8, 16)) {
+      val sigs = Dedup.simhashSignatures(docs, "doc_id", col("text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= maxDist
+      } yield (ia, ib, d)).toSet
+      val banded = Dedup.simhashNearDups(docs, "doc_id", col("text"),
+          maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"maxDist=$maxDist")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", col("text"), maxDist = 40)
+    }
+  }
+
   test("exact copy has identical simhash and jaccard 1.0") {
     val sig = docs.filter(col("doc_id").isin(2L, 102L))
       .select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))

@@ -65,6 +65,31 @@ class DomainExpressionsSpec extends SparkTestBase {
       Map("a.com" -> true, "-bad-" -> false))
   }
 
+  test("rewrite preserves UDF semantics on NULL input, incl. negation") {
+    GraftExtensions.install(spark)
+    DomainFunctions.register(spark, Set("com"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-null").toString
+    import spark.implicits._
+    Seq(Some("a.com"), None, Some("-bad-")).toDF("d")
+      .write.mode("overwrite").parquet(dir)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteValidatorUdf
+    val df = spark.read.parquet(dir)
+      .selectExpr("d", "is_valid_domain(d) AS v",
+        "NOT is_valid_domain(d) AS nv")
+    assert(df.queryExecution.optimizedPlan.toString
+      .contains("is_valid_domain_native"))
+    val got = df.collect()
+      .map(r => (Option(r.getString(0)), r.getBoolean(1), r.getBoolean(2)))
+      .toSet
+    // the UDF returns false (never NULL) for NULL domains; the rewrite
+    // must not turn that into NULL
+    assert(got == Set(
+      (Some("a.com"), true, false),
+      (None, false, true),
+      (Some("-bad-"), false, true)))
+  }
+
   test("validOrRepairedCol matches the pure repair semantics") {
     import spark.implicits._
     val inputs = Seq("good.com", "*.wild.example.com", "\\\"quoted.com",

@@ -60,6 +60,23 @@ class QueryOpsSpec extends SparkTestBase {
       4L -> Some(40.0), 5L -> None))
   }
 
+  test("as-of join preserves NULLs inside the matched right row") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, "k1", ts("2024-06-05 00:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-06-01 00:00:00"), Option(10.0), Option("old")),
+      // the MATCHED row: v is legitimately NULL, w present — output must
+      // carry (NULL, "new"), not resurrect 10.0 from the older row
+      ("k1", ts("2024-06-03 00:00:00"), None: Option[Double], Option("new"))
+    ).toDF("k", "rt", "v", "w")
+    val got = QueryOps.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("v", "w")).select("id", "v", "w").collect()
+    assert(got.length == 1)
+    assert(got(0).isNullAt(1), "matched row's NULL must survive")
+    assert(got(0).getString(2) == "new")
+  }
+
   test("A4: observed metrics report processed and enriched counts") {
     import scala.collection.mutable
     val seen = mutable.Map.empty[String, (Long, Long)]

@@ -33,6 +33,26 @@ class StreamingSpec extends SparkTestBase {
     q2.awaitTermination()
     assert(spark.read.parquet(s"$out/rdnsv4").count() == 2)
     assert(spark.read.parquet(s"$out/cnames").count() == 1)
+
+    // crash-replay: delete the last epoch's commit marker (offsets are
+    // written BEFORE the batch runs, commits AFTER — a crash mid-write
+    // leaves exactly this state). Restart replays the batch with the
+    // same batchId; the batch=<id> overwrite keeps counts unchanged.
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles()
+      .filter(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    // the local ChecksumFileSystem shadows each file with .<name>.crc;
+    // a real crash loses both, so drop it too or the replayed commit's
+    // rename collides with the stale crc
+    new java.io.File(commits, s".${last.getName}.crc").delete()
+    val q3 = StreamingIngest.ingestAvailableNow(spark, in, ckpt, out,
+      Dims.defaultTlds, None, "stream-test")
+    q3.awaitTermination()
+    assert(spark.read.parquet(s"$out/rdnsv4").count() == 2,
+      "replayed batch must overwrite, not append")
+    assert(spark.read.parquet(s"$out/cnames").count() == 1)
   }
 
   test("T2: watermarked dropDuplicates suppresses re-observations") {
