@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /** Deduplication operators for a training-data pipeline: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard. All are shuffle-based
@@ -20,8 +21,14 @@ object Dedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Word k-shingles (distinct) of a text column. */
-  def shingles(text: Column, k: Int = 3): Column = {
+  private def native(fn: String, args: Column*): Column = {
+    GraftExtensions.install(SparkSession.active)
+    call_function(fn, args: _*)
+  }
+
+  /** Reference HOF form of [[shingles]] — kept as the spec cross-check
+    * for the native expression. */
+  private[graft] def shinglesHof(text: Column, k: Int = 3): Column = {
     val toks = TextAnalysis.tokenize(text)
     array_distinct(
       when(size(toks) >= k,
@@ -30,21 +37,32 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded xxhash64 families,
-    * the min hash over the shingle set. Pure column expressions. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** Word k-shingles (distinct) of a text column — one native pass
+    * ([[graft.plans.ShinglesExpr]]); the HOF form paid an interpreted
+    * concat lambda per shingle. */
+  def shingles(text: Column, k: Int = 3): Column =
+    native("graft_shingles", TextAnalysis.tokenize(text), lit(k))
+
+  /** Reference HOF form of [[minhashSignature]] — kept as the spec
+    * cross-check for the native expression. */
+  private[graft] def minhashSignatureHof(shingleCol: Column,
+                                             numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
     }: _*)
+
+  /** MinHash signature: for each of `numHashes` seeded xxhash64
+    * families, the min hash over the shingle set — all families in one
+    * native pass over the array ([[graft.plans.MinHashSigExpr]]); the
+    * HOF form re-walked the shingles once per family, interpreted. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    native("graft_minhash", shingleCol, lit(numHashes))
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band index, band hash), emit distinct (a, b) id pairs with a < b.
     *
     * bands * rowsPerBand must equal numHashes. */
-  /** (id, sig) signatures. The shingle array is materialized ONCE via a
-    * projection before the per-hash-family min scans — passing the
-    * shingle expression straight into [[minhashSignature]] would
-    * re-shingle the text numHashes times. */
+  /** (id, sig) signatures — one projection, no shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, text: Column,
                         numHashes: Int, shingleK: Int): DataFrame =
     df.select(col(idCol).as("id"), shingles(text, shingleK).as("__sh"))
@@ -66,7 +84,12 @@ object Dedup {
     // the same groupBy that dedups the pairs. For r=1 this equals the
     // signature-agreement fraction; for r>1 it is a (valid, stricter)
     // underestimate.
-    banded.as("a").join(banded.as("b"),
+    // SHUFFLE_HASH instead of the auto-chosen broadcast: both sides of
+    // the self-join become IDENTICAL shuffle exchanges, so Catalyst
+    // computes the banding pipeline ONCE (ReusedExchange) — and at
+    // corpus scale broadcasting a banded corpus is impossible anyway
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.id") < col("b.id"))
@@ -74,11 +97,15 @@ object Dedup {
       .agg((count(lit(1)).cast("double") / bands).as("est_jaccard"))
   }
 
-  /** Exact Jaccard similarity of two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) === 0, 0.0)
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        size(array_union(a, b)))
+  /** Exact Jaccard similarity of two shingle-SET columns (elements
+    * distinct, as [[shingles]] produces): |A∩B| / (|A|+|B|-|A∩B|) —
+    * one set operation instead of the two array_union builds of the
+    * naive form, same value. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
+  }
 
   /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold. */
   /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold.
@@ -107,25 +134,12 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash (per-bit majority vote) over a MATERIALIZED token
-    * hash array column — the 64 per-bit aggregates each scan the array,
-    * so the tokenize+hash work must not be inlined into them. */
-  def simhashFromHashes(hashes: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, i).bitwiseAND(1) * 2 - 1)
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b)
-  }
-
-  /** (id, sig) simhash signatures via explode + 64 bit-vote sums.
-    * One tokenize pass, one shuffle with map-side partial aggregation —
-    * robust against projection collapse re-inlining the token hashing
-    * into each of the 64 per-bit scans. Docs with zero tokens produce
-    * no row (tokenize of non-empty text always yields >= 1 token). */
-  def simhashSignatures(df: DataFrame, idCol: String,
-                        text: Column): DataFrame = {
+  /** Reference form of [[simhashSignatures]]: explode + 64 bit-vote sum
+    * aggregates — kept as the spec cross-check for the native
+    * expression (one tokenize pass, one shuffle with map-side partial
+    * aggregation). */
+  private[graft] def simhashSignaturesExploded(
+      df: DataFrame, idCol: String, text: Column): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(TextAnalysis.tokenize(text)).as("t"))
@@ -139,11 +153,17 @@ object Dedup {
       .select(col("id"), sig.as("sig"))
   }
 
-  /** Convenience single-column form (re-derives hashes; prefer
-    * [[simhashSignatures]] in bulk paths). */
+  /** (id, sig) simhash signatures as a single native projection
+    * ([[graft.plans.SimHashExpr]]) — no explode, NO SHUFFLE: at corpus
+    * scale the exploded form shuffled one row per token. */
+  def simhashSignatures(df: DataFrame, idCol: String,
+                        text: Column): DataFrame =
+    df.select(col(idCol).as("id"),
+      simhash(text).as("sig"))
+
+  /** Single-column simhash of a text column (native one-pass). */
   def simhash(text: Column): Column =
-    simhashFromHashes(transform(TextAnalysis.tokenize(text),
-      t => xxhash64(t)))
+    native("graft_simhash", TextAnalysis.tokenize(text))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
     * (maxDist+1)-block banding then exact bit_count verification. The
@@ -166,7 +186,11 @@ object Dedup {
           .bitwiseAND((1L << width) - 1)
       }: _*)))
       .toDF("id", "sig", "block", "block_val")
-    blocks.as("a").join(blocks.as("b"),
+    // shuffle-hash self-join: identical exchanges -> signature pipeline
+    // computed once; broadcast would rebuild it per side (and cannot
+    // hold a banded corpus at scale)
+    blocks.as("a").hint("shuffle_hash")
+      .join(blocks.as("b").hint("shuffle_hash"),
         col("a.block") === col("b.block") &&
         col("a.block_val") === col("b.block_val") &&
         col("a.id") < col("b.id"))

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -15,15 +16,29 @@ import org.apache.spark.sql.functions._
   *
   * All arithmetic is promoted to double before accumulation
   * (float32 -> float64 is exact) and folds left-to-right, so results
-  * are bit-deterministic.
+  * are bit-deterministic. The dot product and signature loops run as
+  * native codegen'd expressions ([[graft.plans.DotProductExpr]] /
+  * [[graft.plans.LshSigExpr]]) — Spark's higher-order functions are
+  * interpreted per lambda application, which dominated per-pair scoring
+  * before the native forms (bit-equality locked by
+  * VectorHashExpressionsSpec).
   */
 object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  private def native(fn: String, args: Column*): Column = {
+    GraftExtensions.install(SparkSession.active)
+    call_function(fn, args: _*)
+  }
+
+  /** Reference HOF form of [[dot]] — kept as the spec cross-check for
+    * the native expression. */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = native("graft_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,23 +60,17 @@ object Similarity {
       .limit(k)
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1) for
-    * (plane, dim): splitmix64 finalizer over the pair — computed once
-    * driver-side; the plan embeds the plane rows as LITERAL arrays
-    * (never per-row hashing on executors). */
-  private[operators] def planeComponent(plane: Int, d: Int): Double = {
-    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    (java.lang.Math.floorMod(z, 2000003L).toDouble / 1000001.5) - 1.0
-  }
+    * (plane, dim): delegates to the single source of truth in
+    * [[graft.plans.VectorOps.planeComponent]] (the native signature
+    * expression builds its plane matrix from the same function). */
+  private[operators] def planeComponent(plane: Int, d: Int): Double =
+    graft.plans.VectorOps.planeComponent(plane, d)
 
-  /** Sign-bit LSH signature over a materialized double-array column of
-    * exactly `dims` elements; `planeOffset` selects an independent
-    * plane family (multi-table). Plane rows are literal arrays of the
-    * same length — the projection is a pure fused multiply-add loop. */
-  def lshSignatureFromDoubles(v: Column, numPlanes: Int, dims: Int,
-                              planeOffset: Int = 0): Column = {
+  /** Reference HOF form of the signature — kept as the spec
+    * cross-check for the native expression. */
+  private[graft] def lshSignatureHof(v: Column, numPlanes: Int,
+                                         dims: Int,
+                                         planeOffset: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
       val planeRow = typedlit(
         (1 to dims).map(d => planeComponent(planeOffset + p, d)))
@@ -73,9 +82,17 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** Sign-bit LSH signature over a float/double array column of exactly
+    * `dims` elements; `planeOffset` selects an independent plane family
+    * (multi-table). The plane matrix is built once at plan time and the
+    * projection loop is a single codegen'd native call per row. */
+  def lshSignatureFromDoubles(v: Column, numPlanes: Int, dims: Int,
+                              planeOffset: Int = 0): Column =
+    native("graft_lsh_sig", v, lit(planeOffset), lit(numPlanes), lit(dims))
+
   /** Sign-bit LSH signature with `numPlanes` hyperplanes. */
   def lshSignature(vecCol: Column, numPlanes: Int, dims: Int = 64): Column =
-    lshSignatureFromDoubles(asDouble(vecCol), numPlanes, dims)
+    lshSignatureFromDoubles(vecCol, numPlanes, dims)
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
@@ -142,13 +159,11 @@ object Similarity {
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
                      numPlanes: Int = 4, tables: Int = 6,
                      dims: Int = 64): DataFrame = {
-    // materialize the double-cast vector once; the per-plane projections
-    // each scan it (don't inline the cast numPlanes times)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        asDouble(col(vecCol)).as("__vd"))
+    // the native signature expression widens float elements inline —
+    // no materialized double-cast copy of the vector is needed
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), array((0 until tables).map { t =>
-        lshSignatureFromDoubles(col("__vd"), numPlanes, dims,
-          t * numPlanes)
+        lshSignatureFromDoubles(col("v"), numPlanes, dims, t * numPlanes)
       }: _*).as("__sigs"))
     val banded = sigs.select(col("id"),
       posexplode(col("__sigs"))).toDF("id", "table", "sig")
@@ -156,9 +171,12 @@ object Similarity {
     // join back afterwards (broadcast/AQE-chosen) — never shuffle
     // vectors per band collision. Norms are precomputed per vector so
     // the per-pair cost is one dot product plus a scalar divide.
-    val vecs = sigs.select(col("id"), asDouble(col("v")).as("v"))
+    val vecs = sigs.select(col("id"), col("v"))
       .withColumn("n", norm(col("v")))
-    banded.as("a").join(banded.as("b"),
+    // shuffle-hash self-join: identical exchanges -> signature pipeline
+    // computed once (ReusedExchange); right plan shape at corpus scale
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
         col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_lo"), col("b.id").as("id_hi"))

@@ -2,14 +2,16 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule: rewrite the registered `is_valid_domain` Scala UDF
   * into the codegen'd native expression — ad-hoc SQL written against
   * the UDF gets the native plan for free (§4 optional rule (a) in
-  * SURVEY). Semantics are identical by DomainExpressionsSpec. */
+  * SURVEY). Semantics are identical by DomainExpressionsSpec, including
+  * NULL input (both forms return false, never NULL). */
 object RewriteValidatorUdf extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
@@ -28,29 +30,52 @@ object RewriteValidatorUdf extends Rule[LogicalPlan] {
   * }}}
   *
   * Injects the native expression layer into the SQL function registry so
-  * `spark.sql("... is_valid_domain_native(d)")` plans the codegen'd
-  * expression rather than a UDF black box.
+  * ad-hoc SQL plans the codegen'd expressions rather than UDF black
+  * boxes: the domain validator plus the vector/hash hot-path family
+  * (graft_dot, graft_lsh_sig, graft_minhash, graft_simhash).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.isValidDomainEntry)
+    GraftExtensions.entries.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteValidatorUdf)
   }
 }
 
 object GraftExtensions {
-  private val isValidDomainEntry = (
-    FunctionIdentifier("is_valid_domain_native"),
-    IsValidDomainExpr.info,
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      IsValidDomainExpr(children.head))
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  private type Entry =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private val entries: Seq[Entry] = Seq(
+    (FunctionIdentifier("is_valid_domain_native"), IsValidDomainExpr.info,
+      (es: Seq[Expression]) => IsValidDomainExpr(es.head)),
+    (FunctionIdentifier("graft_dot"), DotProductExpr.info,
+      (es: Seq[Expression]) => DotProductExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_lsh_sig"), LshSigExpr.info,
+      (es: Seq[Expression]) => LshSigExpr(es(0),
+        litInt(es(1), "graft_lsh_sig"), litInt(es(2), "graft_lsh_sig"),
+        litInt(es(3), "graft_lsh_sig"))),
+    (FunctionIdentifier("graft_minhash"), MinHashSigExpr.info,
+      (es: Seq[Expression]) => MinHashSigExpr(es(0),
+        litInt(es(1), "graft_minhash"))),
+    (FunctionIdentifier("graft_simhash"), SimHashExpr.info,
+      (es: Seq[Expression]) => SimHashExpr(es.head)),
+    (FunctionIdentifier("graft_shingles"), ShinglesExpr.info,
+      (es: Seq[Expression]) => ShinglesExpr(es(0),
+        litInt(es(1), "graft_shingles"))))
 
   /** Register the native functions on an already-built session
     * (idempotent) — for callers that didn't pass the extensions class
     * at session build time. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = isValidDomainEntry
-    spark.sessionState.functionRegistry
-      .registerFunction(ident, info, builder)
-  }
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    entries.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
 }

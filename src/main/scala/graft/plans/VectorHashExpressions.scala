@@ -1,0 +1,355 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/hash hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`, `zip_with`,
+  * `transform`) do not participate in whole-stage codegen — each lambda
+  * application is interpreted, with a boxed function call and often an
+  * intermediate array allocation per row. For the similarity / dedup
+  * operators that evaluate a dot product or a hash family per candidate
+  * PAIR, that interpretation cost dominates the whole query. These
+  * expressions keep the loop in compiled Scala invoked by a single
+  * static call from generated code, and are bit-identical to the HOF
+  * forms they replace (locked by VectorHashExpressionsSpec):
+  *
+  *  - [[DotProductExpr]]  == aggregate(zip_with(a, b, *), 0.0, +)
+  *  - [[LshSigExpr]]      == the per-plane sign-bit fold in
+  *                           [[graft.operators.Similarity]]
+  *  - [[MinHashSigExpr]]  == array(min(xxhash64(lit(i), s)) for i)
+  *  - [[SimHashExpr]]     == the 64 per-bit vote sums in
+  *                           [[graft.operators.Dedup.simhashSignatures]]
+  */
+object VectorOps {
+
+  /** Left-to-right fold of sum(a(i) * b(i)) — the exact evaluation
+    * order of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so results
+    * stay bit-identical to the HOF form (and to the DuckDB oracle
+    * recipe). Returns null on length mismatch or a null element, like
+    * the HOF (null product nulls the whole fold). */
+  def dotBoxed(a: ArrayData, aFloat: Boolean, b: ArrayData,
+               bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1) for
+    * (plane, dim): splitmix64 finalizer over the pair. The single
+    * source of truth — Similarity delegates here. */
+  def planeComponent(plane: Int, d: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (java.lang.Math.floorMod(z, 2000003L).toDouble / 1000001.5) - 1.0
+  }
+
+  /** Sign-bit LSH signature: bit p set iff dot(v, planes(p)) > 0, with
+    * the same left-to-right projection fold as the HOF form. A plane
+    * whose projection is indeterminate (length mismatch / null element)
+    * contributes bit 0, matching `when(proj > 0, ...).otherwise(0)`
+    * on a null proj. */
+  def lshSig(v: ArrayData, vFloat: Boolean,
+             planes: Array[Array[Double]]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val row = planes(p)
+      if (v.numElements() == row.length) {
+        var acc = 0.0
+        var ok = true
+        var i = 0
+        while (ok && i < row.length) {
+          if (v.isNullAt(i)) ok = false
+          else {
+            val x = if (vFloat) v.getFloat(i).toDouble else v.getDouble(i)
+            acc += x * row(i)
+            i += 1
+          }
+        }
+        if (ok && acc > 0) sig |= 1L << p
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** MinHash signature: per seeded family, the (signed) min of
+    * xxhash64-with-that-seed over the shingle set, all families in ONE
+    * pass over the array. seeds(i) must be the running hash of the
+    * family index (see [[MinHashSigExpr]]), so each element hash equals
+    * `xxhash64(lit(i), shingle)` exactly. Empty input -> all-null
+    * signature, like `array_min` over an empty transform. */
+  def minhashSig(shingles: ArrayData, seeds: Array[Long]): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](seeds.length))
+    val mins = new Array[Long](seeds.length)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var j = 0
+      while (j < seeds.length) {
+        val h = XxHash64Function.hash(s, StringType, seeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct word k-shingles of a token array, first-occurrence order —
+    * identical to `array_distinct(transform(sequence(...), concat_ws))`
+    * but one compiled pass: fewer than k tokens yield the single
+    * all-tokens join (like the HOF `otherwise` branch). */
+  def shingles(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val out = new java.util.LinkedHashSet[AnyRef]
+    if (n < k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i < n) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+    } else {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var i = 0
+      while (i <= n - k) {
+        var j = 0
+        while (j < k) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** 64-bit SimHash over a token array in one pass: per-bit votes of
+    * xxhash64(token) (+1 set / -1 clear), bit set iff votes > 0 —
+    * identical to the exploded 64-aggregate form but with no shuffle. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Long](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += ((h >>> b) & 1L) * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
+
+private[plans] object VectorHashExpressions {
+  def checkNumericArray(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+    }
+
+  def isFloatArray(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  def checkStringArray(e: Expression, fn: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires ARRAY<STRING>, got ${other.sql}")
+    }
+
+  def info[T](cls: Class[T], name: String): ExpressionInfo =
+    new ExpressionInfo(cls.getName, name)
+}
+
+/** `graft_dot(a, b)` — codegen'd double dot product (float arrays are
+  * widened per element; float -> double is exact). */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorHashExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkNumericArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkNumericArray(right, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotBoxed(a.asInstanceOf[ArrayData], isFloatArray(left),
+      b.asInstanceOf[ArrayData], isFloatArray(right))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val res = ctx.freshName("dotRes")
+      s"""
+        java.lang.Double $res = graft.plans.VectorOps.dotBoxed(
+          $a, ${isFloatArray(left)}, $b, ${isFloatArray(right)});
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $res.doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[DotProductExpr], "graft_dot")
+}
+
+/** `graft_lsh_sig(v, planeOffset, numPlanes, dims)` — packed sign-bit
+  * LSH signature against the deterministic plane family
+  * [[VectorOps.planeComponent]]. The plane matrix is built once at plan
+  * time and referenced by the generated code. */
+case class LshSigExpr(child: Expression, planeOffset: Int, numPlanes: Int,
+                      dims: Int) extends UnaryExpression {
+  import VectorHashExpressions._
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(numPlanes, dims)((p, d) =>
+      VectorOps.planeComponent(planeOffset + p, d + 1))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.lshSig(v.asInstanceOf[ArrayData], isFloatArray(child), planes)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.lshSig($c, ${isFloatArray(child)}, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LshSigExpr = copy(child = newChild)
+}
+
+object LshSigExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[LshSigExpr], "graft_lsh_sig")
+}
+
+/** `graft_minhash(shingles, numHashes)` — the full minhash signature in
+  * one pass; element i equals `array_min(transform(sh, s =>
+  * xxhash64(lit(i), s)))` bit-for-bit (the seed chain replicates
+  * XxHash64's left fold over its children). */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  import VectorHashExpressions._
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i =>
+      XxHash64Function.hash(i, IntegerType, 42L))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.minhashSig(v.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("seeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.minhashSig($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHashSigExpr = copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[MinHashSigExpr], "graft_minhash")
+}
+
+/** `graft_simhash(tokens)` — one-pass 64-bit simhash of a token array;
+  * replaces the explode + 64-aggregate shuffle with a projection. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  import VectorHashExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.simhash(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashExpr = copy(child = newChild)
+}
+
+object SimHashExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[SimHashExpr], "graft_simhash")
+}
+
+/** `graft_shingles(tokens, k)` — distinct word k-shingles in one
+  * compiled pass (the HOF form ran one interpreted concat lambda per
+  * shingle). */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  import VectorHashExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, prettyName)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.shingles(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglesExpr = copy(child = newChild)
+}
+
+object ShinglesExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[ShinglesExpr], "graft_shingles")
+}

@@ -1,0 +1,142 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.GenForAll.forAll
+
+/** The native vector/hash expressions must be BIT-IDENTICAL to the HOF
+  * forms they replaced — any drift silently changes LSH bucketing,
+  * minhash bands, and oracle-checked cosines. */
+class VectorHashExpressionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.listOfN(8, Gen.chooseNum(-100, 100).map(i => i / 7.0f))
+
+  test("graft_dot == aggregate(zip_with) fold, bit for bit") {
+    val pairs = (for {
+      a <- Gen.listOfN(30, vecGen).sample
+      b <- Gen.listOfN(30, vecGen).sample
+    } yield a.zip(b)).get
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("graft_dot null semantics: length mismatch and null input") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f))),          // length mismatch
+      (None: Option[Seq[Float]], Some(Seq(1.0f))),       // null side
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f)))     // fine
+    ).toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(None, None, Some(11.0)))
+  }
+
+  test("graft_lsh_sig == HOF sign-bit fold on double arrays") {
+    val vecs = Gen.listOfN(50, Gen.listOfN(16,
+      Gen.chooseNum(-1000, 1000).map(_ / 13.0))).sample.get
+    val df = vecs.toDF("v")
+    for (offset <- Seq(0, 6)) {
+      val rows = df.select(
+          Similarity.lshSignatureFromDoubles(col("v"), 6, 16, offset)
+            .as("native"),
+          Similarity.lshSignatureHof(col("v"), 6, 16, offset).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
+  test("graft_lsh_sig widens float arrays identically to asDouble") {
+    val vecs = Gen.listOfN(40, vecGen).sample.get
+    val df = vecs.toDF("v")
+    val rows = df.select(
+        Similarity.lshSignature(col("v"), 5, 8).as("native"),
+        Similarity.lshSignatureHof(
+          transform(col("v"), _.cast("double")), 5, 8).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("graft_minhash == per-family array_min(xxhash64(lit(i), s))") {
+    val texts = Gen.listOfN(40, Gen.listOfN(12,
+      Gen.alphaNumStr.map(_.take(6)))).sample.get.map(_.mkString(" "))
+    val df = texts.toDF("text")
+      .select(Dedup.shingles(col("text"), 2).as("sh"))
+    val rows = df.select(
+        Dedup.minhashSignature(col("sh"), 16).as("native"),
+        Dedup.minhashSignatureHof(col("sh"), 16).as("hof"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("graft_shingles == array_distinct(transform(...)) incl. order") {
+    val texts = Gen.listOfN(60, Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "dd", ""))))
+      .sample.get.map(_.mkString(" ")) ++
+      Seq("", " ", "a a a a", "x  y")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(
+          Dedup.shingles(col("text"), k).as("native"),
+          Dedup.shinglesHof(col("text"), k).as("hof"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k text='$t'")
+      }
+    }
+  }
+
+  test("graft_simhash == exploded 64-aggregate signatures") {
+    val texts = Gen.listOfN(40, Gen.listOfN(20,
+      Gen.alphaNumStr.map(_.take(5)))).sample.get
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = texts.toDF("id", "text")
+    val native = Dedup.simhashSignatures(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = Dedup.simhashSignaturesExploded(df, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == exploded)
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
+    Seq((1L, Seq(1.0f, 2.0f), "a b c")).toDF("id", "v", "text")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).select(
+      Similarity.dot(col("v"), col("v")),
+      Similarity.lshSignature(col("v"), 4, 2),
+      Dedup.simhash(col("text")),
+      Dedup.minhashSignature(Dedup.shingles(col("text"), 2), 4))
+    // force execution so AQE finalizes codegen, then check the plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("property: random strings hash identically via both simhash forms") {
+    val g = Gen.listOfN(8, Gen.oneOf(Gen.alphaNumStr.map(_.take(4)),
+      Gen.const(""), Gen.const("日本語")))
+    forAll(g, 30) { words =>
+      val df = Seq((1L, words.mkString(" "))).toDF("id", "text")
+      val n = Dedup.simhashSignatures(df, "id", col("text"))
+        .collect()(0).getLong(1)
+      val e = Dedup.simhashSignaturesExploded(df, "id", col("text"))
+        .collect()(0).getLong(1)
+      assert(n == e, s"words=$words")
+    }
+  }
+}
