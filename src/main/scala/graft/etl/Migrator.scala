@@ -65,7 +65,24 @@ object Migrator {
           source: String, cacheParsed: Boolean = false): Outputs = {
     val parsedRaw = parse(lines, tlds)
     val parsed = if (cacheParsed) parsedRaw.cache() else parsedRaw
+    fromParsed(parsed, geo, source)
+  }
 
+  /** 100 TB variant of [[run]]: materialize the parsed intermediate as
+    * a parquet STAGING TABLE instead of executor cache. At scale the
+    * parsed fan-out (three downstream consumers) doesn't fit in
+    * executor memory, spills thrash, and a lost executor recomputes the
+    * whole lineage; a staged table is scanned three times with column
+    * pruning and survives failures. */
+  def runStaged(lines: DataFrame, tlds: Set[String], geo: Option[DataFrame],
+                source: String, stagingDir: String): Outputs = {
+    parse(lines, tlds).write.mode("overwrite").parquet(stagingDir)
+    fromParsed(lines.sparkSession.read.parquet(stagingDir), geo, source)
+  }
+
+  /** The three output tables from the validated intermediate. */
+  private def fromParsed(parsed: DataFrame, geo: Option[DataFrame],
+                         source: String): Outputs = {
     val isCname = col("recordType") =!= "A"                // F4
 
     // ---- cnames branch (quirk: apexDomain column = target) ----
@@ -91,8 +108,11 @@ object Migrator {
 
     val enriched = geo match {
       case Some(g) =>
-        aRows.join(broadcast(g),
-            col("ip_int").between(col("start_ip"), col("end_ip")), "left")
+        // bucketed equi-range join, not a raw `between` broadcast
+        // (which plans as nested-loop: every row x every range — a real
+        // MaxMind dim has ~3M ranges)
+        graft.operators.RangeJoin.bucketed(
+            aRows, g, col("ip_int"), "start_ip", "end_ip")
           .drop("start_ip", "end_ip")
       case None =>
         aRows.withColumn("country", lit(null).cast("string"))

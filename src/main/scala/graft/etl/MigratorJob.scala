@@ -7,9 +7,13 @@ import graft.sources.{Dims, OrderedSink}
   * (App.java:58-109):
   *
   * {{{
-  * runMain graft.etl.MigratorJob CSV      <inputGlob> <outDir> <source> [tldFile] [geoCsv]
+  * runMain graft.etl.MigratorJob CSV      <inputGlob> <outDir> <source> [tldFile] [geoCsv] [stagingDir]
   * runMain graft.etl.MigratorJob CSV_SUBD <inputGlob> <outDir> <source> [tldFile]
   * }}}
+  *
+  * With `stagingDir` the parsed intermediate is materialized as a
+  * parquet staging table instead of executor cache — the 100 TB
+  * configuration (fits any size, survives executor loss).
   *
   * CSV mode writes rdnsv4/ subdomains/ cnames/ under outDir in the
   * reference's (partition, clustering) layout; CSV_SUBD writes
@@ -34,7 +38,12 @@ object MigratorJob {
 
     fileType match {
       case "CSV" =>
-        val out = Migrator.run(lines, tlds, geo, source, cacheParsed = true)
+        val out = opt(6) match {
+          case Some(staging) =>
+            Migrator.runStaged(lines, tlds, geo, source, staging)
+          case None =>
+            Migrator.run(lines, tlds, geo, source, cacheParsed = true)
+        }
         OrderedSink.writeRdnsv4(out.rdnsv4, s"$outDir/rdnsv4")
         OrderedSink.writeSubdomains(out.subdomains, s"$outDir/subdomains")
         OrderedSink.writeCnames(out.cnames, s"$outDir/cnames")

@@ -115,7 +115,11 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_to_vector(transform(col(vecCol), _.cast("double"))).as("fv"))
 
+    // random init + few iterations: the coarse quantizer only buckets
+    // candidates (exact cosine re-ranks), so k-means|| init's extra
+    // passes buy nothing; fixed seed keeps assignment deterministic
     val model = new KMeans().setK(nlist).setSeed(42L)
+      .setInitMode("random").setMaxIter(8)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(base.orderBy("id").limit(trainSampleLimit))
 

@@ -94,4 +94,21 @@ class MigratorSpec extends SparkTestBase {
     assert(rows.contains(
       Seq("de", "me", "", "strip", "", "", "NOT_RESOLVED")))
   }
+
+  test("runStaged (parquet staging table) matches the cached run") {
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-staging").toString + "/parsed"
+    val staged = Migrator.runStaged(lines, tlds, Some(geo), "unit-test",
+      staging)
+    def key(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val rdnsCols = Seq("ip8", "ipAddress", "p1", "p4", "country", "asn")
+    assert(key(staged.rdnsv4, rdnsCols) == key(out.rdnsv4, rdnsCols))
+    assert(key(staged.cnames, Seq("target", "domain")) ==
+      key(out.cnames, Seq("target", "domain")))
+    assert(staged.subdomains.count() == out.subdomains.count())
+    // the staging table itself is a readable parquet of the intermediate
+    assert(spark.read.parquet(staging).count() > 0)
+  }
 }
