@@ -212,6 +212,11 @@ object DomainQueries {
     val orders = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
       .agg(max("o_totalprice").as("last_price"))
+    // composed union+window form: measured faster here (narrow payload,
+    // tiny right side — one shuffle, no per-row projection overhead).
+    // The native sort-merge operator (plans.AsofJoin) is equivalence-
+    // locked to this form by AsofJoinSpec and preferred when the right
+    // payload is wide (union schema blow-up dominates the shuffle).
     graft.query.QueryOps.asofJoin(events, orders, Seq("custkey"),
         "ev_ts", "o_orderdate", Seq("last_price"))
       .select(col("event_id"), col("custkey"),

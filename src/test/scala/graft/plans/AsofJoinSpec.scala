@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.query.QueryOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import scala.util.Random
+
+/** The native sort-merge as-of operator must agree row-for-row with
+  * the composed union+window form on arbitrary inputs. */
+class AsofJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(epochSec: Long) = new Timestamp(epochSec * 1000)
+
+  test("native as-of == composed as-of on randomized inputs") {
+    val rnd = new Random(3)
+    val left = (1 to 500).map { i =>
+      (i.toLong, s"k${rnd.nextInt(20)}", ts(rnd.nextInt(1000).toLong))
+    }.toDF("id", "k", "t")
+    // unique (key, rt): one right row per (key, slot)
+    val right = (for {
+      k <- 0 until 15; slot <- 0 until 30 if rnd.nextInt(3) == 0
+    } yield (s"k$k", ts(slot * 37L), rnd.nextDouble(), s"v$k-$slot"))
+      .toDF("k", "rt", "price", "label")
+
+    val composed = QueryOps.asofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("price", "label"))
+    val native = AsofJoin(left, right, Seq("k"), "t", "rt",
+      Seq("price", "label"))
+    // same column SET; the native form keeps the left schema order
+    // while the composed form moves keys first
+    assert(native.columns.sorted.toSeq == composed.columns.sorted.toSeq)
+    val cols = native.columns.toSeq
+    def rows(df: DataFrame) = df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(rows(native) == rows(composed))
+  }
+
+  test("native as-of edge cases: equal ts inclusive, no-match key, nulls") {
+    val left = Seq(
+      (1L, "k1", ts(100)), (2L, "k1", ts(50)), (3L, "k1", ts(10)),
+      (4L, "k2", ts(100)), (5L, "k3", ts(100))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", ts(50), Option(10.0)),   // equal-ts match for id=2
+      ("k1", ts(80), None),           // NULL value must survive for id=1
+      ("k2", ts(90), Option(40.0))
+    ).toDF("k", "rt", "v")
+    val got = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(10.0), 3L -> None,
+      4L -> Some(40.0), 5L -> None))
+  }
+
+  test("native as-of plans the custom exec with one shuffle per side") {
+    val left = Seq((1L, "k", ts(5))).toDF("id", "k", "t")
+    val right = Seq(("k", ts(1), 1.0)).toDF("k", "rt", "v")
+    val df = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("union"), p)
+  }
+
+  test("native as-of handles an empty right side") {
+    val left = Seq((1L, "k", ts(5))).toDF("id", "k", "t")
+    val right = Seq.empty[(String, Timestamp, Double)]
+      .toDF("k", "rt", "v")
+    val got = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .collect()
+    assert(got.length == 1 && got(0).isNullAt(3))
+  }
+
+  test("native as-of with multi-column keys") {
+    val left = Seq((1L, "a", 1, ts(10)), (2L, "a", 2, ts(10)))
+      .toDF("id", "k1", "k2", "t")
+    val right = Seq(("a", 1, ts(5), 1.5), ("a", 2, ts(20), 9.9))
+      .toDF("k1", "k2", "rt", "v")
+    val got = AsofJoin(left, right, Seq("k1", "k2"), "t", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got == Map(1L -> Some(1.5), 2L -> None))
+  }
+}
