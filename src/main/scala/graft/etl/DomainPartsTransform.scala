@@ -15,15 +15,26 @@ import graft.sources.Dims
   */
 object DomainPartsTransform {
 
-  /** Java `String.split(regex)` drops trailing empty strings; Spark's
-    * `split` keeps them regardless of limit. This trims them off:
-    * `["a","","b","",""]` -> `["a","","b"]`, all-empty -> `[]`. */
-  def splitLikeJava(c: org.apache.spark.sql.Column,
-                    pattern: String): org.apache.spark.sql.Column = {
+  /** Reference HOF form of [[splitLikeJava]] — kept as the spec
+    * cross-check for the native expression. */
+  private[graft] def splitLikeJavaHof(c: org.apache.spark.sql.Column,
+                                      pattern: String): org.apache.spark.sql.Column = {
     val raw = split(c, pattern, -1)
     val lastNonEmpty = array_max(transform(raw,
       (x, i) => when(x =!= "", i + 1).otherwise(0)))
     slice(raw, lit(1), coalesce(lastNonEmpty, lit(0)))
+  }
+
+  /** Java `String.split(regex)` drops trailing empty strings; Spark's
+    * `split` keeps them regardless of limit. This trims them off:
+    * `["a","","b","",""]` -> `["a","","b"]`, all-empty -> `[]`.
+    * One native compiled call ([[graft.plans.SplitJavaExpr]]); the HOF
+    * form paid four array passes per row in the ETL hot path. */
+  def splitLikeJava(c: org.apache.spark.sql.Column,
+                    pattern: String): org.apache.spark.sql.Column = {
+    graft.plans.GraftExtensions.install(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_split_java", c, lit(pattern))
   }
 
   /** Adds `dp_success, apex, p1..p7` derived from `domainCol`.

@@ -97,47 +97,44 @@ object Similarity {
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; each query probes its `nprobe` nearest
     * cells and ranks candidates by exact cosine. The 100 TB shape:
-    * training samples the corpus (driver-side, nlist centroids only),
-    * assignment is a scan projection against broadcast centroids, and
-    * the candidate join shuffles on the cell id.
+    * training samples the corpus (driver-side [[KMeansLite]], nlist
+    * centroids only — the FAISS recipe), assignment is a scan
+    * projection against broadcast centroids, and the candidate join
+    * shuffles on the cell id.
     *
     * Deterministic: fixed seed, fixed init, deterministic input order
     * from the id sort. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 2,
               trainSampleLimit: Int = 10000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
     import org.apache.spark.sql.expressions.Window
 
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      array_to_vector(transform(col(vecCol), _.cast("double"))).as("fv"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    // random init + few iterations: the coarse quantizer only buckets
-    // candidates (exact cosine re-ranks), so k-means|| init's extra
-    // passes buy nothing; fixed seed keeps assignment deterministic
-    val model = new KMeans().setK(nlist).setSeed(42L)
-      .setInitMode("random").setMaxIter(8)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base.orderBy("id").limit(trainSampleLimit))
+    val sample: Array[Array[Double]] = base.orderBy("id")
+      .limit(trainSampleLimit).select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = KMeansLite.fit(sample, nlist)
 
     import spark.implicits._
-    val centDf = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cell", "centroid")
+    // c2 = |c|^2 precomputed: argmin ||v-c||^2 == argmin(|c|^2 - 2 v.c)
+    // — one native dot per (vector, centroid), |v|^2 constant per row
+    val centDf = centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("cell", "centroid", "c2")
 
-    val assigned = model.transform(base).select("id", "v", "cell")
-
-    // nprobe nearest centroids per vector (broadcast nlist rows)
-    val probes = base.crossJoin(broadcast(centDf))
-      .withColumn("dist",
-        aggregate(zip_with(asDouble(col("v")), col("centroid"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+    // one broadcast product ranks centroids per vector: rank 1 is the
+    // cell ASSIGNMENT, ranks <= nprobe are the probe targets
+    val ranked = base.crossJoin(broadcast(centDf))
+      .withColumn("rank_dist",
+        col("c2") - lit(2.0) * dot(col("v"), col("centroid")))
       .withColumn("probe_rank", row_number().over(
-        Window.partitionBy("id").orderBy(asc("dist"), asc("cell"))))
-      .filter(col("probe_rank") <= nprobe)
+        Window.partitionBy("id").orderBy(asc("rank_dist"), asc("cell"))))
+
+    val assigned = ranked.filter(col("probe_rank") === 1)
+      .select("id", "v", "cell")
+    val probes = ranked.filter(col("probe_rank") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
 
     val pairs = probes.join(assigned, Seq("cell"))

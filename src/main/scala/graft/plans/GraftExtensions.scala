@@ -50,6 +50,12 @@ object GraftExtensions {
       s"$fn expects a literal INT argument, got $other")
   }
 
+  private def litStr(e: Expression, fn: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal STRING argument, got $other")
+  }
+
   private type Entry =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
@@ -69,7 +75,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => SimHashExpr(es.head)),
     (FunctionIdentifier("graft_shingles"), ShinglesExpr.info,
       (es: Seq[Expression]) => ShinglesExpr(es(0),
-        litInt(es(1), "graft_shingles"))))
+        litInt(es(1), "graft_shingles"))),
+    (FunctionIdentifier("graft_split_java"), SplitJavaExpr.info,
+      (es: Seq[Expression]) => SplitJavaExpr(es(0),
+        litStr(es(1), "graft_split_java"))))
 
   /** Register the native functions on an already-built session
     * (idempotent) — for callers that didn't pass the extensions class

@@ -140,6 +140,22 @@ object VectorOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Java `String.split` semantics over UTF8String (trailing empties
+    * dropped by the limit-0 contract); empty input -> empty array per
+    * the engine's splitLikeJava contract. */
+  def splitJava(s: org.apache.spark.unsafe.types.UTF8String,
+                pattern: java.util.regex.Pattern): ArrayData = {
+    if (s.numBytes() == 0) return new GenericArrayData(Array.empty[Any])
+    val parts = pattern.split(s.toString)
+    val out = new Array[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(parts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** 64-bit SimHash over a token array in one pass: per-bit votes of
     * xxhash64(token) (+1 set / -1 clear), bit set iff votes > 0 —
     * identical to the exploded 64-aggregate form but with no shuffle. */
@@ -352,4 +368,45 @@ case class ShinglesExpr(child: Expression, k: Int)
 object ShinglesExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[ShinglesExpr], "graft_shingles")
+}
+
+/** `graft_split_java(str, pattern)` — Java `String.split(regex)`
+  * semantics (trailing empty strings dropped), the exact behavior of
+  * the reference's line/label splits, as ONE compiled call. The HOF
+  * composition (split + indexed transform + array_max + slice) costs
+  * four array passes per row and a large codegen footprint in the ETL
+  * hot path. Empty input yields an empty array (the engine's
+  * established contract; Java itself returns [""] there — the one
+  * deliberate divergence, locked by spec). */
+case class SplitJavaExpr(child: Expression, pattern: String)
+    extends UnaryExpression {
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_split_java"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.splitJava(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], compiled)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pattern", compiled,
+      "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.splitJava($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SplitJavaExpr = copy(child = newChild)
+}
+
+object SplitJavaExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[SplitJavaExpr], "graft_split_java")
 }

@@ -99,6 +99,28 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_split_java == HOF trailing-empty-trim split") {
+    import graft.etl.DomainPartsTransform
+    val inputs = Seq("a,b,c", "a,,b,,", ",,,", "", "x", ",x", "x,",
+      "a.b.c.", "..", "no-sep", "a,b,c,,,,,,,,")
+    for (pat <- Seq(",", "\\.")) {
+      val df = inputs.toDF("s").select(
+        DomainPartsTransform.splitLikeJava(col("s"), pat).as("native"),
+        DomainPartsTransform.splitLikeJavaHof(col("s"), pat).as("hof"))
+      df.collect().zip(inputs).foreach { case (r, in) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"pattern=$pat input='$in'")
+      }
+    }
+    // and both match real Java String.split for non-empty inputs
+    inputs.filter(_.nonEmpty).foreach { in =>
+      val got = Seq(in).toDF("s")
+        .select(DomainPartsTransform.splitLikeJava(col("s"), ","))
+        .collect()(0).getSeq[String](0)
+      assert(got == in.split(",").toSeq, s"input='$in'")
+    }
+  }
+
   test("graft_simhash == exploded 64-aggregate signatures") {
     val texts = Gen.listOfN(40, Gen.listOfN(20,
       Gen.alphaNumStr.map(_.take(5)))).sample.get
