@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.nio.file.Files
+import graft.GraftSession
+import graft.etl.Migrator
+import graft.sources.{Dims, OrderedSink}
+import org.apache.spark.sql.functions._
+
+/** End-to-end ETL throughput harness: synthesize N massdns CSV lines
+  * as text files, run the full Migrator pipeline (parse, validate +
+  * repair, domain parts, IP blocks, geo enrich) into the three
+  * key-ordered clustered sinks, report wall seconds — the number
+  * recorded in PERF.md.
+  *
+  * {{{ sbt "runMain graft.tools.EtlBench [lines] [stagingDir|-]" }}}
+  */
+object EtlBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val spark = GraftSession.getOrCreate("graft-etl-bench")
+    val tmp = Files.createTempDirectory("graft-etl-bench").toString
+    val inDir = s"$tmp/in"
+    val outDir = s"$tmp/out"
+
+    val c = col("id")
+    val suffix = when(c % 3 === 0, ".co.uk")
+      .when(c % 3 === 1, ".example.com").otherwise(".de")
+    val domain = concat(lit("www.s"), c, suffix)
+    val ip = concat_ws(".",
+      (c * 7 % 224 + 1).cast("string"), (c * 13 % 256).cast("string"),
+      (c * 17 % 256).cast("string"), (c * 23 % 256).cast("string"))
+    val target = concat(lit("tgt"), c, lit(".cdn.net"))
+    spark.range(n).select(
+        when(c % 10 === 0, concat_ws(",", domain, lit("CNAME"), target))
+          .otherwise(concat_ws(",", domain, lit("A"), ip)).as("value"))
+      .write.text(inDir)
+
+    val geo = {
+      import spark.implicits._
+      Seq((16777216L, 1694498815L, "AA", "Alpha", 100, "NetA"),
+        (1694498816L, 3355443199L, "BB", "Beta", 200, "NetB"))
+        .toDF("start_ip", "end_ip", "country", "city", "asn", "as_name")
+    }
+
+    val t0 = System.nanoTime()
+    val lines = spark.read.text(inDir)
+    val out = args.drop(1).headOption.filter(_ != "-") match {
+      case Some(staging) =>
+        Migrator.runStaged(lines, Dims.defaultTlds, Some(geo), "etl-bench",
+          staging)
+      case None =>
+        Migrator.run(lines, Dims.defaultTlds, Some(geo), "etl-bench",
+          cacheParsed = true)
+    }
+    OrderedSink.writeRdnsv4(out.rdnsv4, s"$outDir/rdnsv4")
+    OrderedSink.writeSubdomains(out.subdomains, s"$outDir/subdomains")
+    OrderedSink.writeCnames(out.cnames, s"$outDir/cnames")
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val rows = Seq("rdnsv4", "subdomains", "cnames")
+      .map(t => spark.read.parquet(s"$outDir/$t").count()).sum
+    println(f"[etl-bench] lines=$n rows=$rows wall=$secs%.1f s " +
+      f"(${n / secs / 1000}%.0f k lines/s)")
+    spark.stop()
+  }
+}
