@@ -97,15 +97,20 @@ object Dedup {
       .agg((count(lit(1)).cast("double") / bands).as("est_jaccard"))
   }
 
-  /** Exact Jaccard similarity of two shingle-SET columns (elements
-    * distinct, as [[shingles]] produces): |A∩B| / (|A|+|B|-|A∩B|) —
-    * one set operation instead of the two array_union builds of the
-    * naive form, same value. */
-  def jaccard(a: Column, b: Column): Column = {
+  /** Reference column form of [[jaccard]] — kept as the spec
+    * cross-check for the native expression. */
+  private[graft] def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
     val uni = size(a) + size(b) - inter
     when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
   }
+
+  /** Exact Jaccard similarity of two shingle-SET columns:
+    * |A∩B| / (|A|+|B|-|A∩B|) in one native pass per pair
+    * ([[graft.plans.JaccardExpr]]) — runs per CANDIDATE PAIR in the
+    * dedup verify join, where building intersection arrays dominated. */
+  def jaccard(a: Column, b: Column): Column =
+    native("graft_jaccard", a, b)
 
   /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold. */
   /** MinHash-LSH near-dup pairs verified by true Jaccard >= threshold.

@@ -78,7 +78,9 @@ object GraftExtensions {
         litInt(es(1), "graft_shingles"))),
     (FunctionIdentifier("graft_split_java"), SplitJavaExpr.info,
       (es: Seq[Expression]) => SplitJavaExpr(es(0),
-        litStr(es(1), "graft_split_java"))))
+        litStr(es(1), "graft_split_java"))),
+    (FunctionIdentifier("graft_jaccard"), JaccardExpr.info,
+      (es: Seq[Expression]) => JaccardExpr(es(0), es(1))))
 
   /** Register the native functions on an already-built session
     * (idempotent) — for callers that didn't pass the extensions class

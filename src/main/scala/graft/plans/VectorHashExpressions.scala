@@ -140,6 +140,32 @@ object VectorOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Jaccard over two string arrays in one pass: distinct-common count
+    * (array_intersect semantics) over raw sizes —
+    * |A∩B| / (|A|+|B|-|A∩B|), 0.0 when both empty. Bit-identical to
+    * the column formula it replaces (integer counts, one double
+    * division). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val seen = new java.util.HashSet[AnyRef](na * 2)
+    var i = 0
+    while (i < na) {
+      seen.add(if (a.isNullAt(i)) null else a.getUTF8String(i))
+      i += 1
+    }
+    val matched = new java.util.HashSet[AnyRef]
+    var inter = 0
+    i = 0
+    while (i < nb) {
+      val s: AnyRef = if (b.isNullAt(i)) null else b.getUTF8String(i)
+      if (seen.contains(s) && matched.add(s)) inter += 1
+      i += 1
+    }
+    val uni = na + nb - inter
+    if (uni == 0) 0.0 else inter.toDouble / uni
+  }
+
   /** Java `String.split` semantics over UTF8String (trailing empties
     * dropped by the limit-0 contract); empty input -> empty array per
     * the engine's splitLikeJava contract. */
@@ -368,6 +394,39 @@ case class ShinglesExpr(child: Expression, k: Int)
 object ShinglesExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[ShinglesExpr], "graft_shingles")
+}
+
+/** `graft_jaccard(a, b)` — set Jaccard of two string arrays in one
+  * compiled pass (the column form built an intersection array plus two
+  * size scans per pair — per CANDIDATE PAIR in the dedup verify join). */
+case class JaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorHashExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkStringArray(left, prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else checkStringArray(right, prettyName)
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorOps.jaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[JaccardExpr], "graft_jaccard")
 }
 
 /** `graft_split_java(str, pattern)` — Java `String.split(regex)`

@@ -99,6 +99,22 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_jaccard == intersect-size column formula, bit for bit") {
+    val g = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "dd", "ee", ""))
+    val pairs = Gen.listOfN(80, Gen.zip(g, g)).sample.get ++
+      Seq((Nil, Nil), (List("x"), Nil), (Nil, List("x")),
+        (List("x", "x"), List("x")))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+        Dedup.jaccard(col("a"), col("b")).as("native"),
+        Dedup.jaccardHof(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.zip(pairs).foreach { case (r, p) =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"pair=$p")
+    }
+  }
+
   test("graft_split_java == HOF trailing-empty-trim split") {
     import graft.etl.DomainPartsTransform
     val inputs = Seq("a,b,c", "a,,b,,", ",,,", "", "x", ",x", "x,",
