@@ -38,16 +38,13 @@ object Cleaner {
 
   /** Column form of validOrRepaired (F2+F3, Go keep-repaired
     * semantics): valid -> unchanged; `*.`/`\"`-prefixed with a valid
-    * remainder -> repaired; else null. Fully codegen over the native
-    * validator — no UDF in the bulk path. */
+    * remainder -> repaired; else null. One codegen'd native call
+    * ([[graft.plans.ValidOrRepairedExpr]], delegating to the pure
+    * function) — the when-chain form inlined the validator three times
+    * plus substring branches into the generated code. */
   def validOrRepairedCol(lines: DataFrame)(c: Column): Column = {
-    val valid = validCol(lines) _
-    val repaired = substring(c, 3, Int.MaxValue)
-    when(valid(c), c)
-      .when(length(c) > 2 &&
-        (substring(c, 1, 2) === "*." || substring(c, 1, 2) === "\\\"") &&
-        valid(repaired), repaired)
-      .otherwise(lit(null).cast("string"))
+    graft.plans.GraftExtensions.install(lines.sparkSession)
+    call_function("valid_or_repaired_native", c)
   }
   private def apexUdf(tlds: Set[String]) = udf((s: String) =>
     DomainFunctions.apexDomain(s, tlds))

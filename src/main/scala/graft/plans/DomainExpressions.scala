@@ -53,6 +53,17 @@ object DomainExpressions {
     if (last == '-' || partlen > 63) return false
     nonNumeric
   }
+
+  /** F2+F3 in one call: valid -> unchanged; `*.`/`\"`-prefixed with a
+    * valid remainder -> repaired; else null — the Go keep-repaired
+    * semantics of [[graft.functions.DomainFunctions.validOrRepaired]]
+    * (which is the source of truth; the column form previously inlined
+    * the validator three times plus substring branches). */
+  def validOrRepairedUtf8(s: UTF8String): UTF8String =
+    graft.functions.DomainFunctions.validOrRepaired(s.toString) match {
+      case Some(d) => UTF8String.fromString(d)
+      case None    => null
+    }
 }
 
 /** `is_valid_domain_native(domain)` — codegen'd Go-semantics validator.
@@ -94,4 +105,39 @@ case class IsValidDomainExpr(child: Expression)
 object IsValidDomainExpr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[IsValidDomainExpr].getName, "is_valid_domain_native")
+}
+
+/** `valid_or_repaired_native(domain)` — codegen'd repair-then-filter
+  * (F2+F3). NULL for unrepairable input. */
+case class ValidOrRepairedExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"valid_or_repaired_native requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "valid_or_repaired_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DomainExpressions.validOrRepairedUtf8(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("repaired")
+      s"""
+        UTF8String $res = graft.plans.DomainExpressions.validOrRepairedUtf8($c);
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $res; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ValidOrRepairedExpr = copy(child = newChild)
+}
+
+object ValidOrRepairedExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[ValidOrRepairedExpr].getName, "valid_or_repaired_native")
 }

@@ -80,7 +80,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => SplitJavaExpr(es(0),
         litStr(es(1), "graft_split_java"))),
     (FunctionIdentifier("graft_jaccard"), JaccardExpr.info,
-      (es: Seq[Expression]) => JaccardExpr(es(0), es(1))))
+      (es: Seq[Expression]) => JaccardExpr(es(0), es(1))),
+    (FunctionIdentifier("valid_or_repaired_native"), ValidOrRepairedExpr.info,
+      (es: Seq[Expression]) => ValidOrRepairedExpr(es.head)))
 
   /** Register the native functions on an already-built session
     * (idempotent) — for callers that didn't pass the extensions class
