@@ -225,6 +225,63 @@ object Dedup {
   def embeddingDropIds(nearDups: DataFrame): DataFrame =
     nearDups.select(col("id_b").as("drop_id")).distinct()
 
+  /** Connected components over near-dup pairs -> (id, cluster) with
+    * cluster = smallest id in the component: the canonical corpus-dedup
+    * step after pairwise candidate generation (keep one doc per
+    * cluster — [[clusterDropIds]] derives the removal set).
+    *
+    * Iterative min-label propagation on DataFrames: each round every
+    * node takes the min of its own and its neighbors' labels, so
+    * convergence needs O(component diameter) rounds — near-dup
+    * clusters are dense and shallow. Runs to a COUNT-CHECKED fixpoint
+    * (bounded by maxIter); lineage is truncated per round with
+    * localCheckpoint so plans stay flat at scale. Deterministic (min
+    * only). */
+  def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    // fixpoint detection: labels only ever DECREASE, so the label sum
+    // strictly decreases iff any node changed — one cheap aggregate on
+    // the checkpointed round result instead of a join-based diff
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0)
+        .getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var havePrev = false
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = havePrev && java.util.Objects.equals(s, prevSum)
+      prevSum = s
+      havePrev = true
+      labels = next
+      iter += 1
+    }
+    require(converged || iter == 0,
+      s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
+  /** Ids to drop so each near-dup cluster keeps exactly its smallest
+    * id. */
+  def clusterDropIds(clusters: DataFrame): DataFrame =
+    clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as("drop_id"))
+
   /** Pairwise n-gram Jaccard over a (bounded) candidate set — the
     * brute-force verifier used by specs and small corpora. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,

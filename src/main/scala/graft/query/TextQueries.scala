@@ -159,8 +159,40 @@ object TextQueries {
       .select("query_id", "neighbor_id", "cos", "rank")
       .orderBy("query_id", "rank")
 
+  /** Near-dup clustering (connected components) over brute-force
+    * unigram-Jaccard pairs at 0.9 — this corpus yields one dense
+    * ~130-doc cluster plus scattered twins, so the oracle (a DuckDB
+    * recursive-CTE transitive closure) exercises multi-hop label
+    * propagation, not just pair mirroring. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 300), "doc_id", col("text"),
+        k = 1)
+      .filter(col("jaccard") >= 0.9)
+    Dedup.nearDupClusters(pairs).orderBy("id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
+      |      FROM documents WHERE doc_id < 300),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |            / len(list_distinct(a.sh || b.sh)) >= 0.9),
+      |e AS (SELECT ia AS a, ib AS b FROM p
+      |      UNION SELECT ib, ia FROM p),
+      |n AS (SELECT DISTINCT a AS id FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+      |ORDER BY id""".stripMargin
+
   /** Oracle-checked queries. */
   val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_dedup_clusters" -> (dedupClusters _, dedupClustersSql),
     "q_text_stats" -> (textStats _, textStatsSql),
     "q_text_quality" -> (textQuality _, textQualitySql),
     "q_token_totals" -> (tokenTotals _, tokenTotalsSql),

@@ -80,6 +80,25 @@ class DedupSpec extends SparkTestBase {
     assert(j == 1.0)
   }
 
+  test("near-dup clustering: multi-hop components and drop set") {
+    // path 1-2-3-4-5-6 (diameter 5 -> several propagation rounds),
+    // a separate pair, and a triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    val drops = Dedup.clusterDropIds(
+        Dedup.nearDupClusters(pairs)).collect()
+      .map(_.getLong(0)).toSet
+    assert(drops == Set(2L, 3L, 4L, 5L, 6L, 11L, 21L, 22L))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = docs.select(Dedup.minhashSignature(
       Dedup.shingles(col("text")), 8)).collect().map(_.getSeq[Long](0))
