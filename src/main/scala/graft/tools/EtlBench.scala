@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
   * key-ordered clustered sinks, report wall seconds — the number
   * recorded in PERF.md.
   *
-  * {{{ sbt "runMain graft.tools.EtlBench [lines] [stagingDir|-]" }}}
+  * {{{ sbt "runMain graft.tools.EtlBench [lines] [stagingDir|-] [cleaner]" }}}
+  *
+  * With the third argument `cleaner`, additionally times the Cleaner
+  * -rdns validation pass over the same lines (the reference's
+  * 500-goroutine stdin filter as a Spark job).
   */
 object EtlBench {
   def main(args: Array[String]): Unit = {
@@ -61,6 +65,24 @@ object EtlBench {
       .map(t => spark.read.parquet(s"$outDir/$t").count()).sum
     println(f"[etl-bench] lines=$n rows=$rows wall=$secs%.1f s " +
       f"(${n / secs / 1000}%.0f k lines/s)")
+
+    if (args.contains("cleaner")) {
+      // -rdns mode expects 2-field `ip,domain` lines; plant ~10%
+      // invalid rows so both output channels do real work
+      val cleanerIn = s"$tmp/cleaner_in"
+      spark.range(n).select(
+          when(c % 10 === 0, concat_ws(",", ip, lit("-bad-domain-")))
+            .otherwise(concat_ws(",", ip, domain)).as("value"))
+        .write.text(cleanerIn)
+      val t1 = System.nanoTime()
+      val res = graft.etl.Cleaner.cleanRdns(spark.read.text(cleanerIn))
+      res.valid.write.mode("overwrite").parquet(s"$outDir/clean_valid")
+      res.invalid.write.mode("overwrite").parquet(s"$outDir/clean_invalid")
+      val cs = (System.nanoTime() - t1) / 1e9
+      val v = spark.read.parquet(s"$outDir/clean_valid").count()
+      println(f"[etl-bench] cleaner lines=$n valid=$v wall=$cs%.1f s " +
+        f"(${n / cs / 1000}%.0f k lines/s)")
+    }
     spark.stop()
   }
 }

@@ -60,6 +60,35 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("banded dedup/similarity self-joins plan as shuffle hash join") {
+    // SHUFFLE_HASH (not broadcast): both sides become identical
+    // exchanges so the signature pipeline is computed once — and a
+    // banded corpus cannot be broadcast at scale anyway
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plans = Seq(
+      plan(graft.operators.Dedup.minhashCandidates(
+        docs, "doc_id", col("text"), 16, 16, 2)),
+      plan(graft.operators.Dedup.simhashNearDups(
+        docs, "doc_id", col("text"), 3)),
+      plan(graft.operators.Similarity.lshBucketPairs(
+        embs, "vec_id", "embedding")))
+    plans.foreach { p =>
+      assert(p.contains("ShuffledHashJoin"), p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+  }
+
+  test("migrator geo enrichment plans as hash join, not nested loop") {
+    import spark.implicits._
+    val lines = Seq("www.example.com,A,1.2.3.4").toDF("value")
+    val geo = Seq((0L, 4294967295L, "AA", "A", 1, "N"))
+      .toDF("start_ip", "end_ip", "country", "city", "asn", "as_name")
+    val p = plan(Migrator.run(lines, Dims.defaultTlds, Some(geo), "t").rdnsv4)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("migrator TLD membership join is broadcast; no fact shuffle") {
     import spark.implicits._
     val lines = Seq("www.example.com,A,1.2.3.4").toDF("value")
