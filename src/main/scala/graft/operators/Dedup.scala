@@ -245,14 +245,9 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    // fixpoint detection: labels only ever DECREASE, so the label sum
-    // strictly decreases iff any node changed — one cheap aggregate on
-    // the checkpointed round result instead of a join-based diff
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0)
-        .getDecimal(0)
-    var prevSum: java.math.BigDecimal = null
-    var havePrev = false
+    // fixpoint detection in the SAME aggregate that ends the round: a
+    // per-node changed flag rides along the checkpointed result, so a
+    // stable round is recognized immediately (no extra detection round)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -262,16 +257,17 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
+            .as("__ch"))
         .localCheckpoint()
-      val s = labelSum(next)
-      converged = havePrev && java.util.Objects.equals(s, prevSum)
-      prevSum = s
-      havePrev = true
-      labels = next
+      val aggRow = next.agg(sum(col("__ch").cast("long"))).collect()(0)
+      val changed = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
+      converged = changed == 0
+      labels = next.select("id", "cluster")
       iter += 1
     }
-    require(converged || iter == 0,
+    require(converged,
       s"label propagation did not converge in $maxIter rounds")
     labels
   }
