@@ -245,21 +245,29 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-    // fixpoint detection in the SAME aggregate that ends the round: a
-    // per-node changed flag rides along the checkpointed result, so a
-    // stable round is recognized immediately (no extra detection round)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+    // min(own, neighbors' labels) — one propagation hop
+    def hop(cur: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(cur.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "__c"), "dst")
         .groupBy(col("src").as("id"))
-        .agg(min("cluster").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+        .agg(min("__c").as("nbr_min"))
+      cur.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
           (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
             .as("__ch"))
+    }
+    // TWO hops per synchronization round (checkpoint + one aggregate):
+    // labels spread two edges between driver barriers, halving rounds.
+    // The changed flag tracks the SECOND hop only — if that hop changed
+    // nothing, its input was already a propagation fixpoint, which is
+    // exactly the converged answer.
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = hop(hop(labels).select("id", "cluster"))
         .localCheckpoint()
       val aggRow = next.agg(sum(col("__ch").cast("long"))).collect()(0)
       val changed = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
