@@ -156,6 +156,31 @@ object CoreQueries {
       |  ON l_quantity >= lo AND l_quantity < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  // J2 scale path: the same point-in-range semantics through
+  // RangeJoin.bucketed — equi-join on key buckets (hash join) instead
+  // of a nested loop; LEFT join keeps unmatched keys (NULL band group).
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0L, 2999L, "b0"), (3000L, 6999L, "b1"), (7000L, 11999L, "b2"))
+      .toDF("lo", "hi", "band")
+    graft.operators.RangeJoin.bucketed(
+        t(s, dir, "orders"), bands, col("o_orderkey"), "lo", "hi",
+        bits = 10)
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), dsum("o_totalprice").as("sum_price"))
+      .orderBy(asc_nulls_first("band"))
+  }
+
+  val rangeJoinBucketedSql: String =
+    """SELECT band, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |LEFT JOIN (VALUES (0,2999,'b0'),(3000,6999,'b1'),(7000,11999,'b2'))
+      |  AS r(lo, hi, band)
+      |  ON o_orderkey BETWEEN lo AND hi
+      |GROUP BY band ORDER BY band NULLS FIRST""".stripMargin
+
   // W1: per-partition limit (CQL `PER PARTITION LIMIT 1`, KB.md:1-4) —
   // first clustering-ordered row per partition key via ranking window.
   // Scale: one shuffle on the partition key; no global sort.
@@ -379,6 +404,7 @@ object CoreQueries {
     "q_join_anti" -> (antiJoinCustomersNoOrders _, antiJoinCustomersNoOrdersSql),
     "q_join_semi" -> (semiJoinOpenOrders _, semiJoinOpenOrdersSql),
     "q_join_range" -> (rangeJoinQuantityBands _, rangeJoinQuantityBandsSql),
+    "q_join_range_bucketed" -> (rangeJoinBucketed _, rangeJoinBucketedSql),
     "q_window_pplimit" -> (perPartitionLimit _, perPartitionLimitSql),
     "q_window_keyset_page" -> (keysetPage _, keysetPageSql),
     "q_set_except" -> (exceptCustkeys _, exceptCustkeysSql),

@@ -169,7 +169,10 @@ object TextQueries {
         docs(s, dir).filter(col("doc_id") < 300), "doc_id", col("text"),
         k = 1)
       .filter(col("jaccard") >= 0.9)
-    Dedup.nearDupClusters(pairs).orderBy("id")
+    // dropped = the keep-one-per-cluster decision (clusterDropIds set)
+    Dedup.nearDupClusters(pairs)
+      .withColumn("dropped", col("id") =!= col("cluster"))
+      .orderBy("id")
   }
 
   val dedupClustersSql: String =
@@ -187,7 +190,8 @@ object TextQueries {
       |  SELECT id, id FROM n
       |  UNION
       |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a)
-      |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+      |SELECT id, min(r) AS cluster, id <> min(r) AS dropped
+      |FROM reach GROUP BY id
       |ORDER BY id""".stripMargin
 
   /** Oracle-checked queries. */
