@@ -287,12 +287,25 @@ object Dedup {
       .select(col("id").as("drop_id"))
 
   /** Pairwise n-gram Jaccard over a (bounded) candidate set — the
-    * brute-force verifier used by specs and small corpora. */
+    * brute-force verifier used by specs and small corpora.
+    *
+    * `minJaccard > 0` enables the classic LENGTH-FILTER prune inside
+    * the join: jaccard <= min(|A|,|B|) / max(|A|,|B|), so pairs whose
+    * set sizes differ by more than the target ratio are skipped before
+    * any set intersection — lossless for the requested threshold (the
+    * exact filter still applies). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, text: Column,
-                        k: Int = 3): DataFrame = {
+                        k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(text, k).as("sh"))
-    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .withColumn("__sz", size(col("sh")))
+    val sizeOk =
+      if (minJaccard > 0)
+        least(col("a.__sz"), col("b.__sz")).cast("double") >=
+          greatest(col("a.__sz"), col("b.__sz")) * minJaccard
+      else lit(true)
+    sh.as("a").join(sh.as("b"), col("a.id") < col("b.id") && sizeOk)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -167,8 +167,7 @@ object TextQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccardPairs(
         docs(s, dir).filter(col("doc_id") < 300), "doc_id", col("text"),
-        k = 1)
-      .filter(col("jaccard") >= 0.9)
+        k = 1, minJaccard = 0.9)
     // dropped = the keep-one-per-cluster decision (clusterDropIds set)
     Dedup.nearDupClusters(pairs)
       .withColumn("dropped", col("id") =!= col("cluster"))
