@@ -49,31 +49,29 @@ object DomainPartsTransform {
     val n = col("__n")
     def lab(i: org.apache.spark.sql.Column) = element_at(col("__labels"), i)
 
+    graft.plans.GraftExtensions.install(spark)
+    // slot derivation is ONE native struct call
+    // (plans.DomainSlotsExpr) — the previous per-column when-chains
+    // were a large codegen footprint in the migrator hot path; the
+    // l2-TLD membership stays a broadcast join (the right shape for a
+    // dim that can grow)
     df
       .withColumn("__labels", splitLikeJava(lower(col(domainCol)), "\\."))
       .withColumn("__n", size(col("__labels")))
       .withColumn("__l2cand", when(n >= 2, lab(n - 1)))
       .join(broadcast(tldDf), Seq("__l2cand"), "left")
       .withColumn("__has_l2", coalesce(col("__is_l2"), lit(false)) && n >= 2)
-      .withColumn("dp_success", coalesce(n >= 2, lit(false)))
-      .withColumn("apex",
-        when(!col("dp_success"), lit(""))
-          .otherwise(concat_ws(".", slice(col("__labels"),
-            // 1-based start = labelIndex+1; labelIndex = max(l2idx-1, 0)
-            // with 0-based l2idx = n-2 (has l2) or n-1 (no l2)
-            greatest(when(col("__has_l2"), n - 2).otherwise(n - 1), lit(1)),
-            // length to end of array
-            n - greatest(when(col("__has_l2"), n - 2).otherwise(n - 1), lit(1)) + 1)))
-      )
-      .withColumn("p1", when(col("dp_success"), lab(n)).otherwise(""))
-      .withColumn("p2",
-        when(col("dp_success") && col("__has_l2"), lab(n - 1)).otherwise(""))
-      .withColumn("p3",
-        when(col("dp_success") && !col("__has_l2"), lab(n - 1)).otherwise(""))
-      .withColumn("p4", when(n >= 3, lab(n - 2)).otherwise(""))
-      .withColumn("p5", when(n >= 4, lab(n - 3)).otherwise(""))
-      .withColumn("p6", when(n >= 5, lab(n - 4)).otherwise(""))
-      .withColumn("p7", when(n >= 6, lab(n - 5)).otherwise(""))
-      .drop("__labels", "__n", "__l2cand", "__is_l2", "__has_l2")
+      .withColumn("__slots", call_function("graft_domain_slots",
+        col("__labels"), col("__has_l2")))
+      .withColumn("dp_success", col("__slots").getField("dp_success"))
+      .withColumn("apex", col("__slots").getField("apex"))
+      .withColumn("p1", col("__slots").getField("p1"))
+      .withColumn("p2", col("__slots").getField("p2"))
+      .withColumn("p3", col("__slots").getField("p3"))
+      .withColumn("p4", col("__slots").getField("p4"))
+      .withColumn("p5", col("__slots").getField("p5"))
+      .withColumn("p6", col("__slots").getField("p6"))
+      .withColumn("p7", col("__slots").getField("p7"))
+      .drop("__labels", "__n", "__l2cand", "__is_l2", "__has_l2", "__slots")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.unsafe.types.UTF8String
@@ -52,6 +53,37 @@ object DomainExpressions {
     if (n == 254 && last != '.') return false
     if (last == '-' || partlen > 63) return false
     nonNumeric
+  }
+
+  private val EMPTY = UTF8String.EMPTY_UTF8
+  private val DOT = UTF8String.fromString(".")
+  private def slotsFailure: Any =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, EMPTY, EMPTY, EMPTY, EMPTY, EMPTY, EMPTY, EMPTY,
+        EMPTY))
+
+  /** X1 slot layout in one call: (dp_success, apex, p1..p7) from the
+    * lowered label array and the l2-TLD membership flag — the exact
+    * per-column when-chains of the previous column form (which were a
+    * large codegen footprint in the migrator hot path). Failure rows
+    * (fewer than 2 labels, or null input) carry `false` + empty
+    * strings, matching `coalesce(n >= 2, false)` + `otherwise("")`. */
+  def domainSlots(labels: ArrayData, hasL2: Boolean): Any = {
+    if (labels == null) return slotsFailure
+    val n = labels.numElements()
+    if (n < 2) return slotsFailure
+    def lab(i1: Int): UTF8String = labels.getUTF8String(i1 - 1)
+    val p1 = lab(n)
+    val p2 = if (hasL2) lab(n - 1) else EMPTY
+    val p3 = if (!hasL2) lab(n - 1) else EMPTY
+    val p4 = if (n >= 3) lab(n - 2) else EMPTY
+    val p5 = if (n >= 4) lab(n - 3) else EMPTY
+    val p6 = if (n >= 5) lab(n - 4) else EMPTY
+    val p7 = if (n >= 6) lab(n - 5) else EMPTY
+    val start = math.max(if (hasL2) n - 2 else n - 1, 1)
+    val apex = UTF8String.concatWs(DOT, (start to n).map(lab): _*)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, apex, p1, p2, p3, p4, p5, p6, p7))
   }
 
   /** F2+F3 in one call: valid -> unchanged; `*.`/`\"`-prefixed with a
@@ -140,4 +172,61 @@ case class ValidOrRepairedExpr(child: Expression)
 object ValidOrRepairedExpr {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ValidOrRepairedExpr].getName, "valid_or_repaired_native")
+}
+
+/** `graft_domain_slots(labels, has_l2)` — the X1 slot struct in one
+  * codegen'd call. Non-nullable: null labels produce the failure row,
+  * mirroring the old column form's coalesce defaults. */
+case class DomainSlotsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(StringType, _),
+            org.apache.spark.sql.types.BooleanType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_domain_slots requires (ARRAY<STRING>, BOOLEAN), got $other")
+    }
+
+  override val dataType: DataType = {
+    import org.apache.spark.sql.types._
+    StructType(
+      StructField("dp_success", BooleanType, nullable = false) +:
+      ("apex" +: (1 to 7).map(i => s"p$i")).map(n =>
+        StructField(n, StringType, nullable = false)))
+  }
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_domain_slots"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    val r = right.eval(input)
+    DomainExpressions.domainSlots(l.asInstanceOf[ArrayData],
+      r != null && r.asInstanceOf[Boolean])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        InternalRow ${ev.value} = (InternalRow)
+          graft.plans.DomainExpressions.domainSlots(
+            ${l.isNull} ? null : ${l.value},
+            ${r.isNull} ? false : ${r.value});""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DomainSlotsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DomainSlotsExpr {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[DomainSlotsExpr].getName, "graft_domain_slots")
 }

@@ -82,7 +82,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_jaccard"), JaccardExpr.info,
       (es: Seq[Expression]) => JaccardExpr(es(0), es(1))),
     (FunctionIdentifier("valid_or_repaired_native"), ValidOrRepairedExpr.info,
-      (es: Seq[Expression]) => ValidOrRepairedExpr(es.head)))
+      (es: Seq[Expression]) => ValidOrRepairedExpr(es.head)),
+    (FunctionIdentifier("graft_domain_slots"), DomainSlotsExpr.info,
+      (es: Seq[Expression]) => DomainSlotsExpr(es(0), es(1))))
 
   /** Register the native functions on an already-built session
     * (idempotent) — for callers that didn't pass the extensions class
