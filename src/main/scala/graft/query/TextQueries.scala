@@ -217,7 +217,38 @@ object TextQueries {
       .select("query_id", "neighbor_id", "cos", "rank")
       .orderBy("query_id", "rank")
 
+  /** Multimodal plumbing under the driver contract: documents' text
+    * bytes stand in for media payloads (no codecs in this container —
+    * the STUB codec is deterministic), exercising the typed record
+    * schema, the mapPartitions batch shape, frame sampling, and the
+    * feature projection end-to-end. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{length => strlen}
+    val media = docs(s, dir).filter(col("doc_id") < 200).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        (strlen(col("text")) * 10).cast("int").as("duration_ms"))
+        .as("meta"))
+    val feats = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.asRecords(media)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("feature").getItem(0).as("f0"))
+    val frames = graft.operators.Multimodal.sampleFrames(
+        graft.operators.Multimodal.asRecords(media), frames = 4).toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).as("frame_bytes_total"))
+    feats.join(frames, Seq("media_id"), "left")
+      .orderBy("media_id")
+  }
+
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> (multimodalFeatures _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
