@@ -187,8 +187,11 @@ object Dedup {
     val blocks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until nb).map { b =>
         val width = bounds(b + 1) - bounds(b)
+        // -1L >>> (64 - width): correct for width == 64 too, where
+        // (1L << 64) - 1 would be 0 (Java shifts are mod 64) and every
+        // block_val would collapse to 0 — an all-pairs cross join
         shiftrightunsigned(col("sig"), bounds(b))
-          .bitwiseAND((1L << width) - 1)
+          .bitwiseAND(-1L >>> (64 - width))
       }: _*)))
       .toDF("id", "sig", "block", "block_val")
     // shuffle-hash self-join: identical exchanges -> signature pipeline

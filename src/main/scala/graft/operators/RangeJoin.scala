@@ -29,21 +29,53 @@ object RangeJoin {
     * [startCol, endCol] ranges (inclusive); each fact row gets at most
     * one match, so the left join emits exactly one row per fact row —
     * identical output to `fact.join(dim, key between(start, end),
-    * "left")`. The exploded dim stays broadcast-size for real-world
-    * range dims; pass a larger `bits` if a pathological dim explodes. */
+    * "left")` over ANY signed long domain (buckets derive from the
+    * ARITHMETIC shift, which is monotonic over signed longs, so a range
+    * straddling zero still explodes into an ascending bucket list and
+    * negative keys land in the same buckets as the ranges covering
+    * them). The exploded dim stays broadcast-size for real-world range
+    * dims; pass a larger `bits` if a pathological dim explodes. */
   def bucketed(fact: DataFrame, dim: DataFrame, keyCol: Column,
                startCol: String, endCol: String,
                bits: Int = 16): DataFrame = {
     require(bits >= 0 && bits < 63, s"bits must be in [0, 63), got $bits")
-    val bucketed = dim.withColumn("__bucket",
-      explode(sequence(
-        shiftrightunsigned(col(startCol), bits),
-        shiftrightunsigned(col(endCol), bits))))
     fact
-      .join(broadcast(bucketed),
-        shiftrightunsigned(keyCol, bits) === col("__bucket") &&
+      .join(broadcast(explodeBuckets(dim, startCol, endCol, bits)),
+        shiftright(keyCol, bits) === col("__bucket") &&
           keyCol.between(col(startCol), col(endCol)),
         "left")
       .drop("__bucket")
+  }
+
+  private def explodeBuckets(dim: DataFrame, startCol: String,
+                             endCol: String, bits: Int): DataFrame =
+    dim.withColumn("__bucket",
+      explode(sequence(
+        shiftright(col(startCol), bits),
+        shiftright(col(endCol), bits))))
+
+  /** Left range join over ranges that MAY overlap (nested CIDRs from a
+    * real mmdb export): each fact row keeps only the MOST SPECIFIC
+    * match — the smallest span, i.e. the longest prefix for CIDR dims —
+    * with (start desc) as the deterministic tie-break between
+    * equal-span matches. Unmatched fact rows survive with null dim
+    * columns, exactly like [[bucketed]]. */
+  def bucketedMostSpecific(fact: DataFrame, dim: DataFrame, keyCol: Column,
+                           startCol: String, endCol: String,
+                           bits: Int = 16): DataFrame = {
+    require(bits >= 0 && bits < 63, s"bits must be in [0, 63), got $bits")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = fact.withColumn("__rid", monotonically_increasing_id())
+    val joined = tagged
+      .join(broadcast(explodeBuckets(dim, startCol, endCol, bits)),
+        shiftright(keyCol, bits) === col("__bucket") &&
+          keyCol.between(col(startCol), col(endCol)),
+        "left")
+      .drop("__bucket")
+    val w = Window.partitionBy(col("__rid")).orderBy(
+      (col(endCol) - col(startCol)).asc_nulls_last, col(startCol).desc)
+    joined.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank", "__rid")
   }
 }

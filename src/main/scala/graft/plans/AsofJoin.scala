@@ -28,6 +28,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   * `rightTime <= leftTime` (inclusive) within the same key group;
   * NULL right values when none precedes. Right side unique per
   * (keys, rightTime); sides must be distinct sources.
+  *
+  * NULL handling — deliberate divergence from DuckDB's native
+  * ASOF JOIN: NULL keys and NULL times order as the SMALLEST values
+  * (Spark's natural ascending ordering), so a NULL left key matches
+  * NULL-key right rows and a NULL `rightTime` row precedes every left
+  * time, whereas DuckDB never matches NULL keys/times. This is
+  * self-consistent with the composed union+window form
+  * (`Window.partitionBy` also groups NULLs together and
+  * nulls-first-orders the running `last`), which is the engine's
+  * source of truth; the q_asof_latest_order oracle data contains no
+  * NULL keys or timestamps, so both readings agree there. Locked by
+  * the NULL-key/NULL-time case in AsofJoinSpec.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression],

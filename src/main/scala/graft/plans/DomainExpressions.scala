@@ -149,6 +149,10 @@ case class ValidOrRepairedExpr(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"valid_or_repaired_native requires STRING, got ${child.dataType.sql}")
   override def dataType: DataType = StringType
+  // Unrepairable input yields NULL even from a non-nullable child —
+  // the default (child.nullable) would emit `isNull = true` against an
+  // undeclared local in nullSafeCodeGen's non-nullable branch.
+  override def nullable: Boolean = true
   override def prettyName: String = "valid_or_repaired_native"
 
   override protected def nullSafeEval(input: Any): Any =

@@ -242,6 +242,10 @@ case class DotProductExpr(left: Expression, right: Expression)
     else checkNumericArray(right, prettyName)
   }
   override def dataType: DataType = DoubleType
+  // Null on length mismatch / null element regardless of child
+  // nullability — without this, non-nullable inputs would make
+  // nullSafeCodeGen emit `isNull = true` against an undeclared local.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -53,7 +53,9 @@ class DedupSpec extends SparkTestBase {
   test("simhash banding has full recall: equals brute-force hamming") {
     // blocks are derived from maxDist (pigeonhole), so the banded result
     // must EQUAL the all-pairs answer at the requested distance
-    for (maxDist <- Seq(3, 8, 16)) {
+    // maxDist=0 exercises the single 64-bit-wide block (full-signature
+    // equality), where a (1L << 64) - 1 mask would collapse to 0
+    for (maxDist <- Seq(0, 3, 8, 16)) {
       val sigs = Dedup.simhashSignatures(docs, "doc_id", col("text"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       val brute = (for {

@@ -67,6 +67,37 @@ class AsofJoinSpec extends SparkTestBase {
     assert(!p.toLowerCase.contains("union"), p)
   }
 
+  test("NULL keys and NULL times order smallest, matching the composed form") {
+    // Documented divergence from DuckDB native ASOF (which never
+    // matches NULL keys/times): NULLs sort first, so NULL-key left
+    // rows match NULL-key right rows, and a NULL rightTime precedes
+    // every left time within its key group.
+    val left = Seq(
+      (1L, Option("k1"), Option(ts(100))),
+      (2L, None: Option[String], Option(ts(100))), // NULL key
+      (3L, Option("k1"), None: Option[Timestamp])  // NULL left time
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option("k1"), Option(ts(50)), 1.0),
+      (None: Option[String], Option(ts(10)), 2.0),          // NULL key
+      (Option("k1"), None: Option[Timestamp], 3.0)          // NULL right time
+    ).toDF("k", "rt", "v")
+    val native = AsofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // id=1: rt=50 is the latest <= 100 (NULL rt sorts before it)
+    // id=2: NULL key group, rt=10 <= 100
+    // id=3: NULL left time — only the NULL-rt row "precedes" it
+    assert(native == Map(1L -> Some(1.0), 2L -> Some(2.0),
+      3L -> Some(3.0)))
+    // and the composed union+window form agrees exactly
+    val composed = QueryOps.asofJoin(left, right, Seq("k"), "t", "rt",
+        Seq("v"))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(composed == native)
+  }
+
   test("native as-of handles an empty right side") {
     val left = Seq((1L, "k", ts(5))).toDF("id", "k", "t")
     val right = Seq.empty[(String, Timestamp, Double)]
