@@ -121,15 +121,25 @@ object Dedup {
   def minhashNearDups(df: DataFrame, idCol: String, text: Column,
                       threshold: Double, numHashes: Int = 16,
                       bands: Int = 4, shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
     val withShingles = df.select(col(idCol).as("id"),
       shingles(text, shingleK).as("sh"))
-    // prune bar: at least 2 agreeing components (1 is just the band
-    // collision itself under r=1 banding) and within 2x of the target —
-    // costs some recall exactly at the threshold, prunes the bulk of
-    // band-collision noise before the exact array intersect
-    minhashCandidates(df, idCol, text, numHashes, bands, shingleK)
-      .filter(col("est_jaccard") >=
-        math.max(threshold / 2, 2.0 / numHashes))
+    // prune on the band-agreement fraction only under r=1 banding,
+    // where it estimates J directly: at least 2 agreeing components
+    // (1 is just the band collision itself) and within 2x of the
+    // target. For r>1 the banding is already selective — candidates
+    // are few — and the agreement fraction concentrates around J^rows
+    // with variance 1/bands, far too noisy to prune on without
+    // measurable recall loss (a J-scale bar would sit ABOVE a true
+    // near-dup's expected agreement and silently drop it).
+    val candidates = minhashCandidates(df, idCol, text, numHashes, bands,
+      shingleK)
+    val pruned =
+      if (rows == 1)
+        candidates.filter(col("est_jaccard") >=
+          math.max(threshold / 2, 2.0 / numHashes))
+      else candidates
+    pruned
       .join(withShingles.withColumnRenamed("id", "id_a")
         .withColumnRenamed("sh", "sh_a"), "id_a")
       .join(withShingles.withColumnRenamed("id", "id_b")
@@ -233,51 +243,69 @@ object Dedup {
     * step after pairwise candidate generation (keep one doc per
     * cluster — [[clusterDropIds]] derives the removal set).
     *
-    * Iterative min-label propagation on DataFrames: each round every
-    * node takes the min of its own and its neighbors' labels, so
-    * convergence needs O(component diameter) rounds — near-dup
-    * clusters are dense and shallow. Runs to a COUNT-CHECKED fixpoint
-    * (bounded by maxIter); lineage is truncated per round with
-    * localCheckpoint so plans stay flat at scale. Deterministic (min
-    * only). */
+    * Iterative min-label propagation on DataFrames, tuned so each
+    * driver-synchronized round is ONE shuffle:
+    *  - a hop unions the node's own label into the neighbor-label
+    *    stream before the min aggregate — no keep-own-label left join;
+    *  - labels only ever decrease, so the rounds' label SUMS strictly
+    *    decrease until the fixpoint — convergence detection is an
+    *    equality check between consecutive sums (exact DECIMAL(38,0),
+    *    overflow-free), not a change-flag join;
+    *  - edges persist pre-partitioned; each round re-reads the cached
+    *    edges and ships only the (small) label frame, which AQE
+    *    broadcasts when it fits;
+    *  - incoming pairs are checkpointed once so the candidate pipeline
+    *    does not re-execute per union branch, and labels are
+    *    checkpointed per round so plans stay flat at scale.
+    * The label-seeding aggregate is itself the first hop. Convergence
+    * needs O(component diameter) rounds — near-dup graphs are dense
+    * and shallow. Deterministic (min only); bounded by maxIter.
+    * Measured alternatives (fused two-hop rounds, pointer jumping)
+    * paid more per round than the rounds they saved. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
+    import org.apache.spark.storage.StorageLevel
+    // pairs are distinct with idA < idB (candidate-generation contract),
+    // so the mirrored union is duplicate-free without a distinct shuffle
+    val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-    // min(own, neighbors' labels) — one propagation hop
-    def hop(cur: DataFrame): DataFrame = {
-      val nbrMin = edges
-        .join(cur.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster", "__c"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("__c").as("nbr_min"))
-      cur.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-            .as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster"))
-            .as("__ch"))
+    val edges = p0
+      .union(p0.select(col("dst"), col("src")))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): Any = {
+      val r = df.agg(sum(col("cluster").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) null else r.getDecimal(0)
     }
-    // TWO hops per synchronization round (checkpoint + one aggregate):
-    // labels spread two edges between driver barriers, halving rounds.
-    // The changed flag tracks the SECOND hop only — if that hop changed
-    // nothing, its input was already a propagation fixpoint, which is
-    // exactly the converged answer.
-    var iter = 0
+    // one hop = one shuffle: neighbor labels (join on the cached,
+    // pre-partitioned edges; the small label frame broadcasts) unioned
+    // with the node's own label, then min per node — the self term
+    // makes a keep-own-label left join unnecessary
+    def hop(cur: DataFrame): DataFrame =
+      edges.join(cur.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster", "__c"), "dst")
+        .select(col("src"), col("__c"))
+        .union(cur.select(col("id").as("src"), col("cluster").as("__c")))
+        .groupBy(col("src").as("id"))
+        .agg(min("__c").as("cluster"))
+    // seed = min over self+neighbors of the identity labeling — hop 1
+    // folded into the node-derivation aggregate
+    var labels = edges.groupBy("src").agg(min("dst").as("__m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__m")).as("cluster"))
+      .localCheckpoint()
+    var prevSum = labelSum(labels)
+    var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = hop(hop(labels).select("id", "cluster"))
-        .localCheckpoint()
-      val aggRow = next.agg(sum(col("__ch").cast("long"))).collect()(0)
-      val changed = if (aggRow.isNullAt(0)) 0L else aggRow.getLong(0)
-      converged = changed == 0
-      labels = next.select("id", "cluster")
+      val next = hop(labels).localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       iter += 1
     }
+    edges.unpersist(blocking = false)
     require(converged,
       s"label propagation did not converge in $maxIter rounds")
     labels

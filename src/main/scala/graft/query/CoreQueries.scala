@@ -379,18 +379,67 @@ object CoreQueries {
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
   // approx_count_distinct exposure (§2.4 built-ins): HLL estimates are
-  // engine-specific, so this is a rows-only entry — the spec bounds the
-  // estimate against the exact count instead of an oracle.
+  // engine-specific, so the oracle checks a derived bound instead —
+  // exact distinct counts (recomputed closed-form by DuckDB) plus a
+  // relative-error gate on the Spark-side estimate (rsd 0.02, gate at
+  // 0.05 = 2.5σ; a broken sketch flips the boolean and fails the hash
+  // gate).
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct("o_custkey").as("approx_custs"),
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("__approx"),
+        countDistinct(col("o_custkey")).as("exact_custs"),
         count(lit(1)).as("cnt"))
+      .select(col("o_orderpriority"), col("exact_custs"), col("cnt"),
+        (abs(col("__approx") - col("exact_custs")).cast("double") /
+          col("exact_custs") <= 0.05).as("approx_ok"))
       .orderBy("o_orderpriority")
 
+  val approxDistinctSql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_custs,
+      |  count(*) AS cnt, true AS approx_ok
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // Overlapping (nested-CIDR-shaped) ranges with most-specific-match
+  // tie-break through RangeJoin.bucketedMostSpecific — the mmdb-export
+  // reality where a /24 sits inside a /16 inside a /8; each fact row
+  // keeps only the smallest enclosing span. The oracle replays the
+  // same pick as a ranking window over a plain BETWEEN join.
+  def rangeJoinOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      (0L, 5999L, "outer"), (1000L, 2999L, "inner"),
+      (2000L, 2499L, "innermost"), (2100L, 2199L, "pinpoint"),
+      (5000L, 10999L, "overlap_right"))
+      .toDF("lo", "hi", "band")
+    graft.operators.RangeJoin.bucketedMostSpecific(
+        t(s, dir, "orders"), bands, col("o_orderkey"), "lo", "hi",
+        bits = 10)
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), dsum("o_totalprice").as("sum_price"))
+      .orderBy(asc_nulls_first("band"))
+  }
+
+  val rangeJoinOverlapSql: String =
+    """SELECT band, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice, band,
+      |    row_number() OVER (PARTITION BY o_orderkey
+      |      ORDER BY (hi - lo) ASC NULLS LAST, lo DESC) AS rn
+      |  FROM orders
+      |  LEFT JOIN (VALUES (0, 5999, 'outer'), (1000, 2999, 'inner'),
+      |                    (2000, 2499, 'innermost'), (2100, 2199, 'pinpoint'),
+      |                    (5000, 10999, 'overlap_right'))
+      |    AS r(lo, hi, band)
+      |    ON o_orderkey BETWEEN lo AND hi)
+      |WHERE rn = 1
+      |GROUP BY band ORDER BY band NULLS FIRST""".stripMargin
+
   /** Spark-only entries (driver rows-only check). */
-  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_approx_distinct" -> (approxDistinct _))
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   /** name -> (query, oracleSql) for this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
@@ -405,6 +454,8 @@ object CoreQueries {
     "q_join_semi" -> (semiJoinOpenOrders _, semiJoinOpenOrdersSql),
     "q_join_range" -> (rangeJoinQuantityBands _, rangeJoinQuantityBandsSql),
     "q_join_range_bucketed" -> (rangeJoinBucketed _, rangeJoinBucketedSql),
+    "q_join_range_overlap" -> (rangeJoinOverlap _, rangeJoinOverlapSql),
+    "q_approx_distinct" -> (approxDistinct _, approxDistinctSql),
     "q_window_pplimit" -> (perPartitionLimit _, perPartitionLimitSql),
     "q_window_keyset_page" -> (keysetPage _, keysetPageSql),
     "q_set_except" -> (exceptCustkeys _, exceptCustkeysSql),

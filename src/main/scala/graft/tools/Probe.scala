@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Throwaway measurement main for tuning oracle-gate floors (not part
+  * of the driver contract; delete when floors are locked). */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = sys.env.get("PROBE_ONLY")
+    val docs = Tables.load(spark, dir, "documents")
+    val embs = Tables.load(spark, dir, "embeddings")
+
+    if (only.contains("clusters")) {
+      val tc = System.nanoTime()
+      val n = graft.query.TextQueries.dedupClusters(spark, dir).count()
+      println(s"[probe] dedupClusters query rows=$n in ${(System.nanoTime()-tc)/1e9}s")
+      val tc2 = System.nanoTime()
+      graft.query.TextQueries.dedupClusters(spark, dir).count()
+      println(s"[probe] dedupClusters warm in ${(System.nanoTime()-tc2)/1e9}s")
+      spark.stop(); return
+    }
+    // minhash bigram at 0.5 and unigram at 0.9: pair counts
+    val mb = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+      threshold = 0.5, numHashes = 16, bands = 16, shingleK = 2).count()
+    println(s"[probe] minhash bigram@0.5 pairs = $mb (truth 25)")
+    val t0 = System.nanoTime()
+    val mu = Dedup.minhashNearDups(docs, "doc_id", col("text"),
+      threshold = 0.9, numHashes = 96, bands = 16, shingleK = 1).count()
+    println(s"[probe] minhash unigram@0.9 r6 pairs = $mu (truth 9020) in ${(System.nanoTime()-t0)/1e9}s")
+    val t1 = System.nanoTime()
+    val pairs = Dedup.minhashNearDups(docs.filter(col("doc_id") < 1000),
+      "doc_id", col("text"), threshold = 0.9, numHashes = 96, bands = 16,
+      shingleK = 1).localCheckpoint()
+    val np = pairs.count()
+    val t2 = System.nanoTime()
+    println(s"[probe] cluster pair-gen = $np pairs in ${(t2-t1)/1e9}s")
+    val cl = Dedup.nearDupClusters(pairs).count()
+    println(s"[probe] clustering rows = $cl in ${(System.nanoTime()-t2)/1e9}s")
+
+    // embedding LSH pair recall at 0.45 for parameter grid
+    for ((planes, tables) <- Seq((3, 12), (3, 16), (4, 12), (4, 16), (4, 20))) {
+      val n = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+        threshold = 0.45, numPlanes = planes, tables = tables).count()
+      println(s"[probe] embdedup@0.45 planes=$planes tables=$tables pairs = $n (truth 14)")
+    }
+
+    // per-query recall@5: LSH and IVF vs brute force on vec_id < 200
+    val sub = embs.filter(col("vec_id") < 200)
+    val truth = Similarity.bruteForcePairs(sub, "vec_id", "embedding")
+      .select(explode(array(
+        struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cos")),
+        struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cos")))).as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("p.cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+
+    def recallStats(name: String, approx: DataFrame): Unit = {
+      val hits = approx.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("h"))
+      val per = truth.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("h"), lit(0L)).as("h"))
+      val stats = per.agg(min("h").as("min_h"), avg("h").as("avg_h"),
+        count(lit(1)).as("n")).collect()(0)
+      val hist = per.groupBy("h").count().orderBy("h").collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" ")
+      println(s"[probe] $name recall@5: min=${stats.getLong(0)} " +
+        s"avg=${stats.getDouble(1)} n=${stats.getLong(2)} hist=$hist")
+    }
+
+    recallStats("lsh(6,6)", Similarity.lshBucketTopK(sub, "vec_id", "embedding",
+      k = 5, numPlanes = 6, tables = 6))
+    recallStats("lsh(4,12)", Similarity.lshBucketTopK(sub, "vec_id", "embedding",
+      k = 5, numPlanes = 4, tables = 12))
+    recallStats("ivf(8,2)", Similarity.ivfTopK(sub, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 2))
+    recallStats("ivf(8,4)", Similarity.ivfTopK(sub, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4))
+    spark.stop()
+  }
+}

@@ -79,6 +79,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("cluster-query pair generation has no cartesian join anywhere") {
+    // q_dedup_clusters feeds nearDupClusters from minhash-LSH
+    // candidates (the exact configuration the driver contract uses) —
+    // the pair-generation plan must be free of BroadcastNestedLoopJoin
+    // (the O(n²) shape VERDICT r2 flagged). The iterative clustering
+    // on top only ever joins the pair set, so this is the whole
+    // query's join surface.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.minhashNearDups(
+      docs.filter(col("doc_id") < 1000), "doc_id", col("text"),
+      threshold = 0.9, numHashes = 96, bands = 16, shingleK = 1))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("migrator geo enrichment plans as hash join, not nested loop") {
     import spark.implicits._
     val lines = Seq("www.example.com,A,1.2.3.4").toDF("value")
