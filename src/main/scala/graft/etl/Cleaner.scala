@@ -46,9 +46,6 @@ object Cleaner {
     graft.plans.GraftExtensions.install(lines.sparkSession)
     call_function("valid_or_repaired_native", c)
   }
-  private def apexUdf(tlds: Set[String]) = udf((s: String) =>
-    DomainFunctions.apexDomain(s, tlds))
-
   private def split0(c: Column): Column = split(c, ",", -1)
 
   /** `-rdns` (2-col `ip,domain`, clean_rdns.go:43-71). Trailing dots
@@ -78,16 +75,21 @@ object Cleaner {
   def cleanRdnsV1(lines: DataFrame, tlds: Set[String]): CleanResult = {
     val valid = validCol(lines) _
     val parts = split0(col("value"))
-    val tagged = lines
-      .withColumn("__p", parts)
-      .withColumn("__apex",
-        when(size(col("__p")) >= 2, stripDotCol(element_at(col("__p"), 2))))
-      .withColumn("__dom",
-        when(size(col("__p")) >= 3, stripDotCol(element_at(col("__p"), 3))))
+    // the re-derived apex for the EA check comes from the broadcast-join
+    // column form (DomainPartsTransform.withTldAwareApex) — the cleaner
+    // is a throughput path; no ScalaUDF in any mode's plan (PlanSpec)
+    val tagged = DomainPartsTransform.withTldAwareApex(
+      lines
+        .withColumn("__p", parts)
+        .withColumn("__apex",
+          when(size(col("__p")) >= 2, stripDotCol(element_at(col("__p"), 2))))
+        .withColumn("__dom",
+          when(size(col("__p")) >= 3, stripDotCol(element_at(col("__p"), 3)))),
+      "__dom", tlds, "__rederived")
       .withColumn("err_code",
         when(size(col("__p")) =!= 4, "EL")
           .when(!valid(col("__dom")), "ED")
-          .when(stripDotCol(apexUdf(tlds)(col("__dom"))) =!= col("__apex"), "EA"))
+          .when(stripDotCol(col("__rederived")) =!= col("__apex"), "EA"))
     CleanResult(
       valid = tagged.filter(col("err_code").isNull)
         .select(

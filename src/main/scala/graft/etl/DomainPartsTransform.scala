@@ -37,6 +37,37 @@ object DomainPartsTransform {
     call_function("graft_split_java", c, lit(pattern))
   }
 
+  /** Adds `outCol` = the TLD-aware apex of `domainCol` in Go cleaner
+    * semantics ([[graft.functions.DomainFunctions.apexDomain]]: NO case
+    * folding, Java split, single-label input unchanged) — as columns:
+    * the l2-TLD membership is a broadcast left join, the slice is a
+    * codegen'd expression chain. No UDF anywhere in the plan.
+    *
+    * Index bookkeeping (n = label count, 1-based Spark arrays): the
+    * apex starts at max(n-3, 0)+1 when the second-to-last label is a
+    * TLD, else max(n-2, 0)+1, and runs to the end. */
+  def withTldAwareApex(df: DataFrame, domainCol: String, tlds: Set[String],
+                       outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val tldDf = Dims.tldDf(spark, tlds)
+      .withColumnRenamed("tld", "__al2cand")
+      .withColumn("__ais_l2", lit(true))
+    val n = col("__an")
+    val start0 = when(coalesce(col("__ais_l2"), lit(false)),
+      greatest(n - 3, lit(0))).otherwise(greatest(n - 2, lit(0)))
+    df
+      .withColumn("__alabels", splitLikeJava(col(domainCol), "\\."))
+      .withColumn("__an", size(col("__alabels")))
+      .withColumn("__al2cand", when(n >= 2, element_at(col("__alabels"), n - 1)))
+      .join(broadcast(tldDf), Seq("__al2cand"), "left")
+      .withColumn(outCol,
+        when(col(domainCol).isNull, lit(null).cast("string"))
+          .when(n <= 1, col(domainCol))
+          .otherwise(concat_ws(".",
+            slice(col("__alabels"), start0 + 1, n - start0))))
+      .drop("__alabels", "__an", "__al2cand", "__ais_l2")
+  }
+
   /** Adds `dp_success, apex, p1..p7` derived from `domainCol`.
     * Internal columns are dropped. */
   def withDomainParts(df: DataFrame, domainCol: String,

@@ -82,6 +82,26 @@ object EtlBench {
       val v = spark.read.parquet(s"$outDir/clean_valid").count()
       println(f"[etl-bench] cleaner lines=$n valid=$v wall=$cs%.1f s " +
         f"(${n / cs / 1000}%.0f k lines/s)")
+
+      // rdnsv1 mode (4-field, EA apex re-derivation via the broadcast
+      // join — the path that used to carry the last cleaner UDF)
+      val v1In = s"$tmp/cleaner_v1_in"
+      spark.range(n).select(
+          when(c % 10 === 0,
+            concat_ws(",", lit("src"), lit("wrong.example"), domain, c))
+            .otherwise(concat_ws(",",
+              lit("src"), graft.functions.DomainFunctions.apexNaive(domain),
+              domain, c)).as("value"))
+        .write.text(v1In)
+      val t2 = System.nanoTime()
+      val r1 = graft.etl.Cleaner.cleanRdnsV1(spark.read.text(v1In),
+        Dims.defaultTlds)
+      r1.valid.write.mode("overwrite").parquet(s"$outDir/clean_v1_valid")
+      r1.invalid.write.mode("overwrite").parquet(s"$outDir/clean_v1_invalid")
+      val c1s = (System.nanoTime() - t2) / 1e9
+      val v1 = spark.read.parquet(s"$outDir/clean_v1_valid").count()
+      println(f"[etl-bench] cleaner_v1 lines=$n valid=$v1 wall=$c1s%.1f s " +
+        f"(${n / c1s / 1000}%.0f k lines/s)")
     }
     spark.stop()
   }

@@ -94,6 +94,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("no ScalaUDF in any cleaner mode's plan") {
+    import spark.implicits._
+    val lines = Seq("src,example.com,www.example.com,123",
+      "1.2.3.4,www.example.com").toDF("value")
+    val plans = Seq(
+      graft.etl.Cleaner.cleanRdns(lines).valid,
+      graft.etl.Cleaner.cleanRdnsV1(lines, graft.sources.Dims.defaultTlds).valid,
+      graft.etl.Cleaner.cleanRdnsV1(lines, graft.sources.Dims.defaultTlds).invalid,
+      graft.etl.Cleaner.cleanSubs(lines).valid,
+      graft.etl.Cleaner.cleanCname(lines).valid).map(plan)
+    plans.foreach(p => assert(!p.contains("ScalaUDF"), p.take(2000)))
+  }
+
   test("migrator geo enrichment plans as hash join, not nested loop") {
     import spark.implicits._
     val lines = Seq("www.example.com,A,1.2.3.4").toDF("value")
