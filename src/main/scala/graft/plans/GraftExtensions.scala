@@ -38,7 +38,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteValidatorUdf)
-    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 
@@ -95,11 +94,4 @@ object GraftExtensions {
         .registerFunction(ident, info, builder)
     }
 
-  /** Ensure [[AsofJoinStrategy]] is available on an already-built
-    * session (idempotent). Sessions built with the extensions class get
-    * it via injectPlannerStrategy. */
-  def installStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
 }

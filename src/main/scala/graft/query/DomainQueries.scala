@@ -233,8 +233,61 @@ object DomainQueries {
       |  ON e.user_id = r.custkey AND e.ts >= r.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** Wide-payload as-of: 8 right value columns — the shape that was
+    * hypothesized to justify a custom sort-merge exec; measured, the
+    * composed union+window form wins it too (PERF.md), so this runs
+    * the composed operator and keeps the wide shape under the oracle.
+    * Oracle: DuckDB native ASOF LEFT JOIN over the same aggregate. */
+  def asofWide(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id").as("custkey"),
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("ev_ts"))
+    val snap = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"),
+        // parquet NTZ -> TZ (UTC session): native exec requires the time
+        // types to match exactly
+        col("o_orderdate").cast("timestamp").as("o_orderdate"))
+      .agg(
+        max("o_totalprice").as("max_price"),
+        min("o_totalprice").as("min_price"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"),
+        max("o_orderkey").as("max_key"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderstatus").as("status_max"),
+        max("o_orderpriority").as("prio_max"))
+    graft.query.QueryOps.asofJoin(events, snap, Seq("custkey"), "ev_ts",
+        "o_orderdate",
+        Seq("max_price", "min_price", "sum_price", "n_orders",
+          "max_key", "min_key", "status_max", "prio_max"))
+      .select("event_id", "custkey", "max_price", "min_price", "sum_price",
+        "n_orders", "max_key", "min_key", "status_max", "prio_max")
+      .orderBy("event_id")
+  }
+
+  val asofWideSql: String =
+    """WITH r AS (SELECT o_custkey AS custkey, o_orderdate,
+      |             max(o_totalprice) AS max_price,
+      |             min(o_totalprice) AS min_price,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |               AS sum_price,
+      |             count(*) AS n_orders,
+      |             max(o_orderkey) AS max_key,
+      |             min(o_orderkey) AS min_key,
+      |             max(o_orderstatus) AS status_max,
+      |             max(o_orderpriority) AS prio_max
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id AS custkey, r.max_price, r.min_price,
+      |  r.sum_price, r.n_orders, r.max_key, r.min_key, r.status_max,
+      |  r.prio_max
+      |FROM events e ASOF LEFT JOIN r
+      |  ON e.user_id = r.custkey AND e.ts >= r.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_asof_latest_order" -> (asofLatestOrder _, asofLatestOrderSql),
+    "q_asof_wide" -> (asofWide _, asofWideSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),

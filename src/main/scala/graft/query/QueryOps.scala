@@ -49,10 +49,19 @@ object QueryOps {
     * composed from union + a running `last(ignoreNulls)` window, no
     * custom physical operator needed (builder-prompt preference (a)).
     *
+    * This IS the engine's as-of operator. A custom sort-merge
+    * LogicalPlan/Strategy/Exec rung-(c) implementation existed through
+    * round 2 on a union-schema-blow-up hypothesis; measured head to
+    * head at sf0.1 it was 3-4x SLOWER than this form on every payload
+    * shape tried (narrow, 8 wide right values, 12 wide left columns —
+    * its per-row interpreted projections outweighed the union padding;
+    * see PERF.md), so it was deleted. Evidence over operator ladders.
+    *
     * Contract: key columns share names across sides; `right` must be
     * unique per (keys, rightTime) — pre-aggregate ties away (the specs
     * and q_asof_latest_order do). NULL right values where no right row
-    * precedes the left row.
+    * precedes the left row. NULL keys/times group and order smallest
+    * (documented divergence from DuckDB native ASOF; AsofJoinSpec).
     *
     * Scale: one shuffle on the key columns; state per partition is the
     * running last values — no n x m join blowup for dense right sides,

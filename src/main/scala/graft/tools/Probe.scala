@@ -22,6 +22,49 @@ object Probe {
     val docs = Tables.load(spark, dir, "documents")
     val embs = Tables.load(spark, dir, "embeddings")
 
+    if (only.contains("asof")) {
+      import graft.sources.Tables
+      val events = Tables.load(spark, dir, "events")
+        .select(col("event_id"), col("user_id").as("custkey"),
+          timestamp_micros((col("ts") / 1000L).cast("long")).as("ev_ts"))
+      val snap = Tables.load(spark, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .agg(max("o_totalprice").as("max_price"),
+          min("o_totalprice").as("min_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n_orders"),
+          max("o_orderkey").as("max_key"), min("o_orderkey").as("min_key"),
+          max("o_orderstatus").as("status_max"),
+          max("o_orderpriority").as("prio_max"))
+      val vals = Seq("max_price", "min_price", "sum_price", "n_orders",
+        "max_key", "min_key", "status_max", "prio_max")
+      // wide-left variant: 12 extra payload columns on the left side —
+      // the composed form must null-pad all of them onto right rows
+      val wideEvents = (1 to 12).foldLeft(events) { (df, i) =>
+        df.withColumn(s"pay$i", col("event_id") * i) }
+      for (round <- 1 to 3) {
+        val tw = System.nanoTime()
+        val w1 = graft.query.QueryOps.asofJoin(wideEvents, snap, Seq("custkey"),
+          "ev_ts", "o_orderdate", vals).count()
+        val tw2 = System.nanoTime()
+        val w2 = graft.query.QueryOps.asofJoin(wideEvents, snap, Seq("custkey"),
+          "ev_ts", "o_orderdate", vals).count()
+        val tw3 = System.nanoTime()
+        println(s"[probe] asof_wideleft r$round native=$w1 ${(tw2-tw)/1e9}s composed=$w2 ${(tw3-tw2)/1e9}s")
+      }
+      for (round <- 1 to 3) {
+        val tn = System.nanoTime()
+        val n1 = graft.query.QueryOps.asofJoin(events, snap, Seq("custkey"),
+          "ev_ts", "o_orderdate", vals).count()
+        val tn2 = System.nanoTime()
+        val n2 = graft.query.QueryOps.asofJoin(events, snap, Seq("custkey"),
+          "ev_ts", "o_orderdate", vals).count()
+        val tn3 = System.nanoTime()
+        println(s"[probe] asof_wide r$round native=$n1 ${(tn2-tn)/1e9}s composed=$n2 ${(tn3-tn2)/1e9}s")
+      }
+      spark.stop(); return
+    }
     if (only.contains("clusters")) {
       val tc = System.nanoTime()
       val n = graft.query.TextQueries.dedupClusters(spark, dir).count()
