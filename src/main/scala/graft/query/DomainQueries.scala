@@ -203,6 +203,44 @@ object DomainQueries {
       |  SELECT 1 FROM d h, m WHERE h.user_id = d.user_id AND h.day < max_day)
       |ORDER BY user_id""".stripMargin
 
+  /** T2 (25-day streaming dedup) under the hash gate: replay the last
+    * 5 days of events through the REAL watermarked dropDuplicates
+    * stream, one micro-batch per day
+    * ([[graft.streaming.StreamingIngest.replayDailyDedup]]). The span
+    * sits inside the watermark, so no state expires and the emitted
+    * set must equal first-observation-per-user — which the DuckDB
+    * oracle computes closed-form. Only (key, emission day) are
+    * deterministic (within-batch row order is not), so the output
+    * projects to those. Bounded verification corpus (user_id < 1000,
+    * 5-day tail): the replay collects through the driver by design —
+    * the bound, not the SF, sizes it. */
+  def streamReplayDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.load(s, dir, "events")
+      .filter(col("user_id") < 1000)
+      .select(col("user_id").cast("string").as("domain"),
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("obs_ts"))
+      .withColumn("day", to_date(col("obs_ts")))
+    val cutoff = d.agg(date_sub(max("day"), 4)).collect()(0).getDate(0)
+    val obs = d.filter(col("day") >= lit(cutoff))
+      .select("domain", "obs_ts")
+      .as[graft.streaming.StreamingIngest.DomainObs]
+      .collect().toSeq
+    graft.streaming.StreamingIngest.replayDailyDedup(s, obs)
+      .select(col("domain").cast("long").as("user_id"),
+        date_format(col("obs_ts"), "yyyy-MM-dd").as("first_day"))
+      .orderBy("user_id")
+  }
+
+  val streamReplayDedupSql: String =
+    """WITH d AS (SELECT user_id, ts, CAST(date_trunc('day', ts) AS DATE) AS day
+      |           FROM events WHERE user_id < 1000),
+      |m AS (SELECT max(day) - 4 AS cutoff FROM d)
+      |SELECT user_id,
+      |  strftime(CAST(date_trunc('day', min(ts)) AS DATE), '%Y-%m-%d') AS first_day
+      |FROM d, m WHERE day >= cutoff
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // As-of join: latest order (by date) per customer at or before each
   // event's timestamp — oracle is DuckDB's native ASOF JOIN.
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
@@ -212,11 +250,9 @@ object DomainQueries {
     val orders = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
       .agg(max("o_totalprice").as("last_price"))
-    // composed union+window form: measured faster here (narrow payload,
-    // tiny right side — one shuffle, no per-row projection overhead).
-    // The native sort-merge operator (plans.AsofJoin) is equivalence-
-    // locked to this form by AsofJoinSpec and preferred when the right
-    // payload is wide (union schema blow-up dominates the shuffle).
+    // the composed union+window operator — the engine's only as-of
+    // path (the custom sort-merge exec measured slower on every
+    // payload shape and was deleted; PERF.md).
     graft.query.QueryOps.asofJoin(events, orders, Seq("custkey"),
         "ev_ts", "o_orderdate", Seq("last_price"))
       .select(col("event_id"), col("custkey"),
@@ -288,6 +324,7 @@ object DomainQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_asof_latest_order" -> (asofLatestOrder _, asofLatestOrderSql),
     "q_asof_wide" -> (asofWide _, asofWideSql),
+    "q_stream_replay_dedup" -> (streamReplayDedup _, streamReplayDedupSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),

@@ -72,6 +72,41 @@ object StreamingIngest {
       .dropDuplicates("domain")
 
   final case class DomainObs(domain: String, obs_ts: java.sql.Timestamp)
+
+  /** T2 under the correctness gate: replay observations through the
+    * REAL streaming dedup ([[dedupWindow]]) as one micro-batch per
+    * distinct day (ascending), collect the append-mode memory sink.
+    * With a span inside the watermark no state expires, so the emitted
+    * set must equal "first observation per domain" — which a batch
+    * engine (the DuckDB oracle) computes closed-form. Only the key and
+    * the batch DAY of each emission are deterministic (within-batch
+    * row order is not), so callers project to (domain, day).
+    *
+    * The day-batch iteration is a replay HARNESS: observations enter
+    * through a streaming source (MemoryStream) exactly as production
+    * rows would; bound the input (the driver query replays a 5-day
+    * tail) — this is a verification path, not a bulk path. */
+  def replayDailyDedup(spark: SparkSession, obs: Seq[DomainObs],
+                       watermark: String = "25 days"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val mem = MemoryStream[DomainObs]
+    val name = s"graft_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = dedupWindow(mem.toDF(), watermark)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      obs.groupBy(o => o.obs_ts.toLocalDateTime.toLocalDate)
+        .toSeq.sortBy(_._1)
+        .foreach { case (_, dayRows) =>
+          mem.addData(dayRows)
+          q.processAllAvailable()
+        }
+    } finally q.stop()
+    spark.table(name)
+  }
   final case class DomainState(domain: String, firstSeen: java.sql.Timestamp,
                                lastSeen: java.sql.Timestamp, observations: Long)
 

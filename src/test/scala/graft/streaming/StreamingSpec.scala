@@ -74,6 +74,22 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Seq("a.com", "b.com", "c.com"))
   }
 
+  test("T2 replay harness: day-batched replay emits first observation only") {
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-06-$d%02d $h%02d:00:00")
+    val obs = Seq(
+      StreamingIngest.DomainObs("a.com", ts(1, 3)),
+      StreamingIngest.DomainObs("b.com", ts(1, 9)),
+      StreamingIngest.DomainObs("a.com", ts(2, 1)), // repeat, later day
+      StreamingIngest.DomainObs("c.com", ts(3, 5)),
+      StreamingIngest.DomainObs("b.com", ts(3, 6)), // repeat
+      StreamingIngest.DomainObs("c.com", ts(3, 7))) // same-day repeat
+    val out = StreamingIngest.replayDailyDedup(spark, obs)
+      .select("domain", "obs_ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
+    assert(out == Seq(("a.com", ts(1, 3)), ("b.com", ts(1, 9)),
+      ("c.com", ts(3, 5))))
+  }
+
   test("T4: mapGroupsWithState tracks first/last seen per domain") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.DomainObs]
