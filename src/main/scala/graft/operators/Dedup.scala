@@ -44,17 +44,21 @@ object Dedup {
     native("graft_shingles", TextAnalysis.tokenize(text), lit(k))
 
   /** Reference HOF form of [[minhashSignature]] — kept as the spec
-    * cross-check for the native expression. */
+    * cross-check for the native expression. The inner xxhash64
+    * collapses the string once; the per-family hash runs over the
+    * resulting long. */
   private[graft] def minhashSignatureHof(shingleCol: Column,
                                              numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))
+      array_min(transform(shingleCol, s => xxhash64(lit(i), xxhash64(s))))
     }: _*)
 
-  /** MinHash signature: for each of `numHashes` seeded xxhash64
-    * families, the min hash over the shingle set — all families in one
-    * native pass over the array ([[graft.plans.MinHashSigExpr]]); the
-    * HOF form re-walked the shingles once per family, interpreted. */
+  /** MinHash signature: for each of `numHashes` seeded families, the
+    * min of xxhash64(family, xxhash64(shingle)) over the shingle set —
+    * all families in one native pass over the array
+    * ([[graft.plans.MinHashSigExpr]]), hashing each string ONCE; the
+    * HOF form re-walked (and re-hashed) the shingle strings once per
+    * family, interpreted. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     native("graft_minhash", shingleCol, lit(numHashes))
 

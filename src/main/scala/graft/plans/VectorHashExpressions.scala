@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   *  - [[DotProductExpr]]  == aggregate(zip_with(a, b, *), 0.0, +)
   *  - [[LshSigExpr]]      == the per-plane sign-bit fold in
   *                           [[graft.operators.Similarity]]
-  *  - [[MinHashSigExpr]]  == array(min(xxhash64(lit(i), s)) for i)
+  *  - [[MinHashSigExpr]]  == array(min(xxhash64(lit(i), xxhash64(s))) for i)
   *  - [[SimHashExpr]]     == the 64 per-bit vote sums in
   *                           [[graft.operators.Dedup.simhashSignatures]]
   */
@@ -89,11 +89,14 @@ object VectorOps {
     sig
   }
 
-  /** MinHash signature: per seeded family, the (signed) min of
-    * xxhash64-with-that-seed over the shingle set, all families in ONE
-    * pass over the array. seeds(i) must be the running hash of the
-    * family index (see [[MinHashSigExpr]]), so each element hash equals
-    * `xxhash64(lit(i), shingle)` exactly. Empty input -> all-null
+  /** MinHash signature: per seeded family, the (signed) min of the
+    * family hash over the shingle set, all families in ONE pass. Each
+    * shingle's STRING is hashed once (`xxhash64(s)`); family values
+    * re-hash that 8-byte long with the family seed, so element hashes
+    * equal `xxhash64(lit(i), xxhash64(s))` exactly (seeds(i) is the
+    * running hash of the family index, see [[MinHashSigExpr]]). One
+    * string walk instead of numHashes — string hashing dominated the
+    * signature pass at corpus scale. Empty input -> all-null
     * signature, like `array_min` over an empty transform. */
   def minhashSig(shingles: ArrayData, seeds: Array[Long]): ArrayData = {
     val n = shingles.numElements()
@@ -102,10 +105,11 @@ object VectorOps {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = shingles.getUTF8String(i)
+      val h0 = XxHash64Function.hash(
+        shingles.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < seeds.length) {
-        val h = XxHash64Function.hash(s, StringType, seeds(j))
+        val h = XxHash64Function.hash(h0, LongType, seeds(j))
         if (h < mins(j)) mins(j) = h
         j += 1
       }
@@ -312,8 +316,10 @@ object LshSigExpr {
 
 /** `graft_minhash(shingles, numHashes)` — the full minhash signature in
   * one pass; element i equals `array_min(transform(sh, s =>
-  * xxhash64(lit(i), s)))` bit-for-bit (the seed chain replicates
-  * XxHash64's left fold over its children). */
+  * xxhash64(lit(i), xxhash64(s))))` bit-for-bit (the seed chain
+  * replicates XxHash64's left fold over its children; the inner
+  * xxhash64 collapses each string to a long so the numHashes families
+  * each hash 8 bytes, not the string). */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression {
   import VectorHashExpressions._

@@ -214,7 +214,7 @@ object TextQueries {
       .select("query_id", "neighbor_id", "cos", "rank")
       .orderBy("query_id", "rank")
 
-  /** Near-dup clustering (connected components) over unigram-Jaccard
+  /** Near-dup clustering (connected components) over BIGRAM-Jaccard
     * edges at 0.9 — this corpus yields dense planted clusters plus
     * scattered twins, so the oracle (a DuckDB recursive-CTE transitive
     * closure) exercises multi-hop label propagation, not just pair
@@ -223,16 +223,18 @@ object TextQueries {
     * Edge generation is minhash-LSH ([[Dedup.minhashNearDups]]) — the
     * scale path: banded shuffle-hash self-join, no cartesian anywhere
     * in the plan (PlanSpec asserts no BroadcastNestedLoopJoin).
-    * Banding is 16 bands × 6 rows: this corpus shares vocabulary
-    * (background unigram J ≈ 0.4), so r=1 banding would make nearly
-    * every pair a candidate (P = 1-(1-0.4)^16 ≈ 1) — r=6 cuts the
-    * background collision rate to ~6% while keeping recall at J >= 0.9
-    * certain (per-pair miss (1-0.9^6)^16 ≈ 5e-6), so the edge set
-    * EQUALS the exact threshold join the oracle computes closed-form. */
+    * Bigram shingles put the threshold in the corpus GAP (background
+    * bigram J tops out at 0.13, planted near-dups start at 0.91), so
+    * 16-band r=1 recall at J >= 0.9 is certain (per-pair miss
+    * (1-0.91)^16 ≈ 2e-17) and the r=1 est-Jaccard prune drops the
+    * background collisions before the exact verify — the edge set
+    * EQUALS the exact threshold join the oracle computes closed-form,
+    * for a sixth of the unigram pipeline's hash work and a fraction of
+    * its candidates. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashNearDups(
         docs(s, dir).filter(col("doc_id") < 1000), "doc_id", col("text"),
-        threshold = 0.9, numHashes = 96, bands = 16, shingleK = 1)
+        threshold = 0.9, numHashes = 16, bands = 16, shingleK = 2)
     // dropped = the keep-one-per-cluster decision (clusterDropIds set)
     Dedup.nearDupClusters(pairs)
       .withColumn("dropped", col("id") =!= col("cluster"))
@@ -240,9 +242,10 @@ object TextQueries {
   }
 
   val dedupClustersSql: String =
-    """WITH RECURSIVE
-      |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS sh
-      |      FROM documents WHERE doc_id < 1000),
+    s"""WITH RECURSIVE
+      |t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |       FROM documents WHERE doc_id < 1000),
+      |t AS (SELECT doc_id, $bigramShinglesSql AS sh FROM t0),
       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
       |      FROM t a JOIN t b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
