@@ -31,11 +31,14 @@ object Skew {
   }
 
   /** Skewed-key report: top-k join keys by row count with their share —
-    * the diagnostic that decides between broadcast, salting, and AQE. */
+    * the diagnostic that decides between broadcast, salting, and AQE.
+    * One scan: the total is a window sum over the (already aggregated,
+    * key-cardinality-sized) counts, not a second pass over the input. */
   def keySkewReport(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
-    val counts = df.groupBy(key).agg(count(lit(1)).as("rows"))
-    val total = df.count().toDouble
-    counts.withColumn("share", col("rows") / total)
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(key).agg(count(lit(1)).as("rows"))
+      .withColumn("share",
+        col("rows") / sum("rows").over(Window.partitionBy()))
       .orderBy(desc("rows")).limit(topK)
   }
 }

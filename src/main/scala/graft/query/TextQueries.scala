@@ -157,6 +157,37 @@ object TextQueries {
     Dedup.simhashNearDups(docs(s, dir), "doc_id", col("text"), maxDist = 8)
       .orderBy("id_a", "id_b")
 
+  /** q_dedup_simhash under the hash gate: the banded operator's pair
+    * set must EQUAL the brute-force Hamming-threshold join over the
+    * same signatures — a THEOREM, not a tuning claim ((maxDist+1)-block
+    * pigeonhole banding guarantees recall; the exact bit_count filter
+    * guarantees precision), so the per-doc equality booleans are
+    * deterministic and the DuckDB oracle recomputes them closed-form
+    * as `true`. The xxhash64 signature itself has no DuckDB
+    * equivalent — this is the derived-invariant gate (the brute-force
+    * side is the bounded-corpus verifier, doc_id < 400). */
+  def dedupSimhashAgree(s: SparkSession, dir: String): DataFrame = {
+    val bounded = docs(s, dir).filter(col("doc_id") < 400)
+    val banded = Dedup.simhashNearDups(bounded, "doc_id", col("text"),
+      maxDist = 8).select("id_a", "id_b")
+    val sigs = Dedup.simhashSignatures(bounded, "doc_id", col("text"))
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 8)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val diffIds = banded.exceptAll(brute).union(brute.exceptAll(banded))
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    bounded.select(col("doc_id"))
+      .join(diffIds.withColumn("__bad", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(!col("__bad"), lit(true)).as("banded_matches_brute"))
+      .orderBy("doc_id")
+  }
+
+  val dedupSimhashAgreeSql: String =
+    """SELECT doc_id, true AS banded_matches_brute
+      |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
+
   /** Language-ID + fingerprint, oracle-checked end to end: the marker
     * argmax is re-expressed closed-form in SQL, and the fingerprint
     * here is md5 (DuckDB-shared). The engine's rolling xxhash64 chain
@@ -268,6 +299,7 @@ object TextQueries {
     "q_dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
     "q_lang_fingerprint" -> (langFingerprint _, langFingerprintSql),
     "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
+    "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),
     "q_sim_lsh_recall" -> (simLshRecall _, recallGateSql),
     "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
     "q_text_stats" -> (textStats _, textStatsSql),
