@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus-mixing operators for a
+  * training-data pipeline. Everything here is content-derived — no
+  * `rand()` — so retries, speculative tasks, and re-runs produce the
+  * SAME sample, and a second engine (the DuckDB oracle) can recompute
+  * the exact row set closed-form.
+  *
+  * Scale shape: Bernoulli and mixing are scan-level filters (no
+  * shuffle); stratified top-n and packing shuffle once on their
+  * stratum/shard key. No global windows, no driver-side data.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) deterministic coin for a key: the first 8 hex
+    * chars of md5 compared against the rate's hex threshold. Plain
+    * STRING comparison on lowercase hex — bit-identical across
+    * engines, no integer parsing dialects. */
+  private[graft] def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    if (rate == 0.0) "/" // sorts below every hex digit: selects nothing
+    else f"${math.round(rate * (1L << 32)).min(1L << 32) - 1}%08x"
+  }
+
+  /** md5-hex coin of a key column (cast to string first so the bytes
+    * hashed are engine-independent). */
+  private[graft] def coin(key: Column): Column =
+    substring(md5(key.cast("string").cast("binary")), 1, 8)
+
+  /** Deterministic Bernoulli sample: keeps a row iff
+    * md5(key)[0,8) <= threshold(rate). Content-derived — stable under
+    * retries and recomputable by any engine. */
+  def bernoulli(df: DataFrame, key: Column, rate: Double): DataFrame =
+    df.filter(coin(key) <= lit(hexThreshold(rate)))
+
+  /** Deterministic stratified sample: the `n` rows of each stratum
+    * with the smallest md5 coin (id as tie-break) — a uniform-without-
+    * replacement draw per group, same rows every run. One shuffle on
+    * the stratum key. */
+  def stratifiedN(df: DataFrame, stratum: Column, id: Column,
+                  n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    df.withColumn("__coin", coin(id))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__coin"), id)))
+      .filter(col("__rn") <= n)
+      .drop("__coin", "__rn")
+  }
+
+  /** Corpus mixing: per-source deterministic Bernoulli rates in one
+    * scan — the standard training-mixture reweighting (e.g. upsample
+    * wiki, downsample crawl). Sources absent from `rates` drop. */
+  def mixCorpora(df: DataFrame, source: Column, id: Column,
+                 rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "rates must not be empty")
+    val threshold = rates.foldLeft(lit(null).cast("string")) {
+      case (acc, (src, rate)) =>
+        when(source === lit(src), lit(hexThreshold(rate))).otherwise(acc)
+    }
+    df.filter(coin(id) <= threshold)
+  }
+
+  /** Token-budget packing, concat-and-split semantics: the documents
+    * of a shard are concatenated in `id` order into one token stream,
+    * the stream is cut every `budget` tokens, and each document is
+    * assigned the chunk its LAST token falls in — the standard
+    * sequence-packing step that turns documents into fixed-size
+    * training windows (documents straddle chunk boundaries by design;
+    * this labels rows for the downstream splitter, it is not a
+    * bounded-bin packer).
+    *
+    * Sharded on purpose: packing is order-dependent, and a single
+    * global order would serialize the window into one partition at
+    * corpus scale. Real pipelines pack per shard (file, language,
+    * source); the window partitions by `shard` and parallelizes. */
+  def packTokenBudget(df: DataFrame, shard: Column, id: Column,
+                      tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val cum = sum(tokens).over(
+      Window.partitionBy(shard).orderBy(id)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__cum", cum)
+      .withColumn("chunk", ceil(col("__cum") / lit(budget.toLong)) - 1)
+      .drop("__cum")
+  }
+}

@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data operators over `documents` / `embeddings`
@@ -82,6 +82,62 @@ object TextQueries {
     """SELECT lang, count(*) AS n_docs,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- deterministic sampling / mixing / packing ----
+
+  /** Coin expression shared with the oracle: first 8 hex chars of
+    * md5 of the stringified key — lowercase hex in both engines. */
+  private def coinSql(key: String): String =
+    s"substr(md5(CAST($key AS VARCHAR)), 1, 8)"
+
+  def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
+    Sampling.bernoulli(docs(s, dir), col("doc_id"), 0.1)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  val sampleBernoulliSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${coinSql("doc_id")} <= '${Sampling.hexThreshold(0.1)}'
+       |ORDER BY doc_id""".stripMargin
+
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedN(docs(s, dir), col("lang"), col("doc_id"), 20)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |    PARTITION BY lang ORDER BY ${coinSql("doc_id")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+
+  private val mixRates = Seq(
+    "src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+
+  def corpusMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixCorpora(docs(s, dir), col("source"), col("doc_id"),
+        mixRates.toMap)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  val corpusMixSql: String = {
+    val whens = mixRates.map { case (src, r) =>
+      s"WHEN '$src' THEN '${Sampling.hexThreshold(r)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ${coinSql("doc_id")} <= CASE source $whens ELSE NULL END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    Sampling.packTokenBudget(docs(s, dir), col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long"), 512)
+      .select("doc_id", "lang", "chunk").orderBy("doc_id")
+
+  val packChunksSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(ceil(SUM(len(string_split(text, ' '))) OVER (
+      |    PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    / 512.0) AS BIGINT) - 1 AS chunk
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- dedup (exact: oracle; LSH family: rows-only + specs) ----
 
@@ -300,6 +356,10 @@ object TextQueries {
     "q_lang_fingerprint" -> (langFingerprint _, langFingerprintSql),
     "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
     "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),
+    "q_sample_bernoulli" -> (sampleBernoulli _, sampleBernoulliSql),
+    "q_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
+    "q_corpus_mix" -> (corpusMix _, corpusMixSql),
+    "q_pack_chunks" -> (packChunks _, packChunksSql),
     "q_sim_lsh_recall" -> (simLshRecall _, recallGateSql),
     "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
     "q_text_stats" -> (textStats _, textStatsSql),
