@@ -94,6 +94,15 @@ object StreamingIngest {
       spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
     val mem = MemoryStream[DomainObs]
     val name = s"graft_replay_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // watermarked queries normally run a NO-DATA micro-batch after
+    // each data batch to advance the watermark and evict state —
+    // doubling the batch count. First-seen emission happens in the
+    // data batch itself and the replay span sits inside the watermark
+    // (nothing may expire), so eviction timing cannot affect the
+    // result; skip those batches for the replay's lifetime.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    spark.conf.set(noDataKey, "false")
     val q = dedupWindow(mem.toDF(), watermark)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -104,7 +113,10 @@ object StreamingIngest {
           mem.addData(dayRows)
           q.processAllAvailable()
         }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.set(noDataKey, prevNoData)
+    }
     spark.table(name)
   }
   final case class DomainState(domain: String, firstSeen: java.sql.Timestamp,
