@@ -101,4 +101,32 @@ object TextAnalysis {
     * and deterministic, with no overflow under ANSI mode. */
   def fingerprint(text: Column): Column =
     aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  // ---- PII redaction ----
+  // Patterns deliberately use the regex subset shared by Java's engine
+  // and RE2 (character classes, bounded repeats, no lookaround), so a
+  // second engine (the DuckDB oracle) reproduces the scrub exactly.
+
+  /** Email addresses (practical form, not full RFC 5322). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** International-prefix phone numbers (+CC-NNN-NNNN). */
+  val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  /** Dotted-quad IPv4 literals. */
+  val ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Scrub emails, phones, and IPv4 literals (emails first — they can
+    * embed digits and dots the narrower patterns would half-match). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** (emails, phones, ipv4s) match counts on the UNredacted text — the
+    * audit trail a scrub job reports next to the redacted corpus. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailRe)).as("n_emails"),
+    regexp_count(text, lit(phoneRe)).as("n_phones"),
+    regexp_count(text, lit(ipv4Re)).as("n_ips"))
 }

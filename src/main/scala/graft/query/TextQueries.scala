@@ -139,6 +139,49 @@ object TextQueries {
       |    / 512.0) AS BIGINT) - 1 AS chunk
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scrub under the hash gate. The synthetic corpus contains no
+    * PII, so the query MANUFACTURES it deterministically (an email, a
+    * phone, an IPv4 derived from doc_id — identical closed-form
+    * expressions in both engines), then redacts and counts. Output
+    * carries md5 of the redacted text, so the gate certifies the exact
+    * post-scrub bytes, not just the counts. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail"),
+      col("doc_id") % 10, lit(".com or +1-555-"),
+      lpad(col("doc_id").cast("string"), 4, "0"),
+      lit(" at 10.0."), col("doc_id") % 256, lit("."),
+      (col("doc_id") * 7) % 256)
+    docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.redactPii(planted).as("__red"),
+        TextAnalysis.piiCounts(planted).as("__c"))
+      .select(col("doc_id"),
+        md5(col("__red").cast("binary")).as("redacted_md5"),
+        col("__c.n_emails"), col("__c.n_phones"), col("__c.n_ips"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    s"""WITH p AS (SELECT doc_id,
+       |  text || ' contact user' || doc_id || '@mail' || (doc_id % 10)
+       |    || '.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+       |    || ' at 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+       |    AS t FROM documents)
+       |SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g')) AS redacted_md5,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   // ---- dedup (exact: oracle; LSH family: rows-only + specs) ----
 
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -360,6 +403,7 @@ object TextQueries {
     "q_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),
     "q_corpus_mix" -> (corpusMix _, corpusMixSql),
     "q_pack_chunks" -> (packChunks _, packChunksSql),
+    "q_pii_redact" -> (piiRedact _, piiRedactSql),
     "q_sim_lsh_recall" -> (simLshRecall _, recallGateSql),
     "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
     "q_text_stats" -> (textStats _, textStatsSql),
