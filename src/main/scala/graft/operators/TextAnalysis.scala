@@ -102,6 +102,30 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(acc, t))
 
+  /** Top-n salient terms per document: highest term frequency, with
+    * corpus rarity (document frequency ascending) then the term itself
+    * as tie-breaks — the integer-exact core of TF-IDF keyword
+    * extraction (transcendental idf weights are deliberately avoided
+    * so a second engine reproduces the ranking bit-for-bit).
+    *
+    * Scale shape: one token-explode shuffle with map-side partial
+    * aggregation into (doc, term) counts, a term-cardinality-sized df
+    * aggregate joined back, one per-doc window. */
+  def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+               text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokenize(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tf"), asc("df"), asc("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+      .select("doc_id", "term", "tf", "df", "rank")
+  }
+
   // ---- PII redaction ----
   // Patterns deliberately use the regex subset shared by Java's engine
   // and RE2 (character classes, bounded repeats, no lookaround), so a

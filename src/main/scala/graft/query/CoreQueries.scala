@@ -438,6 +438,30 @@ object CoreQueries {
       |WHERE rn = 1
       |GROUP BY band ORDER BY band NULLS FIRST""".stripMargin
 
+  /** Per-column profile of orders — null counts, exact cardinality,
+    * stringified bounds — in ONE aggregation pass
+    * ([[graft.operators.Profiling.profile]]). The double column is
+    * excluded from the PROFILE QUERY only because Java and DuckDB
+    * render doubles as strings differently; the operator itself
+    * profiles any column. */
+  def profileOrders(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate"))
+      .orderBy("col_name")
+
+  val profileOrdersSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_v,
+         |  CAST(max($c) AS VARCHAR) AS max_v FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Spark-only entries (driver rows-only check). */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
@@ -465,5 +489,6 @@ object CoreQueries {
     "q_count" -> (countLineitem _, countLineitemSql),
     "q_rollup" -> (rollupPricing _, rollupPricingSql),
     "q_window_lag" -> (windowLagDelta _, windowLagDeltaSql),
-    "q_events_hourly" -> (eventsHourly _, eventsHourlySql))
+    "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
+    "q_profile_orders" -> (profileOrders _, profileOrdersSql))
 }

@@ -139,6 +139,25 @@ object TextQueries {
       |    / 512.0) AS BIGINT) - 1 AS chunk
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Top-3 salient terms per document (TF with rarity tie-break — the
+    * integer-exact TF-IDF core; see [[TextAnalysis.topTerms]]). */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTerms(docs(s, dir), "doc_id", col("text"), 3)
+      .select("doc_id", "term", "tf", "df")
+      .orderBy("doc_id", "term")
+
+  val topTermsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |  row_number() OVER (PARTITION BY tf.doc_id
+      |    ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rn
+      |  FROM tf JOIN dfreq USING (term))
+      |SELECT doc_id, term, tf, df FROM r WHERE rn <= 3
+      |ORDER BY doc_id, term""".stripMargin
+
   /** PII scrub under the hash gate. The synthetic corpus contains no
     * PII, so the query MANUFACTURES it deterministically (an email, a
     * phone, an IPv4 derived from doc_id — identical closed-form
@@ -404,6 +423,7 @@ object TextQueries {
     "q_corpus_mix" -> (corpusMix _, corpusMixSql),
     "q_pack_chunks" -> (packChunks _, packChunksSql),
     "q_pii_redact" -> (piiRedact _, piiRedactSql),
+    "q_top_terms" -> (topTerms _, topTermsSql),
     "q_sim_lsh_recall" -> (simLshRecall _, recallGateSql),
     "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
     "q_text_stats" -> (textStats _, textStatsSql),
