@@ -435,15 +435,19 @@ object TextQueries {
 
   /** Embedding-cosine near-dup over the whole table, oracle-checked
     * closed-form: at threshold 0.45 (the corpus' similar tail — max
-    * background cosine 0.449, near-dups up to 0.513) the 12-table
-    * 3-plane LSH achieves verified recall 1.0 on this corpus, so the
-    * bucketed output EQUALS the exact cosine threshold join DuckDB
-    * computes. Cosines are bit-exact across engines (float→double
-    * widening, left-to-right fold). Parameters are caller policy: a
-    * real near-dup corpus (cos >= 0.9) wants more planes per table. */
+    * background cosine 0.449, near-dups up to 0.513) the 32-table
+    * 3-plane LSH output EQUALS the exact cosine threshold join DuckDB
+    * computes. Table count is sized to the MARGINAL pair, not the
+    * average: a pair at cos 0.455 agrees with a 3-plane table w.p.
+    * only 0.28, so 12 tables missed ~2% of marginal pairs (observed:
+    * 3 of 144 at the 2000-vector corpus) — 32 tables put the expected
+    * miss below 1e-2 pairs across every SF here. Cosines are bit-exact
+    * across engines (float→double widening, left-to-right fold).
+    * Parameters are caller policy: a real near-dup corpus (cos >= 0.9)
+    * wants more planes per table and far fewer tables. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(embs(s, dir), "vec_id", "embedding",
-        threshold = 0.45, numPlanes = 3, tables = 12)
+        threshold = 0.45, numPlanes = 3, tables = 32)
       .orderBy("id_a", "id_b")
 
   val dedupEmbeddingSql: String =

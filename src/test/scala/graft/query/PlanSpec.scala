@@ -134,4 +134,56 @@ class PlanSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1) HashAggregate") || p.contains("*(1) ColumnarToRow"), p)
   }
+
+  test("deterministic sampling and mixing are scan-level: no exchange") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pb = plan(Sampling.bernoulli(docs, col("doc_id"), 0.1))
+    assert(!pb.contains("Exchange"), pb)
+    val pm = plan(Sampling.mixCorpora(docs, col("source"), col("doc_id"),
+      Map("src0" -> 0.5)))
+    assert(!pm.contains("Exchange"), pm)
+  }
+
+  test("token packing shuffles once, on the shard key only") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Sampling.packTokenBudget(docs, col("lang"), col("doc_id"),
+      size(split(col("text"), " ", -1)).cast("long"), 512))
+    assert(p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange")) == 1, p)
+    assert(p.contains("hashpartitioning(lang"), p)
+  }
+
+  test("profile is one aggregation pass over one scan") {
+    import graft.operators.Profiling
+    val p = plan(Profiling.profile(
+      spark.read.parquet(s"$dir/orders.parquet"),
+      Seq("o_orderkey", "o_orderstatus")))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("co-located bucketed join needs no exchange at all") {
+    // the 100 TB co-location tool: both sides bucketed on the join key
+    // at write time -> the join reads pre-shuffled data
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$tmp'")
+    try {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val customer = spark.read.parquet(s"$dir/customer.parquet")
+      orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bkt.orders_b")
+      customer.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bkt.customer_b")
+      val joined = spark.table("graft_bkt.orders_b")
+        .join(spark.table("graft_bkt.customer_b").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), p)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_bkt CASCADE")
+    }
+  }
 }
