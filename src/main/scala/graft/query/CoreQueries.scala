@@ -366,6 +366,29 @@ object CoreQueries {
       |  count(*) AS cnt
       |FROM shifted GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
 
+  /** Batch sessionization of the event stream: 30-minute inactivity
+    * gap per user ([[QueryOps.sessionize]]). The gap compare runs on
+    * raw epoch NANOS (events.ts reads as long under nanosAsLong;
+    * DuckDB recomputes with epoch_ns) — integer-exact on both
+    * engines. */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    QueryOps.sessionize(t(s, dir, "events"),
+        col("user_id"), col("ts"), 30L * 60 * 1000000000L)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+
+  val sessionizeEventsSql: String =
+    """WITH g AS (SELECT event_id, user_id, ts,
+      |  CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+      |         > CAST(30 AS BIGINT) * 60 * 1000000000
+      |       OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS f
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |SELECT event_id, user_id,
+      |  CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |FROM g ORDER BY event_id""".stripMargin
+
   // CUBE over two dims (grouping-sets generalization).
   def cubePricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -490,5 +513,6 @@ object CoreQueries {
     "q_rollup" -> (rollupPricing _, rollupPricingSql),
     "q_window_lag" -> (windowLagDelta _, windowLagDeltaSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
-    "q_profile_orders" -> (profileOrders _, profileOrdersSql))
+    "q_profile_orders" -> (profileOrders _, profileOrdersSql),
+    "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql))
 }

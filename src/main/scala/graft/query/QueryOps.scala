@@ -37,6 +37,27 @@ object QueryOps {
     base.orderBy(col(keyCol)).limit(pageSize)
   }
 
+  /** Batch sessionization: a session breaks when the gap between
+    * consecutive events of the same key exceeds `gap` (same numeric
+    * unit as `orderCol` — pass epoch nanos and a nano gap, etc.).
+    * Session ids number each key's sessions from 1 in time order.
+    *
+    * Shape: lag to flag session starts, running sum to number them —
+    * two windows over the SAME (key, order) frame, ONE shuffle.
+    * Deterministic under timestamp ties: tied events see gap 0, so
+    * they land in the same session whatever their relative order. */
+  def sessionize(df: DataFrame, key: Column, orderCol: Column,
+                 gap: Long): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCol)
+    val prev = lag(orderCol, 1).over(w)
+    df.withColumn("__new",
+        when(orderCol - prev > gap || prev.isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__new")
+  }
+
   /** A1/O3: group-count top-k with deterministic tie-break. */
   def topK(df: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)

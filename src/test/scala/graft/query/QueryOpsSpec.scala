@@ -103,6 +103,31 @@ class QueryOpsSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("sessionize numbers gap-separated bursts per key") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: burst(0,10,20), gap, burst(100), gap, burst(200,205)
+      (1L, 0L), (1L, 10L), (1L, 20L), (1L, 100L), (1L, 200L), (1L, 205L),
+      // user 2: single session incl. a tie at t=10
+      (2L, 10L), (2L, 10L), (2L, 40L)).toDF("u", "t")
+    val out = QueryOps.sessionize(events, col("u"), col("t"), gap = 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 1L), (1L, 10L, 1L), (1L, 20L, 1L),
+      (1L, 100L, 2L), (1L, 200L, 3L), (1L, 205L, 3L),
+      (2L, 10L, 1L), (2L, 10L, 1L), (2L, 40L, 1L)))
+  }
+
+  test("sessionize: a gap exactly equal to the threshold does NOT break") {
+    import spark.implicits._
+    val out = QueryOps.sessionize(
+        Seq((1L, 0L), (1L, 50L), (1L, 101L)).toDF("u", "t"),
+        col("u"), col("t"), gap = 50L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out == Seq((0L, 1L), (50L, 1L), (101L, 2L)))
+  }
+
   test("Graft.init wires views, UDFs and native expressions for SQL") {
     graft.Graft.init(spark, "/root/testdata/sf0.001")
     val r = spark.sql(
