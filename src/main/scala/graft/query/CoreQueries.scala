@@ -389,6 +389,31 @@ object CoreQueries {
       |    AS session_id
       |FROM g ORDER BY event_id""".stripMargin
 
+  /** Exact grouped quantiles (linear interpolation): Spark
+    * `percentile` and DuckDB `quantile_cont` share the definition
+    * q = (1-g)*lower + g*upper, so the doubles are bit-exact across
+    * engines — no approximate sketch needed at dim-group cardinality.
+    * (percentile_approx remains the corpus-scale tool; its sketch is
+    * engine-specific and stays out of the hash gate.) */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+      .orderBy("l_returnflag")
+
+  val groupQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // CUBE over two dims (grouping-sets generalization).
   def cubePricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -514,5 +539,6 @@ object CoreQueries {
     "q_window_lag" -> (windowLagDelta _, windowLagDeltaSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
     "q_profile_orders" -> (profileOrders _, profileOrdersSql),
-    "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql))
+    "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
+    "q_quantiles" -> (groupQuantiles _, groupQuantilesSql))
 }
