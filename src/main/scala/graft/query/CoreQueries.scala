@@ -486,27 +486,27 @@ object CoreQueries {
       |WHERE rn = 1
       |GROUP BY band ORDER BY band NULLS FIRST""".stripMargin
 
-  /** Per-column profile of orders — null counts, exact cardinality,
+  /** Per-column profile of customer — null counts, exact cardinality,
     * stringified bounds — in ONE aggregation pass
     * ([[graft.operators.Profiling.profile]]). The double column is
     * excluded from the PROFILE QUERY only because Java and DuckDB
     * render doubles as strings differently; the operator itself
-    * profiles any column. */
-  def profileOrders(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profiling.profile(t(s, dir, "orders"),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus",
-          "o_orderpriority", "o_orderdate"))
+    * profiles any column (dim-sized demo table: the exact
+    * multi-distinct expand is the costly mode — corpus-scale profiling
+    * passes exactDistinct=false for HLL). */
+  def profileCustomer(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
       .orderBy("col_name")
 
-  val profileOrdersSql: String = {
+  val profileCustomerSql: String = {
     def one(c: String) =
       s"""SELECT '$c' AS col_name,
          |  count(*) - count($c) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
          |  CAST(min($c) AS VARCHAR) AS min_v,
-         |  CAST(max($c) AS VARCHAR) AS max_v FROM orders""".stripMargin
-    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-        "o_orderdate")
+         |  CAST(max($c) AS VARCHAR) AS max_v FROM customer""".stripMargin
+    Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
@@ -538,7 +538,7 @@ object CoreQueries {
     "q_rollup" -> (rollupPricing _, rollupPricingSql),
     "q_window_lag" -> (windowLagDelta _, windowLagDeltaSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
-    "q_profile_orders" -> (profileOrders _, profileOrdersSql),
+    "q_profile_customer" -> (profileCustomer _, profileCustomerSql),
     "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
     "q_quantiles" -> (groupQuantiles _, groupQuantilesSql))
 }
