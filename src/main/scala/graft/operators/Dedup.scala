@@ -321,6 +321,82 @@ object Dedup {
     clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as("drop_id"))
 
+  /** Per-doc contamination hits against a benchmark/eval corpus: the
+    * number of distinct word k-shingles a training document shares
+    * with ANY benchmark document — the standard pre-training
+    * decontamination test (an eval set must not leak into training
+    * data through verbatim n-gram overlap).
+    *
+    * Scale shape: eval sets are small, so their distinct-gram set
+    * broadcasts; the corpus side is one explode projection, the
+    * broadcast hash join drops non-hits at the scan, and the only
+    * shuffle is the per-doc count (map-side combined). Docs with no
+    * hits are absent from the result ([[decontaminate]] anti-joins). */
+  def contaminationHits(df: DataFrame, idCol: String, text: Column,
+                        bench: DataFrame, benchText: Column,
+                        k: Int = 5): DataFrame = {
+    val benchGrams = bench.select(explode(shingles(benchText, k)).as("gram"))
+      .distinct()
+    df.select(col(idCol).as("id"), explode(shingles(text, k)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      // shingles() emits distinct grams per doc, so this count is the
+      // number of DISTINCT contaminated grams without a second distinct
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The corpus minus every document sharing at least one k-shingle
+    * with the benchmark set (keeps the original schema). */
+  def decontaminate(df: DataFrame, idCol: String, text: Column,
+                    bench: DataFrame, benchText: Column,
+                    k: Int = 5): DataFrame =
+    df.join(contaminationHits(df, idCol, text, bench, benchText, k)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Non-overlapping token spans of width `w` (trailing partial span
+    * kept) — the unit of C4-style span-level corpus dedup. */
+  private[graft] def tokenSpans(toks: Column, w: Int): Column =
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        // ceil(n / w) spans without float math: (n + w - 1) / w
+        sequence(lit(0), (size(toks) + (w - 1)).divide(w).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * w + 1, w))))
+
+  /** C4-style span-level dedup ACROSS the corpus: split every document
+    * into non-overlapping `w`-token spans, keep only the FIRST
+    * occurrence of each span text (smallest (doc, position) — the
+    * deterministic keep-first rule), and rebuild each document from
+    * its surviving spans. Returns
+    * (doc_id, n_spans, n_kept, clean_text) for every input document
+    * (fully-deduplicated docs come back with n_kept = 0 and '').
+    *
+    * Scale shape: span derivation is a projection + explode; the
+    * keep-first rule is one window shuffle on the span text (skew-safe:
+    * span cardinality ~ corpus size) and the rebuild is one per-doc
+    * aggregation. No driver-side data. */
+  def spanDedup(df: DataFrame, idCol: String, text: Column,
+                w: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+      tokenSpans(TextAnalysis.tokenize(text), w).as("__spans"))
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("__spans")).as(Seq("pos", "span")))
+    val kept = exploded
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "pos")))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        s => s.getField("span"))).as("clean_text"))
+    base.select(col("doc_id"), size(col("__spans")).cast("long").as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Pairwise n-gram Jaccard over a (bounded) candidate set — the
     * brute-force verifier used by specs and small corpora.
     *
