@@ -360,7 +360,7 @@ object Dedup {
       .otherwise(transform(
         // ceil(n / w) spans without float math: (n + w - 1) / w
         sequence(lit(0), (size(toks) + (w - 1)).divide(w).cast("int") - 1),
-        i => concat_ws(" ", slice(toks, i * w + 1, w))))
+        i => concat_ws(" ", slice(toks, i * w + 1, lit(w)))))
 
   /** C4-style span-level dedup ACROSS the corpus: split every document
     * into non-overlapping `w`-token spans, keep only the FIRST

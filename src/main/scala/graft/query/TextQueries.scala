@@ -410,8 +410,98 @@ object TextQueries {
       |FROM reach GROUP BY id
       |ORDER BY id""".stripMargin
 
+  // ---- C4-style span dedup + benchmark decontamination ----
+
+  /** Span-level corpus dedup (C4 recipe): 10-token non-overlapping
+    * spans, keep-first by (doc_id, position), rebuild each document
+    * from its surviving spans. Linear: one explode projection, one
+    * window shuffle keyed on span text, one per-doc agg. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(docs(s, dir), "doc_id", col("text"), w = 10)
+      .orderBy("doc_id")
+
+  val spanDedupSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+      |           FROM documents),
+      |sp AS (SELECT doc_id,
+      |  [array_to_string(toks[i*10+1 : i*10+10], ' ')
+      |   FOR i IN range(0, CAST(floor((len(toks)+9)/10) AS INT))]
+      |  AS spans FROM t),
+      |ex AS (SELECT doc_id, unnest(range(0, len(spans))) AS pos,
+      |              unnest(spans) AS span FROM sp),
+      |kept AS (SELECT doc_id, pos, span,
+      |  row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM ex),
+      |reb AS (SELECT doc_id, count(*) AS n_kept,
+      |        string_agg(span, ' ' ORDER BY pos) AS clean_text
+      |        FROM kept WHERE rn=1 GROUP BY doc_id)
+      |SELECT sp.doc_id, len(sp.spans) AS n_spans,
+      |  coalesce(reb.n_kept, 0) AS n_kept,
+      |  coalesce(reb.clean_text, '') AS clean_text
+      |FROM sp LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // 5-gram shingles mirror of Dedup.shingles(k=5) for the oracle.
+  // NOTE: interpolated into stripMargin'd SQL — no line may start
+  // with '|' or the outer stripMargin eats it.
+  private val fivegramShinglesSql: String =
+    """CASE WHEN len(toks) >= 5
+      |  THEN list_distinct([array_to_string(toks[i : i+4], ' ')
+      |                      FOR i IN range(1, len(toks)-3)])
+      |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  // Deterministic benchmark carve-out for the decontamination demo:
+  // every doc_id ending 00..02 plays the "eval set", the rest the corpus.
+  private def benchSplit(d: DataFrame): (DataFrame, DataFrame) =
+    (d.filter(col("doc_id") % 100 >= 3), d.filter(col("doc_id") % 100 < 3))
+
+  /** Benchmark-contamination hits: distinct 5-gram collisions between
+    * each corpus doc and the (broadcast) eval-set gram universe. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = benchSplit(docs(s, dir))
+    Dedup.contaminationHits(corpus, "doc_id", col("text"),
+        bench, col("text"), k = 5)
+      .orderBy("id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, $fivegramShinglesSql AS sh FROM d),
+       |b AS (SELECT DISTINCT unnest(sh) AS gram FROM s
+       |      WHERE doc_id % 100 < 3),
+       |c AS (SELECT doc_id, unnest(sh) AS gram FROM s
+       |      WHERE doc_id % 100 >= 3)
+       |SELECT c.doc_id AS id, count(*) AS n_hits
+       |FROM c JOIN b USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The corpus with every eval-contaminated document anti-joined
+    * away — the operator a real pretraining pipeline runs. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = benchSplit(docs(s, dir))
+    Dedup.decontaminate(corpus, "doc_id", col("text"),
+        bench, col("text"), k = 5)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, $fivegramShinglesSql AS sh FROM d),
+       |b AS (SELECT DISTINCT unnest(sh) AS gram FROM s
+       |      WHERE doc_id % 100 < 3),
+       |hit AS (SELECT DISTINCT c.doc_id
+       |        FROM (SELECT doc_id, unnest(sh) AS gram FROM s
+       |              WHERE doc_id % 100 >= 3) c JOIN b USING (gram))
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id % 100 >= 3 AND doc_id NOT IN (SELECT doc_id FROM hit)
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked queries. */
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_span_dedup" -> (spanDedup _, spanDedupSql),
+    "q_contamination" -> (contamination _, contaminationSql),
+    "q_decontaminate" -> (decontaminate _, decontaminateSql),
     "q_dedup_clusters" -> (dedupClusters _, dedupClustersSql),
     "q_dedup_minhash" -> (dedupMinhash _, dedupMinhashSql),
     "q_dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),

@@ -108,4 +108,66 @@ class DedupSpec extends SparkTestBase {
       Dedup.shingles(col("text")), 8)).collect().map(_.getSeq[Long](0))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("span dedup keeps first occurrence and rebuilds documents") {
+    // doc 1: spans A B; doc 2: repeats doc 1's span A then its own C;
+    // doc 3: exact copy of doc 1 -> fully deduplicated
+    val a = (1 to 3).map(i => s"a$i").mkString(" ")   // 3-token span A
+    val b = (1 to 3).map(i => s"b$i").mkString(" ")
+    val c = (1 to 3).map(i => s"c$i").mkString(" ")
+    val in = Seq(
+      (1L, s"$a $b"), (2L, s"$a $c"), (3L, s"$a $b")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(in, "doc_id", col("text"), w = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, 2L, s"$a $b")))
+    assert(r(2L) == ((2L, 1L, c)))          // span A already seen in doc 1
+    assert(r(3L) == ((2L, 0L, "")))         // everything seen before
+  }
+
+  test("span dedup within one document drops repeated spans") {
+    val a = "x1 x2 x3"
+    val in = Seq((7L, s"$a $a $a")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(in, "doc_id", col("text"), w = 3).collect()(0)
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getString(3) == a)
+  }
+
+  test("span dedup keeps trailing partial spans distinct") {
+    // 5 tokens at w=3 -> spans of 3 and 2 tokens
+    val in = Seq((1L, "p q r s t"), (2L, "s t")).toDF("doc_id", "text")
+    val r = Dedup.spanDedup(in, "doc_id", col("text"), w = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) == "p q r s t")
+    assert(r(2L) == "")                     // "s t" span seen as doc 1's tail
+  }
+
+  test("contamination hits count distinct shared k-grams; decontaminate drops hit docs") {
+    val bench = Seq((100L, "e1 e2 e3 e4 e5 e6")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "e1 e2 e3 e4 e5 e6 x"), // shares 2 distinct 5-grams
+      (2L, "w1 w2 w3 w4 w5 w6"),  // clean
+      (3L, "e2 e3 e4 e5 e6 y")    // shares 1
+    ).toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, "doc_id", col("text"),
+        bench, col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L, 3L -> 1L))
+    val kept = Dedup.decontaminate(corpus, "doc_id", col("text"),
+        bench, col("text"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("short documents contaminate via whole-text shingle equality") {
+    // < k tokens -> the single whole-text shingle; only exact match hits
+    val bench = Seq((100L, "tiny doc")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "tiny doc"), (2L, "tiny docs"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, "doc_id", col("text"),
+        bench, col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L))
+  }
 }
