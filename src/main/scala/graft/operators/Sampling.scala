@@ -64,6 +64,48 @@ object Sampling {
     df.filter(coin(id) <= threshold)
   }
 
+  /** Deterministic train/val/test split: each row gets the FIRST
+    * label whose cumulative-rate threshold its md5 coin clears —
+    * the standard hash-split that keeps a document in the same split
+    * across reruns, engines, and corpus growth (new rows never move
+    * old rows between splits). Scan-level, no shuffle. Rows beyond
+    * the cumulative total (when rates sum < 1) are dropped —
+    * carve-outs compose with [[bernoulli]] holdouts. */
+  def hashSplit(df: DataFrame, key: Column,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split rates must sum to <= 1")
+    val cum = splits.scanLeft(0.0) { case (acc, (_, r)) => acc + r }.tail
+    val c = coin(key)
+    val label = splits.zip(cum).reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), cm)) =>
+        when(c <= lit(hexThreshold(cm)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label).filter(col("split").isNotNull)
+  }
+
+  /** Deterministic global shuffle into `numShards` output shards: the
+    * md5 of (seed, key) assigns the shard from its first 24 bits and
+    * the within-shard order from the next 32 (decorrelated by
+    * construction), `key` breaking ties. This is the corpus-shuffle
+    * step before sequence packing: one hash-partitioned exchange, a
+    * per-shard sort, no global window anywhere. Reshuffling is a seed
+    * change, not a new data path. */
+  def shuffleShards(df: DataFrame, key: Column, numShards: Int,
+                    seed: String): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val h = md5(concat(lit(seed), key.cast("string")).cast("binary"))
+    df.withColumn("__h", h)
+      .withColumn("shard",
+        conv(substring(col("__h"), 1, 6), 16, 10).cast("long")
+          % numShards)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(substring(col("__h"), 7, 8), key)).cast("long") - 1L)
+      .drop("__h")
+  }
+
   /** Token-budget packing, concat-and-split semantics: the documents
     * of a shard are concatenated in `id` order into one token stream,
     * the stream is cut every `budget` tokens, and each document is

@@ -126,6 +126,45 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "rank")
   }
 
+  /** ALL word n-grams of a text (order kept, duplicates kept) — the
+    * occurrence stream behind repetition statistics; `< n` tokens
+    * collapse to the single whole-text gram like [[Dedup.shingles]]. */
+  private[graft] def allNgrams(text: Column, n: Int): Column = {
+    val toks = tokenize(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Gopher-style repetition signals per document over word n-grams:
+    * the dominant n-gram (highest count, gram text breaking ties) and
+    * its share of all occurrences, plus the duplicated-occurrence
+    * fraction (1 - distinct/total). High values flag boilerplate and
+    * degenerate repetition — the standard pretraining quality gate.
+    *
+    * Scale shape: gram derivation is a projection + explode; both
+    * aggregates hash-partition on (doc, gram) then doc with map-side
+    * combine. No windows, no driver-side data. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        text: Column, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = df.select(col(idCol).as("doc_id"),
+        explode(allNgrams(text, n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id").agg(
+        sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("cnt"), col("gram"))).as("__top"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        col("__top").getField("gram").as("top_gram"),
+        col("__top").getField("cnt").as("top_count"),
+        (col("__top").getField("cnt").cast("double") /
+          col("n_grams")).as("top_frac"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_grams")).as("dup_frac"))
+  }
+
   // ---- PII redaction ----
   // Patterns deliberately use the regex subset shared by Java's engine
   // and RE2 (character classes, bounded repeats, no lookaround), so a

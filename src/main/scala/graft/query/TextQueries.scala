@@ -497,8 +497,69 @@ object TextQueries {
        |WHERE doc_id % 100 >= 3 AND doc_id NOT IN (SELECT doc_id FROM hit)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- split / shuffle / repetition ----
+
+  /** 80/10/10 deterministic hash split over doc_id. */
+  def hashSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(docs(s, dir), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").orderBy("doc_id")
+
+  val hashSplitSql: String = {
+    val t = Seq(0.8, 0.9, 1.0).map(Sampling.hexThreshold)
+    s"""SELECT doc_id,
+       |  CASE WHEN ${coinSql("doc_id")} <= '${t(0)}' THEN 'train'
+       |       WHEN ${coinSql("doc_id")} <= '${t(1)}' THEN 'val'
+       |       WHEN ${coinSql("doc_id")} <= '${t(2)}' THEN 'test'
+       |  END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic 8-shard corpus shuffle (seeded). */
+  def shuffleShards(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(docs(s, dir), col("doc_id"), 8, "seed42")
+      .select("doc_id", "shard", "pos").orderBy("doc_id")
+
+  val shuffleShardsSql: String =
+    """WITH h AS (SELECT doc_id,
+      |           md5('seed42' || CAST(doc_id AS VARCHAR)) AS h
+      |           FROM documents),
+      |a AS (SELECT doc_id,
+      |        CAST(('0x' || substr(h,1,6)) AS BIGINT) % 8 AS shard,
+      |        substr(h,7,8) AS ord FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+      |       AS BIGINT) - 1 AS pos
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style bigram repetition signals per document. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", col("text"),
+        n = 2)
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+      |        THEN [array_to_string(toks[i : i+1], ' ')
+      |              FOR i IN range(1, len(toks))]
+      |        ELSE [array_to_string(toks,' ')] END) AS gram FROM t),
+      |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1,2),
+      |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |        count(*) AS n_distinct,
+      |        max({'cnt': cnt, 'gram': gram}) AS top FROM c GROUP BY 1)
+      |SELECT doc_id, n_grams, n_distinct, top.gram AS top_gram,
+      |  top.cnt AS top_count,
+      |  CAST(top.cnt AS DOUBLE) / n_grams AS top_frac,
+      |  1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_frac
+      |FROM a ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked queries. */
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_hash_split" -> (hashSplit _, hashSplitSql),
+    "q_shuffle_shards" -> (shuffleShards _, shuffleShardsSql),
+    "q_repetition" -> (repetition _, repetitionSql),
     "q_span_dedup" -> (spanDedup _, spanDedupSql),
     "q_contamination" -> (contamination _, contaminationSql),
     "q_decontaminate" -> (decontaminate _, decontaminateSql),

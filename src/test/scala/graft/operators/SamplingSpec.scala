@@ -73,4 +73,49 @@ class SamplingSpec extends SparkTestBase {
         p => p.length < 2 || p(0) <= p(1)))
     }
   }
+
+  test("hashSplit partitions every row, rate-accurately and stably") {
+    val out = Sampling.hashSplit(corpus, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(out.length == 1000, "rates summing to 1 keep every row")
+    val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes("train") > 740 && sizes("train") < 860, sizes.toString)
+    assert(sizes("val") > 60 && sizes("val") < 140, sizes.toString)
+    assert(sizes("test") > 60 && sizes("test") < 140, sizes.toString)
+    // the split of a row never depends on the rest of the corpus
+    val sub = Sampling.hashSplit(corpus.filter(col("id") < 100), col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = out.toMap
+    assert(sub.forall { case (id, sp) => full(id) == sp })
+    // rates summing below 1 drop the remainder
+    val half = Sampling.hashSplit(corpus, col("id"), Seq("a" -> 0.5))
+    assert(half.count() > 400 && half.count() < 600)
+  }
+
+  test("shuffleShards assigns every row a shard and a dense in-shard position") {
+    val out = Sampling.shuffleShards(corpus, col("id"), 8, "s1")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1000)
+    assert(out.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      // positions are exactly 0..size-1 within each shard
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // deterministic under re-run, different under a different seed
+    val again = Sampling.shuffleShards(corpus, col("id"), 8, "s1")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Sampling.shuffleShards(corpus, col("id"), 8, "s2")
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mine = out.map(t => t._1 -> t._2).toMap
+    assert(corpus.count() > mine.count(kv => other(kv._1) == kv._2),
+      "a new seed reshuffles shard membership")
+  }
 }

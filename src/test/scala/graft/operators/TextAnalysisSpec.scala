@@ -30,4 +30,27 @@ class TextAnalysisSpec extends SparkTestBase {
       .select("c.n_emails", "c.n_phones", "c.n_ips").collect()(0)
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 1)))
   }
+
+  test("repetitionSignals computes dominant-gram and duplication fractions") {
+    val in = Seq(
+      (1L, "a b a b a"),      // bigrams: ab, ba, ab, ba -> top (ab,2)/4
+      (2L, "x y z w"),        // 3 distinct bigrams, no repetition
+      (3L, "t t t t t")       // one gram repeated 4x
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(in, "doc_id", col("text"), n = 2)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3), x.getLong(4),
+          x.getDouble(5), x.getDouble(6)))).toMap
+    assert(r(1L) == ((4L, 2L, "b a", 2L, 0.5, 0.5)))
+    assert(r(2L) == ((3L, 3L, "z w", 1L, 1.0 / 3, 0.0)))
+    assert(r(3L) == ((4L, 1L, "t t", 4L, 1.0, 0.75)))
+  }
+
+  test("repetitionSignals collapses short docs to the whole-text gram") {
+    val r = TextAnalysis.repetitionSignals(
+        Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", col("text"),
+        n = 2).collect()(0)
+    assert(r.getLong(1) == 1L && r.getString(3) == "solo")
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 0.0)
+  }
 }
