@@ -555,8 +555,81 @@ object TextQueries {
       |  1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_frac
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** End-to-end curation pipeline — the flagship composition a
+    * pretraining corpus actually runs, with every stage an operator
+    * proven above: quality gate + repetition gate (scan-level
+    * signals), benchmark decontamination (broadcast gram anti-join),
+    * deterministic 90/10 hash split, per-(split, lang) token budget.
+    * The whole plan shuffles only on corpus-sized keys (doc_id,
+    * (doc, gram)) — nothing here degrades at 100 TB. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, bench) = benchSplit(docs(s, dir))
+    val scored = corpus
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val reps = TextAnalysis
+      .repetitionSignals(corpus, "doc_id", col("text"), n = 2)
+      .select(col("doc_id"), col("dup_frac"))
+    val kept = scored.join(reps, "doc_id")
+      .filter(col("quality") >= 0.55 && col("dup_frac") <= 0.08)
+    val clean = Dedup.decontaminate(kept, "doc_id", col("text"),
+      bench, col("text"), k = 5)
+    Sampling.hashSplit(clean, col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.1))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.tokenize(col("text"))).cast("long"))
+          .as("total_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  val curationPipelineSql: String = {
+    val stop = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
+    val coin = coinSql("doc_id")
+    s"""WITH t AS (SELECT doc_id, lang, text, string_split(text,' ') AS toks
+       |           FROM documents WHERE doc_id % 100 >= 3),
+       |q AS (SELECT doc_id,
+       |  least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+       |  least(CASE WHEN len(toks) = 0 THEN 0.0
+       |        ELSE CAST(len([x FOR x IN toks IF x IN ($stop)]) AS DOUBLE)
+       |             / len(toks) END * 5.0, 1.0) * 0.4 +
+       |  greatest(0.0, 1.0 -
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+       |         AS DOUBLE)
+       |    / CAST(greatest(length(text), 1) AS DOUBLE) * 10.0) * 0.2
+       |  AS quality FROM t),
+       |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |        THEN [array_to_string(toks[i : i+1], ' ')
+       |              FOR i IN range(1, len(toks))]
+       |        ELSE [array_to_string(toks,' ')] END) AS gram FROM t),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1,2),
+       |a AS (SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)
+       |        / CAST(sum(cnt) AS BIGINT) AS dup_frac FROM c GROUP BY 1),
+       |d5 AS (SELECT doc_id, string_split(text,' ') AS toks
+       |       FROM documents),
+       |s5 AS (SELECT doc_id, $fivegramShinglesSql AS sh FROM d5),
+       |b AS (SELECT DISTINCT unnest(sh) AS gram FROM s5
+       |      WHERE doc_id % 100 < 3),
+       |hit AS (SELECT DISTINCT c2.doc_id
+       |        FROM (SELECT doc_id, unnest(sh) AS gram FROM s5
+       |              WHERE doc_id % 100 >= 3) c2 JOIN b USING (gram)),
+       |kept AS (SELECT t.doc_id, t.lang, len(t.toks) AS n_tok FROM t
+       |         JOIN q USING (doc_id) JOIN a USING (doc_id)
+       |         WHERE q.quality >= 0.55 AND a.dup_frac <= 0.08
+       |           AND t.doc_id NOT IN (SELECT doc_id FROM hit)),
+       |sp AS (SELECT lang, n_tok,
+       |        CASE WHEN $coin <= '${Sampling.hexThreshold(0.9)}'
+       |             THEN 'train'
+       |             WHEN $coin <= '${Sampling.hexThreshold(1.0)}'
+       |             THEN 'val' END AS split
+       |       FROM kept)
+       |SELECT split, lang, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens
+       |FROM sp GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  }
+
   /** Oracle-checked queries. */
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_curation_pipeline" -> (curationPipeline _, curationPipelineSql),
     "q_hash_split" -> (hashSplit _, hashSplitSql),
     "q_shuffle_shards" -> (shuffleShards _, shuffleShardsSql),
     "q_repetition" -> (repetition _, repetitionSql),

@@ -156,6 +156,50 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("hashpartitioning(lang"), p)
   }
 
+  test("hash split is scan-level: no exchange") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Sampling.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("shard shuffle is exactly one exchange, keyed on the shard") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Sampling.shuffleShards(docs, col("doc_id"), 8, "s"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("contamination check broadcasts the eval grams; no cartesian") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.contaminationHits(
+      docs.filter(col("doc_id") % 100 >= 3), "doc_id", col("text"),
+      docs.filter(col("doc_id") % 100 < 3), col("text"), k = 5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("span dedup has no join blowup: window + per-doc agg only") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.spanDedup(docs, "doc_id", col("text"), w = 10))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("repetition signals keep map-side partial aggregation") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(TextAnalysis.repetitionSignals(docs, "doc_id", col("text")))
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("profile is one aggregation pass over one scan") {
     import graft.operators.Profiling
     val p = plan(Profiling.profile(
