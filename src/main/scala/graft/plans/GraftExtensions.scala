@@ -83,7 +83,25 @@ object GraftExtensions {
     (FunctionIdentifier("valid_or_repaired_native"), ValidOrRepairedExpr.info,
       (es: Seq[Expression]) => ValidOrRepairedExpr(es.head)),
     (FunctionIdentifier("graft_domain_slots"), DomainSlotsExpr.info,
-      (es: Seq[Expression]) => DomainSlotsExpr(es(0), es(1))))
+      (es: Seq[Expression]) => DomainSlotsExpr(es(0), es(1))),
+    // Spark's own runtime-filter bloom pair, surfaced as callable
+    // functions: the sketch aggregate merges executor-side (same
+    // machinery the optimizer injects for runtime row filters), and
+    // the probe is a codegen'd predicate on a literal filter blob.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es(0), es(1), es(2))),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "graft_might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es(0), es(1))))
 
   /** Register the native functions on an already-built session
     * (idempotent) — for callers that didn't pass the extensions class

@@ -203,6 +203,28 @@ object DomainQueries {
       |  SELECT 1 FROM d h, m WHERE h.user_id = d.user_id AND h.day < max_day)
       |ORDER BY user_id""".stripMargin
 
+  /** [[historyNewUsers]] with the exact anti join bloom-prefiltered
+    * ([[graft.operators.BloomJoin.antiJoinBloom]]) — the 100 TB shape
+    * of the 25-day ingest dedup: definitely-new users skip the join,
+    * and the history side of the exact phase is pre-shrunk by the
+    * candidates' bloom. Result must stay row-identical, so the oracle
+    * is the SAME SQL as the plain form. */
+  def historyNewUsersBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        to_date(timestamp_micros((col("ts") / 1000L).cast("long"))).as("day"))
+    val maxDay = d.agg(max("day").as("max_day"))
+    val today = d.join(broadcast(maxDay), col("day") === col("max_day"))
+      .select("user_id").distinct()
+    val history = d.join(broadcast(maxDay), col("day") < col("max_day"))
+      .select(col("user_id").as("h_user_id")).distinct()
+    graft.operators.BloomJoin.antiJoinBloom(
+        today, "user_id", history, "h_user_id",
+        expectedHistoryItems = 4000000L,
+        expectedCandidateItems = 4000000L)
+      .orderBy("user_id")
+  }
+
   /** T2 (25-day streaming dedup) under the hash gate: replay the last
     * 5 days of events through the REAL watermarked dropDuplicates
     * stream, one micro-batch per day
@@ -330,5 +352,7 @@ object DomainQueries {
     "q_topk_apex" -> (topkApex _, topkApexSql),
     "q_surt_hosts" -> (surtHosts _, surtHostsSql),
     "q_validate_apex" -> (validateAndApex _, validateAndApexSql),
-    "q_history_new_users" -> (historyNewUsers _, historyNewUsersSql))
+    "q_history_new_users" -> (historyNewUsers _, historyNewUsersSql),
+    "q_history_new_users_bloom" ->
+      (historyNewUsersBloom _, historyNewUsersSql))
 }
