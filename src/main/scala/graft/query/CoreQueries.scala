@@ -389,6 +389,64 @@ object CoreQueries {
       |    AS session_id
       |FROM g ORDER BY event_id""".stripMargin
 
+  /** Strict view→click→purchase funnel ([[QueryOps.funnel]]) on
+    * epoch-MICROS (integer `div`, not double division — raw nanos
+    * would diverge from DuckDB, whose timestamps truncate to µs). */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    QueryOps.funnel(t(s, dir, "events"), col("user_id"),
+        expr("ts div 1000"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("entity")
+
+  val funnelStepsSql: String =
+    """WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+      |            FROM events WHERE event_type = 'view' GROUP BY 1),
+      |u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |       FROM events e JOIN u1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+      |       GROUP BY 1),
+      |u3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |       FROM events e JOIN u2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+      |       GROUP BY 1)
+      |SELECT u1.user_id AS entity, u1.t1, u2.t2, u3.t3,
+      |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS depth
+      |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+      |ORDER BY entity""".stripMargin
+
+  /** Day-N cohort retention: users bucketed by first-seen day, counted
+    * per (cohort, day offset) — two entity-keyed aggregates and one
+    * entity join, no global windows. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events").select(col("user_id"),
+      to_date(timestamp_micros((col("ts") / 1000L).cast("long")))
+        .as("day"))
+    val firstDay = d.groupBy("user_id").agg(min("day").as("cohort"))
+    d.join(firstDay, Seq("user_id"))
+      .select(
+        // ISO string, not DATE: date objects round-trip differently
+        // through the two engines' result layers
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_n"),
+        col("user_id"))
+      .groupBy("cohort", "day_n")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "day_n")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH d AS (SELECT user_id,
+      |             CAST(date_trunc('day', ts) AS DATE) AS day
+      |           FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+      |  datediff('day', f.cohort, d.day) AS day_n,
+      |  count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Exact grouped quantiles (linear interpolation): Spark
     * `percentile` and DuckDB `quantile_cont` share the definition
     * q = (1-g)*lower + g*upper, so the doubles are bit-exact across
@@ -540,5 +598,7 @@ object CoreQueries {
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
     "q_profile_customer" -> (profileCustomer _, profileCustomerSql),
     "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
-    "q_quantiles" -> (groupQuantiles _, groupQuantilesSql))
+    "q_quantiles" -> (groupQuantiles _, groupQuantilesSql),
+    "q_funnel" -> (funnelSteps _, funnelStepsSql),
+    "q_retention" -> (retentionCohorts _, retentionCohortsSql))
 }

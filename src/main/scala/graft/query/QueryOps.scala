@@ -58,6 +58,37 @@ object QueryOps {
       .drop("__new")
   }
 
+  /** Strict-sequence funnel: per entity, step i's timestamp is the
+    * EARLIEST event of type `steps(i)` strictly after step i-1's
+    * timestamp (first-touch chaining, the standard product-analytics
+    * funnel). Returns one row per entity that reached step 1:
+    * (entity, t1..tk, depth), missing steps null.
+    *
+    * Shape: k-1 dependent mins, each a join + aggregate keyed on the
+    * entity — every shuffle is entity-keyed and k is the (small)
+    * funnel length, so the plan is k co-partitioned passes, no
+    * windows over the whole event stream. */
+  def funnel(df: DataFrame, entity: Column, orderCol: Column,
+             etype: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val events = df.select(entity.as("entity"), orderCol.as("__ts"),
+      etype.as("__e"))
+    val first = events.filter(col("__e") === steps.head)
+      .groupBy("entity").agg(min(col("__ts")).as("t1"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (s, i)) =>
+        val next = events.filter(col("__e") === s)
+          .join(acc.select(col("entity"), col(s"t$i")), Seq("entity"))
+          .filter(col("__ts") > col(s"t$i"))
+          .groupBy("entity").agg(min(col("__ts")).as(s"t${i + 1}"))
+        acc.join(next, Seq("entity"), "left")
+    }
+    val depth = steps.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    full.withColumn("depth", depth)
+  }
+
   /** A1/O3: group-count top-k with deterministic tie-break. */
   def topK(df: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)

@@ -128,6 +128,33 @@ class QueryOpsSpec extends SparkTestBase {
     assert(out == Seq((0L, 1L), (50L, 1L), (101L, 2L)))
   }
 
+  test("funnel chains first-touch steps strictly in order") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 completes A->B->C in order
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // user 2: B before A — the early B must NOT count; no C
+      (2L, 5L, "B"), (2L, 10L, "A"), (2L, 40L, "B"),
+      // user 3: A only; later same-ts B is NOT strictly after... at
+      // equal timestamps the step does not advance
+      (3L, 10L, "A"), (3L, 10L, "B"),
+      // user 4 never does A -> absent from the funnel
+      (4L, 10L, "B"), (4L, 20L, "C"),
+      // user 5: two A's — first-touch wins, then B between them counts
+      (5L, 10L, "A"), (5L, 15L, "B"), (5L, 20L, "A")
+    ).toDF("u", "t", "e")
+    val out = QueryOps.funnel(events, col("u"), col("t"), col("e"),
+        Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getAs[Long]("depth")))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(10L), Some(40L), None, 2L)))
+    assert(out(3L) == ((Some(10L), None, None, 1L)))
+    assert(!out.contains(4L))
+    assert(out(5L) == ((Some(10L), Some(15L), None, 2L)))
+  }
+
   test("Graft.init wires views, UDFs and native expressions for SQL") {
     graft.Graft.init(spark, "/root/testdata/sf0.001")
     val r = spark.sql(
