@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /** Text-analysis operators for a training-data pipeline over a
   * `documents(doc_id, text, ...)` table: token counting, quality
@@ -143,12 +144,36 @@ object TextAnalysis {
     * fraction (1 - distinct/total). High values flag boilerplate and
     * degenerate repetition — the standard pretraining quality gate.
     *
-    * Scale shape: gram derivation is a projection + explode; both
-    * aggregates hash-partition on (doc, gram) then doc with map-side
-    * combine. No windows, no driver-side data. */
+    * Scale shape: the whole computation is a SCAN-LEVEL projection —
+    * one native expression ([[graft.plans.RepetitionStatsExpr]]) holds
+    * the per-doc gram map for one row and emits the stats struct; no
+    * explode, no shuffle, nothing crosses an exchange. Bit-identical
+    * to the explode + two-aggregate form ([[repetitionSignalsAgg]],
+    * kept as the spec cross-check). */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
                         text: Column, n: Int = 2)
       : org.apache.spark.sql.DataFrame = {
+    GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
+    df.select(col(idCol).as("doc_id"),
+        call_function("graft_repetition", tokenize(text), lit(n))
+          .as("__r"))
+      .select(col("doc_id"),
+        col("__r.n_grams").as("n_grams"),
+        col("__r.n_distinct").as("n_distinct"),
+        col("__r.top_gram").as("top_gram"),
+        col("__r.top_count").as("top_count"),
+        (col("__r.top_count").cast("double") /
+          col("__r.n_grams")).as("top_frac"),
+        (lit(1.0) - col("__r.n_distinct").cast("double") /
+          col("__r.n_grams")).as("dup_frac"))
+  }
+
+  /** Reference explode + two-aggregate form of [[repetitionSignals]]
+    * — the distributed formulation the native expression is bit-locked
+    * against by spec. */
+  private[graft] def repetitionSignalsAgg(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int = 2): org.apache.spark.sql.DataFrame = {
     val counts = df.select(col(idCol).as("doc_id"),
         explode(allNgrams(text, n)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))

@@ -84,6 +84,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => ValidOrRepairedExpr(es.head)),
     (FunctionIdentifier("graft_domain_slots"), DomainSlotsExpr.info,
       (es: Seq[Expression]) => DomainSlotsExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_repetition"), RepetitionStatsExpr.info,
+      (es: Seq[Expression]) => RepetitionStatsExpr(es(0),
+        litInt(es(1), "graft_repetition"))),
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions: the sketch aggregate merges executor-side (same
     // machinery the optimizer injects for runtime row filters), and

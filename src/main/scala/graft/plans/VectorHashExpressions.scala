@@ -144,6 +144,54 @@ object VectorOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-document n-gram repetition stats in ONE pass over the token
+    * array: (n_grams, n_distinct, top_gram, top_count). Semantics are
+    * exactly the explode + two-aggregate form they replace (locked by
+    * spec): fewer than n tokens collapse to the single all-tokens
+    * gram; the dominant gram resolves count ties to the binary-GREATEST
+    * gram, i.e. `max(struct(cnt, gram))` under UTF8String order. */
+  def repetitionStats(tokens: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = tokens.numElements()
+    val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val nGrams = if (cnt >= n) cnt - n + 1 else 1
+    val m = new java.util.HashMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long](nGrams * 2)
+    if (cnt < n) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](cnt)
+      var i = 0
+      while (i < cnt) { parts(i) = tokens.getUTF8String(i); i += 1 }
+      m.put(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*),
+        1L)
+    } else {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var i = 0
+      while (i <= cnt - n) {
+        var j = 0
+        while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+        val g = org.apache.spark.unsafe.types.UTF8String
+          .concatWs(sep, parts: _*)
+        val prev = m.get(g)
+        m.put(g, if (prev == null) 1L else prev + 1L)
+        i += 1
+      }
+    }
+    var topGram: org.apache.spark.unsafe.types.UTF8String = null
+    var topCnt = 0L
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.longValue()
+      if (c > topCnt ||
+          (c == topCnt && e.getKey.compareTo(topGram) > 0)) {
+        topCnt = c
+        topGram = e.getKey
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nGrams.toLong, m.size.toLong, topGram, topCnt)
+  }
+
   /** Jaccard over two string arrays in one pass: distinct-common count
     * (array_intersect semantics) over raw sizes —
     * |A∩B| / (|A|+|B|-|A∩B|), 0.0 when both empty. Bit-identical to
@@ -478,4 +526,40 @@ case class SplitJavaExpr(child: Expression, pattern: String)
 object SplitJavaExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[SplitJavaExpr], "graft_split_java")
+}
+
+/** `graft_repetition(tokens, n)` — per-document n-gram repetition
+  * stats struct in one compiled pass, replacing an explode plus TWO
+  * hash aggregates (a (doc, gram) count and a per-doc max/sum) with a
+  * scan-level projection: the per-doc gram map lives for one row and
+  * never crosses a shuffle. */
+case class RepetitionStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  import VectorHashExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, prettyName)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = true),
+    StructField("top_count", LongType, nullable = false)))
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.repetitionStats(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.repetitionStats($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RepetitionStatsExpr = copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[RepetitionStatsExpr],
+      "graft_repetition")
 }

@@ -214,14 +214,22 @@ object DomainQueries {
       .select(col("user_id"),
         to_date(timestamp_micros((col("ts") / 1000L).cast("long"))).as("day"))
     val maxDay = d.agg(max("day").as("max_day"))
+    // The bloom build and the exact phase each act on these frames, so
+    // materialize the (distinct-key-sized, i.e. tiny) sets once — at
+    // real scale "history" is an already-materialized table and only
+    // the incoming side would need this.
     val today = d.join(broadcast(maxDay), col("day") === col("max_day"))
-      .select("user_id").distinct()
+      .select("user_id").distinct().persist()
     val history = d.join(broadcast(maxDay), col("day") < col("max_day"))
-      .select(col("user_id").as("h_user_id")).distinct()
+      .select(col("user_id").as("h_user_id")).distinct().persist()
+    // expectedItems is sized to the KEY CARDINALITY (users), not the
+    // event count — an oversized sketch costs blob bytes in every
+    // task for zero fpp benefit (4M items = a 4.8 MB literal; 100k =
+    // 120 KB, far above any test-SF user count).
     graft.operators.BloomJoin.antiJoinBloom(
         today, "user_id", history, "h_user_id",
-        expectedHistoryItems = 4000000L,
-        expectedCandidateItems = 4000000L)
+        expectedHistoryItems = 100000L,
+        expectedCandidateItems = 100000L)
       .orderBy("user_id")
   }
 

@@ -564,21 +564,27 @@ object TextQueries {
     * (doc, gram)) — nothing here degrades at 100 TB. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val (corpus, bench) = benchSplit(docs(s, dir))
-    val scored = corpus
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    // Three per-doc signals as INDEPENDENT single-pass branches joined
+    // once on doc_id — gating between stages would re-derive the
+    // filtered lineage for every downstream explode (filters commute,
+    // so the final row set is identical either way).
+    val scored = corpus.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokenize(col("text"))).cast("long").as("n_tok"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
     val reps = TextAnalysis
       .repetitionSignals(corpus, "doc_id", col("text"), n = 2)
       .select(col("doc_id"), col("dup_frac"))
-    val kept = scored.join(reps, "doc_id")
+    val contaminated = Dedup.contaminationHits(corpus, "doc_id",
+        col("text"), bench, col("text"), k = 5)
+      .select(col("id").as("doc_id"))
+    val kept = scored.join(reps, Seq("doc_id"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("quality") >= 0.55 && col("dup_frac") <= 0.08)
-    val clean = Dedup.decontaminate(kept, "doc_id", col("text"),
-      bench, col("text"), k = 5)
-    Sampling.hashSplit(clean, col("doc_id"),
+    Sampling.hashSplit(kept, col("doc_id"),
         Seq("train" -> 0.9, "val" -> 0.1))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(TextAnalysis.tokenize(col("text"))).cast("long"))
-          .as("total_tokens"))
+        sum("n_tok").as("total_tokens"))
       .orderBy("split", "lang")
   }
 

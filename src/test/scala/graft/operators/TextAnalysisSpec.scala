@@ -46,6 +46,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L) == ((4L, 1L, "t t", 4L, 1.0, 0.75)))
   }
 
+  test("native repetition stats equal the explode+aggregate form on real docs") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 2, 3)) {
+      val a = TextAnalysis.repetitionSignals(docs, "doc_id", col("text"), n)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      val b = TextAnalysis.repetitionSignalsAgg(docs, "doc_id", col("text"), n)
+        .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+      assert(a == b, s"n=$n")
+    }
+  }
+
   test("repetitionSignals collapses short docs to the whole-text gram") {
     val r = TextAnalysis.repetitionSignals(
         Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", col("text"),

@@ -192,12 +192,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
-  test("repetition signals keep map-side partial aggregation") {
+  test("repetition signals are scan-level: no exchange at all") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(TextAnalysis.repetitionSignals(docs, "doc_id", col("text")))
-    assert(p.contains("partial_count") || p.contains("partial"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("graft_repetition"), p)
   }
 
   test("profile is one aggregation pass over one scan") {
