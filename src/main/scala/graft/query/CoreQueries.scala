@@ -447,6 +447,38 @@ object CoreQueries {
       |FROM d JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Spark's built-in `session_window` aggregation (the engine-native
+    * form of sessionize): per (user, 30-min-gap session) bounds and
+    * event counts, emitted as epoch-µs. A session's end is
+    * last-event + gap and the window is end-EXCLUSIVE, so an event
+    * landing exactly on the end starts a NEW session — the oracle
+    * flags on `gap >=`, not `>` (sessionize's tie rule differs). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start"),
+        unix_micros(col("session_window.end")).as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+
+  val sessionWindowsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |  CASE WHEN lag(us) OVER w IS NULL
+      |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0
+      |  END AS f
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT user_id, us, sum(f) OVER (PARTITION BY user_id
+      |        ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, min(us) AS s_start,
+      |  max(us) + 1800000000 AS s_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
   /** Exact grouped quantiles (linear interpolation): Spark
     * `percentile` and DuckDB `quantile_cont` share the definition
     * q = (1-g)*lower + g*upper, so the doubles are bit-exact across
@@ -600,5 +632,6 @@ object CoreQueries {
     "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
     "q_quantiles" -> (groupQuantiles _, groupQuantilesSql),
     "q_funnel" -> (funnelSteps _, funnelStepsSql),
-    "q_retention" -> (retentionCohorts _, retentionCohortsSql))
+    "q_retention" -> (retentionCohorts _, retentionCohortsSql),
+    "q_session_window" -> (sessionWindows _, sessionWindowsSql))
 }
