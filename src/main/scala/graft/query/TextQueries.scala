@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, HeavyHitters, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data operators over `documents` / `embeddings`
@@ -633,8 +633,41 @@ object TextQueries {
        |FROM sp GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   }
 
+  /** Heavy-hitter GUARANTEE gate (derived-boolean pattern, like the
+    * ANN recall gates): for every token whose exact count clears the
+    * N/m line, certify it surfaced in the m=50 SpaceSaving sketch
+    * with an overestimating count within its recorded error. The row
+    * set is exact-count-determined — sketch content below the
+    * guarantee line is merge-order-dependent by nature and stays out
+    * of the gate; the oracle recomputes the exact side closed-form
+    * with both booleans necessarily true. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(
+      explode(TextAnalysis.tokenize(col("text"))).as("term"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    val total = exact.agg(sum("exact_cnt").as("total"))
+    val sketch = HeavyHitters.sketchTopK(toks, col("term"), m = 50)
+    exact.crossJoin(broadcast(total))
+      .filter(col("exact_cnt") * 50 > col("total"))
+      .join(sketch, Seq("term"), "left")
+      .select(col("term"), col("exact_cnt"),
+        col("cnt").isNotNull.as("found"),
+        (col("cnt").isNotNull && col("cnt") >= col("exact_cnt") &&
+          col("cnt") - col("err") <= col("exact_cnt")).as("bound_ok"))
+      .orderBy("term")
+  }
+
+  val heavyHittersSql: String =
+    """WITH t AS (SELECT unnest(string_split(text,' ')) AS term
+      |           FROM documents),
+      |e AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY 1),
+      |n AS (SELECT sum(exact_cnt) AS total FROM e)
+      |SELECT term, exact_cnt, true AS found, true AS bound_ok
+      |FROM e, n WHERE exact_cnt * 50 > total ORDER BY term""".stripMargin
+
   /** Oracle-checked queries. */
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),
     "q_curation_pipeline" -> (curationPipeline _, curationPipelineSql),
     "q_hash_split" -> (hashSplit _, hashSplitSql),
     "q_shuffle_shards" -> (shuffleShards _, shuffleShardsSql),
