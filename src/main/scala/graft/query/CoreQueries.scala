@@ -540,6 +540,33 @@ object CoreQueries {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // percentile_approx under the hash gate via a rank band (sibling of
+  // the approx_count_distinct gate): at accuracy 10000 the sketch's
+  // rank error is 1e-4, so the approx median MUST land between the
+  // exact 0.45/0.55 quantiles — DuckDB recomputes the band closed-form
+  // (bit-exact interpolation, proven by q_quantiles); a broken sketch
+  // flips the boolean.
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("__aq"),
+        expr("percentile(l_quantity, 0.45)").as("lo"),
+        expr("percentile(l_quantity, 0.55)").as("hi"))
+      .select(col("l_returnflag"), col("lo"), col("hi"),
+        (col("__aq") >= col("lo") && col("__aq") <= col("hi"))
+          .as("median_in_band"))
+      .orderBy("l_returnflag")
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.45) AS lo,
+      |  quantile_cont(l_quantity, 0.55) AS hi,
+      |  true AS median_in_band
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // Overlapping (nested-CIDR-shaped) ranges with most-specific-match
   // tie-break through RangeJoin.bucketedMostSpecific — the mmdb-export
   // reality where a /24 sits inside a /16 inside a /8; each fact row
@@ -633,5 +660,6 @@ object CoreQueries {
     "q_quantiles" -> (groupQuantiles _, groupQuantilesSql),
     "q_funnel" -> (funnelSteps _, funnelStepsSql),
     "q_retention" -> (retentionCohorts _, retentionCohortsSql),
-    "q_session_window" -> (sessionWindows _, sessionWindowsSql))
+    "q_session_window" -> (sessionWindows _, sessionWindowsSql),
+    "q_quantiles_approx" -> (approxQuantiles _, approxQuantilesSql))
 }
