@@ -200,6 +200,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("graft_repetition"), p)
   }
 
+  test("heavy-hitter sketch aggregates partially on executors") {
+    import graft.operators.HeavyHitters
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(HeavyHitters.sketchTopK(
+      docs.select(explode(split(col("text"), " ", -1)).as("term")),
+      col("term"), 50))
+    // ObjectHashAggregate partial phase = the sketch's native merge
+    // runs map-side; only m-bounded summaries cross the exchange
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+  }
+
   test("profile is one aggregation pass over one scan") {
     import graft.operators.Profiling
     val p = plan(Profiling.profile(
