@@ -220,6 +220,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
 
+  test("day-partitioned layout prunes partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("day", to_date(timestamp_micros(
+        (col("ts") / 1000L).cast("long"))))
+    events.write.partitionBy("day").mode("overwrite")
+      .parquet(tmp.toString)
+    val one = spark.read.parquet(tmp.toString)
+      .filter(col("day") === "2024-01-03")
+    val p = plan(one)
+    assert(p.contains("PartitionFilters") &&
+      p.contains("isnotnull(day"), p)
+    // pruning is real: the filtered read touches ~1/30 of the files
+    val all = spark.read.parquet(tmp.toString)
+    val filesOne = one.select(input_file_name()).distinct().count()
+    val filesAll = all.select(input_file_name()).distinct().count()
+    assert(filesOne > 0 && filesOne * 5 < filesAll,
+      s"expected strong pruning: $filesOne vs $filesAll files")
+  }
+
   test("co-located bucketed join needs no exchange at all") {
     // the 100 TB co-location tool: both sides bucketed on the join key
     // at write time -> the join reads pre-shuffled data
