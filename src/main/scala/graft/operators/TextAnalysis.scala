@@ -127,6 +127,16 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "rank")
   }
 
+  /** Standard text normalization for a pretraining corpus: lowercase →
+    * Unicode NFC canonical composition ([[graft.plans.NfcExpr]]) →
+    * collapse space runs → trim. Scan-level; byte-certified against
+    * DuckDB's utf8proc pipeline by the q_normalize md5 gate. */
+  def normalizeText(text: Column): Column = {
+    GraftExtensions.install(org.apache.spark.sql.SparkSession.active)
+    trim(regexp_replace(
+      call_function("graft_nfc", lower(text)), " +", " "))
+  }
+
   /** ALL word n-grams of a text (order kept, duplicates kept) — the
     * occurrence stream behind repetition statistics; `< n` tokens
     * collapse to the single whole-text gram like [[Dedup.shingles]]. */

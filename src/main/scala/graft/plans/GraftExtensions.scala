@@ -84,6 +84,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => ValidOrRepairedExpr(es.head)),
     (FunctionIdentifier("graft_domain_slots"), DomainSlotsExpr.info,
       (es: Seq[Expression]) => DomainSlotsExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_nfc"), NfcExpr.info,
+      (es: Seq[Expression]) => NfcExpr(es.head)),
     (FunctionIdentifier("graft_repetition"), RepetitionStatsExpr.info,
       (es: Seq[Expression]) => RepetitionStatsExpr(es(0),
         litInt(es(1), "graft_repetition"))),

@@ -144,6 +144,20 @@ object VectorOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer) — canonical
+    * composition, the standard first step of text normalization;
+    * agrees with utf8proc-based engines (DuckDB `nfc_normalize`) on
+    * canonical sequences. Fast path: already-NFC input (the common
+    * case) is returned untouched without re-encoding. */
+  def nfc(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str,
+        java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Per-document n-gram repetition stats in ONE pass over the token
     * array: (n_grams, n_distinct, top_gram, top_count). Semantics are
     * exactly the explode + two-aggregate form they replace (locked by
@@ -562,4 +576,30 @@ object RepetitionStatsExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[RepetitionStatsExpr],
       "graft_repetition")
+}
+
+/** `graft_nfc(str)` — Unicode NFC canonical composition as a codegen
+  * expression (Spark ships no normalizer built-in). */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nfc(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NfcExpr = copy(child = newChild)
+}
+
+object NfcExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[NfcExpr], "graft_nfc")
 }

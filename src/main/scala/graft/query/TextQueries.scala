@@ -665,8 +665,35 @@ object TextQueries {
       |SELECT term, exact_cnt, true AS found, true AS bound_ok
       |FROM e, n WHERE exact_cnt * 50 > total ORDER BY term""".stripMargin
 
+  /** Normalization gate: md5 of the normalized bytes certifies the
+    * exact lowercase+NFC+whitespace-collapsed output against DuckDB's
+    * independent utf8proc implementation. A PLANTED suffix of
+    * decomposed accents, double spaces, and mixed case exercises the
+    * non-trivial paths on every row (the corpus itself is ASCII). */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit("  Mixed CASE  été Å  "), col("doc_id"))
+    docs(s, dir).select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(planted).cast("binary"))
+          .as("norm_md5"),
+        length(TextAnalysis.normalizeText(planted)).as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val normalizeSql: String =
+    """WITH p AS (SELECT doc_id,
+      |  text || '  Mixed CASE  e' || chr(769) || 'te' || chr(769) ||
+      |  ' ' || chr(8491) || '  ' || CAST(doc_id AS VARCHAR) AS t
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |  trim(regexp_replace(nfc_normalize(lower(t)), ' +', ' ', 'g'))
+      |    AS norm FROM p)
+      |SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS n_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked queries. */
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),
     "q_curation_pipeline" -> (curationPipeline _, curationPipelineSql),
     "q_hash_split" -> (hashSplit _, hashSplitSql),

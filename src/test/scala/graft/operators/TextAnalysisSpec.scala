@@ -46,6 +46,19 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r(3L) == ((4L, 1L, "t t", 4L, 1.0, 0.75)))
   }
 
+  test("normalizeText composes, lowercases, and collapses whitespace") {
+    def norm(s: String): String =
+      Seq(s).toDF("t").select(TextAnalysis.normalizeText(col("t")))
+        .collect()(0).getString(0)
+    // decomposed e + U+0301 -> composed é; ANGSTROM SIGN -> å
+    assert(norm("été") == "été")
+    assert(norm("Å") == "å")
+    assert(norm("  A   B  ") == "a b")
+    // idempotent
+    val once = norm("É  X")
+    assert(norm(once) == once)
+  }
+
   test("native repetition stats equal the explode+aggregate form on real docs") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
