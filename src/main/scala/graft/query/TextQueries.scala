@@ -691,8 +691,47 @@ object TextQueries {
       |SELECT doc_id, md5(norm) AS norm_md5, length(norm) AS n_chars
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** Near-dup removal APPLIED: the corpus minus every document the
+    * cluster decision drops (keep the min-id representative per
+    * connected component; exact copies share all bigrams, so J=1
+    * edges fold them in too). Same bounded corpus and edge oracle as
+    * [[dedupClusters]] — this is the query a user actually ships. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", col("text"),
+      threshold = 0.9, numHashes = 16, bands = 16, shingleK = 2)
+    val drops = Dedup.clusterDropIds(Dedup.nearDupClusters(pairs))
+      .select(col("drop_id").as("doc_id"))
+    d.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val dedupApplySql: String =
+    s"""WITH RECURSIVE
+      |t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |       FROM documents WHERE doc_id < 1000),
+      |t AS (SELECT doc_id, $bigramShinglesSql AS sh FROM t0),
+      |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+      |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |            / len(list_distinct(a.sh || b.sh)) >= 0.9),
+      |e AS (SELECT ia AS a, ib AS b FROM p
+      |      UNION SELECT ib, ia FROM p),
+      |n AS (SELECT DISTINCT a AS id FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM n
+      |  UNION
+      |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a),
+      |drops AS (SELECT id FROM reach GROUP BY id
+      |          HAVING id <> min(r))
+      |SELECT doc_id, lang, source FROM documents
+      |WHERE doc_id < 1000 AND doc_id NOT IN (SELECT id FROM drops)
+      |ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked queries. */
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_dedup_apply" -> (dedupApply _, dedupApplySql),
     "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),
     "q_curation_pipeline" -> (curationPipeline _, curationPipelineSql),
