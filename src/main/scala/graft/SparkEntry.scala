@@ -11,9 +11,12 @@ object SparkEntry {
     CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Multi-operator: broadcast dim chain + fact join + agg + top-k. */
+    * The end-to-end curation pipeline: quality + repetition gates
+    * (native scan-level signals), benchmark decontamination (broadcast
+    * gram anti-join), deterministic hash split, per-(split, lang)
+    * token budgets — the engine's training-data story in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.joinBroadcastDims(spark, "/root/testdata/sf0.001")
+    TextQueries.curationPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
