@@ -540,6 +540,48 @@ object CoreQueries {
       |FROM orders GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** JSON payload extraction (§2.8 beyond-reference: the reference
+    * declares org.json but never uses it): `get_json_object` pulls the
+    * numeric field out of the events `props` JSON at the scan, then a
+    * plain grouped aggregate. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |       AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Pivot (§2.4 beyond-reference): per-source doc counts spread into
+    * one column per language. Explicit value list — no discovery job,
+    * deterministic columns; absent combos filled 0 like the FILTER
+    * mirror. */
+  def pivotLangs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
+  val pivotLangsSql: String =
+    """SELECT source,
+      |  count(*) FILTER (lang = 'de') AS de,
+      |  count(*) FILTER (lang = 'en') AS en,
+      |  count(*) FILTER (lang = 'es') AS es,
+      |  count(*) FILTER (lang = 'fr') AS fr,
+      |  count(*) FILTER (lang = 'zh') AS zh
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // percentile_approx under the hash gate via a rank band (sibling of
   // the approx_count_distinct gate): at accuracy 10000 the sketch's
   // rank error is 1e-4, so the approx median MUST land between the
@@ -661,5 +703,7 @@ object CoreQueries {
     "q_funnel" -> (funnelSteps _, funnelStepsSql),
     "q_retention" -> (retentionCohorts _, retentionCohortsSql),
     "q_session_window" -> (sessionWindows _, sessionWindowsSql),
-    "q_quantiles_approx" -> (approxQuantiles _, approxQuantilesSql))
+    "q_quantiles_approx" -> (approxQuantiles _, approxQuantilesSql),
+    "q_json_extract" -> (jsonExtract _, jsonExtractSql),
+    "q_pivot" -> (pivotLangs _, pivotLangsSql))
 }
