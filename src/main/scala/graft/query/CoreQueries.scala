@@ -582,6 +582,50 @@ object CoreQueries {
       |  count(*) FILTER (lang = 'zh') AS zh
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** GROUPING SETS with arbitrary (non-rollup/cube) combinations —
+    * the remaining multi-grouping variant beyond q_rollup/q_cube. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+    s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+            |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            |FROM graft_li_gs
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST,
+            |  l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** RANGE-frame moving window: per event, the 7-day trailing sum of
+    * the JSON `k` payload per user — event-time RANGE frames on
+    * epoch-µs longs, integer-exact across engines. */
+  def windowRange7d(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = expr("ts div 1000")
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-7L * 86400000000L, 0L)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), us.as("us"), k.as("k"))
+      .withColumn("k_7d", sum("k").over(w))
+      .select("event_id", "user_id", "us", "k_7d")
+      .orderBy("event_id")
+  }
+
+  val windowRange7dSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS k_7d
+      |FROM events ORDER BY event_id""".stripMargin
+
   // percentile_approx under the hash gate via a rank band (sibling of
   // the approx_count_distinct gate): at accuracy 10000 the sketch's
   // rank error is 1e-4, so the approx median MUST land between the
@@ -705,5 +749,7 @@ object CoreQueries {
     "q_session_window" -> (sessionWindows _, sessionWindowsSql),
     "q_quantiles_approx" -> (approxQuantiles _, approxQuantilesSql),
     "q_json_extract" -> (jsonExtract _, jsonExtractSql),
-    "q_pivot" -> (pivotLangs _, pivotLangsSql))
+    "q_pivot" -> (pivotLangs _, pivotLangsSql),
+    "q_grouping_sets" -> (groupingSets _, groupingSetsSql),
+    "q_window_range_7d" -> (windowRange7d _, windowRange7dSql))
 }
