@@ -626,6 +626,34 @@ object CoreQueries {
       |    AS BIGINT) AS k_7d
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Ranking-window family in one pass: ntile, percent_rank,
+    * cume_dist, first_value over the same (user, time) frame —
+    * definitions shared across engines; (user_id, µs) pairs are
+    * unique in this data, so every rank is deterministic. */
+  def windowRankFamily(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"))
+      .select(col("event_id"), col("user_id"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        first_value(col("us")).over(w).as("first_us"))
+      .orderBy("event_id")
+  }
+
+  val windowRankFamilySql: String =
+    """SELECT event_id, user_id,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(epoch_us(ts)) OVER w AS first_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+      |ORDER BY event_id""".stripMargin
+
   // percentile_approx under the hash gate via a rank band (sibling of
   // the approx_count_distinct gate): at accuracy 10000 the sketch's
   // rank error is 1e-4, so the approx median MUST land between the
@@ -751,5 +779,6 @@ object CoreQueries {
     "q_json_extract" -> (jsonExtract _, jsonExtractSql),
     "q_pivot" -> (pivotLangs _, pivotLangsSql),
     "q_grouping_sets" -> (groupingSets _, groupingSetsSql),
-    "q_window_range_7d" -> (windowRange7d _, windowRange7dSql))
+    "q_window_range_7d" -> (windowRange7d _, windowRange7dSql),
+    "q_window_rank_family" -> (windowRankFamily _, windowRankFamilySql))
 }
