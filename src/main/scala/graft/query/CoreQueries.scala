@@ -741,6 +741,121 @@ object CoreQueries {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // FULL OUTER join — both sides produce unmatched rows (rich customers
+  // with no orders / ordering customers that aren't rich). Scale: both
+  // sides shuffle on the key (no broadcast path exists for full outer);
+  // partial agg shrinks the orders side to per-key counts first.
+  def fullOuterOrders(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey"), col("c_name"))
+    val cnts = t(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    rich.join(cnts, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("cnt"))
+      .orderBy("custkey")
+  }
+
+  val fullOuterOrdersSql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, cnt
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS cnt
+      |                 FROM orders GROUP BY o_custkey) o
+      |  ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // UNPIVOT (melt): wide per-group measures to (measure, value) rows —
+  // the long-format export shape. Scale: unpivot is a per-row
+  // projection (no shuffle beyond the feeding agg); output is
+  // measures× the input rows.
+  def unpivotPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_price"))
+      .unpivot(Array(col("l_returnflag"), col("l_linestatus")),
+        Array(col("sum_qty"), col("sum_price")), "measure", "value")
+      .orderBy("l_returnflag", "l_linestatus", "measure")
+
+  val unpivotPricingSql: String =
+    """WITH a AS (SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, 'sum_qty' AS measure,
+      |       sum_qty AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, l_linestatus, 'sum_price', sum_price FROM a
+      |ORDER BY l_returnflag, l_linestatus, measure""".stripMargin
+
+  // Salted join under the hash gate: [[graft.operators.Skew.saltedJoin]]
+  // spreads a hot key over n reducers by joining on (key, salt) with the
+  // small side replicated n-fold. Inner-join semantics are unchanged, so
+  // the oracle is the PLAIN join's SQL — result parity is exactly what
+  // the gate certifies (same pattern as q_history_new_users_bloom).
+  // Scale: this is the manual fallback when one key is so hot that even
+  // AQE's skew-split partitions hotspot.
+  def saltedJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "orders")
+    val small = t(s, dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    graft.operators.Skew.saltedJoin(big, small, "o_custkey",
+        spreadCol = "o_orderkey", n = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), dsum("o_totalprice").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  // Time-series resample: per-user hourly grid from the user's first to
+  // last event hour (sequence+explode — the grid is generated
+  // executor-side, rows scale with user-span, not input), gap hours get
+  // cnt=0, and the last-seen event value forward-fills across gaps
+  // (last(ignoreNulls) over an unbounded-preceding row frame). The
+  // in-hour representative value is deterministic: the event with the
+  // greatest (ts, event_id). Bounded to user_id < 50 to keep the output
+  // verify-sized at every SF; the plan is user-count-agnostic.
+  // Scale: one shuffle on user_id for the grid bounds, one window sort
+  // per user — both partition-parallel; no driver-side grid.
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").filter(col("user_id") < 50)
+    QueryOps.resampleFfill(ev, col("user_id"),
+        (col("ts") / 1000L).cast("long"), col("event_id"), col("value"),
+        stepUs = 3600000000L)
+      .select(col("key").as("user_id"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("cnt"), col("filled_value"))
+      .orderBy("user_id", "hour")
+  }
+
+  val resampleFfillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+      |  FROM events WHERE user_id < 50),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, hour_us
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM ev),
+      |per_hour AS (
+      |  SELECT user_id, hour_us, count(*) AS cnt,
+      |    max(CASE WHEN rn = 1 THEN value END) AS hour_value
+      |  FROM ranked GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000)) AS hour_us
+      |  FROM ev GROUP BY user_id),
+      |filled AS (
+      |  SELECT g.user_id, g.hour_us, p.cnt, p.hour_value,
+      |    last_value(p.hour_value IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |  FROM grid g LEFT JOIN per_hour p
+      |    ON g.user_id = p.user_id AND g.hour_us = p.hour_us)
+      |SELECT user_id,
+      |  strftime(make_timestamp(hour_us), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(cnt, 0) AS cnt, filled_value
+      |FROM filled ORDER BY user_id, hour""".stripMargin
+
   /** Spark-only entries (driver rows-only check). */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
@@ -780,5 +895,9 @@ object CoreQueries {
     "q_pivot" -> (pivotLangs _, pivotLangsSql),
     "q_grouping_sets" -> (groupingSets _, groupingSetsSql),
     "q_window_range_7d" -> (windowRange7d _, windowRange7dSql),
-    "q_window_rank_family" -> (windowRankFamily _, windowRankFamilySql))
+    "q_window_rank_family" -> (windowRankFamily _, windowRankFamilySql),
+    "q_join_outer" -> (fullOuterOrders _, fullOuterOrdersSql),
+    "q_unpivot" -> (unpivotPricing _, unpivotPricingSql),
+    "q_join_salted" -> (saltedJoinParity _, joinOrdersCustomerSql),
+    "q_resample_ffill" -> (resampleFfill _, resampleFfillSql))
 }

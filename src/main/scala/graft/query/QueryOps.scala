@@ -155,6 +155,45 @@ object QueryOps {
     }.drop("__t", "__is_l", "__rv")
   }
 
+  /** Time-series resample + forward fill: snap each event to a
+    * fixed-`stepUs` grid bucket, generate every key's full bucket range
+    * from its first to last event (sequence+explode — executor-side,
+    * no driver grid), count events per bucket (0 for gaps), and carry
+    * the last observed value forward across gaps. The in-bucket
+    * representative value is the event with the greatest
+    * (timeUs, tie) — deterministic under timestamp ties.
+    *
+    * Output: (key, bucket_us, cnt, filled_value). Buckets before a
+    * key's first value-bearing event keep filled_value NULL (nothing
+    * to carry). Scale: one shuffle on the key for bounds + one
+    * window sort per key; grid rows scale with key time-span, never
+    * materialized on the driver. */
+  def resampleFfill(df: DataFrame, key: Column, timeUs: Column,
+                    tie: Column, value: Column, stepUs: Long): DataFrame = {
+    val ev = df.select(key.as("key"), timeUs.as("__us"), tie.as("__tie"),
+        value.as("__v"))
+      .withColumn("bucket_us", col("__us") - pmod(col("__us"), lit(stepUs)))
+    val perBucket = ev
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("key", "bucket_us")
+          .orderBy(desc("__us"), desc("__tie"))))
+      .groupBy("key", "bucket_us")
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("__rn") === 1, col("__v"))).as("__bv"))
+    val grid = ev.groupBy("key")
+      .agg(min("bucket_us").as("__lo"), max("bucket_us").as("__hi"))
+      .select(col("key"),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepUs)))
+          .as("bucket_us"))
+    grid.join(perBucket, Seq("key", "bucket_us"), "left")
+      .withColumn("filled_value",
+        last(col("__bv"), ignoreNulls = true).over(
+          Window.partitionBy("key").orderBy("bucket_us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("key"), col("bucket_us"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("filled_value"))
+  }
+
   /** A4: running counters — the reference's processedEntries /
     * lookedUpEntries log counters as observable metrics attached to the
     * plan (collected by a QueryExecutionListener or streaming progress,

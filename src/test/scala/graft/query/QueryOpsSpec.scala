@@ -155,6 +155,49 @@ class QueryOpsSpec extends SparkTestBase {
     assert(out(5L) == ((Some(10L), Some(15L), None, 2L)))
   }
 
+  test("resampleFfill fills gaps with cnt=0 and carries the last value") {
+    import spark.implicits._
+    // key "a": events in buckets 0 and 30 (step 10) -> gaps at 10, 20;
+    // bucket 0 has two events, the later one (ts 7) is the representative.
+    // key "b": single event -> single-bucket grid, no gaps.
+    val ev = Seq(
+      ("a", 3L, 1L, 1.5), ("a", 7L, 2L, 2.5), ("a", 33L, 3L, 9.0),
+      ("b", 105L, 4L, 4.0)
+    ).toDF("k", "us", "id", "v")
+    val out = QueryOps.resampleFfill(ev, col("k"), col("us"), col("id"),
+        col("v"), stepUs = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)))))
+      .toMap
+    assert(out.size == 5)
+    assert(out(("a", 0L)) == ((2L, Some(2.5)))) // later event wins in-bucket
+    assert(out(("a", 10L)) == ((0L, Some(2.5)))) // gap: cnt 0, value carried
+    assert(out(("a", 20L)) == ((0L, Some(2.5))))
+    assert(out(("a", 30L)) == ((1L, Some(9.0))))
+    assert(out(("b", 100L)) == ((1L, Some(4.0))))
+  }
+
+  test("resampleFfill: ties on time break by the tie column; leading " +
+      "buckets before any value stay null") {
+    import spark.implicits._
+    val ev = Seq(
+      // same us=5: id 9 wins -> representative value 9.0
+      ("k", 5L, 1L, Some(1.0)), ("k", 5L, 9L, Some(9.0)),
+      // null value in bucket 2 does not erase the carried 9.0
+      ("k", 25L, 3L, None: Option[Double])
+    ).toDF("k", "us", "id", "v")
+    val out = QueryOps.resampleFfill(ev, col("k"), col("us"), col("id"),
+        col("v"), stepUs = 10L)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), Option(r.get(3))))).toMap
+    assert(out(0L) == ((2L, Some(9.0))))
+    assert(out(10L) == ((0L, Some(9.0))))
+    // bucket 20 holds only a null-valued event: counted, but a null
+    // representative cannot overwrite the carried 9.0 (ignoreNulls)
+    assert(out(20L) == ((1L, Some(9.0))))
+  }
+
   test("Graft.init wires views, UDFs and native expressions for SQL") {
     graft.Graft.init(spark, "/root/testdata/sf0.001")
     val r = spark.sql(
