@@ -65,8 +65,8 @@ object HeavyHitters {
       val floor1 = if (b1.size >= m) b1.min(evictionOrder)._2._1 else 0L
       val floor2 = if (b2.size >= m) b2.min(evictionOrder)._2._1 else 0L
       val combined = (b1.keySet ++ b2.keySet).iterator.map { k =>
-        val (c1, e1) = b1.getOrElse(k, (floor2, floor2))
-        val (c2, e2) = b2.getOrElse(k, (floor1, floor1))
+        val (c1, e1) = b1.getOrElse(k, (floor1, floor1))
+        val (c2, e2) = b2.getOrElse(k, (floor2, floor2))
         k -> (c1 + c2, e1 + e2)
       }.toMap
       if (combined.size <= m) combined

@@ -317,7 +317,7 @@ object CoreQueries {
   // (events.ts arrives as long nanos — see nanosAsLong in GraftSession.)
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .groupBy(
         date_format(date_trunc("hour", col("ts_t")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
@@ -349,7 +349,7 @@ object CoreQueries {
   // tumbling union in the oracle.
   def eventsSliding(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("ts_t", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
       .groupBy(window(col("ts_t"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(
@@ -421,7 +421,7 @@ object CoreQueries {
     * entity join, no global windows. */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "events").select(col("user_id"),
-      to_date(timestamp_micros((col("ts") / 1000L).cast("long")))
+      to_date(timestamp_micros(expr("ts div 1000")))
         .as("day"))
     val firstDay = d.groupBy("user_id").agg(min("day").as("cohort"))
     d.join(firstDay, Seq("user_id"))
@@ -819,7 +819,7 @@ object CoreQueries {
   def resampleFfill(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").filter(col("user_id") < 50)
     QueryOps.resampleFfill(ev, col("user_id"),
-        (col("ts") / 1000L).cast("long"), col("event_id"), col("value"),
+        expr("ts div 1000"), col("event_id"), col("value"),
         stepUs = 3600000000L)
       .select(col("key").as("user_id"),
         date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss")

@@ -180,16 +180,19 @@ object DomainQueries {
       |    WHEN 3 THEN 'ok' || p_partkey || '.co.uk' END AS apex
       |FROM part ORDER BY k""".stripMargin
 
-  // J3/T2: history anti-join — latest-day user_ids never seen on a
-  // prior day (the 25-day dedup shape on the events table).
+  // J3/T2: history anti-join — day-D user_ids never seen on a prior
+  // day (the 25-day dedup shape on the events table). D is the SECOND
+  // observed day: nearly all synthetic users are active from day one,
+  // so "new on the last day" would certify only the empty-result path;
+  // day two is where genuinely-new users exist at every SF.
   def historyNewUsers(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "events")
       .select(col("user_id"),
-        to_date(timestamp_micros((col("ts") / 1000L).cast("long"))).as("day"))
-    val maxDay = d.agg(max("day").as("max_day"))
-    val today = d.join(broadcast(maxDay), col("day") === col("max_day"))
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val pivot = d.agg(date_add(min("day"), 1).as("pivot_day"))
+    val today = d.join(broadcast(pivot), col("day") === col("pivot_day"))
       .select("user_id").distinct()
-    val history = d.join(broadcast(maxDay), col("day") < col("max_day"))
+    val history = d.join(broadcast(pivot), col("day") < col("pivot_day"))
       .select("user_id").distinct()
     today.join(history, Seq("user_id"), "left_anti").orderBy("user_id")
   }
@@ -197,10 +200,10 @@ object DomainQueries {
   val historyNewUsersSql: String =
     """WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
       |           FROM events),
-      |m AS (SELECT max(day) AS max_day FROM d)
+      |m AS (SELECT min(day) + 1 AS pivot_day FROM d)
       |SELECT DISTINCT user_id FROM d, m
-      |WHERE day = max_day AND NOT EXISTS (
-      |  SELECT 1 FROM d h, m WHERE h.user_id = d.user_id AND h.day < max_day)
+      |WHERE day = pivot_day AND NOT EXISTS (
+      |  SELECT 1 FROM d h, m WHERE h.user_id = d.user_id AND h.day < pivot_day)
       |ORDER BY user_id""".stripMargin
 
   /** [[historyNewUsers]] with the exact anti join bloom-prefiltered
@@ -212,25 +215,32 @@ object DomainQueries {
   def historyNewUsersBloom(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "events")
       .select(col("user_id"),
-        to_date(timestamp_micros((col("ts") / 1000L).cast("long"))).as("day"))
-    val maxDay = d.agg(max("day").as("max_day"))
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val pivot = d.agg(date_add(min("day"), 1).as("pivot_day"))
     // The bloom build and the exact phase each act on these frames, so
     // materialize the (distinct-key-sized, i.e. tiny) sets once — at
     // real scale "history" is an already-materialized table and only
     // the incoming side would need this.
-    val today = d.join(broadcast(maxDay), col("day") === col("max_day"))
+    val today = d.join(broadcast(pivot), col("day") === col("pivot_day"))
       .select("user_id").distinct().persist()
-    val history = d.join(broadcast(maxDay), col("day") < col("max_day"))
+    val history = d.join(broadcast(pivot), col("day") < col("pivot_day"))
       .select(col("user_id").as("h_user_id")).distinct().persist()
     // expectedItems is sized to the KEY CARDINALITY (users), not the
     // event count — an oversized sketch costs blob bytes in every
     // task for zero fpp benefit (4M items = a 4.8 MB literal; 100k =
     // 120 KB, far above any test-SF user count).
-    graft.operators.BloomJoin.antiJoinBloom(
+    val out = graft.operators.BloomJoin.antiJoinBloom(
         today, "user_id", history, "h_user_id",
         expectedHistoryItems = 100000L,
         expectedCandidateItems = 100000L)
       .orderBy("user_id")
+    // Materialize the (tiny) result eagerly so the input caches can be
+    // released now instead of leaking across harness runs; checkpoint
+    // blocks are ContextCleaner-managed, persist() entries are not.
+    val result = out.localCheckpoint(true)
+    today.unpersist()
+    history.unpersist()
+    result
   }
 
   /** T2 (25-day streaming dedup) under the hash gate: replay the last
@@ -249,7 +259,7 @@ object DomainQueries {
     val d = Tables.load(s, dir, "events")
       .filter(col("user_id") < 1000)
       .select(col("user_id").cast("string").as("domain"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("obs_ts"))
+        timestamp_micros(expr("ts div 1000")).as("obs_ts"))
       .withColumn("day", to_date(col("obs_ts")))
     val cutoff = d.agg(date_sub(max("day"), 4)).collect()(0).getDate(0)
     val obs = d.filter(col("day") >= lit(cutoff))
@@ -276,7 +286,7 @@ object DomainQueries {
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id").as("custkey"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("ev_ts"))
+        timestamp_micros(expr("ts div 1000")).as("ev_ts"))
     val orders = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
       .agg(max("o_totalprice").as("last_price"))
@@ -307,7 +317,7 @@ object DomainQueries {
   def asofWide(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id").as("custkey"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("ev_ts"))
+        timestamp_micros(expr("ts div 1000")).as("ev_ts"))
     val snap = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"),
         // parquet NTZ -> TZ (UTC session): native exec requires the time

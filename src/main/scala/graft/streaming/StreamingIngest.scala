@@ -103,6 +103,15 @@ object StreamingIngest {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = spark.conf.get(noDataKey)
     spark.conf.set(noDataKey, "false")
+    // State-store partition count is captured from shuffle.partitions
+    // at stream start and every micro-batch pays an open/commit per
+    // state partition. The replay corpus is verification-bounded
+    // (caller collects it through the driver), so 4 partitions cut the
+    // per-batch state overhead ~8x; a production stream would keep the
+    // session default.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(partsKey, "4")
     val q = dedupWindow(mem.toDF(), watermark)
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -116,6 +125,7 @@ object StreamingIngest {
     } finally {
       q.stop()
       spark.conf.set(noDataKey, prevNoData)
+      spark.conf.set(partsKey, prevParts)
     }
     spark.table(name)
   }

@@ -26,7 +26,7 @@ object Probe {
       import graft.sources.Tables
       val events = Tables.load(spark, dir, "events")
         .select(col("event_id"), col("user_id").as("custkey"),
-          timestamp_micros((col("ts") / 1000L).cast("long")).as("ev_ts"))
+          timestamp_micros(expr("ts div 1000")).as("ev_ts"))
       val snap = Tables.load(spark, dir, "orders")
         .groupBy(col("o_custkey").as("custkey"),
           col("o_orderdate").cast("timestamp").as("o_orderdate"))

@@ -62,4 +62,19 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(asMap("z")._1 >= 3L)
     assert(asMap("z")._1 - asMap("z")._2 <= 3L)
   }
+
+  test("merge floors are per-side: evicted key on ONE full side never undercounts") {
+    // d was seen once in stream1 then evicted (floor1=2); stream2 has
+    // d 3 times and is NOT full (floor2=0). True d count = 4. Using
+    // the wrong side's floor for the absent key would merge d to 3.
+    val ss = new HeavyHitters.SpaceSaving(2)
+    val b1 = Seq("d", "a", "a", "b", "b").foldLeft(ss.zero)(ss.reduce)
+    assert(!b1.contains("d") && b1("a") == ((2L, 0L)) && b1("b") == ((3L, 1L)))
+    val b2 = Seq("d", "d", "d").foldLeft(ss.zero)(ss.reduce)
+    for (merged <- Seq(ss.merge(b1, b2), ss.merge(b2, b1))) {
+      val (c, e) = merged("d")
+      assert(c >= 4L, s"d undercounted: $c < true 4")
+      assert(c - e <= 4L, s"d error bound broken: $c - $e > 4")
+    }
+  }
 }
