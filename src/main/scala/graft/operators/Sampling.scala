@@ -106,6 +106,62 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Weighted sample of k rows without replacement — priority
+    * sampling (Duffield/Lund/Thorup): row i gets priority
+    * w_i / u_i for a uniform u_i and the k largest priorities win,
+    * so inclusion probability tracks weight. u_i is the md5 coin as
+    * an integer (content-derived: retry-stable and recomputable by
+    * the oracle), and w/u is ONE IEEE division of exactly-
+    * representable values — bit-identical across engines, unlike the
+    * pow/log forms of A-Res sampling. Rows with null or non-positive
+    * weight never win (priority <= 0).
+    *
+    * Scale: scan-level priorities + TakeOrderedAndProject top-k — no
+    * global sort, no shuffle beyond the k-row reduction. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = conv(coin(key), 16, 10).cast("long") + lit(1L)
+    df.withColumn("__pri",
+        when(weight.isNotNull && (weight > 0),
+          weight.cast("double") / u))
+      .filter(col("__pri").isNotNull)
+      .orderBy(desc("__pri"), key)
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** Temperature-balanced corpus resampling — the multilingual mixing
+    * rule (mT5/XLM-R style): a stratum's kept mass scales with
+    * n^alpha, alpha<1, so head languages are downsampled relative to
+    * the tail instead of drowning it. Deterministic form: stratum s
+    * with n_s rows keeps the k_s = max(1, floor(n_s^alpha)) rows with
+    * the smallest `order` values (pass a content hash as `order` for
+    * a pseudo-random draw, or an id for the oracle-checkable form).
+    *
+    * alpha = 0.5 computes via sqrt, which IEEE 754 requires to be
+    * correctly rounded — bit-identical across engines, so
+    * floor(sqrt(n)) is safe under a hash gate; Math.pow is only
+    * 1-ulp-accurate and could flip a floor at perfect powers.
+    *
+    * Scale: one count aggregate (stratum-dim sized, broadcast back)
+    * and one window shuffle on the stratum key. */
+  def temperatureResample(df: DataFrame, stratum: Column, order: Column,
+                          alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val kExpr =
+      if (alpha == 0.5) floor(sqrt(col("__n").cast("double")))
+      else floor(pow(col("__n").cast("double"), lit(alpha)))
+    val targets = df.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__k", greatest(lit(1L), kExpr.cast("long")))
+    df.join(broadcast(targets), stratum === col("__s"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__s")).orderBy(order)))
+      .filter(col("__rn") <= col("__k"))
+      .drop("__s", "__n", "__k", "__rn")
+  }
+
   /** Token-budget packing, concat-and-split semantics: the documents
     * of a shard are concatenated in `id` order into one token stream,
     * the stream is cut every `budget` tokens, and each document is

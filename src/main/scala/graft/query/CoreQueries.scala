@@ -330,6 +330,43 @@ object CoreQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Incremental aggregation — the daily-refresh shape at 100 TB:
+    * yesterday's MATERIALIZED per-user aggregate plus today's delta
+    * re-aggregated, instead of rescanning the full history. Sums and
+    * counts merge algebraically (sum of sums, sum of counts; max of
+    * maxes); the decimal sums keep the merge order-independent. The
+    * oracle recomputes from scratch over all days, so the gate
+    * certifies merged == full — the property that makes the pattern
+    * safe to run forever. Here both sides derive from one table split
+    * on the last day; in production the left side is a stored table
+    * (the reference's daily cron re-load, ref
+    * `daily_all_upload.sh:16-39`, generalized from overwrite to
+    * algebraic merge). */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .select(col("user_id"), col("value"),
+        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val maxDay = d.agg(max("day").as("max_day"))
+    def aggOf(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
+      count(lit(1)).as("cnt"),
+      sum(col("value").cast("decimal(18,2)")).as("sum_value"),
+      max("value").as("max_value"))
+    val history = aggOf(d.join(broadcast(maxDay), col("day") < col("max_day")))
+    val delta = aggOf(d.join(broadcast(maxDay), col("day") === col("max_day")))
+    history.unionByName(delta)
+      .groupBy("user_id").agg(
+        sum("cnt").as("cnt"),
+        sum("sum_value").cast("double").as("sum_value"),
+        max("max_value").as("max_value"))
+      .orderBy("user_id")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT user_id, count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  max(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // SQL-text parity: the SAME ANSI SQL string runs through spark.sql
   // on registered views and through DuckDB — the §3.3 declared-query
   // surface (parse -> Catalyst) exercised end to end.
@@ -856,6 +893,40 @@ object CoreQueries {
       |  COALESCE(cnt, 0) AS cnt, filled_value
       |FROM filled ORDER BY user_id, hour""".stripMargin
 
+  /** Co-located fact-fact join on bucketed tables
+    * ([[graft.sources.Bucketing]]): orders and customer are written
+    * pre-hashed into 8 buckets on custkey, then sort-merge joined with
+    * NO exchange on either side (BucketingSpec asserts the plan) —
+    * the pay-at-write layout that deletes both fact shuffles of a
+    * recurring join at 100 TB. Result is the plain join aggregate, so
+    * the oracle certifies the bucketed path end-to-end. */
+  def joinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = java.nio.file.Files
+      .createTempDirectory(s"graft_buckets_$tag").toString
+    val oTbl = s"graft_orders_b_$tag"
+    val cTbl = s"graft_customer_b_$tag"
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      oTbl, s"$base/orders", buckets = 8, key = "o_custkey",
+      sortCols = Seq("o_custkey"))
+    Bucketing.writeBucketed(
+      t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+      cTbl, s"$base/customer", buckets = 8, key = "c_custkey",
+      sortCols = Seq("c_custkey"))
+    Bucketing.coLocatedJoin(s, oTbl, "o_custkey", cTbl, "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum("o_totalprice").as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val joinBucketedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Spark-only entries (driver rows-only check). */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
@@ -899,5 +970,7 @@ object CoreQueries {
     "q_join_outer" -> (fullOuterOrders _, fullOuterOrdersSql),
     "q_unpivot" -> (unpivotPricing _, unpivotPricingSql),
     "q_join_salted" -> (saltedJoinParity _, joinOrdersCustomerSql),
+    "q_join_bucketed" -> (joinBucketed _, joinBucketedSql),
+    "q_incremental_agg" -> (incrementalAgg _, incrementalAggSql),
     "q_resample_ffill" -> (resampleFfill _, resampleFfillSql))
 }

@@ -730,7 +730,89 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   /** Oracle-checked queries. */
+  /** Snapshot diff ([[graft.operators.Snapshots.diff]]): the "new"
+    * snapshot is carved deterministically from documents — doc_id%7=0
+    * removed, doc_id%5=0 revised (suffix appended), doc_id%11=0
+    * re-added under a shifted key — so both engines compute the same
+    * closed-form add/remove/change classification. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val revised = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")))
+    val added = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    graft.operators.Snapshots.diff(d, revised.unionByName(added),
+        "doc_id", _ => col("text"))
+      .orderBy("doc_id")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH old AS (SELECT doc_id, text FROM documents),
+      |nw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 11 = 0),
+      |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |    CASE WHEN o.doc_id IS NULL THEN 'added'
+      |         WHEN n.doc_id IS NULL THEN 'removed'
+      |         WHEN o.text <> n.text THEN 'changed' END AS status
+      |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+      |SELECT doc_id, status FROM j WHERE status IS NOT NULL
+      |ORDER BY doc_id""".stripMargin
+
+  /** Weighted priority sample
+    * ([[graft.operators.Sampling.prioritySample]]): 100 documents
+    * drawn without replacement with inclusion tracking n_chars. The
+    * oracle recomputes the identical priorities (md5-coin integer,
+    * one IEEE division) closed-form. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(docs(s, dir), col("doc_id"), col("n_chars"),
+        k = 100)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  val sampleWeightedSql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(concat('0x',
+      |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+      |      AS pri
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      |  ORDER BY pri DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-balanced resampling
+    * ([[graft.operators.Sampling.temperatureResample]]) at alpha=0.5
+    * over the language strata, ordered by doc_id so the kept set is
+    * closed-form (sqrt is correctly rounded in both engines). */
+  def temperatureResample(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureResample(docs(s, dir), col("lang"), col("doc_id"),
+        alpha = 0.5)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
+  val temperatureResampleSql: String =
+    """WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+      |t AS (SELECT lang,
+      |        GREATEST(1, CAST(FLOOR(SQRT(CAST(n_l AS DOUBLE))) AS BIGINT))
+      |          AS k
+      |      FROM n),
+      |r AS (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |      FROM documents)
+      |SELECT lang, doc_id FROM r JOIN t USING (lang) WHERE rn <= k
+      |ORDER BY lang, doc_id""".stripMargin
+
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_snapshot_diff" -> (snapshotDiff _, snapshotDiffSql),
+    "q_temperature_resample" -> (temperatureResample _, temperatureResampleSql),
+    "q_sample_weighted" -> (sampleWeighted _, sampleWeightedSql),
     "q_dedup_apply" -> (dedupApply _, dedupApplySql),
     "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),

@@ -96,6 +96,52 @@ class SamplingSpec extends SparkTestBase {
     assert(half.count() > 400 && half.count() < 600)
   }
 
+  test("prioritySample draws k by w/u priority, weight-biased and deterministic") {
+    val weighted = corpus.withColumn("w",
+      when(col("id") < 100, lit(1000L)).otherwise(lit(1L)))
+    val got = Sampling.prioritySample(weighted, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 50)
+    // the 100 heavy rows (1000x weight) should dominate the draw
+    assert(got.count(_ < 100) > 35, s"heavy keys under-drawn: $got")
+    // exact agreement with a driver-side recomputation of the formula
+    val hex = corpus.select(col("id"),
+        conv(substring(md5(col("id").cast("string").cast("binary")), 1, 8),
+          16, 10).cast("long").as("u"))
+      .as[(Long, Long)].collect().toMap
+    val expected = weighted.select("id", "w").as[(Long, Long)].collect()
+      .map { case (id, w) => (id, w.toDouble / (hex(id) + 1L)) }
+      .sortBy { case (id, pri) => (-pri, id) }.take(50).map(_._1).toSet
+    assert(got == expected)
+    // rerun is identical; null/non-positive weights never selected
+    val again = Sampling.prioritySample(weighted, col("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    val zeroed = weighted.withColumn("w",
+      when(col("id") % 2 === 0, col("w")).otherwise(lit(0L)))
+    val evens = Sampling.prioritySample(zeroed, col("id"), col("w"), 600)
+      .select("id").as[Long].collect()
+    assert(evens.length == 500 && evens.forall(_ % 2 == 0))
+  }
+
+  test("temperatureResample keeps max(1, floor(n^alpha)) smallest-order rows per stratum") {
+    // strata with very different sizes: 900 / 90 / 9 / 1
+    val skewed = ((0 until 900).map(i => (s"en", i.toLong)) ++
+      (0 until 90).map(i => (s"de", i.toLong)) ++
+      (0 until 9).map(i => (s"sw", i.toLong)) ++
+      Seq(("io", 0L))).toDF("lang", "id")
+    val out = Sampling.temperatureResample(skewed, col("lang"), col("id"), 0.5)
+      .select("lang", "id").as[(String, Long)].collect()
+    val byLang = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(byLang("en") == (0L until 30L))  // floor(sqrt(900)) = 30
+    assert(byLang("de") == (0L until 9L))   // floor(sqrt(90))  = 9
+    assert(byLang("sw") == (0L until 3L))   // floor(sqrt(9))   = 3
+    assert(byLang("io") == Seq(0L))         // max(1, floor(1)) = 1
+    // alpha = 1 is the identity mixture
+    assert(Sampling.temperatureResample(skewed, col("lang"), col("id"), 1.0)
+      .count() == 1000)
+  }
+
   test("shuffleShards assigns every row a shard and a dense in-shard position") {
     val out = Sampling.shuffleShards(corpus, col("id"), 8, "s1")
       .select("id", "shard", "pos").collect()
