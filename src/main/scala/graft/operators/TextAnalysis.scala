@@ -26,6 +26,33 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokenize(text))
 
+  /** Overlapping token chunks — the embedding/index prep step (RAG
+    * pipelines, long-document encoders): each document becomes
+    * windows of `size` tokens starting every `stride` tokens
+    * (overlap = size - stride), the tail window shorter. One chunk
+    * minimum per document (empty text included: one empty chunk), so
+    * no document silently disappears.
+    *
+    * Scale: scan-level generator (sequence + posexplode) — rows fan
+    * out by ~n_tokens/stride with NO shuffle; the per-row state is
+    * one document's token array, never the corpus. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  text: Column, size: Int, stride: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    df.withColumn("__toks", tokenize(text))
+      .withColumn("__starts",
+        sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__toks")) - 1,
+            lit(0)),
+          lit(stride)))
+      .select(col(idCol), col("__toks"),
+        posexplode(col("__starts")).as(Seq("chunk_ix", "__start")))
+      .select(col(idCol), col("chunk_ix"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(size)))
+          .as("chunk_text"))
+  }
+
   /** Mean token length from a materialized token array column. */
   def avgTokenLenFromTokens(toks: Column): Column =
     when(size(toks) === 0, 0.0)

@@ -765,6 +765,32 @@ object TextQueries {
       |SELECT doc_id, status FROM j WHERE status IS NOT NULL
       |ORDER BY doc_id""".stripMargin
 
+  /** Overlapping token chunking
+    * ([[graft.operators.TextAnalysis.chunkTokens]]): 100-token
+    * windows every 80 tokens (20-token overlap) over a bounded doc
+    * set; the oracle regenerates the windows with generate_series +
+    * list slicing. Certifies the generator fan-out, the slice
+    * arithmetic, and the shorter tail window. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(docs(s, dir).filter(col("doc_id") < 100),
+        "doc_id", col("text"), size = 100, stride = 80)
+      .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+      .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
+        col("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
+  val chunkOverlapSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id < 100),
+      |s AS (SELECT doc_id, toks,
+      |        CAST(unnest(generate_series(0,
+      |          CAST(greatest(len(toks) - 1, 0) AS BIGINT), 80)) AS BIGINT)
+      |          AS st
+      |      FROM t)
+      |SELECT doc_id, CAST(st // 80 AS BIGINT) AS chunk_ix,
+      |  md5(array_to_string(toks[st + 1 : st + 100], ' ')) AS chunk_md5
+      |FROM s ORDER BY doc_id, chunk_ix""".stripMargin
+
   /** Weighted priority sample
     * ([[graft.operators.Sampling.prioritySample]]): 100 documents
     * drawn without replacement with inclusion tracking n_chars. The
@@ -813,6 +839,7 @@ object TextQueries {
     "q_snapshot_diff" -> (snapshotDiff _, snapshotDiffSql),
     "q_temperature_resample" -> (temperatureResample _, temperatureResampleSql),
     "q_sample_weighted" -> (sampleWeighted _, sampleWeightedSql),
+    "q_chunk_overlap" -> (chunkOverlap _, chunkOverlapSql),
     "q_dedup_apply" -> (dedupApply _, dedupApplySql),
     "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),

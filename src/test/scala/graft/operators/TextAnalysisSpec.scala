@@ -71,6 +71,25 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("chunkTokens windows overlap by size-stride with a shorter tail") {
+    // 10 tokens, size 4, stride 3 -> starts 0,3,6,9
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.chunkTokens(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", col("text"),
+        size = 4, stride = 3)
+      .select("chunk_ix", "chunk_text").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      0 -> "t1 t2 t3 t4", 1 -> "t4 t5 t6 t7", 2 -> "t7 t8 t9 t10",
+      3 -> "t10"))
+    // every token of every document lands in at least one chunk, and
+    // an empty doc still emits one (empty) chunk
+    val empty = TextAnalysis.chunkTokens(
+        Seq((2L, "")).toDF("doc_id", "text"), "doc_id", col("text"),
+        size = 4, stride = 3).collect()
+    assert(empty.length == 1 && empty(0).getString(2) == "")
+  }
+
   test("repetitionSignals collapses short docs to the whole-text gram") {
     val r = TextAnalysis.repetitionSignals(
         Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", col("text"),

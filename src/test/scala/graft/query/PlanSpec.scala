@@ -240,6 +240,48 @@ class PlanSpec extends SparkTestBase {
       s"expected strong pruning: $filesOne vs $filesAll files")
   }
 
+  test("priority sample reduces via TakeOrderedAndProject, no global sort") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Sampling.prioritySample(docs, col("doc_id"),
+      col("n_chars"), 100))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("snapshot diff joins fingerprints, not payloads") {
+    import graft.operators.Snapshots
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Snapshots.diff(docs, docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", _ => col("text"))
+    val p = plan(d)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the md5 projection sits BELOW the join: no join operator line
+    // references the text column
+    val joinDown = p.linesIterator.dropWhile(!_.contains("Join")).toSeq
+    assert(joinDown.nonEmpty && !joinDown.head.contains("text#"), joinDown.head)
+  }
+
+  test("temperature resample broadcasts the stratum targets") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Sampling.temperatureResample(docs, col("lang"),
+      col("doc_id"), 0.5))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("token chunking is a scan-level generator: no exchange") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(TextAnalysis.chunkTokens(docs, "doc_id", col("text"),
+      100, 80))
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("co-located bucketed join needs no exchange at all") {
     // the 100 TB co-location tool: both sides bucketed on the join key
     // at write time -> the join reads pre-shuffled data
