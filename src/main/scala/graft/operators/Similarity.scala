@@ -149,6 +149,99 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ ANN: the IVF coarse quantizer restricts each query to its
+    * `nprobe` nearest cells, product-quantization codes rank the cell
+    * candidates by asymmetric-distance (ADC) inner product, and only
+    * the per-query top `rerank` survivors are re-ranked by exact
+    * cosine.
+    *
+    * This is the memory-scale path past [[ivfTopK]]: after encoding,
+    * the corpus candidate side carries `(id, cell, m codes)` — m small
+    * ints per vector instead of 4*dims bytes — so the cell join
+    * shuffles codes, not vectors, and full vectors are joined back
+    * only for the bounded exact re-rank. Training (coarse centroids +
+    * m sub-codebooks of `ksub` centroids) is driver-side on a bounded
+    * sample (the FAISS recipe); encoding and ADC scoring are scan
+    * projections of native dot products against plan-time literal
+    * codebooks (m*ksub*dims/m doubles — KBs).
+    *
+    * Deterministic: seeded k-means, first-match argmin on exact
+    * double equality (the min IS an element), id tie-breaks on both
+    * rank windows. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                dims: Int = 64, trainSampleLimit: Int = 10000): DataFrame = {
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    import org.apache.spark.sql.expressions.Window
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+
+    val sample: Array[Array[Double]] = base.orderBy("id")
+      .limit(trainSampleLimit).select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val coarse = KMeansLite.fit(sample, nlist)
+    // per-subspace codebooks over raw subvectors (IP-ADC form: the
+    // score reconstructs <q, x~> subspace by subspace)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      KMeansLite.fit(sample.map(_.slice(j * dsub, (j + 1) * dsub)), ksub,
+        seed = 42L + j)
+    }
+
+    val centDf = coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("cell", "centroid", "c2")
+    val ranked = base.crossJoin(broadcast(centDf))
+      .withColumn("rank_dist",
+        col("c2") - lit(2.0) * dot(col("v"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("id").orderBy(asc("rank_dist"), asc("cell"))))
+
+    def subv(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    // code_j = argmin_c ||v_j - c||^2 = argmin_c (|c|^2 - 2<v_j, c>)
+    def codeFor(j: Int): Column = {
+      // codebooks may hold < ksub centroids on tiny training samples
+      val dists = array(codebooks(j).map { cen =>
+        lit(cen.map(x => x * x).sum) -
+          lit(2.0) * dot(subv(col("v"), j), typedlit(cen.toSeq))
+      }.toIndexedSeq: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val assigned = ranked.filter(col("probe_rank") === 1)
+      .withColumn("codes", array((0 until m).map(codeFor): _*))
+      .select("id", "cell", "codes") // vectors do NOT pass this point
+
+    val probes = ranked.filter(col("probe_rank") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
+
+    // ADC: look the sub-centroid up in the literal codebook by code
+    val adcIp = (0 until m).map { j =>
+      dot(subv(col("qv"), j),
+        element_at(typedlit(codebooks(j).map(_.toSeq).toSeq),
+          element_at(col("codes"), j + 1) + 1))
+    }.reduce(_ + _)
+    val short = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("adc_ip", adcIp)
+      .withColumn("adc_rank", row_number().over(Window
+        .partitionBy("query_id").orderBy(desc("adc_ip"), asc("id"))))
+      .filter(col("adc_rank") <= rerank)
+      .select(col("query_id"), col("qv"), col("id").as("neighbor_id"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    short
+      .join(base.select(col("id").as("neighbor_id"), col("v").as("nv")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Same-bucket pairs with exact cosine — the shared candidate
     * generator for LSH top-k and cosine near-dup dedup.
     *

@@ -864,6 +864,7 @@ object TextQueries {
     "q_top_terms" -> (topTerms _, topTermsSql),
     "q_sim_lsh_recall" -> (simLshRecall _, recallGateSql),
     "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
+    "q_sim_pq_recall" -> (simPqRecall _, recallGateSql),
     "q_text_stats" -> (textStats _, textStatsSql),
     "q_text_quality" -> (textQuality _, textQualitySql),
     "q_token_totals" -> (tokenTotals _, tokenTotalsSql),
@@ -958,6 +959,16 @@ object TextQueries {
     val sub = embs(s, dir).filter(col("vec_id") < 200)
     recallGate(sub, Similarity.ivfTopK(sub, "vec_id", "embedding",
       k = 5, nlist = 8, nprobe = 4))
+  }
+
+  /** IVF-PQ under the same recall gate: coarse probe -> 8x16
+    * product-quantization ADC shortlist (codes-only candidate path)
+    * -> exact re-rank of the top 64. Certifies that the quantized
+    * shortlist still surfaces the true top-5. */
+  def simPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val sub = embs(s, dir).filter(col("vec_id") < 200)
+    recallGate(sub, Similarity.ivfPqTopK(sub, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 64))
   }
 
   /** Multimodal plumbing under the driver contract: documents' text

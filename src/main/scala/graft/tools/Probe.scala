@@ -135,6 +135,15 @@ object Probe {
       k = 5, nlist = 8, nprobe = 2))
     recallStats("ivf(8,4)", Similarity.ivfTopK(sub, "vec_id", "embedding",
       k = 5, nlist = 8, nprobe = 4))
+    recallStats("ivfpq(8,4,m8k16,r32)", Similarity.ivfPqTopK(sub,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4, m = 8,
+      ksub = 16, rerank = 32))
+    recallStats("ivfpq(8,4,m8k16,r64)", Similarity.ivfPqTopK(sub,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4, m = 8,
+      ksub = 16, rerank = 64))
+    recallStats("ivfpq(8,4,m16k16,r48)", Similarity.ivfPqTopK(sub,
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4, m = 16,
+      ksub = 16, rerank = 48))
     spark.stop()
   }
 }

@@ -64,6 +64,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.8, s"IVF recall $recall too low (found ${ivf.size})")
   }
 
+  test("IVF-PQ ADC shortlist recovers brute-force neighbors (recall)") {
+    val brute = Similarity.bruteForcePairs(vecs, "vec_id", "embedding")
+      .filter(col("cos") > 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        k = 9, nlist = 3, nprobe = 1, m = 4, ksub = 4, rerank = 9,
+        dims = 16)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val recall = brute.count(pq.contains).toDouble / math.max(brute.size, 1)
+    assert(recall > 0.8, s"IVF-PQ recall $recall too low (found ${pq.size})")
+  }
+
+  test("IVF-PQ is deterministic across runs and ranks by exact cosine") {
+    def run() = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        k = 3, nlist = 3, nprobe = 2, m = 4, ksub = 4, rerank = 6,
+        dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cos"), r.getInt(3))).toSeq.sorted
+    val a = run()
+    assert(a == run())
+    // ranks are dense per query and descending in cos
+    a.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4) == (1 to sorted.size))
+      assert(sorted.map(_._3).reverse == sorted.map(_._3).sorted)
+    }
+  }
+
   test("embedding near-dup dedup finds cluster twins and drop set") {
     val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
       threshold = 0.98, numPlanes = 4, tables = 6, dims = 16)
