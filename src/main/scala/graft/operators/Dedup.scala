@@ -153,6 +153,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus MinHash-LSH near-dup pairs — decontamination by
+    * NEAR-duplicate (train x eval), where exact-gram contamination
+    * checks miss lightly edited copies. Both corpora band
+    * independently with the same seeded signature family; candidates
+    * come from band-hash agreement ACROSS the sides (no self-join);
+    * the r=1 est-Jaccard prune and the exact shingle-set verify are
+    * the same ladder as [[minhashNearDups]].
+    *
+    * Scale: the cross join ships (id, band, hash) rows only; shingle
+    * sets join back per surviving candidate. When the eval side is
+    * dim-table sized (the usual decontamination shape) its banded
+    * frame broadcasts and the train corpus never shuffles. */
+  def crossMinhashNearDups(left: DataFrame, right: DataFrame,
+                           idCol: String, text: Column,
+                           threshold: Double, numHashes: Int = 16,
+                           bands: Int = 16, shingleK: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def banded(df: DataFrame): DataFrame =
+      minhashSignatures(df, idCol, text, numHashes, shingleK)
+        .select(col("id"), posexplode(
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+        .toDF("id", "band", "band_hash")
+    def sh(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), shingles(text, shingleK).as("sh"))
+    val candidates = banded(left).as("a")
+      .join(banded(right).as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg((count(lit(1)).cast("double") / bands).as("est_jaccard"))
+    val pruned =
+      if (rows == 1)
+        candidates.filter(col("est_jaccard") >=
+          math.max(threshold / 2, 2.0 / numHashes))
+      else candidates
+    pruned
+      .join(sh(left).withColumnRenamed("id", "id_a")
+        .withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh(right).withColumnRenamed("id", "id_b")
+        .withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Reference form of [[simhashSignatures]]: explode + 64 bit-vote sum
     * aggregates — kept as the spec cross-check for the native
     * expression (one tokenize pass, one shuffle with map-side partial

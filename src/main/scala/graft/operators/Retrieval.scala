@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over a `documents(doc_id, text, ...)` corpus —
+  * the "find training examples about X" query a data-curation team
+  * runs constantly.
+  *
+  * Scale shape: ONE corpus aggregate produces the tiny
+  * (N, avgdl, df per term) statistics row, broadcast back across the
+  * corpus; term frequencies and the score are scan projections; the
+  * top-k reduces via TakeOrderedAndProject. The corpus is never
+  * shuffled.
+  */
+object Retrieval {
+
+  /** BM25 top-k (Robertson/Spärck Jones, Lucene's non-negative idf
+    * form `ln(1 + (N - df + 0.5)/(df + 0.5))`) for a bag of query
+    * terms over whitespace tokens.
+    *
+    * Determinism: tf/df/dl/N are exact integers, avgdl is an exact
+    * long-sum ratio, and the score combines them with a fixed
+    * left-to-right operator order — ties (identical tf vector and
+    * dl) break on the id. Emitted scores are rounded to 6 dp so the
+    * value survives cross-engine `ln` ulp differences. */
+  def bm25TopK(df: DataFrame, idCol: String, text: Column,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val withTf = df
+      .withColumn("__toks", TextAnalysis.tokenize(text))
+      .select(col(idCol) +: size(col("__toks")).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).as(s"tf_$i")
+        }: _*)
+    val statCols =
+      count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .select(col(idCol), col("dl"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -791,6 +791,73 @@ object TextQueries {
       |  md5(array_to_string(toks[st + 1 : st + 100], ' ')) AS chunk_md5
       |FROM s ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** BM25 ranked retrieval ([[graft.operators.Retrieval.bm25TopK]]):
+    * top-10 documents for the query bag {dup, vector, spark} — one
+    * rare and two common terms, so idf separates the planted-dup
+    * docs from the background. The oracle recomputes tf/df/dl/avgdl
+    * and the Lucene-form idf closed-form; scores round to 6 dp on
+    * both sides so cross-engine ln ulps cannot flip the hash. */
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(docs(s, dir), "doc_id",
+      col("text"), Seq("dup", "vector", "spark"), k = 10)
+
+  val bm25Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |f AS (SELECT doc_id, len(toks) AS dl,
+      |        len(list_filter(toks, x -> x = 'dup')) AS tf_0,
+      |        len(list_filter(toks, x -> x = 'vector')) AS tf_1,
+      |        len(list_filter(toks, x -> x = 'spark')) AS tf_2
+      |      FROM d),
+      |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+      |        sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+      |        sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+      |        sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+      |      FROM f)
+      |SELECT doc_id, dl, score FROM (
+      |  SELECT doc_id, dl, round(
+      |      ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
+      |        / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    + ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
+      |        / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |    + ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
+      |        / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+      |    AS score
+      |  FROM f, s)
+      |WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Near-duplicate decontamination across corpus halves
+    * ([[graft.operators.Dedup.crossMinhashNearDups]]): even doc_ids
+    * as "train", odd as "eval" — band-hash candidates cross the
+    * sides only (no self-join), then exact bigram-Jaccard
+    * verification at 0.9, the corpus-gap threshold where 16-band r=1
+    * recall is certain. Non-empty at every SF (planted dup pairs
+    * straddle the parity split). */
+  def contaminateNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    Dedup.crossMinhashNearDups(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", col("text"),
+        threshold = 0.9, numHashes = 16, bands = 16, shingleK = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  val contaminateNearDupSql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents WHERE doc_id < 1000),
+       |t AS (SELECT doc_id, $bigramShinglesSql AS sh FROM t0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(a.sh || b.sh)) END AS jaccard
+       |FROM t a JOIN t b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(a.sh || b.sh)) END >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Weighted priority sample
     * ([[graft.operators.Sampling.prioritySample]]): 100 documents
     * drawn without replacement with inclusion tracking n_chars. The
@@ -840,6 +907,8 @@ object TextQueries {
     "q_temperature_resample" -> (temperatureResample _, temperatureResampleSql),
     "q_sample_weighted" -> (sampleWeighted _, sampleWeightedSql),
     "q_chunk_overlap" -> (chunkOverlap _, chunkOverlapSql),
+    "q_bm25" -> (bm25 _, bm25Sql),
+    "q_contaminate_neardup" -> (contaminateNearDup _, contaminateNearDupSql),
     "q_dedup_apply" -> (dedupApply _, dedupApplySql),
     "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),

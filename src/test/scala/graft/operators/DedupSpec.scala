@@ -43,6 +43,26 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b) => b - a == 100 })
   }
 
+  test("cross-corpus minhash near-dups match the brute-force cross join") {
+    // "train" = base docs, "eval" = planted near-dups: every planted
+    // pair crosses the sides, and no within-side pair can appear
+    val train = docs.filter(col("doc_id") < 100)
+    val eval_ = docs.filter(col("doc_id") >= 100)
+    val got = Dedup.crossMinhashNearDups(train, eval_, "doc_id",
+        col("text"), threshold = 0.5, numHashes = 16, bands = 16,
+        shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 100L), (1L, 101L), (2L, 102L)))
+    // brute-force cross Jaccard agrees (recall check, not just spot)
+    val sh = Dedup.shingles(col("text"), 3)
+    val brute = train.select(col("doc_id").as("id_a"), sh.as("sh_a"))
+      .crossJoin(eval_.select(col("doc_id").as("id_b"), sh.as("sh_b")))
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+  }
+
   test("simhash near-dups rank planted pairs closest") {
     val r = Dedup.simhashNearDups(docs, "doc_id", col("text"), maxDist = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
