@@ -282,6 +282,51 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Generate"), p)
   }
 
+  test("bm25 reduces via TakeOrderedAndProject over a broadcast stats row") {
+    import graft.operators.Retrieval
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      Seq("dup", "vector"), k = 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the stats side broadcasts; the corpus side never shuffles
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("cross-corpus near-dup join ships band hashes, not shingles") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = Dedup.crossMinhashNearDups(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", col("text"), threshold = 0.9,
+      numHashes = 16, bands = 16, shingleK = 2)
+    val p = plan(d)
+    assert(!p.contains("CartesianProduct"), p)
+    // no shingle array crosses a candidate-side exchange: every
+    // hashpartitioning clause keys on ids/bands, never on sh
+    val exchanges = p.linesIterator.filter(_.contains("hashpartitioning"))
+    exchanges.foreach(l => assert(!l.contains("sh#"), l))
+  }
+
+  test("ivf-pq candidate path carries codes, not vectors") {
+    import graft.operators.Similarity
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val p = plan(Similarity.ivfPqTopK(embs, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 64))
+    assert(!p.contains("CartesianProduct"), p)
+    // centroid ranking joins the broadcast centroid frame
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // the ADC shortlist window sorts on adc_ip before any vector
+    // rejoins: 'codes' must appear in the plan, proving the encoded
+    // path (not the raw-vector path) feeds the candidate ranking
+    assert(p.contains("codes"), p)
+  }
+
   test("co-located bucketed join needs no exchange at all") {
     // the 100 TB co-location tool: both sides bucketed on the join key
     // at write time -> the join reads pre-shuffled data
