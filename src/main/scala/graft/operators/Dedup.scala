@@ -168,32 +168,72 @@ object Dedup {
   def crossMinhashNearDups(left: DataFrame, right: DataFrame,
                            idCol: String, text: Column,
                            threshold: Double, numHashes: Int = 16,
-                           bands: Int = 16, shingleK: Int = 2): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+                           bands: Int = 16, shingleK: Int = 2): DataFrame =
+    nearDupsAgainstIndex(left, idCol, text,
+      buildMinhashIndex(right, idCol, text, numHashes, bands, shingleK),
+      threshold)
+
+  /** Prebuilt banded-MinHash index of a static reference corpus: the
+    * signature/banding scan is paid ONCE (persist or write the two
+    * frames), then every incremental screen — ad-hoc eval sets, each
+    * streaming micro-batch — joins against it. At 100 TB the index is
+    * the thing you keep; rebuilding signatures per screen would rescan
+    * the corpus every time. */
+  final case class MinhashIndex(banded: DataFrame, shingleSets: DataFrame,
+                                numHashes: Int, bands: Int, shingleK: Int) {
+    /** Cache both frames (the streaming gate hits them every batch). */
+    def persisted(): MinhashIndex =
+      copy(banded = banded.persist(), shingleSets = shingleSets.persist())
+    def unpersist(): Unit = {
+      banded.unpersist(); shingleSets.unpersist(); ()
+    }
+  }
+
+  private def bandedFrame(df: DataFrame, idCol: String, text: Column,
+                          numHashes: Int, bands: Int,
+                          shingleK: Int): DataFrame = {
     val rows = numHashes / bands
-    def banded(df: DataFrame): DataFrame =
-      minhashSignatures(df, idCol, text, numHashes, shingleK)
-        .select(col("id"), posexplode(
-          transform(sequence(lit(0), lit(bands - 1)), b =>
-            xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-        .toDF("id", "band", "band_hash")
-    def sh(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), shingles(text, shingleK).as("sh"))
-    val candidates = banded(left).as("a")
-      .join(banded(right).as("b"),
+    minhashSignatures(df, idCol, text, numHashes, shingleK)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .toDF("id", "band", "band_hash")
+  }
+
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, text: Column,
+                        numHashes: Int = 16, bands: Int = 16,
+                        shingleK: Int = 2): MinhashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    MinhashIndex(
+      bandedFrame(corpus, idCol, text, numHashes, bands, shingleK),
+      corpus.select(col(idCol).as("id"), shingles(text, shingleK).as("sh")),
+      numHashes, bands, shingleK)
+  }
+
+  /** Near-dup pairs between `incoming` (id_a) and an indexed corpus
+    * (id_b): band-hash candidates, r=1 est-Jaccard prune, exact
+    * shingle-set verify — the [[minhashNearDups]] ladder with the
+    * corpus side precomputed. */
+  def nearDupsAgainstIndex(incoming: DataFrame, idCol: String,
+                           text: Column, index: MinhashIndex,
+                           threshold: Double): DataFrame = {
+    val rows = index.numHashes / index.bands
+    val candidates = bandedFrame(incoming, idCol, text, index.numHashes,
+        index.bands, index.shingleK).as("a")
+      .join(index.banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg((count(lit(1)).cast("double") / bands).as("est_jaccard"))
+      .agg((count(lit(1)).cast("double") / index.bands).as("est_jaccard"))
     val pruned =
       if (rows == 1)
         candidates.filter(col("est_jaccard") >=
-          math.max(threshold / 2, 2.0 / numHashes))
+          math.max(threshold / 2, 2.0 / index.numHashes))
       else candidates
     pruned
-      .join(sh(left).withColumnRenamed("id", "id_a")
-        .withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh(right).withColumnRenamed("id", "id_b")
+      .join(incoming.select(col(idCol).as("id_a"),
+        shingles(text, index.shingleK).as("sh_a")), "id_a")
+      .join(index.shingleSets.withColumnRenamed("id", "id_b")
         .withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

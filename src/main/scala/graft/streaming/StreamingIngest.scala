@@ -129,6 +129,40 @@ object StreamingIngest {
     }
     spark.table(name)
   }
+  /** Streaming decontamination gate: each micro-batch of incoming
+    * documents (doc_id, text, ...) is screened against a STATIC
+    * reference corpus' prebuilt banded-MinHash index
+    * ([[graft.operators.Dedup.buildMinhashIndex]]) and split to
+    * `clean/` and `flagged/` parquet, idempotently per batch id (the
+    * same overwrite-by-batch-dir protocol as [[ingestAvailableNow]]).
+    *
+    * Why foreachBatch and not a stateful stream: the near-dup ladder
+    * (band join -> est-prune groupBy -> exact verify) is a batch plan,
+    * and screening is STATELESS across batches — each batch only
+    * consults the static index, so there is no streaming state to
+    * carry; the checkpoint provides exactly-once file progress. At
+    * scale the per-batch cost is the incoming batch's signatures plus
+    * a join against the (persisted) index — the corpus is never
+    * rescanned. */
+  def screenIngest(streamDocs: DataFrame,
+                   index: graft.operators.Dedup.MinhashIndex,
+                   threshold: Double, idCol: String, textCol: String,
+                   checkpointDir: String, outDir: String): StreamingQuery =
+    streamDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hits = graft.operators.Dedup.nearDupsAgainstIndex(
+            batch, idCol, col(textCol), index, threshold)
+          .select(col("id_a").as(idCol)).distinct()
+        batch.join(hits, Seq(idCol), "left_anti").write
+          .mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
+        batch.join(hits, Seq(idCol), "left_semi").write
+          .mode("overwrite").parquet(s"$outDir/flagged/batch=$batchId")
+        ()
+      }
+      .start()
+
   final case class DomainState(domain: String, firstSeen: java.sql.Timestamp,
                                lastSeen: java.sql.Timestamp, observations: Long)
 

@@ -55,6 +55,61 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/cnames").count() == 1)
   }
 
+  test("streaming decontamination gate splits batches against the static index") {
+    import graft.operators.Dedup
+    val in = Files.createTempDirectory("graft-screen-in").toString
+    val ckpt = Files.createTempDirectory("graft-screen-ckpt").toString
+    val out = Files.createTempDirectory("graft-screen-out").toString
+
+    // static reference corpus: distinct word-id docs
+    val corpus = (0 until 10).map { i =>
+      (i.toLong, (0 until 30).map(j => s"c${i * 100 + j}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val index = Dedup.buildMinhashIndex(corpus, "doc_id", col("text"),
+      numHashes = 16, bands = 16, shingleK = 3).persisted()
+
+    // the file stream lists `in` flat — stage each parquet write and
+    // move its part file in as a single flat file
+    def addFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-screen-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$in/$name"))
+      ()
+    }
+
+    // incoming batch 1: one near-copy of corpus doc 3 + one clean doc
+    addFile(Seq(
+      (100L, (0 until 30).map(j => s"c${300 + j}").mkString(" ")
+        .replace("c301", "cXXX")),
+      (101L, (0 until 30).map(j => s"n$j").mkString(" ")))
+      .toDF("doc_id", "text"), "f1.parquet")
+    val stream1 = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(in)
+    StreamingIngest.screenIngest(stream1, index, threshold = 0.5,
+      "doc_id", "text", ckpt, out).awaitTermination()
+    assert(spark.read.parquet(s"$out/flagged").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+    assert(spark.read.parquet(s"$out/clean").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(101L))
+
+    // restart with one new file: exactly-once — batch 1 not rescreened
+    addFile(Seq((102L, corpus.filter(col("doc_id") === 7)
+        .collect()(0).getString(1))) // exact copy of corpus doc 7
+      .toDF("doc_id", "text"), "f2.parquet")
+    val stream2 = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(in)
+    StreamingIngest.screenIngest(stream2, index, threshold = 0.5,
+      "doc_id", "text", ckpt, out).awaitTermination()
+    assert(spark.read.parquet(s"$out/flagged").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(100L, 102L))
+    assert(spark.read.parquet(s"$out/clean").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(101L))
+    index.unpersist()
+  }
+
   test("T2: watermarked dropDuplicates suppresses re-observations") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Timestamp)]
