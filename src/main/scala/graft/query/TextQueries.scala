@@ -858,6 +858,66 @@ object TextQueries {
        |         / len(list_distinct(a.sh || b.sh)) END >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The streaming decontamination gate
+    * ([[graft.streaming.StreamingIngest.screenIngest]]) under the
+    * hash gate: odd documents replay through the REAL checkpointed
+    * file-source stream in two files (the second after a restart —
+    * exactly-once progress is part of what is certified) screened
+    * against the even-document index; the surviving `clean/` set
+    * must equal "odd docs with no even near-dup at 0.9", which the
+    * oracle recomputes closed-form. Replay harness over a bounded
+    * corpus (the driver carves and stages it), not a bulk path. */
+  def screenIngestReplay(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+      .select("doc_id", "text", "lang")
+    val index = Dedup.buildMinhashIndex(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", col("text"),
+      numHashes = 16, bands = 16, shingleK = 2).persisted()
+    val in = Files.createTempDirectory("graft-screen-in").toString
+    val ckpt = Files.createTempDirectory("graft-screen-ckpt").toString
+    val out = Files.createTempDirectory("graft-screen-out").toString
+    def addFile(df: DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-screen-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+      ()
+    }
+    def screen(): Unit =
+      graft.streaming.StreamingIngest.screenIngest(
+        s.readStream.schema("doc_id LONG, text STRING, lang STRING")
+          .parquet(in),
+        index, threshold = 0.9, "doc_id", "text", ckpt, out)
+        .awaitTermination()
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    addFile(odd.filter(col("doc_id") < 500), "f1.parquet")
+    screen()
+    addFile(odd.filter(col("doc_id") >= 500), "f2.parquet")
+    screen() // restart: only the new file may be (re)processed
+    val clean = s.read.parquet(s"$out/clean")
+      .select("doc_id", "lang").orderBy("doc_id")
+    val materialized = clean.cache()
+    materialized.count()
+    index.unpersist()
+    materialized
+  }
+
+  val screenIngestReplaySql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents WHERE doc_id < 1000),
+       |t AS (SELECT doc_id, $bigramShinglesSql AS sh FROM t0),
+       |hits AS (SELECT DISTINCT b.doc_id
+       |  FROM t a JOIN t b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+       |  WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / len(list_distinct(a.sh || b.sh)) END >= 0.9)
+       |SELECT doc_id, lang FROM documents
+       |WHERE doc_id < 1000 AND doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT doc_id FROM hits)
+       |ORDER BY doc_id""".stripMargin
+
   /** Weighted priority sample
     * ([[graft.operators.Sampling.prioritySample]]): 100 documents
     * drawn without replacement with inclusion tracking n_chars. The
@@ -909,6 +969,7 @@ object TextQueries {
     "q_chunk_overlap" -> (chunkOverlap _, chunkOverlapSql),
     "q_bm25" -> (bm25 _, bm25Sql),
     "q_contaminate_neardup" -> (contaminateNearDup _, contaminateNearDupSql),
+    "q_screen_ingest" -> (screenIngestReplay _, screenIngestReplaySql),
     "q_dedup_apply" -> (dedupApply _, dedupApplySql),
     "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),
