@@ -71,7 +71,31 @@ object ExplainDump {
       "q_incremental_agg (algebraic merge of materialized partials)" ->
         CoreQueries.incrementalAgg(spark, sfDir),
       "weighted priority sample (scan-level priority, TakeOrdered top-k)" ->
-        graft.query.TextQueries.sampleWeighted(spark, sfDir))
+        graft.query.TextQueries.sampleWeighted(spark, sfDir),
+      "token chunking (scan-level generator, no exchange)" -> {
+        import org.apache.spark.sql.functions.col
+        graft.operators.TextAnalysis.chunkTokens(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", col("text"), 100, 80)
+      },
+      "bm25 (broadcast stats row, TakeOrdered top-k, no corpus shuffle)" ->
+        graft.query.TextQueries.bm25(spark, sfDir),
+      "cross-corpus near-dup (band join vs static index, ids-only)" -> {
+        import org.apache.spark.sql.functions.col
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.operators.Dedup.crossMinhashNearDups(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "doc_id", col("text"), 0.9, 16, 16, 2)
+      },
+      "ivf-pq top-k (codes through the cell join, bounded exact re-rank)" -> {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Similarity.ivfPqTopK(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4,
+          m = 8, ksub = 16, rerank = 64)
+      })
 
     val body = headliners.map { case (title, df) =>
       s"## $title\n\n```\n${df.queryExecution.explainString(
