@@ -171,14 +171,55 @@ object Similarity {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16, rerank: Int = 32,
-                dims: Int = 64, trainSampleLimit: Int = 10000): DataFrame = {
+                dims: Int = 64, trainSampleLimit: Int = 10000): DataFrame =
+    ivfPqSearch(df, df, idCol, vecCol, k, nlist, nprobe, m, ksub,
+      rerank, dims, trainSampleLimit, excludeSelf = true)
+
+  /** Prebuilt IVF-PQ index: coarse assignment + PQ codes for the
+    * whole corpus (pay the encode scan once — persist `assigned`, or
+    * write it: it is (id, cell, m small ints) per vector, ~30x
+    * smaller than the embeddings) plus the driver-side codebooks.
+    * `vectors` is only consulted for the bounded exact re-rank. */
+  final case class PqIndex(assigned: DataFrame, vectors: DataFrame,
+                           coarse: Array[Array[Double]],
+                           codebooks: Array[Array[Array[Double]]],
+                           nlist: Int, m: Int, dsub: Int) {
+    def persisted(): PqIndex =
+      copy(assigned = assigned.persist(), vectors = vectors.persist())
+    def unpersist(): Unit = {
+      assigned.unpersist(); vectors.unpersist(); ()
+    }
+  }
+
+  private def centroidFrame(spark: SparkSession,
+                            coarse: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    coarse.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
+      .toDF("cell", "centroid", "c2")
+  }
+
+  // rank coarse cells per vector: probe_rank 1 = assignment
+  private def rankCells(side: DataFrame, centDf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    side.crossJoin(broadcast(centDf))
+      .withColumn("rank_dist",
+        col("c2") - lit(2.0) * dot(col("v"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy("id").orderBy(asc("rank_dist"), asc("cell"))))
+  }
+
+  private def subv(v: Column, dsub: Int, j: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                   dims: Int = 64,
+                   trainSampleLimit: Int = 10000): PqIndex = {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    import org.apache.spark.sql.expressions.Window
-
-    val spark = df.sparkSession
-    import spark.implicits._
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     val sample: Array[Array[Double]] = base.orderBy("id")
       .limit(trainSampleLimit).select("v").collect()
@@ -191,40 +232,47 @@ object Similarity {
         seed = 42L + j)
     }
 
-    val centDf = coarse.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
-      .toDF("cell", "centroid", "c2")
-    val ranked = base.crossJoin(broadcast(centDf))
-      .withColumn("rank_dist",
-        col("c2") - lit(2.0) * dot(col("v"), col("centroid")))
-      .withColumn("probe_rank", row_number().over(
-        Window.partitionBy("id").orderBy(asc("rank_dist"), asc("cell"))))
-
-    def subv(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
     // code_j = argmin_c ||v_j - c||^2 = argmin_c (|c|^2 - 2<v_j, c>)
     def codeFor(j: Int): Column = {
       // codebooks may hold < ksub centroids on tiny training samples
       val dists = array(codebooks(j).map { cen =>
         lit(cen.map(x => x * x).sum) -
-          lit(2.0) * dot(subv(col("v"), j), typedlit(cen.toSeq))
+          lit(2.0) * dot(subv(col("v"), dsub, j), typedlit(cen.toSeq))
       }.toIndexedSeq: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    val assigned = ranked.filter(col("probe_rank") === 1)
+    val assigned = rankCells(base, centroidFrame(spark, coarse))
+      .filter(col("probe_rank") === 1)
       .withColumn("codes", array((0 until m).map(codeFor): _*))
       .select("id", "cell", "codes") // vectors do NOT pass this point
 
-    val probes = ranked.filter(col("probe_rank") <= nprobe)
+    PqIndex(assigned, base, coarse, codebooks, nlist, m, dsub)
+  }
+
+  /** Search a prebuilt [[PqIndex]]: each query probes its `nprobe`
+    * nearest cells, ranks the cells' CODES by ADC inner product, and
+    * exact-cosine re-ranks the top `rerank`. Per-query cost is
+    * corpus/nlist * nprobe code lookups plus `rerank` re-ranks —
+    * linear in the corpus, independent of query-set size, and the
+    * corpus encode is already paid. */
+  def pqSearchIndex(queries: DataFrame, index: PqIndex, k: Int,
+                    nprobe: Int = 4, rerank: Int = 32,
+                    excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = index.vectors.sparkSession
+    val probes = rankCells(queries, centroidFrame(spark, index.coarse))
+      .filter(col("probe_rank") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
 
     // ADC: look the sub-centroid up in the literal codebook by code
-    val adcIp = (0 until m).map { j =>
-      dot(subv(col("qv"), j),
-        element_at(typedlit(codebooks(j).map(_.toSeq).toSeq),
+    val adcIp = (0 until index.m).map { j =>
+      dot(subv(col("qv"), index.dsub, j),
+        element_at(typedlit(index.codebooks(j).map(_.toSeq).toSeq),
           element_at(col("codes"), j + 1) + 1))
     }.reduce(_ + _)
-    val short = probes.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("id"))
+    val joined = probes.join(index.assigned, Seq("cell"))
+    val short = (if (excludeSelf)
+        joined.filter(col("query_id") =!= col("id")) else joined)
       .withColumn("adc_ip", adcIp)
       .withColumn("adc_rank", row_number().over(Window
         .partitionBy("query_id").orderBy(desc("adc_ip"), asc("id"))))
@@ -234,13 +282,27 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     short
-      .join(base.select(col("id").as("neighbor_id"), col("v").as("nv")),
-        Seq("neighbor_id"))
+      .join(index.vectors.select(col("id").as("neighbor_id"),
+        col("v").as("nv")), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Queries-vs-corpus IVF-PQ — build-and-search in one call; see
+    * [[buildPqIndex]]/[[pqSearchIndex]] for the pay-once form. */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  nlist: Int = 16, nprobe: Int = 4,
+                  m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+                  dims: Int = 64, trainSampleLimit: Int = 10000,
+                  excludeSelf: Boolean = false): DataFrame =
+    pqSearchIndex(
+      queries.select(col(idCol).as("id"), col(vecCol).as("v")),
+      buildPqIndex(corpus, idCol, vecCol, nlist, m, ksub, dims,
+        trainSampleLimit),
+      k, nprobe, rerank, excludeSelf)
 
   /** Same-bucket pairs with exact cosine — the shared candidate
     * generator for LSH top-k and cosine near-dup dedup.

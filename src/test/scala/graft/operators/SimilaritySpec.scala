@@ -93,6 +93,22 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF-PQ search mode finds each query's own vector first") {
+    val queries = vecs.filter(col("vec_id").isin(0L, 10L, 20L))
+    val r = Similarity.ivfPqSearch(queries, vecs, "vec_id", "embedding",
+        k = 3, nlist = 3, nprobe = 2, m = 4, ksub = 4, rerank = 9,
+        dims = 16)
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        x.getAs[Double]("cos"), x.getInt(3)))
+    assert(r.map(_._1).toSet == Set(0L, 10L, 20L))
+    // rank-1 hit is the query vector itself at cosine ~1, and every
+    // returned neighbor is within the query's cluster
+    r.filter(_._4 == 1).foreach { case (q, n, c, _) =>
+      assert(n == q && math.abs(c - 1.0) < 1e-12, s"($q,$n,$c)")
+    }
+    r.foreach { case (q, n, _, _) => assert(q / 10 == n / 10, s"($q,$n)") }
+  }
+
   test("embedding near-dup dedup finds cluster twins and drop set") {
     val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
       threshold = 0.98, numPlanes = 4, tables = 6, dims = 16)
