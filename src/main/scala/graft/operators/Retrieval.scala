@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
 
 /** Ranked retrieval over a `documents(doc_id, text, ...)` corpus —
   * the "find training examples about X" query a data-curation team
@@ -14,6 +15,16 @@ import org.apache.spark.sql.functions._
   * shuffled.
   */
 object Retrieval {
+
+  private def native(fn: String, args: Column*): Column = {
+    GraftExtensions.install(SparkSession.active)
+    call_function(fn, args: _*)
+  }
+
+  /** Reference HOF form of the per-term frequency — kept as the spec
+    * cross-check for the native `graft_token_count` expression. */
+  private[graft] def tfHof(text: Column, term: String): Column =
+    size(filter(split(text, " ", -1), x => x === lit(term))).cast("long")
 
   /** BM25 top-k (Robertson/Spärck Jones, Lucene's non-negative idf
     * form `ln(1 + (N - df + 0.5)/(df + 0.5))`) for a bag of query
@@ -32,7 +43,9 @@ object Retrieval {
       .withColumn("__toks", TextAnalysis.tokenize(text))
       .select(col(idCol) +: size(col("__toks")).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("__toks"), x => x === lit(t))).as(s"tf_$i")
+          // native one-pass byte scan; the HOF form ([[tfHof]]) paid
+          // one interpreted lambda per token per term
+          native("graft_token_count", text, lit(t)).as(s"tf_$i")
         }: _*)
     val statCols =
       count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:

@@ -89,6 +89,8 @@ object GraftExtensions {
     (FunctionIdentifier("graft_repetition"), RepetitionStatsExpr.info,
       (es: Seq[Expression]) => RepetitionStatsExpr(es(0),
         litInt(es(1), "graft_repetition"))),
+    (FunctionIdentifier("graft_token_count"), TokenCountExpr.info,
+      (es: Seq[Expression]) => TokenCountExpr(es(0), es(1))),
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions: the sketch aggregate merges executor-side (same
     // machinery the optimizer injects for runtime row filters), and

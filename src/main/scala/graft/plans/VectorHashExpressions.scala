@@ -272,6 +272,35 @@ object VectorOps {
     }
     sig
   }
+
+  /** Count of single-space-delimited segments of `text` byte-equal to
+    * `term` — the exact segmentation of `split(text, " ", -1)`
+    * (trailing and consecutive separators produce empty segments,
+    * which count when term is empty). One pass, no allocation. */
+  def countToken(text: org.apache.spark.unsafe.types.UTF8String,
+                 term: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val n = text.numBytes()
+    val m = term.numBytes()
+    var count = 0L
+    var segStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.getByte(i) == 0x20) {
+        if (i - segStart == m) {
+          var j = 0
+          var eq = true
+          while (eq && j < m) {
+            if (text.getByte(segStart + j) != term.getByte(j)) eq = false
+            j += 1
+          }
+          if (eq) count += 1
+        }
+        segStart = i + 1
+      }
+      i += 1
+    }
+    count
+  }
 }
 
 private[plans] object VectorHashExpressions {
@@ -602,4 +631,43 @@ case class NfcExpr(child: Expression) extends UnaryExpression {
 object NfcExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[NfcExpr], "graft_nfc")
+}
+
+/** `graft_token_count(text, term)` — count of whitespace-split tokens
+  * equal to `term`, bit-identical to
+  * `size(filter(split(text, " ", -1), x => x === term))` (locked by
+  * VectorHashExpressionsSpec): segments between single 0x20 bytes,
+  * trailing/consecutive separators yielding empty segments included.
+  * One byte scan, no array materialization — the BM25 tf hot path,
+  * where the HOF form paid one interpreted lambda per token per term. */
+case class TokenCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_token_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.plans.VectorOps.countToken(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.VectorOps.countToken($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenCountExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[TokenCountExpr], "graft_token_count")
 }

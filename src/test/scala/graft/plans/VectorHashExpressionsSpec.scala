@@ -165,6 +165,28 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("property: graft_token_count equals the HOF tf on random texts") {
+    import graft.operators.Retrieval
+    import graft.plans.GraftExtensions
+    GraftExtensions.install(spark)
+    val word = Gen.oneOf("dup", "a", "", "日本語", "dupx")
+    val g = Gen.listOfN(10, word)
+    forAll(g, 30) { words =>
+      // raw join keeps doubled spaces when empty words appear —
+      // exactly the split(" ", -1) edge the byte scan must mirror
+      val text = words.mkString(" ")
+      val df = Seq(Tuple1(text)).toDF("text")
+      Seq("dup", "", "日本語", "missing").foreach { term =>
+        val native = df.select(org.apache.spark.sql.functions
+          .call_function("graft_token_count", col("text"), lit(term)))
+          .collect()(0).getLong(0)
+        val hof = df.select(Retrieval.tfHof(col("text"), term))
+          .collect()(0).getLong(0)
+        assert(native == hof, s"text='$text' term='$term'")
+      }
+    }
+  }
+
   test("property: random strings hash identically via both simhash forms") {
     val g = Gen.listOfN(8, Gen.oneOf(Gen.alphaNumStr.map(_.take(4)),
       Gen.const(""), Gen.const("日本語")))
