@@ -107,38 +107,54 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 2,
               trainSampleLimit: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
-    val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    ivfSearchIndex(base,
+      buildIvfIndex(df, idCol, vecCol, nlist, trainSampleLimit),
+      k, nprobe, excludeSelf = true)
+  }
 
+  /** Prebuilt IVF index: coarse cell assignment for the whole corpus
+    * (persist `assigned` to pay the assignment scan once across query
+    * batches) plus the driver-side centroids. */
+  final case class IvfIndex(assigned: DataFrame,
+                            coarse: Array[Array[Double]], nlist: Int) {
+    def persisted(): IvfIndex = copy(assigned = assigned.persist())
+    def unpersist(): Unit = { assigned.unpersist(); () }
+  }
+
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16,
+                    trainSampleLimit: Int = 10000): IvfIndex = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sample: Array[Array[Double]] = base.orderBy("id")
       .limit(trainSampleLimit).select("v").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     val centroids = KMeansLite.fit(sample, nlist)
-
-    import spark.implicits._
     // c2 = |c|^2 precomputed: argmin ||v-c||^2 == argmin(|c|^2 - 2 v.c)
-    // — one native dot per (vector, centroid), |v|^2 constant per row
-    val centDf = centroids.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }
-      .toDF("cell", "centroid", "c2")
-
-    // one broadcast product ranks centroids per vector: rank 1 is the
-    // cell ASSIGNMENT, ranks <= nprobe are the probe targets
-    val ranked = base.crossJoin(broadcast(centDf))
-      .withColumn("rank_dist",
-        col("c2") - lit(2.0) * dot(col("v"), col("centroid")))
-      .withColumn("probe_rank", row_number().over(
-        Window.partitionBy("id").orderBy(asc("rank_dist"), asc("cell"))))
-
-    val assigned = ranked.filter(col("probe_rank") === 1)
+    // — one native dot per (vector, centroid), |v|^2 constant per row;
+    // rank 1 of the broadcast product is the cell ASSIGNMENT
+    val assigned = rankCells(base,
+        centroidFrame(corpus.sparkSession, centroids))
+      .filter(col("probe_rank") === 1)
       .select("id", "v", "cell")
-    val probes = ranked.filter(col("probe_rank") <= nprobe)
+    IvfIndex(assigned, centroids, nlist)
+  }
+
+  /** Search a prebuilt [[IvfIndex]]: `queries` must carry (id, v)
+    * columns; each query probes its `nprobe` nearest cells and ranks
+    * the cells' members by exact cosine. */
+  def ivfSearchIndex(queries: DataFrame, index: IvfIndex, k: Int,
+                     nprobe: Int = 2,
+                     excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = rankCells(queries,
+        centroidFrame(index.assigned.sparkSession, index.coarse))
+      .filter(col("probe_rank") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cell"))
 
-    val pairs = probes.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("id"))
+    val joined = probes.join(index.assigned, Seq("cell"))
+    val pairs = (if (excludeSelf)
+        joined.filter(col("query_id") =!= col("id")) else joined)
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("cos"))
       // a neighbor can appear via multiple probed cells only if
@@ -249,7 +265,8 @@ object Similarity {
     PqIndex(assigned, base, coarse, codebooks, nlist, m, dsub)
   }
 
-  /** Search a prebuilt [[PqIndex]]: each query probes its `nprobe`
+  /** Search a prebuilt [[PqIndex]]: `queries` must carry (id, v)
+    * columns; each query probes its `nprobe`
     * nearest cells, ranks the cells' CODES by ADC inner product, and
     * exact-cosine re-ranks the top `rerank`. Per-query cost is
     * corpus/nlist * nprobe code lookups plus `rerank` re-ranks —
