@@ -42,8 +42,12 @@ object Bench {
     val budget = 1600
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = 0
-    for (p <- parts if len + p.length + 1 <= budget) {
-      kept += p; len += p.length + 1
+    var full = false
+    // prefix truncation, not a greedy filter: stop at the FIRST entry
+    // that does not fit, so the kept set is exactly "the slowest N"
+    for (p <- parts if !full) {
+      if (len + p.length + 1 <= budget) { kept += p; len += p.length + 1 }
+      else full = true
     }
     val omitted = parts.size - kept.size
     val extra =

@@ -76,12 +76,7 @@ object Dedup {
                         numHashes: Int = 16, bands: Int = 4,
                         shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, text, numHashes, shingleK)
-    val banded = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .toDF("id", "band", "band_hash")
+    val banded = bandedFrame(df, idCol, text, numHashes, bands, shingleK)
     // est_jaccard = fraction of agreeing bands, computed from the
     // band-collision COUNT per pair — the join ships only (id, band,
     // hash) rows, never the signatures, and the estimate falls out of

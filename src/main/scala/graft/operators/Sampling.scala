@@ -155,7 +155,9 @@ object Sampling {
     val targets = df.groupBy(stratum.as("__s"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__k", greatest(lit(1L), kExpr.cast("long")))
-    df.join(broadcast(targets), stratum === col("__s"))
+    // null-safe: a NULL stratum is a real group and must keep its
+    // max(1, floor(n^alpha)) rows, not silently vanish
+    df.join(broadcast(targets), stratum <=> col("__s"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__s")).orderBy(order)))
       .filter(col("__rn") <= col("__k"))

@@ -126,10 +126,8 @@ object Similarity {
                     nlist: Int = 16,
                     trainSampleLimit: Int = 10000): IvfIndex = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sample: Array[Array[Double]] = base.orderBy("id")
-      .limit(trainSampleLimit).select("v").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = KMeansLite.fit(sample, nlist)
+    val centroids = KMeansLite.fit(trainSample(base, trainSampleLimit),
+      nlist)
     // c2 = |c|^2 precomputed: argmin ||v-c||^2 == argmin(|c|^2 - 2 v.c)
     // — one native dot per (vector, centroid), |v|^2 constant per row;
     // rank 1 of the broadcast product is the cell ASSIGNMENT
@@ -228,6 +226,14 @@ object Similarity {
   private def subv(v: Column, dsub: Int, j: Int): Column =
     slice(v, j * dsub + 1, dsub)
 
+  /** Driver-side bounded training sample of an (id, v) frame — the
+    * single collect in the index builders (the FAISS recipe: train on
+    * a dim-table-sized sample, assign distributed). */
+  private def trainSample(base: DataFrame,
+                          limit: Int): Array[Array[Double]] =
+    base.orderBy("id").limit(limit).select("v").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
   def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                    nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                    dims: Int = 64,
@@ -237,9 +243,7 @@ object Similarity {
     val spark = corpus.sparkSession
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
-    val sample: Array[Array[Double]] = base.orderBy("id")
-      .limit(trainSampleLimit).select("v").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample: Array[Array[Double]] = trainSample(base, trainSampleLimit)
     val coarse = KMeansLite.fit(sample, nlist)
     // per-subspace codebooks over raw subvectors (IP-ADC form: the
     // score reconstructs <q, x~> subspace by subspace)

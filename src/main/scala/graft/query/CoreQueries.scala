@@ -902,11 +902,18 @@ object CoreQueries {
     * the oracle certifies the bucketed path end-to-end. */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketing
-    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
-    val base = java.nio.file.Files
-      .createTempDirectory(s"graft_buckets_$tag").toString
-    val oTbl = s"graft_orders_b_$tag"
-    val cTbl = s"graft_customer_b_$tag"
+    // deterministic table names + location: a repeat call REPLACES the
+    // previous copy (drop + recursive delete) instead of accumulating
+    // catalog entries and temp directories across harness runs
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_buckets_q").toString
+    val oTbl = "graft_orders_bucketed_q"
+    val cTbl = "graft_customer_bucketed_q"
+    s.sql(s"DROP TABLE IF EXISTS $oTbl")
+    s.sql(s"DROP TABLE IF EXISTS $cTbl")
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
     Bucketing.writeBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
       oTbl, s"$base/orders", buckets = 8, key = "o_custkey",

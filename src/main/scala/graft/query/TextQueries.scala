@@ -760,7 +760,8 @@ object TextQueries {
       |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
       |    CASE WHEN o.doc_id IS NULL THEN 'added'
       |         WHEN n.doc_id IS NULL THEN 'removed'
-      |         WHEN o.text <> n.text THEN 'changed' END AS status
+      |         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+      |         END AS status
       |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
       |SELECT doc_id, status FROM j WHERE status IS NOT NULL
       |ORDER BY doc_id""".stripMargin
@@ -896,12 +897,12 @@ object TextQueries {
     screen()
     addFile(odd.filter(col("doc_id") >= 500), "f2.parquet")
     screen() // restart: only the new file may be (re)processed
-    val clean = s.read.parquet(s"$out/clean")
-      .select("doc_id", "lang").orderBy("doc_id")
-    val materialized = clean.cache()
-    materialized.count()
+    // the result reads back from already-written parquet — no lineage
+    // on the index, so it can release immediately and nothing needs
+    // to stay cached across harness runs
     index.unpersist()
-    materialized
+    s.read.parquet(s"$out/clean")
+      .select("doc_id", "lang").orderBy("doc_id")
   }
 
   val screenIngestReplaySql: String =

@@ -142,6 +142,19 @@ class SamplingSpec extends SparkTestBase {
       .count() == 1000)
   }
 
+  test("temperatureResample keeps NULL-stratum rows as a real group") {
+    val withNull = (Seq(("en", 0L), ("en", 1L), ("en", 2L), ("en", 3L)) ++
+      Seq((null.asInstanceOf[String], 0L), (null, 1L), (null, 2L),
+        (null, 3L))).toDF("lang", "id")
+    val out = Sampling.temperatureResample(withNull, col("lang"),
+        col("id"), 0.5)
+      .select("lang", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)))
+    // floor(sqrt(4)) = 2 rows survive per stratum — INCLUDING null
+    assert(out.count(_._1.isEmpty) == 2, out.toSeq.toString)
+    assert(out.count(_._1.contains("en")) == 2)
+  }
+
   test("shuffleShards assigns every row a shard and a dense in-shard position") {
     val out = Sampling.shuffleShards(corpus, col("id"), 8, "s1")
       .select("id", "shard", "pos").collect()
