@@ -36,6 +36,17 @@ class BucketingSpec extends SparkTestBase {
       s"scans must report the bucketed layout:\n$plan")
   }
 
+  test("q_join_bucketed is rerunnable in one session without leaking tables") {
+    import graft.query.CoreQueries
+    val dir = "/root/testdata/sf0.001"
+    val before = spark.catalog.listTables().count()
+    val r1 = CoreQueries.joinBucketed(spark, dir).collect()
+    val r2 = CoreQueries.joinBucketed(spark, dir).collect()
+    assert(r1.toSeq == r2.toSeq)
+    // deterministic names: the second call replaced, not accumulated
+    assert(spark.catalog.listTables().count() == before + 2)
+  }
+
   test("each bucket is a single file, so the per-bucket sort survives") {
     val df = (1 to 500).map(i => (i.toLong, s"p$i")).toDF("k", "p")
     val base = tmp("graft_bucketing_onefile")
