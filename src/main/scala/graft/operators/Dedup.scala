@@ -21,10 +21,8 @@ object Dedup {
     df.groupBy(keyCol.as("dedup_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  private def native(fn: String, args: Column*): Column = {
-    GraftExtensions.install(SparkSession.active)
-    call_function(fn, args: _*)
-  }
+  private def native(fn: String, args: Column*): Column =
+    GraftExtensions.nativeFn(fn, args: _*)
 
   /** Reference HOF form of [[shingles]] — kept as the spec cross-check
     * for the native expression. */

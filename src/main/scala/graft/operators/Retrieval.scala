@@ -8,18 +8,18 @@ import graft.plans.GraftExtensions
   * the "find training examples about X" query a data-curation team
   * runs constantly.
   *
-  * Scale shape: ONE corpus aggregate produces the tiny
-  * (N, avgdl, df per term) statistics row, broadcast back across the
-  * corpus; term frequencies and the score are scan projections; the
-  * top-k reduces via TakeOrderedAndProject. The corpus is never
-  * shuffled.
+  * Scale shape: one aggregate produces the tiny (N, avgdl, df per
+  * term) statistics row, broadcast back across the corpus; term
+  * frequencies and the score are scan projections; the top-k reduces
+  * via TakeOrderedAndProject. The corpus is never shuffled — it is
+  * scanned twice (stats pass, scoring pass), both passes pruned to
+  * the text column; callers looping many term sets over one corpus
+  * should persist the tokenized projection themselves.
   */
 object Retrieval {
 
-  private def native(fn: String, args: Column*): Column = {
-    GraftExtensions.install(SparkSession.active)
-    call_function(fn, args: _*)
-  }
+  private def native(fn: String, args: Column*): Column =
+    GraftExtensions.nativeFn(fn, args: _*)
 
   /** Reference HOF form of the per-term frequency — kept as the spec
     * cross-check for the native `graft_token_count` expression. */

@@ -27,10 +27,8 @@ object Similarity {
 
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  private def native(fn: String, args: Column*): Column = {
-    GraftExtensions.install(SparkSession.active)
-    call_function(fn, args: _*)
-  }
+  private def native(fn: String, args: Column*): Column =
+    GraftExtensions.nativeFn(fn, args: _*)
 
   /** Reference HOF form of [[dot]] — kept as the spec cross-check for
     * the native expression. */

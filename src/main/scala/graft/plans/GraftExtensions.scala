@@ -119,4 +119,14 @@ object GraftExtensions {
         .registerFunction(ident, info, builder)
     }
 
+  /** Column form of a registered native function, installing on the
+    * active session first — the one shared helper behind every
+    * operator module's `graft_*` call. */
+  def nativeFn(fn: String,
+               args: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column = {
+    install(org.apache.spark.sql.SparkSession.active)
+    org.apache.spark.sql.functions.call_function(fn, args: _*)
+  }
+
 }

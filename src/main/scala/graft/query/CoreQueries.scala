@@ -902,13 +902,16 @@ object CoreQueries {
     * the oracle certifies the bucketed path end-to-end. */
   def joinBucketed(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketing
-    // deterministic table names + location: a repeat call REPLACES the
-    // previous copy (drop + recursive delete) instead of accumulating
-    // catalog entries and temp directories across harness runs
+    // per-session deterministic names + location: a repeat call in one
+    // session REPLACES the previous copy (drop + recursive delete)
+    // instead of accumulating catalog entries and temp directories,
+    // while the applicationId tag keeps concurrent harness processes
+    // from clobbering each other's files
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val base = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_buckets_q").toString
-    val oTbl = "graft_orders_bucketed_q"
-    val cTbl = "graft_customer_bucketed_q"
+      System.getProperty("java.io.tmpdir"), s"graft_buckets_$tag").toString
+    val oTbl = s"graft_orders_bucketed_$tag"
+    val cTbl = s"graft_customer_bucketed_$tag"
     s.sql(s"DROP TABLE IF EXISTS $oTbl")
     s.sql(s"DROP TABLE IF EXISTS $cTbl")
     val basePath = new org.apache.hadoop.fs.Path(base)

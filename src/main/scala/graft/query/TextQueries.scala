@@ -773,7 +773,8 @@ object TextQueries {
     * list slicing. Certifies the generator fan-out, the slice
     * arithmetic, and the shorter tail window. */
   def chunkOverlap(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.chunkTokens(docs(s, dir).filter(col("doc_id") < 100),
+    TextAnalysis.chunkTokens(
+        docs(s, dir).filter(col("doc_id") < 100 && col("text").isNotNull),
         "doc_id", col("text"), size = 100, stride = 80)
       .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
       .select(col("doc_id"), col("chunk_ix").cast("long").as("chunk_ix"),
@@ -782,7 +783,8 @@ object TextQueries {
 
   val chunkOverlapSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-      |           FROM documents WHERE doc_id < 100),
+      |           FROM documents
+      |           WHERE doc_id < 100 AND text IS NOT NULL),
       |s AS (SELECT doc_id, toks,
       |        CAST(unnest(generate_series(0,
       |          CAST(greatest(len(toks) - 1, 0) AS BIGINT), 80)) AS BIGINT)
@@ -869,21 +871,29 @@ object TextQueries {
     * oracle recomputes closed-form. Replay harness over a bounded
     * corpus (the driver carves and stages it), not a bulk path. */
   def screenIngestReplay(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
+    import java.nio.file.{Files, Paths}
     val d = docs(s, dir).filter(col("doc_id") < 1000)
       .select("doc_id", "text", "lang")
     val index = Dedup.buildMinhashIndex(
       d.filter(col("doc_id") % 2 === 0), "doc_id", col("text"),
       numHashes = 16, bands = 16, shingleK = 2).persisted()
-    val in = Files.createTempDirectory("graft-screen-in").toString
-    val ckpt = Files.createTempDirectory("graft-screen-ckpt").toString
-    val out = Files.createTempDirectory("graft-screen-out").toString
+    // one per-session base dir, REPLACED per call (the joinBucketed
+    // protocol): reruns never accumulate /tmp data, and the appId tag
+    // isolates concurrent harness processes
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_screen_$tag").toString
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
     def addFile(df: DataFrame, name: String): Unit = {
-      val tmp = Files.createTempDirectory("graft-screen-stage").toString
+      val tmp = s"$base/stage_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, java.nio.file.Paths.get(s"$in/$name"))
+      Files.move(part.toPath, Paths.get(s"$in/$name"))
       ()
     }
     def screen(): Unit =
@@ -960,8 +970,10 @@ object TextQueries {
       |r AS (SELECT lang, doc_id,
       |        row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
       |      FROM documents)
-      |SELECT lang, doc_id FROM r JOIN t USING (lang) WHERE rn <= k
-      |ORDER BY lang, doc_id""".stripMargin
+      |SELECT r.lang AS lang, doc_id FROM r
+      |JOIN t ON r.lang IS NOT DISTINCT FROM t.lang
+      |WHERE rn <= k
+      |ORDER BY 1, doc_id""".stripMargin
 
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_snapshot_diff" -> (snapshotDiff _, snapshotDiffSql),
