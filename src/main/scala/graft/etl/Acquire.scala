@@ -33,10 +33,13 @@ object Acquire {
     if (patterns.isEmpty) df
     else df.filter(!col(c).rlike(patterns.mkString("(?:", ")|(?:", ")")))
 
-  /** F8: TLD allowlist (`grep -E` keep-list of suffixes). */
+  /** F8: TLD allowlist (`grep -E` keep-list of suffixes). An EMPTY
+    * allowlist allows nothing (keep-none), mirroring grep -E with no
+    * matching pattern — not a crash. */
   def tldAllowlist(df: DataFrame, suffixes: Seq[String],
                    c: String = "domain"): DataFrame =
-    df.filter(suffixes.map(sfx => col(c).endsWith(sfx))
+    if (suffixes.isEmpty) df.filter(lit(false))
+    else df.filter(suffixes.map(sfx => col(c).endsWith(sfx))
       .reduce((a, b) => a || b))
 
   /** X8: massdns space-separated output -> CSV. */
@@ -52,6 +55,8 @@ object Acquire {
     today.join(history.select(c), Seq(c), "left_anti")
 
   /** E2: union-all of daily files (`cat b >> domains`). */
-  def unionDays(days: Seq[DataFrame]): DataFrame =
+  def unionDays(days: Seq[DataFrame]): DataFrame = {
+    require(days.nonEmpty, "unionDays needs at least one day frame")
     days.reduce((a, b) => a.unionByName(b))
+  }
 }

@@ -117,7 +117,7 @@ object Migrator {
       case None =>
         aRows.withColumn("country", lit(null).cast("string"))
           .withColumn("city", lit(null).cast("string"))
-          .withColumn("asn", lit(null).cast("int"))
+          .withColumn("asn", lit(null).cast("long"))
           .withColumn("as_name", lit(null).cast("string"))
     }
 
@@ -131,7 +131,7 @@ object Migrator {
       col("p5"), col("p6"), col("p7"),
       coalesce(col("country"), lit("")).as("country"),
       coalesce(col("city"), lit("")).as("city"),
-      coalesce(col("asn"), lit(0)).as("asn"),
+      coalesce(col("asn"), lit(0L)).as("asn"),
       coalesce(col("as_name"), lit("")).as("as_name"),
       lit(source).as("source"),
       col("recordType").as("sourceRecordType"),

@@ -99,9 +99,19 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate].getName, "graft_bloom_agg"),
-      (es: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(es(0), es(1), es(2))),
+      (es: Seq[Expression]) => es match {
+        // mirror bloom_filter_agg's 1/2/3-arg forms instead of
+        // an IndexOutOfBounds on the shorter arities
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case _ =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(es(0), es(1), es(2))
+      }),
     (FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions

@@ -105,8 +105,11 @@ object VectorOps {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h0 = XxHash64Function.hash(
-        shingles.getUTF8String(i), StringType, 42L)
+      // null element: xxhash64(NULL) is the untouched seed (the
+      // expression skips null children) — mirror it, don't NPE
+      val h0 = if (shingles.isNullAt(i)) 42L
+        else XxHash64Function.hash(
+          shingles.getUTF8String(i), StringType, 42L)
       var j = 0
       while (j < seeds.length) {
         val h = XxHash64Function.hash(h0, LongType, seeds(j))
@@ -256,7 +259,10 @@ object VectorOps {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      // null token hashes to the seed, matching xxhash64(NULL) in the
+      // exploded reference form
+      val h = if (tokens.isNullAt(i)) 42L
+        else XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
       var b = 0
       while (b < 64) {
         votes(b) += ((h >>> b) & 1L) * 2 - 1

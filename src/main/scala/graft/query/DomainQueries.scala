@@ -47,8 +47,8 @@ object DomainQueries {
   private def geoDim(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
-      (16777216L, 1694498815L, "AA", "Alpha", 100, "NetA"),
-      (1694498816L, 3355443199L, "BB", "Beta", 200, "NetB"))
+      (16777216L, 1694498815L, "AA", "Alpha", 100L, "NetA"),
+      (1694498816L, 3355443199L, "BB", "Beta", 200L, "NetB"))
       .toDF("start_ip", "end_ip", "country", "city", "asn", "as_name")
   }
 
@@ -92,7 +92,7 @@ object DomainQueries {
       |  CASE c % 3 WHEN 2 THEN '' ELSE 'www' END AS p5,
       |  '' AS p6, '' AS p7,
       |  COALESCE(g.country, '') AS country, COALESCE(g.city, '') AS city,
-      |  CAST(COALESCE(g.asn, 0) AS INTEGER) AS asn,
+      |  CAST(COALESCE(g.asn, 0) AS BIGINT) AS asn,
       |  COALESCE(g.as_name, '') AS as_name,
       |  'oracle' AS source, 'A' AS sourceRecordType
       |FROM src LEFT JOIN geo g

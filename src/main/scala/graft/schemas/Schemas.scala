@@ -24,7 +24,7 @@ object Schemas {
     StructField("p7", StringType, false),
     StructField("country", StringType, false),
     StructField("city", StringType, false),
-    StructField("asn", IntegerType, false),
+    StructField("asn", LongType, false),
     StructField("as_name", StringType, false),
     StructField("source", StringType, false),
     StructField("sourceRecordType", StringType, false),
@@ -60,7 +60,7 @@ object Schemas {
     StructField("end_ip", LongType, false),
     StructField("country", StringType, true),
     StructField("city", StringType, true),
-    StructField("asn", IntegerType, true),
+    StructField("asn", LongType, true),
     StructField("as_name", StringType, true)))
 
   // Typed boundaries (Dataset[T] where type safety helps; the engine's
@@ -69,7 +69,7 @@ object Schemas {
       ip8: String, ip16: String, ip24: String, ipAddress: String,
       ip_int: Long, p1: String, p2: String, p3: String, p4: String,
       p5: String, p6: String, p7: String, country: String, city: String,
-      asn: Int, as_name: String, source: String, sourceRecordType: String,
+      asn: Long, as_name: String, source: String, sourceRecordType: String,
       firstSeen: Option[Timestamp], lastSeen: Timestamp, updatedAt: Timestamp)
 
   final case class SubdomainRecord(

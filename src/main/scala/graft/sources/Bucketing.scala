@@ -49,6 +49,10 @@ object Bucketing {
     * asserted in BucketingSpec. */
   def coLocatedJoin(s: SparkSession, leftTable: String, leftKey: String,
                     rightTable: String, rightKey: String): DataFrame =
-    s.table(leftTable).hint("merge")
-      .join(s.table(rightTable), col(leftKey) === col(rightKey))
+    // side aliases keep the join condition unambiguous when both
+    // tables bucket on the SAME column name (the natural fact-fact
+    // case, e.g. both keyed on "domain")
+    s.table(leftTable).as("l").hint("merge")
+      .join(s.table(rightTable).as("r"),
+        col(s"l.$leftKey") === col(s"r.$rightKey"))
 }

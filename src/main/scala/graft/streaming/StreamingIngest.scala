@@ -49,7 +49,10 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = Migrator.run(batch, tlds, geo, source)
+        // three outputs materialize below -> cache the parsed
+        // intermediate (Migrator.run's own documented contract)
+        val out = Migrator.run(batch, tlds, geo, source,
+          cacheParsed = true)
         // idempotent per batchId: replay after a mid-write crash
         // overwrites the same directories -> no duplicate rows
         out.rdnsv4.write.mode("overwrite")
@@ -152,14 +155,17 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // both output joins consume the hit set -> persist it for the
+        // batch so the near-dup ladder (band join + verify) runs once
         val hits = graft.operators.Dedup.nearDupsAgainstIndex(
             batch, idCol, col(textCol), index, threshold)
-          .select(col("id_a").as(idCol)).distinct()
-        batch.join(hits, Seq(idCol), "left_anti").write
-          .mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
-        batch.join(hits, Seq(idCol), "left_semi").write
-          .mode("overwrite").parquet(s"$outDir/flagged/batch=$batchId")
-        ()
+          .select(col("id_a").as(idCol)).distinct().persist()
+        try {
+          batch.join(hits, Seq(idCol), "left_anti").write
+            .mode("overwrite").parquet(s"$outDir/clean/batch=$batchId")
+          batch.join(hits, Seq(idCol), "left_semi").write
+            .mode("overwrite").parquet(s"$outDir/flagged/batch=$batchId")
+        } finally { hits.unpersist(); () }
       }
       .start()
 
@@ -176,8 +182,16 @@ object StreamingIngest {
         case (domain, rows, state: GroupState[DomainState]) =>
           val sorted = rows.toSeq.sortBy(_.obs_ts.getTime)
           val prev = state.getOption
-          val first = prev.map(_.firstSeen).getOrElse(sorted.head.obs_ts)
-          val next = DomainState(domain, first, sorted.last.obs_ts,
+          // out-of-order batches: a late row may predate the stored
+          // firstSeen, and the batch max may predate the stored
+          // lastSeen — min/max against the prior state, never replace
+          val first = prev.map(_.firstSeen).filter(
+            _.getTime <= sorted.head.obs_ts.getTime)
+            .getOrElse(sorted.head.obs_ts)
+          val last = prev.map(_.lastSeen).filter(
+            _.getTime >= sorted.last.obs_ts.getTime)
+            .getOrElse(sorted.last.obs_ts)
+          val next = DomainState(domain, first, last,
             prev.map(_.observations).getOrElse(0L) + sorted.size)
           state.update(next)
           next

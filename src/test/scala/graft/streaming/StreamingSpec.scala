@@ -171,6 +171,27 @@ class StreamingSpec extends SparkTestBase {
     assert(aRows(0).getTimestamp(1) == ts(5))
   }
 
+  test("T4: late out-of-order batch lowers firstSeen, never regresses lastSeen") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.DomainObs]
+    val q = StreamingIngest.trackDomainState(mem.toDS())
+      .writeStream.format("memory").queryName("state_ooo")
+      .outputMode("update").start()
+    def ts(d: Int) = Timestamp.valueOf(f"2024-06-$d%02d 00:00:00")
+    mem.addData(StreamingIngest.DomainObs("a.com", ts(10)))
+    q.processAllAvailable()
+    // a LATE batch arrives with an earlier observation
+    mem.addData(StreamingIngest.DomainObs("a.com", ts(3)))
+    q.processAllAvailable()
+    val r = spark.sql(
+        """SELECT firstSeen, lastSeen FROM state_ooo
+          |WHERE domain='a.com' AND observations=2""".stripMargin).collect()
+    q.stop()
+    assert(r.length == 1)
+    assert(r(0).getTimestamp(0) == ts(3), "firstSeen must take the late min")
+    assert(r(0).getTimestamp(1) == ts(10), "lastSeen must not move backwards")
+  }
+
   test("session windows group events separated by gaps (free per §2.9)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
