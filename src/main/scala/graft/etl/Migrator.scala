@@ -98,10 +98,13 @@ object Migrator {
         current_timestamp().as("updatedAt"))
 
     // ---- A branch: parse IP, derive blocks, geo-enrich ----
-    val aRows = parsed.filter(!isCname)
+    // shared base for BOTH A-record outputs (rdnsv4, subdomains), so
+    // the F5/F6 filter chain exists exactly once
+    val aBase = parsed.filter(!isCname)
       .withColumn("ip_int", IpFunctions.ipToLongCol(col("ipStr")))
       .filter(col("ip_int").isNotNull)                     // F5
       .filter(length(col("apex")) > 0)                     // F6
+    val aRows = aBase
       .withColumn("ip8_int", IpFunctions.ipBlockCol(col("ip_int"), 8))
       .withColumn("ip16_int", IpFunctions.ipBlockCol(col("ip_int"), 16))
       .withColumn("ip24_int", IpFunctions.ipBlockCol(col("ip_int"), 24))
@@ -139,10 +142,7 @@ object Migrator {
       current_timestamp().as("lastSeen"),
       current_timestamp().as("updatedAt"))
 
-    val subdomains = parsed.filter(!isCname)
-      .withColumn("ip_int", IpFunctions.ipToLongCol(col("ipStr")))
-      .filter(col("ip_int").isNotNull)
-      .filter(length(col("apex")) > 0)
+    val subdomains = aBase
       .select(
         col("p1"), col("p2"), col("p3"), col("p4"),
         col("p5"), col("p6"), col("p7"),
