@@ -44,7 +44,8 @@ object DedupBench {
             .as("text"))
 
     ks.foreach { k =>
-      val c = corpus(k).persist()
+      val c = corpus(k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDocs = c.count()
 
       var t0 = System.nanoTime()
@@ -54,12 +55,15 @@ object DedupBench {
       val tPairs = (System.nanoTime() - t0) / 1e9
 
       t0 = System.nanoTime()
-      val cand = Dedup.minhashCandidates(c, "doc_id", col("text"),
-        numHashes = 16, bands = 16, shingleK = 2).persist()
-      val nCand = cand.count()
-      // exact-verify join size after the r=1 est-Jaccard prune
-      val nPruned = cand.filter(col("est_jaccard") >= 0.45).count()
-      cand.unpersist()
+      // both counts from ONE pass — persisting the candidate frame
+      // would pin ~K*millions of rows for no reason (the OOM at K=300)
+      val candRow = Dedup.minhashCandidates(c, "doc_id", col("text"),
+          numHashes = 16, bands = 16, shingleK = 2)
+        .agg(count(lit(1)).as("n"),
+          count(when(col("est_jaccard") >= 0.45, 1)).as("np"))
+        .collect()(0)
+      val nCand = candRow.getLong(0)
+      val nPruned = candRow.getLong(1)
       val tCand = (System.nanoTime() - t0) / 1e9
 
       t0 = System.nanoTime()
