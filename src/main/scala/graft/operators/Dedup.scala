@@ -193,6 +193,31 @@ object Dedup {
       .toDF("id", "band", "band_hash")
   }
 
+  /** Write a [[MinhashIndex]] under `path` (overwrites): `banded/`
+    * partitioned by band (screens prune to colliding bands) +
+    * `shingleSets/` + a one-row `params/` frame. The signature/banding
+    * scan of the reference corpus is paid once at write; every later
+    * screen — eval sets, streaming micro-batches, the next corpus
+    * rev — reads these frames instead of rescanning the corpus. */
+  def saveMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    val spark = index.banded.sparkSession
+    import spark.implicits._
+    index.banded.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/banded")
+    index.shingleSets.write.mode("overwrite").parquet(s"$path/shingleSets")
+    Seq((index.numHashes, index.bands, index.shingleK))
+      .toDF("numHashes", "bands", "shingleK").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def loadMinhashIndex(spark: SparkSession, path: String): MinhashIndex = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    MinhashIndex(
+      spark.read.parquet(s"$path/banded").select("id", "band", "band_hash"),
+      spark.read.parquet(s"$path/shingleSets"),
+      p.getInt(0), p.getInt(1), p.getInt(2))
+  }
+
   def buildMinhashIndex(corpus: DataFrame, idCol: String, text: Column,
                         numHashes: Int = 16, bands: Int = 16,
                         shingleK: Int = 2): MinhashIndex = {
@@ -254,15 +279,24 @@ object Dedup {
 
   /** (id, sig) simhash signatures as a single native projection
     * ([[graft.plans.SimHashExpr]]) — no explode, NO SHUFFLE: at corpus
-    * scale the exploded form shuffled one row per token. */
-  def simhashSignatures(df: DataFrame, idCol: String,
-                        text: Column): DataFrame =
+    * scale the exploded form shuffled one row per token.
+    *
+    * `hashFamily` selects the per-token hash: "xxhash64" (default —
+    * fastest) or "md5" ([[graft.plans.SimHashMd5Expr]] — recomputable
+    * by any engine with md5, the oracle-shared family). */
+  def simhashSignatures(df: DataFrame, idCol: String, text: Column,
+                        hashFamily: String = "xxhash64"): DataFrame =
     df.select(col(idCol).as("id"),
-      simhash(text).as("sig"))
+      simhash(text, hashFamily).as("sig"))
 
   /** Single-column simhash of a text column (native one-pass). */
-  def simhash(text: Column): Column =
-    native("graft_simhash", TextAnalysis.tokenize(text))
+  def simhash(text: Column, hashFamily: String = "xxhash64"): Column =
+    hashFamily match {
+      case "xxhash64" => native("graft_simhash", TextAnalysis.tokenize(text))
+      case "md5" => native("graft_simhash_md5", TextAnalysis.tokenize(text))
+      case other => throw new IllegalArgumentException(
+        s"unknown simhash hash family: $other")
+    }
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via
     * (maxDist+1)-block banding then exact bit_count verification. The
@@ -272,12 +306,13 @@ object Dedup {
     * maxDist means narrower blocks and more candidate collisions; keep
     * maxDist small (<= ~10) at corpus scale. */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      hashFamily: String = "xxhash64"): DataFrame = {
     require(maxDist >= 0 && maxDist < 32,
       s"maxDist must be in [0, 32), got $maxDist")
     val nb = maxDist + 1
     val bounds = (0 to nb).map(b => b * 64 / nb)
-    val sigs = simhashSignatures(df, idCol, text)
+    val sigs = simhashSignatures(df, idCol, text, hashFamily)
     val blocks = sigs.select(col("id"), col("sig"), posexplode(
       array((0 until nb).map { b =>
         val width = bounds(b + 1) - bounds(b)

@@ -115,4 +115,72 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.as[MediaRecord]
   }
+
+  // ---- real header parsing (public container formats) ----
+
+  /** Parsed container metadata from raw bytes — a codegen'd struct
+    * projection over the PUBLIC header layouts (PNG IHDR, JPEG SOF,
+    * GIF screen descriptor, WAV fmt chunk); NULL for unrecognized or
+    * corrupt payloads. See [[graft.plans.MediaOps.parseHeader]]. */
+  def mediaMeta(bytes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.plans.GraftExtensions.nativeFn("graft_media_meta", bytes)
+
+  /** Populate the `meta` struct FROM THE BYTES, replacing any
+    * caller-supplied width/height/sample_rate with the parsed header
+    * values (duration is not derivable from headers alone without a
+    * codec — preserved from the input struct). */
+  def withParsedMeta(df: DataFrame): DataFrame = {
+    val m = mediaMeta(col("bytes"))
+    df.withColumn("meta", struct(
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      m.getField("sample_rate").as("sample_rate"),
+      col("meta.duration_ms").as("duration_ms")))
+  }
+
+  // ---- deterministic honest-format fixtures ----
+  //
+  // Built column-side as hex strings + one unhex: real PNG/JPEG/WAV
+  // byte layouts (the parser above is exercised on genuine container
+  // structure), with every varying field a closed-form function of the
+  // id — so an engine without the parser (the DuckDB oracle) can
+  // predict the parsed output exactly.
+
+  private def be16hex(v: org.apache.spark.sql.Column) =
+    lpad(hex(v), 4, "0")
+  private def be32hex(v: org.apache.spark.sql.Column) =
+    lpad(hex(v), 8, "0")
+  private def le16hex(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 4, "0")
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32hex(v: org.apache.spark.sql.Column) = {
+    val h = lpad(hex(v), 8, "0")
+    concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2),
+      substring(h, 1, 2))
+  }
+
+  /** Minimal valid-structure PNG: signature + IHDR (bit depth 8,
+    * color type 6 = RGBA) + placeholder CRC. */
+  def pngBytes(w: org.apache.spark.sql.Column,
+               h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      be32hex(w), be32hex(h), lit("0806000000"), lit("DEADBEEF")))
+
+  /** Minimal JPEG: SOI + SOF0 (precision 8, 3 components) + EOI. */
+  def jpegBytes(w: org.apache.spark.sql.Column,
+                h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat(lit("FFD8"), lit("FFC0"), lit("0011"), lit("08"),
+      be16hex(h), be16hex(w), lit("03"), lit("011100021101031101"),
+      lit("FFD9")))
+
+  /** Minimal WAV: RIFF/WAVE + 16-byte PCM fmt chunk (16-bit). */
+  def wavBytes(rate: org.apache.spark.sql.Column,
+               channels: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    unhex(concat(lit("52494646"), le32hex(lit(36)), lit("57415645"),
+      lit("666D7420"), le32hex(lit(16)), le16hex(lit(1)),
+      le16hex(channels), le32hex(rate), le32hex(rate * lit(2)),
+      le16hex(lit(2)), le16hex(lit(16))))
 }

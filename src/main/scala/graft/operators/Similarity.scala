@@ -203,6 +203,80 @@ object Similarity {
     }
   }
 
+  // ---- index persistence ----
+  //
+  // The 100 TB contract: the index is the artifact you KEEP. Building
+  // signatures/codes rescans the corpus; a persisted index is (id,
+  // cell, codes)-shaped parquet — ~30x smaller than the embeddings for
+  // PQ — plus KB-scale driver-side centroids/codebooks, so every later
+  // query batch pays a read of the small frames, never the corpus
+  // scan. Loaded indexes search bit-identically to freshly built ones
+  // (SimilaritySpec round-trip + the q_sim_ivf_loaded oracle).
+
+  /** Serialize driver-side centroids as one row per (cell, centroid). */
+  private def writeCentroids(spark: SparkSession,
+                             coarse: Array[Array[Double]],
+                             path: String): Unit = {
+    import spark.implicits._
+    coarse.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def readCentroids(spark: SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** Write an [[IvfIndex]] under `path` (overwrites): `assigned/`
+    * parquet partitioned by cell — the cell join prunes to the probed
+    * cells' files — plus `centroids/`. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    writeCentroids(index.assigned.sparkSession, index.coarse,
+      s"$path/centroids")
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val coarse = readCentroids(spark, s"$path/centroids")
+    // normalize column order (partitionBy moves `cell` last on disk)
+    IvfIndex(spark.read.parquet(s"$path/assigned")
+      .select("id", "v", "cell"), coarse, coarse.length)
+  }
+
+  /** Write a [[PqIndex]] under `path` (overwrites): `assigned/`
+    * (id, cell, codes — the compact searchable core) partitioned by
+    * cell, `vectors/` (only consulted for the bounded exact re-rank),
+    * `centroids/`, and `codebooks/` as (subspace, code, centroid)
+    * rows. m/dsub/nlist are recovered from the shapes. */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    index.vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    writeCentroids(spark, index.coarse, s"$path/centroids")
+    index.codebooks.zipWithIndex.toSeq.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cen, c) => (j, c, cen.toSeq) }
+    }.toDF("subspace", "code", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    val coarse = readCentroids(spark, s"$path/centroids")
+    val codebooks = spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray).toArray
+    PqIndex(
+      spark.read.parquet(s"$path/assigned").select("id", "cell", "codes"),
+      spark.read.parquet(s"$path/vectors"),
+      coarse, codebooks, coarse.length, codebooks.length,
+      codebooks.head.head.length)
+  }
+
   private def centroidFrame(spark: SparkSession,
                             coarse: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
@@ -242,6 +316,11 @@ object Similarity {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
 
     val sample: Array[Array[Double]] = trainSample(base, trainSampleLimit)
+    require(sample.nonEmpty, "PQ training requires a non-empty corpus")
+    // fail fast on a dims/vector-length mismatch: subv slices past the
+    // array end return short arrays and ADC scores silently degrade
+    require(sample.head.length == dims,
+      s"dims=$dims but corpus vectors have length ${sample.head.length}")
     val coarse = KMeansLite.fit(sample, nlist)
     // per-subspace codebooks over raw subvectors (IP-ADC form: the
     // score reconstructs <q, x~> subspace by subspace)

@@ -31,7 +31,9 @@ object TextAnalysis {
     * windows of `size` tokens starting every `stride` tokens
     * (overlap = size - stride), the tail window shorter. One chunk
     * minimum per document (empty text included: one empty chunk), so
-    * no document silently disappears.
+    * no document silently disappears. NULL text also yields exactly
+    * one chunk, with NULL chunk_text — distinguishable from an empty
+    * document's single "" chunk.
     *
     * Scale: scan-level generator (sequence + posexplode) — rows fan
     * out by ~n_tokens/stride with NO shuffle; the per-row state is
@@ -49,7 +51,13 @@ object TextAnalysis {
       .select(col(idCol), col("__toks"),
         posexplode(col("__starts")).as(Seq("chunk_ix", "__start")))
       .select(col(idCol), col("chunk_ix"),
-        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(size)))
+        // concat_ws would collapse the null slice of a NULL document to
+        // "" — keep chunk_text null instead so downstream can tell a
+        // null document from an empty one
+        when(col("__toks").isNull, lit(null).cast("string"))
+          .otherwise(
+            concat_ws(" ", slice(col("__toks"), col("__start") + 1,
+              lit(size))))
           .as("chunk_text"))
   }
 

@@ -72,6 +72,8 @@ object GraftExtensions {
         litInt(es(1), "graft_minhash"))),
     (FunctionIdentifier("graft_simhash"), SimHashExpr.info,
       (es: Seq[Expression]) => SimHashExpr(es.head)),
+    (FunctionIdentifier("graft_simhash_md5"), SimHashMd5Expr.info,
+      (es: Seq[Expression]) => SimHashMd5Expr(es.head)),
     (FunctionIdentifier("graft_shingles"), ShinglesExpr.info,
       (es: Seq[Expression]) => ShinglesExpr(es(0),
         litInt(es(1), "graft_shingles"))),
@@ -91,6 +93,8 @@ object GraftExtensions {
         litInt(es(1), "graft_repetition"))),
     (FunctionIdentifier("graft_token_count"), TokenCountExpr.info,
       (es: Seq[Expression]) => TokenCountExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_media_meta"), MediaMetaExpr.info,
+      (es: Seq[Expression]) => MediaMetaExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions: the sketch aggregate merges executor-side (same
     // machinery the optimizer injects for runtime row filters), and

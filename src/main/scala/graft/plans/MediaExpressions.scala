@@ -1,0 +1,178 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level media header parsing — PUBLIC container formats only,
+  * parsed from their published layouts (no codec libraries):
+  *
+  *  - PNG: 8-byte signature, then the IHDR chunk — width/height as
+  *    big-endian u32 at offsets 16/20, bit depth at 24, color type at
+  *    25 (channel count follows the PNG spec's color-type table).
+  *  - JPEG/JFIF: FF D8 marker stream; segments are skipped by their
+  *    big-endian length until a start-of-frame marker (C0-C3, C5-C7,
+  *    C9-CB, CD-CF — C4/C8/CC are tables, not frames), which carries
+  *    precision(1), height(2), width(2), component count(1).
+  *  - GIF: "GIF87a"/"GIF89a", then logical-screen width/height as
+  *    little-endian u16 at offsets 6/8.
+  *  - WAV: "RIFF" + "WAVE", then a chunk scan (id(4) + size LE u32,
+  *    word-aligned) for "fmt ": channels at +10 (LE u16), sample rate
+  *    at +12 (LE u32), bits per sample at +22 (LE u16).
+  *
+  * Unrecognized, truncated, or malformed payloads parse to NULL — the
+  * expression never throws on bad bytes (corrupt media is data, not an
+  * error, at corpus scale).
+  */
+object MediaOps {
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
+      ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+
+  private def row(format: String, width: Any, height: Any,
+                  sampleRate: Any, channels: Any, bitDepth: Any)
+      : InternalRow =
+    InternalRow(UTF8String.fromString(format), width, height, sampleRate,
+      channels, bitDepth)
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** (format, width, height, sample_rate, channels, bit_depth) or null. */
+  def parseHeader(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 12) return null
+    try {
+      if (b.startsWith(pngSig)) parsePng(b)
+      else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) parseJpeg(b)
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+               (b(4) == '7' || b(4) == '9') && b(5) == 'a') parseGif(b)
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+               b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        parseWav(b)
+      else null
+    } catch { // any structural surprise (truncation mid-field) -> null
+      case _: IndexOutOfBoundsException => null
+    }
+  }
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    // IHDR must be the first chunk: length(4) "IHDR"(4) data(13) crc(4)
+    if (b.length < 26 || be32(b, 8) != 13 ||
+        b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R')
+      return null
+    val colorType = b(25) & 0xFF
+    val channels = colorType match {
+      case 0 => 1 // greyscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // indexed
+      case 4 => 2 // grey + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => return null
+    }
+    row("png", be32(b, 16), be32(b, 20), null, channels, b(24) & 0xFF)
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    var pos = 2
+    while (pos + 1 < b.length) {
+      if ((b(pos) & 0xFF) != 0xFF) return null
+      val marker = b(pos + 1) & 0xFF
+      if (marker == 0xD8 || marker == 0x01 ||
+          (marker >= 0xD0 && marker <= 0xD7)) pos += 2 // standalone
+      else if (marker == 0xD9) return null             // EOI before SOF
+      else {
+        if (pos + 3 >= b.length) return null
+        val len = be16(b, pos + 2)
+        if (len < 2) return null
+        val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (pos + 9 >= b.length) return null
+          return row("jpeg", be16(b, pos + 7), be16(b, pos + 5), null,
+            b(pos + 9) & 0xFF, b(pos + 4) & 0xFF)
+        }
+        pos += 2 + len
+      }
+    }
+    null
+  }
+
+  private def parseGif(b: Array[Byte]): InternalRow =
+    if (b.length < 10) null
+    else row("gif", le16(b, 6), le16(b, 8), null, null, null)
+
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    var off = 12
+    while (off + 8 <= b.length) {
+      val size = le32(b, off + 4)
+      if (size < 0) return null
+      if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' &&
+          b(off + 3) == ' ') {
+        if (size < 16 || off + 8 + 16 > b.length) return null
+        return row("wav", null, null, le32(b, off + 12), le16(b, off + 10),
+          le16(b, off + 22))
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    null
+  }
+}
+
+/** `graft_media_meta(bytes)` — media container metadata parsed from the
+  * public header layouts ([[MediaOps.parseHeader]]) as a codegen'd
+  * struct projection; NULL for unrecognized/corrupt payloads. */
+case class MediaMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY, got ${other.sql}")
+  }
+
+  override def dataType: DataType = MediaMetaExpr.schema
+  // null on unrecognized bytes regardless of child nullability
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_media_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MediaOps.parseHeader(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("mediaMeta")
+      s"""
+        org.apache.spark.sql.catalyst.InternalRow $res =
+          graft.plans.MediaOps.parseHeader($c);
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $res; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MediaMetaExpr = copy(child = newChild)
+}
+
+object MediaMetaExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bit_depth", IntegerType)))
+
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[MediaMetaExpr].getName, "graft_media_meta")
+}

@@ -279,6 +279,54 @@ object VectorOps {
     sig
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit SimHash over a token array with an MD5 token-hash family —
+    * the ORACLE-SHARED variant of [[simhash]]: both engines can
+    * recompute the signature (DuckDB has md5, not xxhash64), so the
+    * banded near-dup pair list is checkable closed-form.
+    *
+    * Bit definition (mirrored bit-for-bit by the DuckDB oracle's
+    * hex-string arithmetic): for bit j in [0, 64), let q = j/4 index
+    * the hex character of md5(token) (0-based) and r = j%4 the bit of
+    * that character's nibble value; bit j of the token hash is
+    * (nibble(q) >> r) & 1 — i.e. the first 16 hex chars of the digest,
+    * LSB-first within each nibble. Votes are +1 set / -1 clear per
+    * token; signature bit j is set iff votes > 0 (ties clear). A null
+    * token hashes as "" (string_split never yields null). */
+  def simhashMd5(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val votes = new Array[Long](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val bytes =
+        if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      val d = md.digest(bytes) // digest() resets the instance
+      var j = 0
+      while (j < 64) {
+        val q = j >> 2
+        val nib =
+          if ((q & 1) == 0) (d(q >> 1) >> 4) & 0xF
+          else d(q >> 1) & 0xF
+        votes(j) += (((nib >> (j & 3)) & 1) << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Count of single-space-delimited segments of `text` byte-equal to
     * `term` — the exact segmentation of `split(text, " ", -1)`
     * (trailing and consecutive separators produce empty segments,
@@ -473,6 +521,34 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 object SimHashExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[SimHashExpr], "graft_simhash")
+}
+
+/** `graft_simhash_md5(tokens)` — [[SimHashExpr]] with the MD5 token-hash
+  * family ([[VectorOps.simhashMd5]]): slower per token than xxhash64 but
+  * recomputable by any engine with md5 — the cross-engine-verifiable
+  * signature for oracle-locked dedup queries. */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  import VectorHashExpressions._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkStringArray(child, prettyName)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.simhashMd5(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHashMd5Expr = copy(child = newChild)
+}
+
+object SimHashMd5Expr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[SimHashMd5Expr], "graft_simhash_md5")
 }
 
 /** `graft_shingles(tokens, k)` — distinct word k-shingles in one

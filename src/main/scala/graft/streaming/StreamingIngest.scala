@@ -115,18 +115,22 @@ object StreamingIngest {
     val partsKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(partsKey)
     spark.conf.set(partsKey, "4")
-    val q = dedupWindow(mem.toDF(), watermark)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // start() sits INSIDE the restoring try: if stream start throws,
+    // the session-wide 4-partition override must not leak to later
+    // queries (same for noDataMicroBatches)
     try {
-      obs.groupBy(o => o.obs_ts.toLocalDateTime.toLocalDate)
-        .toSeq.sortBy(_._1)
-        .foreach { case (_, dayRows) =>
-          mem.addData(dayRows)
-          q.processAllAvailable()
-        }
+      val q = dedupWindow(mem.toDF(), watermark)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        obs.groupBy(o => o.obs_ts.toLocalDateTime.toLocalDate)
+          .toSeq.sortBy(_._1)
+          .foreach { case (_, dayRows) =>
+            mem.addData(dayRows)
+            q.processAllAvailable()
+          }
+      } finally q.stop()
     } finally {
-      q.stop()
       spark.conf.set(noDataKey, prevNoData)
       spark.conf.set(partsKey, prevParts)
     }

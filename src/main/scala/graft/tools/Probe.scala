@@ -74,6 +74,57 @@ object Probe {
       println(s"[probe] dedupClusters warm in ${(System.nanoTime()-tc2)/1e9}s")
       spark.stop(); return
     }
+    if (only.contains("annexact")) {
+      // does approx top-5 EXACTLY equal brute-force top-5 (ids)?
+      val sub = embs.filter(col("vec_id") < 200)
+      val truth = Similarity.bruteForceTopK(sub, "vec_id", "embedding", 999999)
+        .select(explode(array(
+          struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cos")),
+          struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cos")))).as("p"))
+        .select(col("p.query_id"), col("p.neighbor_id"), col("p.cos"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("cos"), asc("neighbor_id"))))
+        .filter(col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank").localCheckpoint()
+      def diff(name: String, approx: DataFrame): Unit = {
+        val a = approx.select("query_id", "neighbor_id", "rank")
+        val d1 = truth.exceptAll(a).count()
+        val d2 = a.exceptAll(truth).count()
+        println(s"[probe] $dir $name truth\\approx=$d1 approx\\truth=$d2 " +
+          (if (d1 == 0 && d2 == 0) "EXACT" else "DIFFERS"))
+      }
+      for (tables <- Seq(12, 16, 24, 32))
+        diff(s"lsh(4,$tables)", Similarity.lshBucketTopK(
+          sub, "vec_id", "embedding", k = 5, numPlanes = 4, tables = tables))
+      for (nprobe <- Seq(4, 5, 6))
+        diff(s"ivf(8,$nprobe)", Similarity.ivfTopK(
+          sub, "vec_id", "embedding", k = 5, nlist = 8, nprobe = nprobe))
+      spark.stop(); return
+    }
+    if (only.contains("ivfrank")) {
+      // margin for the per-row boolean gate: what exact-rank do IVF's
+      // emitted neighbors reach, worst case, at this SF?
+      val sub = embs.filter(col("vec_id") < 200)
+      val allRanks = Similarity.bruteForcePairs(sub, "vec_id", "embedding")
+        .select(explode(array(
+          struct(col("id_a").as("query_id"), col("id_b").as("neighbor_id"), col("cos")),
+          struct(col("id_b").as("query_id"), col("id_a").as("neighbor_id"), col("cos")))).as("p"))
+        .select(col("p.query_id"), col("p.neighbor_id"), col("p.cos"))
+        .withColumn("exact_rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("cos"), asc("neighbor_id"))))
+        .select("query_id", "neighbor_id", "exact_rank").localCheckpoint()
+      val ivf = Similarity.ivfTopK(sub, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4)
+      val joined = ivf.select("query_id", "neighbor_id")
+        .join(allRanks, Seq("query_id", "neighbor_id"))
+      val stats = joined.agg(count(lit(1)).as("n"), max("exact_rank"),
+        expr("percentile(exact_rank, 0.99)")).collect()(0)
+      println(s"[probe] $dir ivf(8,4) rows=${stats.getLong(0)} " +
+        s"max_exact_rank=${stats.getInt(1)} p99=${stats.getDouble(2)}")
+      spark.stop(); return
+    }
     // minhash bigram at 0.5 and unigram at 0.9: pair counts
     val mb = Dedup.minhashNearDups(docs, "doc_id", col("text"),
       threshold = 0.5, numHashes = 16, bands = 16, shingleK = 2).count()

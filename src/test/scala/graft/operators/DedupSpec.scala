@@ -121,6 +121,28 @@ class DedupSpec extends SparkTestBase {
     assert(drops == Set(2L, 3L, 4L, 5L, 6L, 11L, 21L, 22L))
   }
 
+  test("minhash index round-trips through parquet: loaded screen == fresh") {
+    val incoming = Seq(
+      (200L, docs.collect().find(_.getLong(0) == 0L).get.getString(1)),
+      (201L, "nothing like the corpus at all")).toDF("doc_id", "text")
+    val fresh = Dedup.buildMinhashIndex(docs, "doc_id", col("text"),
+      numHashes = 16, bands = 16, shingleK = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mh-idx").toString
+    Dedup.saveMinhashIndex(fresh, path)
+    val loaded = Dedup.loadMinhashIndex(spark, path)
+    assert((loaded.numHashes, loaded.bands, loaded.shingleK) ==
+      ((fresh.numHashes, fresh.bands, fresh.shingleK)))
+    def run(ix: Dedup.MinhashIndex) =
+      Dedup.nearDupsAgainstIndex(incoming, "doc_id", col("text"), ix,
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("jaccard"))).toSet
+    val l = run(loaded)
+    assert(l == run(fresh) && l.exists(_._1 == 200L))
+    assert(!l.exists(_._1 == 201L))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = docs.select(Dedup.minhashSignature(
       Dedup.shingles(col("text")), 8)).collect().map(_.getSeq[Long](0))

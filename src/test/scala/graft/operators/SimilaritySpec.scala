@@ -126,6 +126,46 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("IVF index round-trips through parquet: loaded search == fresh") {
+    val base = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val fresh = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      nlist = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString
+    Similarity.saveIvfIndex(fresh, path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.nlist == fresh.nlist)
+    assert(loaded.coarse.map(_.toSeq).toSeq == fresh.coarse.map(_.toSeq).toSeq)
+    def run(ix: Similarity.IvfIndex) =
+      Similarity.ivfSearchIndex(base, ix, k = 4, nprobe = 2,
+          excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cos")),
+          r.getInt(3))).toSet
+    assert(run(loaded) == run(fresh))
+  }
+
+  test("PQ index round-trips through parquet: loaded search == fresh") {
+    val base = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val fresh = Similarity.buildPqIndex(vecs, "vec_id", "embedding",
+      nlist = 3, m = 4, ksub = 4, dims = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-idx").toString
+    Similarity.savePqIndex(fresh, path)
+    val loaded = Similarity.loadPqIndex(spark, path)
+    assert(loaded.nlist == fresh.nlist && loaded.m == fresh.m &&
+      loaded.dsub == fresh.dsub)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      fresh.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def run(ix: Similarity.PqIndex) =
+      Similarity.pqSearchIndex(base, ix, k = 3, nprobe = 2, rerank = 6,
+          excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cos")),
+          r.getInt(3))).toSet
+    assert(run(loaded) == run(fresh))
+  }
+
   test("signatures deterministic across runs") {
     val s1 = vecs.select(Similarity.lshSignature(col("embedding"), 8, dims = 16))
       .collect().map(_.getLong(0)).toSeq

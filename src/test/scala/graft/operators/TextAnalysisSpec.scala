@@ -88,6 +88,12 @@ class TextAnalysisSpec extends SparkTestBase {
         Seq((2L, "")).toDF("doc_id", "text"), "doc_id", col("text"),
         size = 4, stride = 3).collect()
     assert(empty.length == 1 && empty(0).getString(2) == "")
+    // NULL text -> one chunk with NULL chunk_text (distinguishable
+    // from an empty document's single "" chunk)
+    val nul = TextAnalysis.chunkTokens(
+        Seq((3L, null: String)).toDF("doc_id", "text"), "doc_id",
+        col("text"), size = 4, stride = 3).collect()
+    assert(nul.length == 1 && nul(0).isNullAt(2))
   }
 
   test("repetitionSignals collapses short docs to the whole-text gram") {

@@ -149,6 +149,36 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     assert(native == exploded)
   }
 
+  test("graft_simhash_md5 == independent md5/conv column reconstruction") {
+    // the same hex-char arithmetic the DuckDB oracle runs, but through
+    // Spark's OWN md5/conv/shift functions — an evaluation path that
+    // shares nothing with VectorOps.simhashMd5 beyond the MD5 standard
+    val texts = (Gen.listOfN(25, Gen.listOfN(12,
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const(""),
+        Gen.const("日本語")))).sample.get
+      :+ List("solo")).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = texts.toDF("id", "text")
+    val native = Dedup.simhashSignatures(df, "id", col("text"),
+        hashFamily = "md5")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val exploded = df.select(col("id"),
+      explode(TextAnalysis.tokenize(col("text"))).as("t"))
+      .select(col("id"), md5(col("t").cast("binary")).as("hx"))
+    val votes = (0 until 64).map { j =>
+      val nib = conv(substring(col("hx"), j / 4 + 1, 1), 16, 10).cast("int")
+      sum(shiftright(nib, j % 4).bitwiseAND(1) * 2 - 1).as(s"v$j")
+    }
+    val sig = (0 until 64).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val ref = exploded.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == ref)
+  }
+
   test("native expressions stay inside whole-stage codegen") {
     val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
     Seq((1L, Seq(1.0f, 2.0f), "a b c")).toDF("id", "v", "text")
