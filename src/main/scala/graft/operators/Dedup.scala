@@ -345,8 +345,10 @@ object Dedup {
     * drop set. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numPlanes: Int = 4,
-                        tables: Int = 6, dims: Int = 64): DataFrame =
-    Similarity.lshBucketPairs(df, idCol, vecCol, numPlanes, tables, dims)
+                        tables: Int = 6, dims: Int = 64,
+                        probes: Int = 0): DataFrame =
+    Similarity.lshBucketPairs(df, idCol, vecCol, numPlanes, tables, dims,
+        probes)
       .filter(col("cos") >= threshold)
       .filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
@@ -376,13 +378,23 @@ object Dedup {
     *  - incoming pairs are checkpointed once so the candidate pipeline
     *    does not re-execute per union branch, and labels are
     *    checkpointed per round so plans stay flat at scale.
-    * The label-seeding aggregate is itself the first hop. Convergence
-    * needs O(component diameter) rounds — near-dup graphs are dense
-    * and shallow. Deterministic (min only); bounded by maxIter.
-    * Measured alternatives (fused two-hop rounds, pointer jumping)
-    * paid more per round than the rounds they saved. */
+    * The label-seeding aggregate is itself the first hop. Plain
+    * propagation needs O(component diameter) rounds — near-dup graphs
+    * are dense and shallow, so the first `jumpAfter` rounds stay
+    * hop-only (measured: fused two-hop rounds and unconditional
+    * pointer jumping paid more per round than the rounds they saved on
+    * real corpora). ADAPTIVE POINTER JUMPING guards the adversarial
+    * tail: if the graph has not converged after `jumpAfter` hops — a
+    * deep component, e.g. a chain of pairwise near-dups — every later
+    * round shortcuts labels through the label forest
+    * (cluster := cluster(cluster), one extra label-frame shuffle), so
+    * total rounds are O(jumpAfter + log diameter) instead of
+    * O(diameter); a 10k-node path graph converges in ~20 rounds
+    * (DedupSpec pins it) where hop-only propagation would need 10k and
+    * die at maxIter. Deterministic (min only); bounded by maxIter. */
   def nearDupClusters(pairs: DataFrame, idA: String = "id_a",
-                      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+                      idB: String = "id_b", maxIter: Int = 50,
+                      jumpAfter: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // pairs are distinct with idA < idB (candidate-generation contract),
     // so the mirrored union is duplicate-free without a distinct shuffle
@@ -407,6 +419,16 @@ object Dedup {
         .union(cur.select(col("id").as("src"), col("cluster").as("__c")))
         .groupBy(col("src").as("id"))
         .agg(min("__c").as("cluster"))
+    // pointer jump: cluster := cluster(cluster). Labels are node ids
+    // and cluster(id) <= id (the seed sets it, hop/jump preserve it),
+    // so the looked-up label only ever lowers; a label pointing at a
+    // component min (no further row improves it) coalesces to itself.
+    def jump(cur: DataFrame): DataFrame = {
+      val lbl = cur.select(col("id").as("__jid"), col("cluster").as("__jc"))
+      cur.join(lbl, cur("cluster") === lbl("__jid"), "left")
+        .select(cur("id"),
+          coalesce(col("__jc"), cur("cluster")).as("cluster"))
+    }
     // seed = min over self+neighbors of the identity labeling — hop 1
     // folded into the node-derivation aggregate
     var labels = edges.groupBy("src").agg(min("dst").as("__m"))
@@ -417,7 +439,9 @@ object Dedup {
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = hop(labels).localCheckpoint()
+      val hopped = hop(labels)
+      val next = (if (iter >= jumpAfter) jump(hopped) else hopped)
+        .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

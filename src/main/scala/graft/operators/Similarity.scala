@@ -409,10 +409,23 @@ object Similarity {
     * `numPlanes` sign bits each; a pair is a candidate if ANY table
     * agrees (recall 1-(1-p^numPlanes)^tables for per-plane agreement
     * p = 1 - angle/pi). One posexplode + one shuffle on
-    * (table, signature); cosine computed once per distinct pair. */
+    * (table, signature); cosine computed once per distinct pair.
+    *
+    * `probes = 1` enables MULTI-PROBE: one side of the self-join also
+    * emits every single-bit flip of each table signature, so a pair is
+    * a candidate when a table's signatures agree within Hamming
+    * distance 1 — per-table hit probability rises from p^k to
+    * p^k + k*p^(k-1)*(1-p), which for threshold-adjacent corpora (the
+    * q_dedup_embedding pathology: marginal pairs with per-plane
+    * agreement ~0.5-0.7) buys the recall of ~3-4 extra tables for a
+    * (k+1)-row probe-side fan-out of ONE table — fewer tables means
+    * fewer band rows shuffled and fewer background collisions at the
+    * same recall floor. The flip set is generated at the scan (no
+    * extra shuffle); the probe side alone fans out, the build side
+    * stays one row per (id, table). */
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
                      numPlanes: Int = 4, tables: Int = 6,
-                     dims: Int = 64): DataFrame = {
+                     dims: Int = 64, probes: Int = 0): DataFrame = {
     // the native signature expression widens float elements inline —
     // no materialized double-cast copy of the vector is needed
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -427,9 +440,16 @@ object Similarity {
     // the per-pair cost is one dot product plus a scalar divide.
     val vecs = sigs.select(col("id"), col("v"))
       .withColumn("n", norm(col("v")))
+    // multi-probe: the a-side emits sig plus its single-bit flips;
+    // every ordered pair (a < b) is still checked once per table
+    val probeSide =
+      if (probes <= 0) banded
+      else banded.select(col("id"), col("table"),
+        explode(array((col("sig") +: (0 until numPlanes).map(p =>
+          col("sig").bitwiseXOR(lit(1L << p)))): _*)).as("sig"))
     // shuffle-hash self-join: identical exchanges -> signature pipeline
     // computed once (ReusedExchange); right plan shape at corpus scale
-    banded.as("a").hint("shuffle_hash")
+    probeSide.as("a").hint("shuffle_hash")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.table") === col("b.table") && col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
@@ -452,11 +472,11 @@ object Similarity {
 
   def lshBucketTopK(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, numPlanes: Int = 4, tables: Int = 6,
-                    dims: Int = 64): DataFrame = {
+                    dims: Int = 64, probes: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
-    lshBucketPairs(df, idCol, vecCol, numPlanes, tables, dims)
+    lshBucketPairs(df, idCol, vecCol, numPlanes, tables, dims, probes)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

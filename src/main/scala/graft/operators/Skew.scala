@@ -33,12 +33,41 @@ object Skew {
   /** Skewed-key report: top-k join keys by row count with their share —
     * the diagnostic that decides between broadcast, salting, and AQE.
     * One scan: the total is a window sum over the (already aggregated,
-    * key-cardinality-sized) counts, not a second pass over the input. */
-  def keySkewReport(df: DataFrame, key: String, topK: Int = 20): DataFrame = {
+    * key-cardinality-sized) counts, not a second pass over the input.
+    *
+    * `partitions` > 0 adds `recommended_salt` per key: a key holding
+    * share s of the rows lands s*P partitions' worth of data on ONE
+    * reducer of a P-way shuffle, so ceil(s*P) salt buckets bring its
+    * largest reducer back to ~the average partition load (clamped to
+    * [1, P] — more than P buckets cannot spread further). Keys at or
+    * under the average (s <= 1/P) recommend 1 = no salting. */
+  def keySkewReport(df: DataFrame, key: String, topK: Int = 20,
+                    partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.groupBy(key).agg(count(lit(1)).as("rows"))
+    val base = df.groupBy(key).agg(count(lit(1)).as("rows"))
       .withColumn("share",
         col("rows") / sum("rows").over(Window.partitionBy()))
       .orderBy(desc("rows")).limit(topK)
+    if (partitions <= 0) base
+    else base.withColumn("recommended_salt",
+      least(greatest(ceil(col("share") * partitions), lit(1L)),
+        lit(partitions.toLong)).cast("int"))
+  }
+
+  /** [[saltedJoin]] with the salt factor DERIVED from the measured
+    * skew: one key-cardinality-sized aggregation over the big side
+    * (the [[keySkewReport]] math) picks n = ceil(max_share * P) for
+    * the session's shuffle partition count P, and n == 1 (no dominant
+    * key) falls back to the plain join — so callers wire the report
+    * into the mitigation instead of hand-guessing a factor. The report
+    * aggregation is map-side combined and tiny next to the join it
+    * tunes; at 100 TB run it on a sample or reuse a cached report. */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
+                     spreadCol: String): DataFrame = {
+    val p = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val top = keySkewReport(big, key, topK = 1, partitions = p)
+      .select("recommended_salt").collect()
+    val n = if (top.isEmpty) 1 else top(0).getInt(0)
+    if (n <= 1) big.join(small, Seq(key)) else saltedJoin(big, small, key, spreadCol, n)
   }
 }

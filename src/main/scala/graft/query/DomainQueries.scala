@@ -245,17 +245,18 @@ object DomainQueries {
 
   /** T2 (25-day streaming dedup) under the hash gate: replay the last
     * 5 days of events through the REAL watermarked dropDuplicates
-    * stream, one micro-batch per day
-    * ([[graft.streaming.StreamingIngest.replayDailyDedup]]). The span
-    * sits inside the watermark, so no state expires and the emitted
-    * set must equal first-observation-per-user — which the DuckDB
-    * oracle computes closed-form. Only (key, emission day) are
-    * deterministic (within-batch row order is not), so the output
-    * projects to those. Bounded verification corpus (user_id < 1000,
-    * 5-day tail): the replay collects through the driver by design —
+    * stream, staged as one FILE per day and run one checkpointed
+    * AvailableNow pass per day — a restart per day, resuming dedup
+    * state from the checkpoint, exactly the production daily-job shape
+    * ([[graft.streaming.StreamingIngest.replayDailyDedupFiles]]; no
+    * observation rows move through the driver). The span sits inside
+    * the watermark, so no state expires and the emitted set must equal
+    * first-observation-per-user — which the DuckDB oracle computes
+    * closed-form. Only (key, emission day) are deterministic
+    * (within-batch row order is not), so the output projects to
+    * those. Bounded verification corpus (user_id < 1000, 5-day tail):
     * the bound, not the SF, sizes it. */
   def streamReplayDedup(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val d = Tables.load(s, dir, "events")
       .filter(col("user_id") < 1000)
       .select(col("user_id").cast("string").as("domain"),
@@ -264,9 +265,10 @@ object DomainQueries {
     val cutoff = d.agg(date_sub(max("day"), 4)).collect()(0).getDate(0)
     val obs = d.filter(col("day") >= lit(cutoff))
       .select("domain", "obs_ts")
-      .as[graft.streaming.StreamingIngest.DomainObs]
-      .collect().toSeq
-    graft.streaming.StreamingIngest.replayDailyDedup(s, obs)
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_replay_$tag").toString
+    graft.streaming.StreamingIngest.replayDailyDedupFiles(s, obs, base)
       .select(col("domain").cast("long").as("user_id"),
         date_format(col("obs_ts"), "yyyy-MM-dd").as("first_day"))
       .orderBy("user_id")

@@ -919,7 +919,16 @@ object TextQueries {
     * sides only (no self-join), then exact bigram-Jaccard
     * verification at 0.9, the corpus-gap threshold where 16-band r=1
     * recall is certain. Non-empty at every SF (planted dup pairs
-    * straddle the parity split). */
+    * straddle the parity split).
+    *
+    * Candidate-vs-exact-oracle equivalence margin, MEASURED (tools/
+    * Probe bandmargin; the est_jaccard >= 0.45 prune needs >= 8 of 16
+    * agreeing bands): the true pairs (bigram J >= 0.9) agree on
+    * min 15 / 15 / 16 of 16 bands at sf0.001 / 0.01 / 0.1 — nearly
+    * double the floor, and deterministic facts of the seeded hash
+    * family at each shipped SF, not tail probabilities. The same
+    * margin covers [[screenIngestReplay]] (same family, same
+    * threshold, same corpus halves). */
   def contaminateNearDup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).filter(col("doc_id") < 1000)
     Dedup.crossMinhashNearDups(
@@ -1079,6 +1088,7 @@ object TextQueries {
     "q_dedup_clusters" -> (dedupClusters _, dedupClustersSql),
     "q_dedup_minhash" -> (dedupMinhash _, dedupMinhashSql),
     "q_dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
+    "q_dedup_embedding_probe" -> (dedupEmbeddingProbe _, dedupEmbeddingProbeSql),
     "q_lang_fingerprint" -> (langFingerprint _, langFingerprintSql),
     "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
     "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
@@ -1151,6 +1161,32 @@ object TextQueries {
     * Row universe: 200 queries x ranks 1..5 exactly (candidates per
     * query ≈ corpus * nprobe/nlist >> 5 at every SF), which the
     * oracle enumerates closed-form with both booleans true. */
+  /** The multi-probe LSH path under the SAME closed-form oracle as
+    * [[dedupEmbedding]]: Hamming<=1 probing lets 12 tables match the
+    * exact threshold join that exact-bucket LSH needs 32 tables for.
+    * Measured (tools/Probe multiprobe): equality holds at all three
+    * SFs (7 / 14 / 144 pairs, zero missed), and the analytic floor is
+    * wide — a marginal pair at cos 0.455 agrees with a probed 3-plane
+    * table w.p. ~0.73 vs ~0.28 unprobed, so 12 probed tables put the
+    * expected miss near 2e-7 where 12 unprobed tables missed ~2% of
+    * marginal pairs (the r3 measurement that forced 32). */
+  def dedupEmbeddingProbe(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(embs(s, dir).filter(col("vec_id") < 1000),
+        "vec_id", "embedding",
+        threshold = 0.45, numPlanes = 3, tables = 12, probes = 1)
+      .orderBy("id_a", "id_b")
+
+  val dedupEmbeddingProbeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 1000),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      |    AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
   def simIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sub = embs(s, dir).filter(col("vec_id") < 200)

@@ -136,6 +136,66 @@ object StreamingIngest {
     }
     spark.table(name)
   }
+  /** T2 under a PRODUCTION-SHAPED harness: observations are staged as
+    * one parquet file per day and fed through the real watermarked
+    * dedup stream via a checkpointed FILE source, one AvailableNow run
+    * per day — each run RESTARTS the query and resumes dedup state
+    * from the checkpoint exactly like a daily ingest job would, and
+    * first-seen emissions append idempotently per batch id (the
+    * [[ingestAvailableNow]] overwrite-by-batch-dir protocol). Unlike
+    * [[replayDailyDedup]] no data moves through the driver; the same
+    * closed-form first-observation oracle applies, and cross-restart
+    * state resume (day N's state suppressing day N+1 re-observations)
+    * is part of what is certified. `baseDir` is wiped first. */
+  def replayDailyDedupFiles(spark: SparkSession, obs: DataFrame,
+                            baseDir: String,
+                            watermark: String = "25 days"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val basePath = new org.apache.hadoop.fs.Path(baseDir)
+    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    val in = s"$baseDir/in"; val ckpt = s"$baseDir/ckpt"
+    val out = s"$baseDir/out"
+    Files.createDirectories(Paths.get(in))
+    // same bounded-replay session overrides as replayDailyDedup, same
+    // always-restore protocol
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey)
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(noDataKey, "false")
+    spark.conf.set(partsKey, "4")
+    try {
+      val days = obs.select(to_date(col("obs_ts")).as("day"))
+        .distinct().orderBy("day").collect().map(_.getDate(0))
+      days.zipWithIndex.foreach { case (day, i) =>
+        val tmp = s"$baseDir/stage_$i"
+        obs.filter(to_date(col("obs_ts")) === lit(day))
+          .select("domain", "obs_ts")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.move(part.toPath, Paths.get(f"$in/day$i%03d.parquet"))
+        dedupWindow(
+            spark.readStream.schema("domain STRING, obs_ts TIMESTAMP")
+              .parquet(in), watermark)
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+            ()
+          }
+          .start()
+          .awaitTermination()
+      }
+    } finally {
+      spark.conf.set(noDataKey, prevNoData)
+      spark.conf.set(partsKey, prevParts)
+    }
+    spark.read.parquet(out).select("domain", "obs_ts")
+  }
+
   /** Streaming decontamination gate: each micro-batch of incoming
     * documents (doc_id, text, ...) is screened against a STATIC
     * reference corpus' prebuilt banded-MinHash index

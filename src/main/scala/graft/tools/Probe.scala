@@ -102,6 +102,72 @@ object Probe {
           sub, "vec_id", "embedding", k = 5, nlist = 8, nprobe = nprobe))
       spark.stop(); return
     }
+    if (only.contains("scaledemo")) {
+      // production-threshold embedding dedup (cos >= 0.9, planes sized
+      // so buckets stay sparse): wall must scale ~linearly corpus 1x->10x
+      val t0 = System.nanoTime()
+      val n = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 12, tables = 8, probes = 1).count()
+      println(f"[probe] $dir scaledemo(0.9,12,8,p1) pairs=$n " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(nvec=${embs.count()})")
+      spark.stop(); return
+    }
+    if (only.contains("multiprobe")) {
+      // can multi-probe (Hamming<=1 buckets) reach the q_dedup_embedding
+      // exact-equality with fewer tables, and at what wall cost?
+      def run(name: String, planes: Int, tables: Int, probes: Int,
+              exact: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+            threshold = 0.45, numPlanes = planes, tables = tables,
+            probes = probes)
+          .select("id_a", "id_b").localCheckpoint()
+        val n = got.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val miss = exact.exceptAll(got).count()
+        println(f"[probe] $dir $name pairs=$n missed_vs_exact=$miss in $sec%.2f s")
+      }
+      val exact = Dedup.embeddingNearDups(embs, "vec_id", "embedding",
+          threshold = 0.45, numPlanes = 3, tables = 32)
+        .select("id_a", "id_b").localCheckpoint()
+      println(s"[probe] $dir exact(3,32,p0) pairs=${exact.count()}")
+      for ((p, t, pr) <- Seq((3, 32, 0), (3, 8, 1), (3, 12, 1),
+          (3, 16, 1), (4, 10, 1)))
+        run(s"lsh($p,$t,p$pr)", p, t, pr, exact)
+      spark.stop(); return
+    }
+    if (only.contains("bandmargin")) {
+      // q_contaminate_neardup / q_screen_ingest gate an LSH-candidate
+      // result against an exact brute-force oracle; the equivalence
+      // holds iff every true pair (bigram J >= 0.9) agrees on >= 8 of
+      // 16 r=1 bands (the est_jaccard >= 0.45 prune). Measure the
+      // actual agreement floor of the planted pairs.
+      val d = docs.filter(col("doc_id") < 1000)
+      val sigs = Dedup.minhashSignatures(d, "doc_id", col("text"),
+        numHashes = 16, shingleK = 2)
+      val sh = d.select(col("doc_id").as("id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+      val truePairs = sh.as("a").join(sh.as("b"),
+          col("a.id") % 2 === 0 && col("b.id") % 2 === 1)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .filter(col("j") >= 0.9)
+      val agree = truePairs
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("j"),
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+            .as("agreeing_bands"))
+      val st = agree.agg(count(lit(1)), min("agreeing_bands"),
+        min("j")).collect()(0)
+      val hist = agree.groupBy("agreeing_bands").count()
+        .orderBy("agreeing_bands").collect()
+        .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+      println(s"[probe] $dir bandmargin true_pairs=${st.getLong(0)} " +
+        s"min_agreeing_bands=${st.getInt(1)} (floor 8) min_j=${st.getDouble(2)} hist=$hist")
+      spark.stop(); return
+    }
     if (only.contains("ivfrank")) {
       // margin for the per-row boolean gate: what exact-rank do IVF's
       // emitted neighbors reach, worst case, at this SF?

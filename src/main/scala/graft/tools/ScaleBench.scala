@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** ~sf1 scale sweep: materializes a synthetic 10x replica of the sf0.1
+  * tables and times the headline FULL-SCAN queries at both scales —
+  * the sweep that catches AQE plan flips and broadcast-threshold
+  * cliffs the sf0.1 numbers cannot see.
+  *
+  * {{{ sbt "runMain graft.tools.ScaleBench [sfDir] [K] [outDir]" }}}
+  *
+  * Replication preserves per-replica semantics so workloads scale
+  * LINEARLY by construction (any superlinear wall-clock growth is an
+  * operator/plan problem, not a data artifact):
+  *  - fact keys are offset per replica (joins stay 1:1 with their
+  *    replicated dimension rows; no cross-replica fan-out);
+  *  - document tokens carry a replica prefix (the DedupBench recipe:
+  *    replica vocabularies are disjoint, cross-replica Jaccard = 0);
+  *  - embeddings get a deterministic per-replica SIGN PATTERN per
+  *    dimension (cosine is scale-invariant, so scaling would be a
+  *    no-op; sign flips keep within-replica geometry exactly and make
+  *    cross-replica cosines near-orthogonal);
+  *  - dimension tables (region/nation/supplier/part) stay as-is —
+  *    at 100 TB the dims stay broadcast-sized while facts grow.
+  *
+  * Headline queries are the ones that scan a full fact table;
+  * bounded-corpus verification queries (vec_id < 200 etc.) would not
+  * scale with the input and are excluded. Only a measurement harness:
+  * correctness is gated by the driver's sf0.01 oracle run.
+  */
+object ScaleBench {
+
+  /** Full-table-scan queries worth scaling (name -> SparkEntry key). */
+  val headline: Seq[String] = Seq(
+    "q_agg_pricing", "q_topk_customers", "q_join_orders_customer",
+    "q_join_outer", "q_window_pplimit", "q_window_lag",
+    "q_asof_latest_order", "q_sessionize", "q_events_hourly",
+    "q_session_window", "q_retention", "q_funnel",
+    "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
+    "q_normalize", "q_heavy_hitters", "q_dedup_exact")
+
+  def buildScaled(spark: SparkSession, sfDir: String, k: Int,
+                  outDir: String): Unit = {
+    def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    def write(df: DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
+
+    // dims: unchanged (broadcast-sized at every scale)
+    Seq("region", "nation", "supplier", "part")
+      .foreach(t => write(read(t), t, 1))
+
+    def replicated(t: String)(f: (DataFrame, Int) => DataFrame)
+        : DataFrame =
+      (0 until k).map(i => f(read(t), i)).reduce(_ unionAll _)
+
+    write(replicated("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + i * 100000000L)
+    }, "customer", 8)
+    write(replicated("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + i * 1000000000L)
+        .withColumn("o_custkey", col("o_custkey") + i * 100000000L)
+    }, "orders", 16)
+    write(replicated("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + i * 1000000000L)
+    }, "lineitem", 32)
+    write(replicated("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + i * 1000000000L)
+        .withColumn("user_id", col("user_id") + i * 100000000L)
+    }, "events", 32)
+    write(replicated("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + i * 10000000L)
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " ", -1),
+            t => concat(lit(s"r${i}_"), t))))
+    }, "documents", 32)
+    write(replicated("embeddings") { (df, i) =>
+      val signs = typedlit((1 to 64).map(d =>
+        if (graft.plans.VectorOps.planeComponent(7000 + i, d) > 0) 1.0f
+        else -1.0f))
+      df.withColumn("vec_id", col("vec_id") + i * 10000000L)
+        .withColumn("embedding",
+          zip_with(col("embedding"), signs, (x, s) => x * s))
+    }, "embeddings", 32)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val outDir = args.drop(2).headOption.getOrElse("/tmp/graft_sf1")
+    val spark = GraftSession.getOrCreate("graft-scale-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    buildScaled(spark, sfDir, k, outDir)
+    println(f"[scale-bench] built ${k}x tables under $outDir in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // warmup both scan paths
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    spark.read.parquet(s"$outDir/lineitem.parquet").count()
+
+    val qs = graft.SparkEntry.queries
+    val rows = headline.map { name =>
+      val fn = qs(name)
+      def time(dir: String): Double = {
+        val s = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - s) / 1e9
+      }
+      val base = time(sfDir)
+      val scaled = time(outDir)
+      val ratio = scaled / base
+      println(f"[scale-bench] $name%-24s sf0.1=$base%7.2fs " +
+        f"${k}x=$scaled%7.2fs ratio=$ratio%5.1f")
+      (name, base, scaled, ratio)
+    }
+    // Embedding near-dup is excluded from `headline` deliberately — two
+    // measured reasons (PERF.md round 6 for the full numbers):
+    //  1. its oracle config (3 planes = 8 buckets/table, right for the
+    //     bounded 2k-vector gate corpus) has bucket size n/8, so pairs
+    //     grow quadratically at fixed params: 364x wall at 10x data —
+    //     planes must scale ~log2(n);
+    //  2. at threshold 0.45 in 64 dims the TRUE pair set itself grows
+    //     superlinearly (0.45 is ~3.6 sigma of generic cross-correlations,
+    //     so a 10x corpus densifies: 18.6k verified pairs vs 1.4k
+    //     linear) — a property of near-orthogonal thresholds, not of the
+    //     plan. Here we measure the PRODUCTION regime instead: a real
+    //     near-dup threshold (0.9) with corpus-sparse buckets (12
+    //     planes, Hamming<=1 probing) must scale ~linearly.
+    def dedupEmb(dir: String): (Long, Double) = {
+      val s = System.nanoTime()
+      val n = graft.operators.Dedup.embeddingNearDups(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.9,
+        numPlanes = 12, tables = 8, probes = 1).count()
+      (n, (System.nanoTime() - s) / 1e9)
+    }
+    val (nb, tb) = dedupEmb(sfDir)
+    val (ns, tsc) = dedupEmb(outDir)
+    println(f"[scale-bench] dedup_embedding prod-cfg(0.9,12,8,p1): " +
+      f"sf0.1 pairs=$nb in $tb%.1f s | ${k}x pairs=$ns in $tsc%.1f s " +
+      f"ratio=${tsc / tb}%.1f")
+    val worst = rows.maxBy(_._4)
+    println(f"[scale-bench] SUMMARY k=$k queries=${rows.size} " +
+      f"median_ratio=${rows.map(_._4).sorted.apply(rows.size / 2)}%.1f " +
+      f"worst=${worst._1}:${worst._4}%.1f")
+    val json = (rows.map { case (n, b, s, r) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+    } :+ f""""dedup_embedding_prodcfg":{"base":$tb%.3f,"scaled":$tsc%.3f,"ratio":${tsc / tb}%.2f,"base_pairs":$nb,"scaled_pairs":$ns}""")
+      .mkString(s"""{"metric":"scale_curve","k":$k,"queries":{""", ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_bench.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.stop()
+  }
+}

@@ -121,6 +121,20 @@ class DedupSpec extends SparkTestBase {
     assert(drops == Set(2L, 3L, 4L, 5L, 6L, 11L, 21L, 22L))
   }
 
+  test("clustering worst case: 10k-node path graph converges via pointer jumping") {
+    // maximum-diameter component: hop-only propagation needs ~10k
+    // rounds (would die at maxIter); adaptive jumping must close it in
+    // O(jumpAfter + log n) — the 25-round budget pins that behavior
+    val n = 10000
+    val path = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(path, maxIter = 25)
+      .agg(count(lit(1)), sum("cluster"), max("cluster")).collect()(0)
+    assert(labels.getLong(0) == n)       // every node labeled
+    assert(labels.getLong(1) == 0L)      // all labels = component min 0
+    assert(labels.getLong(2) == 0L)
+  }
+
   test("minhash index round-trips through parquet: loaded screen == fresh") {
     val incoming = Seq(
       (200L, docs.collect().find(_.getLong(0) == 0L).get.getString(1)),

@@ -126,6 +126,33 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("multi-probe candidates are a superset of exact-bucket candidates") {
+    def pairs(probes: Int) =
+      Similarity.lshBucketPairs(vecs, "vec_id", "embedding",
+          numPlanes = 6, tables = 2, dims = 16, probes = probes)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    val probed = pairs(1)
+    assert(exact.subsetOf(probed),
+      s"multi-probe lost ${exact.diff(probed).size} exact candidates")
+    // Hamming<=1 buckets genuinely widen the net on this fixture
+    assert(probed.size > exact.size)
+  }
+
+  test("multi-probe with fewer tables reaches exact-bucket recall") {
+    val brute = Similarity.bruteForcePairs(vecs, "vec_id", "embedding")
+      .filter(col("cos") > 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 probed tables vs the 6 exact tables of the recall test above
+    val lsh = Similarity.lshBucketTopK(vecs, "vec_id", "embedding",
+        k = 9, numPlanes = 4, tables = 2, dims = 16, probes = 1)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    val recall = brute.count(lsh.contains).toDouble / math.max(brute.size, 1)
+    assert(recall > 0.5, s"multi-probe recall $recall too low")
+  }
+
   test("IVF index round-trips through parquet: loaded search == fresh") {
     val base = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
     val fresh = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",

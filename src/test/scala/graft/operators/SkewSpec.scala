@@ -42,4 +42,74 @@ class SkewSpec extends SparkTestBase {
     assert(top.getString(0) == "hot")
     assert(math.abs(top.getAs[Double]("share") - 0.9) < 1e-9)
   }
+
+  test("report recommends salt = ceil(share * partitions), clamped") {
+    val fact = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i"))
+      .toDF("key")
+    val rec = Skew.keySkewReport(fact, "key", topK = 5, partitions = 8)
+      .collect().map(r => r.getString(0) -> r.getInt(3)).toMap
+    assert(rec("hot") == 8)            // 0.9 * 8 = 7.2 -> 8, at the clamp
+    assert(rec.filterKeys(_ != "hot").values.forall(_ == 1)) // 0.1% keys
+    val mild = ((1 to 300).map(_ => "warm") ++ (1 to 700).map(i => s"k$i"))
+      .toDF("key")
+    val warmRec = Skew.keySkewReport(mild, "key", 1, partitions = 8)
+      .collect()(0)
+    assert(warmRec.getString(0) == "warm" && warmRec.getInt(3) == 3) // 0.3*8=2.4->3
+  }
+
+  test("autoSaltedJoin derives its factor from the report and matches plain join") {
+    val fact = (1 to 1000).map(i =>
+      (if (i <= 900) "hot" else s"k${i % 7}", s"payload$i"))
+      .toDF("key", "payload")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"), ("k3", "C"))
+      .toDF("key", "attr")
+    val plain = fact.join(dim, "key").select("key", "payload", "attr")
+      .collect().map(_.toSeq).toSet
+    val auto = Skew.autoSaltedJoin(fact, dim, "key", "payload")
+      .select("key", "payload", "attr").collect().map(_.toSeq).toSet
+    assert(auto == plain)
+    // uniform keys -> recommendation 1 -> plain join path, same result
+    val flat = (1 to 800).map(i => (s"k${i % 8}", s"p$i")).toDF("key", "payload")
+    val flatDim = (0 until 8).map(i => (s"k$i", s"a$i")).toDF("key", "attr")
+    assert(Skew.autoSaltedJoin(flat, flatDim, "key", "payload").count() == 800)
+  }
+
+  test("AQE skew join splits the hot partition (plan-asserted)") {
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one key dominates with fat payloads -> its shuffle partition
+      // blows past the 32KB threshold and AQE must split it
+      val fact = (1 to 20000).map(i =>
+        (if (i % 10 != 0) "hot" else s"k${i % 97}", "x" * 60 + i))
+        .toDF("key", "payload")
+      val dim = (("hot" +: (0 until 97).map(i => s"k$i")).map(k => (k, s"attr_$k")))
+        .toDF("key", "attr")
+      val joined = fact.join(dim, "key")
+      // execute THIS queryExecution (count() would build a new one and
+      // leave this plan un-finalized)
+      assert(joined.collect().length == 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("skew"),
+        s"expected a skew-split shuffle read in:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -145,6 +145,25 @@ class StreamingSpec extends SparkTestBase {
       ("c.com", ts(3, 5))))
   }
 
+  test("T2 file-fed replay: per-day files + restarts emit first observation only") {
+    import spark.implicits._
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-06-$d%02d $h%02d:00:00")
+    val obs = Seq(
+      ("a.com", ts(1, 3)), ("b.com", ts(1, 9)),
+      ("a.com", ts(2, 1)),                     // repeat across a RESTART
+      ("c.com", ts(3, 5)), ("b.com", ts(3, 6)),
+      ("c.com", ts(3, 7)))                     // same-day repeat
+      .toDF("domain", "obs_ts")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-replay-files").toString
+    val out = StreamingIngest.replayDailyDedupFiles(spark, obs, base)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1))).sorted.toSeq
+    // day-2 a.com is suppressed only if the day-1 dedup state survived
+    // the checkpointed restart between the daily runs
+    assert(out == Seq(("a.com", ts(1, 3)), ("b.com", ts(1, 9)),
+      ("c.com", ts(3, 5))))
+  }
+
   test("T4: mapGroupsWithState tracks first/last seen per domain") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamingIngest.DomainObs]
