@@ -7,8 +7,31 @@ import org.apache.spark.sql.SparkSession
   * `queries` map is budgeted: slowest queries first, rounded to ms,
   * truncated to keep the whole line inside the capture window. The
   * complete full-precision map is written to `bench_full.json`.
+  *
+  * Contention-proofing (round 7): a single-shot timing is poisoned by
+  * one noisy co-tenant window — round 6's driver bench recorded 14x
+  * the quiet-box time on queries with zero source diff. Each query is
+  * now timed multiple times and the reported figure is the min
+  * (best-observed = least-contended); queries under 5 s get a third
+  * run since scheduler noise dominates short timings. The output also
+  * carries /proc/loadavg and JVM GC-time so a contaminated run is
+  * self-identifying: loadavg >> allotted cpus, or gc_sec a large
+  * fraction of wall, means the number is box noise, not the engine.
   */
 object Bench {
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def loadAvg: String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,22 +47,40 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    val loadBefore = loadAvg
+    val gcBefore = gcMillis
+    val wall0 = System.nanoTime()
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min-of-2, plus a third run for sub-5s queries where scheduler/JIT
+    // noise dominates; min = least-contended observation of a
+    // deterministic computation
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val a = timeOnce(fn)
+        val b = timeOnce(fn)
+        val best = if (math.min(a, b) < 5.0) math.min(math.min(a, b), timeOnce(fn))
+                   else math.min(a, b)
+        name -> best
     }
     val total = results.map(_._2).sum
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val gcSec = (gcMillis - gcBefore) / 1e3
+    val loadAfter = loadAvg
+    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"runs_per_query":"min-of-2 (3 if <5s)""""
     val fullJson = results.map { case (k, v) => s""""$k":$v""" }
-      .mkString(s"""{"metric":"total","value":$total,"unit":"sec","queries":{""",
+      .mkString(s"""{"metric":"total","value":$total,"unit":"sec",$health,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // inline map: slowest first, ms precision, hard char budget
     val parts = results.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }
-    val budget = 1600
+    // health fields (~200 chars) now share the ~2000-char capture window
+    val budget = 1400
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = 0
     var full = false
@@ -54,7 +95,7 @@ object Bench {
       if (omitted > 0)
         s""","omitted_fast_queries":$omitted,"full":"bench_full.json""""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$extra}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$health,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }
