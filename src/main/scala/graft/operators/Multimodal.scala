@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * The heavy codecs are NOT in this container, so the byte-level decode
-  * is a clearly-marked deterministic STUB ([[StubCodec]]) — everything
-  * Spark-side (schema, partitioning, the mapPartitions batch shape, the
-  * operator signatures) is real and tested, and swapping the stub for a
-  * JNI/FFmpeg decoder changes no plan shape.
+  * Image decode is REAL ([[ImageCodec]]: pure-JVM `javax.imageio`
+  * pixel decode for PNG/JPEG/GIF — the formats the byte-level header
+  * parser recognizes). Video frame extraction remains a clearly-marked
+  * deterministic STUB ([[StubCodec.sampleFrame]]) — there is no JVM
+  * video codec in the JDK — and everything Spark-side (schema,
+  * partitioning, the mapPartitions batch shape, operator signatures)
+  * is real and tested; swapping in an FFmpeg frame grabber changes no
+  * plan shape.
   *
   * Scale notes: media rows are large — the operators repartition by
   * size-aware bucketing upstream (caller policy), process
@@ -42,25 +45,11 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_index: Int, ts_ms: Int,
                          frame_bytes: Array[Byte])
 
-  /** STUB codec — deterministic fake standing in for libjpeg/ffmpeg.
-    * Replace `decodeFeatures`/`sampleFrame` with real decoders; the
-    * call sites and plans do not change. */
+  /** STUB codec — deterministic fake standing in for FFmpeg (video
+    * only; image decode is real, see [[ImageCodec]]). Replace
+    * `sampleFrame` with a real frame grabber; the call sites and plans
+    * do not change. */
   object StubCodec {
-    /** Fake 8-dim feature vector derived from a rolling byte hash. */
-    def decodeFeatures(bytes: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](8)
-      if (bytes != null) {
-        var h = 1125899906842597L
-        var i = 0
-        while (i < bytes.length) {
-          h = h * 31 + bytes(i)
-          acc(i % 8) += (h % 1000) / 1000.0f
-          i += 1
-        }
-      }
-      acc
-    }
-
     /** Fake frame extraction: slices of the payload at regular strides. */
     def sampleFrame(bytes: Array[Byte], idx: Int, of: Int): Array[Byte] =
       if (bytes == null || bytes.isEmpty) Array.emptyByteArray
@@ -72,13 +61,18 @@ object Multimodal {
 
   /** Decode + feature-extract, partition-at-a-time. The iterator-in /
     * iterator-out shape is what a vectorized (Arrow/pandas-style) UDF
-    * gets on a Python runtime — here it is a JVM mapPartitions. */
+    * gets on a Python runtime — here it is a JVM mapPartitions.
+    *
+    * REAL pixel decode: [[ImageCodec.decodeFeatures]] runs `javax.
+    * imageio` over the payload and emits the 64-dim 8x8 mean-luminance
+    * grid; payloads no JDK reader accepts (audio, video, corrupt
+    * bytes) get a null feature vector, never an exception. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
         MediaFeatures(r.media_id, r.kind,
-          StubCodec.decodeFeatures(r.bytes),
+          ImageCodec.decodeFeatures(r.bytes),
           if (r.bytes == null) 0L else r.bytes.length.toLong)
       }
     }
@@ -128,15 +122,17 @@ object Multimodal {
 
   /** Populate the `meta` struct FROM THE BYTES, replacing any
     * caller-supplied width/height/sample_rate with the parsed header
-    * values (duration is not derivable from headers alone without a
-    * codec — preserved from the input struct). */
+    * values (duration comes from the container when the format carries
+    * one — MP4 mvhd — and falls back to the input struct otherwise:
+    * PNG/JPEG/GIF/WAV headers alone don't determine it). */
   def withParsedMeta(df: DataFrame): DataFrame = {
     val m = mediaMeta(col("bytes"))
     df.withColumn("meta", struct(
       m.getField("width").as("width"),
       m.getField("height").as("height"),
       m.getField("sample_rate").as("sample_rate"),
-      col("meta.duration_ms").as("duration_ms")))
+      coalesce(m.getField("duration_ms"), col("meta.duration_ms"))
+        .as("duration_ms")))
   }
 
   // ---- deterministic honest-format fixtures ----
@@ -175,12 +171,47 @@ object Multimodal {
       be16hex(h), be16hex(w), lit("03"), lit("011100021101031101"),
       lit("FFD9")))
 
-  /** Minimal WAV: RIFF/WAVE + 16-byte PCM fmt chunk (16-bit). */
+  /** Minimal WAV: RIFF/WAVE + 16-byte PCM fmt chunk (16-bit). Header
+    * fields are spec-consistent for a fmt-only file: RIFF size 28
+    * (= 4 "WAVE" + 8 fmt header + 16 fmt payload), byte rate
+    * rate*2*channels, block align 2*channels. */
   def wavBytes(rate: org.apache.spark.sql.Column,
                channels: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
-    unhex(concat(lit("52494646"), le32hex(lit(36)), lit("57415645"),
+    unhex(concat(lit("52494646"), le32hex(lit(28)), lit("57415645"),
       lit("666D7420"), le32hex(lit(16)), le16hex(lit(1)),
-      le16hex(channels), le32hex(rate), le32hex(rate * lit(2)),
-      le16hex(lit(2)), le16hex(lit(16))))
+      le16hex(channels), le32hex(rate),
+      le32hex(rate * lit(2) * channels),
+      le16hex(lit(2) * channels), le16hex(lit(16))))
+
+  /** Minimal honest MP4 (ISO-BMFF): `ftyp` + `moov{ mvhd(v0), trak{
+    * tkhd(v0) } }` with box sizes exactly matching content, identity
+    * matrices, and width/height in tkhd's published 16.16 fixed-point
+    * layout. Duration is carried as (timescale, duration-in-units) so
+    * the parser's `duration*1000/timescale` millisecond conversion is
+    * exercised for real. */
+  def mp4Bytes(w: org.apache.spark.sql.Column,
+               h: org.apache.spark.sql.Column,
+               timescale: org.apache.spark.sql.Column,
+               duration: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val matrix = "00010000" + "00000000" * 3 + "00010000" +
+      "00000000" * 3 + "40000000" // identity, 16.16 / 2.30 fixed point
+    val mvhd = concat(lit("0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000"),               // v0, ctime, mtime
+      be32hex(timescale), be32hex(duration),
+      lit("00010000" + "0100" + "00" * 10 + matrix + "00" * 24 +
+        "00000002"))                            // rate, volume, next track
+    val tkhd = concat(lit("0000005C" + "746B6864" + "00000007" +
+        "00000000" + "00000000" + "00000001" + "00000000"), // track 1
+      be32hex(duration),
+      lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + matrix),
+      be32hex(w * lit(65536)), be32hex(h * lit(65536)))     // 16.16
+    unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp
+      lit("000000D8" + "6D6F6F76"),                           // moov(216)
+      mvhd,
+      lit("00000064" + "7472616B"),                           // trak(100)
+      tkhd))
+  }
 }

@@ -22,6 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - WAV: "RIFF" + "WAVE", then a chunk scan (id(4) + size LE u32,
   *    word-aligned) for "fmt ": channels at +10 (LE u16), sample rate
   *    at +12 (LE u32), bits per sample at +22 (LE u16).
+  *  - MP4 (ISO-BMFF): size(4 BE)+type(4) box walk — `ftyp` first, then
+  *    top-level boxes to `moov`; inside it `mvhd` carries timescale +
+  *    duration (v0: u32s at +20/+24 from box start; v1: u32 at +28,
+  *    u64 at +32) and the first `trak`'s `tkhd` carries width/height
+  *    as 16.16 fixed-point u32s (v0: +84/+88; v1: +96/+100). Duration
+  *    is surfaced as milliseconds: duration*1000/timescale.
   *
   * Unrecognized, truncated, or malformed payloads parse to NULL — the
   * expression never throws on bad bytes (corrupt media is data, not an
@@ -40,11 +46,14 @@ object MediaOps {
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
 
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i) & 0xFFFFFFFFL) << 32) | (be32(b, i + 4) & 0xFFFFFFFFL)
+
   private def row(format: String, width: Any, height: Any,
-                  sampleRate: Any, channels: Any, bitDepth: Any)
-      : InternalRow =
+                  sampleRate: Any, channels: Any, bitDepth: Any,
+                  durationMs: Any = null): InternalRow =
     InternalRow(UTF8String.fromString(format), width, height, sampleRate,
-      channels, bitDepth)
+      channels, bitDepth, durationMs)
 
   private val pngSig =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -60,6 +69,8 @@ object MediaOps {
       else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
                b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
         parseWav(b)
+      else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        parseMp4(b)
       else null
     } catch { // any structural surprise (truncation mid-field) -> null
       case _: IndexOutOfBoundsException => null
@@ -87,22 +98,27 @@ object MediaOps {
     var pos = 2
     while (pos + 1 < b.length) {
       if ((b(pos) & 0xFF) != 0xFF) return null
-      val marker = b(pos + 1) & 0xFF
+      // the spec permits 0xFF fill/padding bytes before a marker —
+      // skip the run so a padding byte is not misread as marker 0xFF
+      var mk = pos + 1
+      while (mk < b.length && (b(mk) & 0xFF) == 0xFF) mk += 1
+      if (mk >= b.length) return null
+      val marker = b(mk) & 0xFF
       if (marker == 0xD8 || marker == 0x01 ||
-          (marker >= 0xD0 && marker <= 0xD7)) pos += 2 // standalone
-      else if (marker == 0xD9) return null             // EOI before SOF
+          (marker >= 0xD0 && marker <= 0xD7)) pos = mk + 1 // standalone
+      else if (marker == 0xD9) return null                 // EOI before SOF
       else {
-        if (pos + 3 >= b.length) return null
-        val len = be16(b, pos + 2)
+        if (mk + 2 >= b.length) return null
+        val len = be16(b, mk + 1)
         if (len < 2) return null
         val isSof = (marker >= 0xC0 && marker <= 0xCF) &&
           marker != 0xC4 && marker != 0xC8 && marker != 0xCC
         if (isSof) {
-          if (pos + 9 >= b.length) return null
-          return row("jpeg", be16(b, pos + 7), be16(b, pos + 5), null,
-            b(pos + 9) & 0xFF, b(pos + 4) & 0xFF)
+          if (mk + 8 >= b.length) return null
+          return row("jpeg", be16(b, mk + 6), be16(b, mk + 4), null,
+            b(mk + 8) & 0xFF, b(mk + 3) & 0xFF)
         }
-        pos += 2 + len
+        pos = mk + 1 + len
       }
     }
     null
@@ -126,6 +142,84 @@ object MediaOps {
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
     null
+  }
+
+  /** ISO-BMFF box walk. Returns the next box's (payload-relative)
+    * start and end, or null bounds via -1 when malformed. A box is
+    * size(4 BE) + type(4); size==0 means to-EOF, size==1 (64-bit
+    * largesize) is accepted when it fits an Int. */
+  private def boxEnd(b: Array[Byte], off: Int, limit: Int): Int = {
+    if (off + 8 > limit) return -1
+    val size = be32(b, off)
+    if (size == 0) limit
+    else if (size == 1) {
+      if (off + 16 > limit) return -1
+      val big = be64(b, off + 8)
+      if (big < 16 || big > (limit - off).toLong) -1 else off + big.toInt
+    }
+    else if (size < 8 || off + size > limit) -1
+    else off + size
+  }
+
+  private def boxIs(b: Array[Byte], off: Int, t: String): Boolean =
+    b(off + 4) == t.charAt(0) && b(off + 5) == t.charAt(1) &&
+      b(off + 6) == t.charAt(2) && b(off + 7) == t.charAt(3)
+
+  private def parseMp4(b: Array[Byte]): InternalRow = {
+    // top-level walk to moov
+    var off = 0
+    var moovStart = -1
+    var moovEnd = -1
+    while (off < b.length && moovStart < 0) {
+      val end = boxEnd(b, off, b.length)
+      if (end <= off) return null
+      if (boxIs(b, off, "moov")) { moovStart = off; moovEnd = end }
+      off = end
+    }
+    if (moovStart < 0) return null
+    var timescale = 0L
+    var duration = -1L
+    var width: Any = null
+    var height: Any = null
+    // moov children: mvhd (timescale/duration), first trak's tkhd (dims)
+    var c = moovStart + 8
+    while (c < moovEnd) {
+      val end = boxEnd(b, c, moovEnd)
+      if (end <= c) return null
+      if (boxIs(b, c, "mvhd") && end - c >= 12) {
+        val v = b(c + 8) & 0xFF
+        if (v == 0 && end - c >= 28) {
+          timescale = be32(b, c + 20) & 0xFFFFFFFFL
+          duration = be32(b, c + 24) & 0xFFFFFFFFL
+        } else if (v == 1 && end - c >= 40) {
+          timescale = be32(b, c + 28) & 0xFFFFFFFFL
+          duration = be64(b, c + 32)
+        }
+      } else if (boxIs(b, c, "trak") && width == null) {
+        var t = c + 8
+        while (t < end && width == null) {
+          val tend = boxEnd(b, t, end)
+          if (tend <= t) return null
+          if (boxIs(b, t, "tkhd") && tend - t >= 12) {
+            val v = b(t + 8) & 0xFF
+            val wOff = if (v == 1) t + 96 else t + 84
+            if (tend - t >= (wOff - t) + 8) {
+              val w = be32(b, wOff) >>> 16 // 16.16 fixed point
+              val h = be32(b, wOff + 4) >>> 16
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          }
+          t = tend
+        }
+      }
+      c = end
+    }
+    val durMs: Any =
+      if (timescale > 0 && duration >= 0) {
+        val ms = duration * 1000L / timescale
+        if (ms <= Int.MaxValue) ms.toInt else null
+      } else null
+    row("mp4", width, height, null, null, null, durMs)
   }
 }
 
@@ -171,7 +265,8 @@ object MediaMetaExpr {
     StructField("height", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("channels", IntegerType),
-    StructField("bit_depth", IntegerType)))
+    StructField("bit_depth", IntegerType),
+    StructField("duration_ms", IntegerType)))
 
   val info: ExpressionInfo =
     new ExpressionInfo(classOf[MediaMetaExpr].getName, "graft_media_meta")

@@ -1322,34 +1322,56 @@ object TextQueries {
       k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 64))
   }
 
-  /** Multimodal plumbing under the driver contract: documents' text
-    * bytes stand in for media payloads (no codecs in this container —
-    * the STUB codec is deterministic), exercising the typed record
-    * schema, the mapPartitions batch shape, frame sampling, and the
-    * feature projection end-to-end.
+  /** REAL pixel decode under the hash gate. Image rows carry genuine
+    * PNGs — encoded by the JDK's ImageIO writer in the executors, then
+    * decoded BACK pixel-by-pixel by [[graft.operators.ImageCodec]]
+    * (8x8 mean-luminance grid, lum = 299r+587g+114b) — with every
+    * pixel a closed-form function of the id: doc_id%3==1 rows are
+    * solid color1, %3==2 rows split color1 (top half) / color2
+    * (bottom). Dimensions are multiples of 8 so grid cells are uniform
+    * blocks and the cell means are exact integers the DuckDB oracle
+    * recomputes WITHOUT decoding (encoder ∘ decoder = identity on
+    * lossless PNG). Video rows (%3==0) keep text-byte payloads and
+    * certify frame-slice arithmetic as before; their feature vector is
+    * null (no JDK video codec — documented stub boundary).
     *
-    * Oracle-checked: byte counts and the frame-slice arithmetic are
-    * recomputed closed-form by DuckDB. The stub feature VECTOR has no
-    * SQL equivalent (rolling overflow hash) and is spec-locked instead
-    * (MultimodalSpec); the feature pipeline still runs here — its
-    * n_bytes output is part of the hashed result. */
+    * JPEG decode runs the same code path but is lossy (not closed-
+    * form): spec-locked with tolerance in MultimodalSpec instead. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{length => strlen}
-    val media = docs(s, dir).filter(col("doc_id") < 200).select(
-      col("doc_id").as("media_id"),
-      when(col("doc_id") % 3 === 0, "video").otherwise("image").as("kind"),
-      col("text").cast("binary").as("bytes"),
-      struct(
-        (col("doc_id") % 640 + 1).cast("int").as("width"),
-        (col("doc_id") % 480 + 1).cast("int").as("height"),
-        lit(null).cast("int").as("sample_rate"),
-        (strlen(col("text")) * 10).cast("int").as("duration_ms"))
-        .as("meta"))
-    val feats = graft.operators.Multimodal.extractFeatures(
-        graft.operators.Multimodal.asRecords(media)).toDF()
-      .select(col("media_id"), col("kind"), col("n_bytes"))
-    val frames = graft.operators.Multimodal.sampleFrames(
-        graft.operators.Multimodal.asRecords(media), frames = 4).toDF()
+    import s.implicits._
+    import graft.operators.{ImageCodec, Multimodal}
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    val media = docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 3 == 0)
+          MediaRecord(id, "video",
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            MediaMeta(None, None, None,
+              Some(Option(text).map(_.length).getOrElse(0) * 10)))
+        else {
+          val w = 8 * (id % 8 + 1).toInt
+          val h = 8 * (id % 6 + 1).toInt
+          def rgb(r: Long, g: Long, b: Long): Int =
+            (((r % 256) << 16) | ((g % 256) << 8) | (b % 256)).toInt
+          val c1 = rgb(id * 37, id * 59, id * 83)
+          val c2 = if (id % 3 == 1) c1 else rgb(id * 101, id * 131, id * 163)
+          MediaRecord(id, "image", ImageCodec.encodePng(w, h, c1, c2),
+            MediaMeta(Some(w), Some(h), None, None))
+        }
+      }
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id"), col("kind"),
+        // PNG container size is encoder-internal; only the video
+        // payload length is semantic (and closed-form)
+        when(col("kind") === "video", col("n_bytes")).as("payload_bytes"),
+        element_at(col("feature"), 1).cast("long").as("lum_tl"),
+        element_at(col("feature"), 64).cast("long").as("lum_br"),
+        aggregate(col("feature"), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("lum_sum"))
+    val frames = Multimodal.sampleFrames(media, frames = 4).toDF()
       .groupBy("media_id")
       .agg(count(lit(1)).as("n_frames"),
         sum(length(col("frame_bytes"))).cast("long").as("frame_bytes_total"))
@@ -1357,13 +1379,27 @@ object TextQueries {
       .orderBy("media_id")
   }
 
-  // Frame slicing mirror of Multimodal.StubCodec.sampleFrame: stride
-  // s = max(len/4, 1); frame i covers [i*s, min((i+1)*s, len)).
+  // Image rows: per-pixel lum = 299r+587g+114b with (r,g,b) closed-form
+  // in the id; solid rows -> all 64 cells = l1; split rows -> top 32
+  // cells l1, bottom 32 l2 (split at h/2 = cell-row 4 boundary, h a
+  // multiple of 8). Frame slicing mirror: stride s = max(len/4, 1).
   val multimodalFeaturesSql: String =
     """WITH m AS (SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
       |  FROM documents WHERE doc_id < 200),
+      |lum AS (SELECT media_id,
+      |    299*((media_id*37)%256) + 587*((media_id*59)%256)
+      |      + 114*((media_id*83)%256) AS l1,
+      |    299*((media_id*101)%256) + 587*((media_id*131)%256)
+      |      + 114*((media_id*163)%256) AS l2
+      |  FROM m WHERE media_id % 3 <> 0),
+      |img AS (SELECT media_id, CAST(l1 AS BIGINT) AS lum_tl,
+      |    CAST(CASE WHEN media_id % 3 = 1 THEN l1 ELSE l2 END AS BIGINT)
+      |      AS lum_br,
+      |    CAST(CASE WHEN media_id % 3 = 1 THEN 64*l1
+      |         ELSE 32*l1 + 32*l2 END AS BIGINT) AS lum_sum
+      |  FROM lum),
       |f AS (SELECT media_id, CAST(4 AS BIGINT) AS n_frames,
       |    CAST(list_sum([greatest(least((i + 1) * s, n_bytes) - i * s, 0)
       |                   FOR i IN [0, 1, 2, 3]]) AS BIGINT)
@@ -1371,14 +1407,17 @@ object TextQueries {
       |  FROM (SELECT media_id, n_bytes,
       |          greatest(n_bytes // 4, 1) AS s
       |        FROM m WHERE kind = 'video'))
-      |SELECT m.media_id, m.kind, m.n_bytes, f.n_frames, f.frame_bytes_total
-      |FROM m LEFT JOIN f USING (media_id)
+      |SELECT m.media_id, m.kind,
+      |  CASE WHEN m.kind = 'video' THEN m.n_bytes END AS payload_bytes,
+      |  img.lum_tl, img.lum_br, img.lum_sum, f.n_frames,
+      |  f.frame_bytes_total
+      |FROM m LEFT JOIN img USING (media_id) LEFT JOIN f USING (media_id)
       |ORDER BY media_id""".stripMargin
 
   /** Real header parsing under the hash gate: deterministic
-    * honest-format PNG/JPEG/WAV payloads (every varying header field a
-    * closed-form function of the id) are built byte-for-byte to the
-    * public container layouts, then parsed BACK by the native
+    * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
+    * field a closed-form function of the id) are built byte-for-byte
+    * to the public container layouts, then parsed BACK by the native
     * [[graft.operators.Multimodal.mediaMeta]] expression — the oracle
     * predicts the parsed struct without parsing (generator ∘ parser =
     * identity on honest containers; corrupt/truncated behavior is
@@ -1391,32 +1430,40 @@ object TextQueries {
     val h = (col("media_id") % 480 + 1).cast("int")
     val rate = (col("media_id") % 8 * 4000 + 8000).cast("int")
     val ch = (col("media_id") % 2 + 1).cast("int")
-    val bytes = when(col("media_id") % 3 === 0, Multimodal.pngBytes(w, h))
-      .when(col("media_id") % 3 === 1, Multimodal.jpegBytes(w, h))
-      .otherwise(Multimodal.wavBytes(rate, ch))
+    // mp4 duration: timescale varies per row and divides the duration
+    // exactly, so duration_ms = (id%30+1)*1000 is closed-form
+    val ts = ((col("media_id") % 4 + 1) * lit(600)).cast("int")
+    val dur = (ts * (col("media_id") % 30 + 1)).cast("int")
+    val bytes = when(col("media_id") % 4 === 0, Multimodal.pngBytes(w, h))
+      .when(col("media_id") % 4 === 1, Multimodal.jpegBytes(w, h))
+      .when(col("media_id") % 4 === 2, Multimodal.wavBytes(rate, ch))
+      .otherwise(Multimodal.mp4Bytes(w, h, ts, dur))
     base.withColumn("m", Multimodal.mediaMeta(bytes))
       .select(col("media_id"), col("m.format").as("format"),
         col("m.width").as("width"), col("m.height").as("height"),
         col("m.sample_rate").as("sample_rate"),
         col("m.channels").as("channels"),
-        col("m.bit_depth").as("bit_depth"))
+        col("m.bit_depth").as("bit_depth"),
+        col("m.duration_ms").as("duration_ms"))
       .orderBy("media_id")
   }
 
   val multimodalMetaSql: String =
     """SELECT doc_id AS media_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |       ELSE 'wav' END AS format,
-      |  CASE WHEN doc_id % 3 < 2
+      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |       WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
+      |  CASE WHEN doc_id % 4 IN (0, 1, 3)
       |       THEN CAST(doc_id % 640 + 1 AS INT) END AS width,
-      |  CASE WHEN doc_id % 3 < 2
+      |  CASE WHEN doc_id % 4 IN (0, 1, 3)
       |       THEN CAST(doc_id % 480 + 1 AS INT) END AS height,
-      |  CASE WHEN doc_id % 3 = 2
+      |  CASE WHEN doc_id % 4 = 2
       |       THEN CAST(doc_id % 8 * 4000 + 8000 AS INT) END AS sample_rate,
-      |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 3
-      |       ELSE doc_id % 2 + 1 END AS INT) AS channels,
-      |  CAST(CASE WHEN doc_id % 3 < 2 THEN 8 ELSE 16 END AS INT)
-      |    AS bit_depth
+      |  CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
+      |       WHEN 2 THEN doc_id % 2 + 1 END AS INT) AS channels,
+      |  CAST(CASE WHEN doc_id % 4 < 2 THEN 8
+      |       WHEN doc_id % 4 = 2 THEN 16 END AS INT) AS bit_depth,
+      |  CASE WHEN doc_id % 4 = 3
+      |       THEN CAST((doc_id % 30 + 1) * 1000 AS INT) END AS duration_ms
       |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin
 
   /** No rows-only entries remain: q_dedup_simhash moved under the md5

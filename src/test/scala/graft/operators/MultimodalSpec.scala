@@ -17,13 +17,62 @@ class MultimodalSpec extends SparkTestBase {
       MediaMeta(Some(1920), Some(1080), Some(48000), Some(60000)))
   ).toDS()
 
-  test("feature extraction: fixed width, deterministic, partition-safe") {
+  test("feature extraction: undecodable payloads get null features") {
     val f1 = extractFeatures(media).collect().sortBy(_.media_id)
-    val f2 = extractFeatures(media.repartition(3)).collect().sortBy(_.media_id)
     assert(f1.length == 3)
-    assert(f1.forall(_.feature.length == 8))
-    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.feature == null)) // none of these bytes is an image
     assert(f1.map(_.n_bytes).toSeq == Seq(10L, 3L, 100L))
+  }
+
+  private def lum(rgb: Int): Int =
+    299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+      114 * (rgb & 0xFF)
+
+  test("real PNG decode: solid image -> uniform exact luminance grid") {
+    val c = 0x336699
+    val rows = Seq(MediaRecord(1L, "image",
+      ImageCodec.encodePng(32, 16, c, c), MediaMeta(None, None, None, None)))
+    val f = extractFeatures(rows.toDS()).collect().head.feature
+    assert(f.length == 64)
+    assert(f.forall(_ == lum(c).toFloat)) // lossless round-trip, bit-exact
+  }
+
+  test("real PNG decode: split image -> top/bottom cell rows differ") {
+    val (cTop, cBot) = (0xFF0000, 0x0000FF)
+    val rows = Seq(MediaRecord(1L, "image",
+      ImageCodec.encodePng(40, 24, cTop, cBot),
+      MediaMeta(None, None, None, None)))
+    val f = extractFeatures(rows.toDS()).collect().head.feature
+    assert(f.take(32).forall(_ == lum(cTop).toFloat))
+    assert(f.drop(32).forall(_ == lum(cBot).toFloat))
+  }
+
+  test("real GIF decode: <=2 colors palettize losslessly") {
+    val (cTop, cBot) = (0x112233, 0xAABBCC)
+    val f = ImageCodec.decodeFeatures(ImageCodec.encodeGif(16, 16, cTop, cBot))
+    assert(f.take(32).forall(_ == lum(cTop).toFloat))
+    assert(f.drop(32).forall(_ == lum(cBot).toFloat))
+  }
+
+  test("real JPEG decode: lossy but close on a solid image") {
+    val c = 0x808080 // solid grey: only DC coefficients survive
+    val f = ImageCodec.decodeFeatures(ImageCodec.encodeJpeg(32, 32, c, c))
+    assert(f.length == 64)
+    // tolerance in the x1000 lum scale: +-4 per 0-255 channel
+    assert(f.forall(v => math.abs(v - lum(c)) <= 4000),
+      s"jpeg cells ${f.take(4).toSeq} vs expected ${lum(c)}")
+  }
+
+  test("feature extraction is partition-safe on real images") {
+    val rows = (1L to 20L).map { id =>
+      val c = (id * 1234567 % 0xFFFFFF).toInt
+      MediaRecord(id, "image", ImageCodec.encodePng(24, 16, c, c),
+        MediaMeta(None, None, None, None))
+    }
+    val f1 = extractFeatures(rows.toDS()).collect().sortBy(_.media_id)
+    val f2 = extractFeatures(rows.toDS().repartition(5)).collect()
+      .sortBy(_.media_id)
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
   }
 
   test("frame sampling explodes only video rows with timeline metadata") {
@@ -107,6 +156,52 @@ class MultimodalSpec extends SparkTestBase {
   test("GIF logical screen descriptor: little-endian u16") {
     assert(parse(hexBytes("474946383961 4001 F000 00 00 00")) ==
       Some(("gif", Some(320), Some(240), None, None, None)))
+  }
+
+  test("JPEG: 0xFF fill bytes before a marker are skipped (spec-legal)") {
+    // SOI, then padding FFs before SOF0 16x32
+    val jpeg = hexBytes("FFD8 FFFFFF C0 000B 08 0010 0020 01 011100 FFD9")
+    assert(parse(jpeg) ==
+      Some(("jpeg", Some(32), Some(16), None, Some(1), Some(8))))
+  }
+
+  private def parseDur(b: Array[Byte]) = {
+    val rows = Seq(Tuple1(b)).toDF("bytes")
+      .select(mediaMeta(col("bytes")).as("m"))
+      .select("m.format", "m.width", "m.height", "m.duration_ms").collect()
+    (Option(rows.head.get(0)), Option(rows.head.get(1)),
+      Option(rows.head.get(2)), Option(rows.head.get(3)))
+  }
+
+  test("MP4: mvhd timescale/duration + tkhd 16.16 dims (v0 boxes)") {
+    val mp4 = Seq(Tuple1(1)).toDF("x")
+      .select(mp4Bytes(lit(1920), lit(1080), lit(600), lit(9000)))
+      .collect().head.getAs[Array[Byte]](0)
+    // duration 9000 units at timescale 600 = 15000 ms
+    assert(parseDur(mp4) ==
+      ((Some("mp4"), Some(1920), Some(1080), Some(15000))))
+    // truncated mid-moov -> null, not an exception
+    assert(parseDur(mp4.take(40))._1.isEmpty)
+    // ftyp alone (no moov) -> null
+    assert(parseDur(mp4.take(16))._1.isEmpty)
+  }
+
+  test("MP4: 64-bit largesize and v1 mvhd are handled") {
+    // hand-built: ftyp, then moov with only a v1 mvhd (120 bytes:
+    // 8 hdr + 4 ver + 8 ctime + 8 mtime + 4 timescale + 8 duration +
+    // 80 tail)
+    val mvhdV1 = "00000078 6D766864 01000000" +
+      "0000000000000000 0000000000000000" + // ctime, mtime (u64)
+      "000003E8" +                          // timescale 1000
+      "0000000000002710" +                  // duration 10000 -> 10000 ms
+      "00010000 0100" + "00" * 10 +
+      "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+      "40000000" + "00" * 24 + "00000002"
+    val moov = "00000080 6D6F6F76" + mvhdV1
+    val mp4 = hexBytes("00000010 66747970 69736F6D 00000000" + moov)
+    val p = parseDur(mp4)
+    assert(p._1 == Some("mp4") && p._4 == Some(10000))
+    assert(p._2.isEmpty && p._3.isEmpty) // no trak -> no dims
   }
 
   test("garbage and empty payloads parse to null") {
