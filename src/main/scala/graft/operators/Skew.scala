@@ -61,13 +61,29 @@ object Skew {
     * key) falls back to the plain join — so callers wire the report
     * into the mitigation instead of hand-guessing a factor. The report
     * aggregation is map-side combined and tiny next to the join it
-    * tunes; at 100 TB run it on a sample or reuse a cached report. */
+    * tunes.
+    *
+    * The measurement scan is eager (it runs at call time, inside a
+    * transformation-shaped API) — at 100 TB don't pay it on the full
+    * input: pass `sampleFraction` to measure on a Bernoulli sample
+    * (share estimates concentrate fast — a hot key by definition has
+    * plenty of rows in any sample), or skip the scan entirely by
+    * passing a `precomputedSalt` from a cached [[keySkewReport]]. */
   def autoSaltedJoin(big: DataFrame, small: DataFrame, key: String,
-                     spreadCol: String): DataFrame = {
-    val p = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val top = keySkewReport(big, key, topK = 1, partitions = p)
-      .select("recommended_salt").collect()
-    val n = if (top.isEmpty) 1 else top(0).getInt(0)
-    if (n <= 1) big.join(small, Seq(key)) else saltedJoin(big, small, key, spreadCol, n)
+                     spreadCol: String, sampleFraction: Double = 1.0,
+                     precomputedSalt: Option[Int] = None): DataFrame = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val n = precomputedSalt.getOrElse {
+      val p = big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val measured =
+        if (sampleFraction < 1.0) big.sample(sampleFraction, seed = 42L)
+        else big
+      val top = keySkewReport(measured, key, topK = 1, partitions = p)
+        .select("recommended_salt").collect()
+      if (top.isEmpty) 1 else top(0).getInt(0)
+    }
+    if (n <= 1) big.join(small, Seq(key))
+    else saltedJoin(big, small, key, spreadCol, n)
   }
 }

@@ -65,13 +65,45 @@ class SkewSpec extends SparkTestBase {
       .toDF("key", "attr")
     val plain = fact.join(dim, "key").select("key", "payload", "attr")
       .collect().map(_.toSeq).toSet
-    val auto = Skew.autoSaltedJoin(fact, dim, "key", "payload")
-      .select("key", "payload", "attr").collect().map(_.toSeq).toSet
+    val autoDf = Skew.autoSaltedJoin(fact, dim, "key", "payload")
+    val auto = autoDf.select("key", "payload", "attr")
+      .collect().map(_.toSeq).toSet
     assert(auto == plain)
+    // the SALTED path must actually activate on the skewed fixture:
+    // the derived factor > 1 leaves a __salt join key in the plan
+    assert(autoDf.queryExecution.analyzed.toString.contains("__salt"),
+      "expected the salted branch on a 90%-hot-key fixture")
     // uniform keys -> recommendation 1 -> plain join path, same result
     val flat = (1 to 800).map(i => (s"k${i % 8}", s"p$i")).toDF("key", "payload")
     val flatDim = (0 until 8).map(i => (s"k$i", s"a$i")).toDF("key", "attr")
-    assert(Skew.autoSaltedJoin(flat, flatDim, "key", "payload").count() == 800)
+    val flatDf = Skew.autoSaltedJoin(flat, flatDim, "key", "payload")
+    assert(flatDf.count() == 800)
+    assert(!flatDf.queryExecution.analyzed.toString.contains("__salt"),
+      "expected the plain branch on a uniform-key fixture")
+  }
+
+  test("autoSaltedJoin: sampled measurement and precomputed salt") {
+    val fact = (1 to 2000).map(i =>
+      (if (i <= 1800) "hot" else s"k${i % 7}", s"payload$i"))
+      .toDF("key", "payload")
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"), ("k3", "C"))
+      .toDF("key", "attr")
+    val plain = fact.join(dim, "key").select("key", "payload", "attr")
+      .collect().map(_.toSeq).toSet
+    // sample-based measurement still finds the 90% key and salts
+    val sampled = Skew.autoSaltedJoin(fact, dim, "key", "payload",
+      sampleFraction = 0.25)
+    assert(sampled.select("key", "payload", "attr")
+      .collect().map(_.toSeq).toSet == plain)
+    assert(sampled.queryExecution.analyzed.toString.contains("__salt"))
+    // precomputed salt skips the measurement scan entirely
+    val pre = Skew.autoSaltedJoin(fact, dim, "key", "payload",
+      precomputedSalt = Some(6))
+    assert(pre.select("key", "payload", "attr")
+      .collect().map(_.toSeq).toSet == plain)
+    intercept[IllegalArgumentException] {
+      Skew.autoSaltedJoin(fact, dim, "key", "payload", sampleFraction = 0.0)
+    }
   }
 
   test("AQE skew join splits the hot partition (plan-asserted)") {
