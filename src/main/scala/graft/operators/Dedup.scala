@@ -310,10 +310,29 @@ object Dedup {
                       hashFamily: String = "xxhash64"): DataFrame = {
     require(maxDist >= 0 && maxDist < 32,
       s"maxDist must be in [0, 32), got $maxDist")
-    val nb = maxDist + 1
+    val blocks =
+      simhashBlocks(simhashSignatures(df, idCol, text, hashFamily),
+        maxDist + 1)
+    // shuffle-hash self-join: identical exchanges -> signature pipeline
+    // computed once; broadcast would rebuild it per side (and cannot
+    // hold a banded corpus at scale)
+    blocks.as("a").hint("shuffle_hash")
+      .join(blocks.as("b").hint("shuffle_hash"),
+        col("a.block") === col("b.block") &&
+        col("a.block_val") === col("b.block_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** (id, sig, block, block_val) — the (maxDist+1)-block pigeonhole
+    * banding of 64-bit signatures shared by the self-join and
+    * cross-corpus simhash paths. */
+  private def simhashBlocks(sigs: DataFrame, nb: Int): DataFrame = {
     val bounds = (0 to nb).map(b => b * 64 / nb)
-    val sigs = simhashSignatures(df, idCol, text, hashFamily)
-    val blocks = sigs.select(col("id"), col("sig"), posexplode(
+    sigs.select(col("id"), col("sig"), posexplode(
       array((0 until nb).map { b =>
         val width = bounds(b + 1) - bounds(b)
         // -1L >>> (64 - width): correct for width == 64 too, where
@@ -323,14 +342,33 @@ object Dedup {
           .bitwiseAND(-1L >>> (64 - width))
       }: _*)))
       .toDF("id", "sig", "block", "block_val")
-    // shuffle-hash self-join: identical exchanges -> signature pipeline
-    // computed once; broadcast would rebuild it per side (and cannot
-    // hold a banded corpus at scale)
-    blocks.as("a").hint("shuffle_hash")
-      .join(blocks.as("b").hint("shuffle_hash"),
+  }
+
+  /** Cross-corpus SimHash decontamination: (left id, right id) pairs
+    * within `maxDist` Hamming distance, via the same pigeonhole
+    * banding as [[simhashNearDups]] but joining TWO corpora (training
+    * side as `id_a`, eval/benchmark side as `id_b` — no `<` ordering,
+    * the sides are distinct by construction). Full recall at the
+    * requested distance for the same pigeonhole reason. With
+    * hashFamily "md5" the signatures are oracle-recomputable, so the
+    * raw cross pair list is hash-gateable end-to-end.
+    *
+    * Scale: each side shuffles (id, sig, block, block_val) rows only —
+    * 9 rows per document at maxDist=8, no text or shingle sets move;
+    * the eval side is typically tiny next to the training corpus and
+    * the join key (block, block_val) spreads both sides. */
+  def crossSimhashNearDups(left: DataFrame, right: DataFrame,
+                           idCol: String, text: Column, maxDist: Int = 3,
+                           hashFamily: String = "xxhash64"): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"maxDist must be in [0, 32), got $maxDist")
+    val nb = maxDist + 1
+    val la = simhashBlocks(simhashSignatures(left, idCol, text, hashFamily), nb)
+    val rb = simhashBlocks(simhashSignatures(right, idCol, text, hashFamily), nb)
+    la.as("a").hint("shuffle_hash")
+      .join(rb.as("b").hint("shuffle_hash"),
         col("a.block") === col("b.block") &&
-        col("a.block_val") === col("b.block_val") &&
-        col("a.id") < col("b.id"))
+        col("a.block_val") === col("b.block_val"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()

@@ -309,6 +309,44 @@ object TextQueries {
       |WHERE bit_count(xor(a.sig, b.sig)) <= 8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-corpus simhash decontamination under the SAME md5
+    * signature-replay oracle as q_dedup_simhash: training docs
+    * (doc_id % 5 != 0) are screened against the eval split
+    * (doc_id % 5 == 0) with banded cross-join recall guaranteed by
+    * pigeonhole; DuckDB recomputes both sides' signatures closed-form
+    * and replays the cross Hamming-threshold join, hash-gating the raw
+    * pair list. */
+  def decontaminateSimhash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.crossSimhashNearDups(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", col("text"), maxDist = 8, hashFamily = "md5")
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val decontaminateSimhashSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |v AS (SELECT doc_id, j,
+      |        SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |                               md5(tok)[(j//4)+1]) - 1)
+      |                       >> (j%4)) & 1 = 1
+      |                 THEN 1 ELSE -1 END) AS votes
+      |      FROM u, range(64) r(j) GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN votes > 0
+      |                  THEN (1::UBIGINT << CAST(j AS INT))
+      |                  ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+      |  FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b
+      |  ON a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** q_dedup_simhash under the hash gate: the banded operator's pair
     * set must EQUAL the brute-force Hamming-threshold join over the
     * same signatures — a THEOREM, not a tuning claim ((maxDist+1)-block
@@ -1093,6 +1131,7 @@ object TextQueries {
     "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
     "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
     "q_dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
+    "q_decontaminate_simhash" -> (decontaminateSimhash _, decontaminateSimhashSql),
     "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),
     "q_sample_bernoulli" -> (sampleBernoulli _, sampleBernoulliSql),
     "q_sample_stratified" -> (sampleStratified _, sampleStratifiedSql),

@@ -92,6 +92,24 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cross-corpus simhash equals brute-force cross hamming") {
+    val train = docs.filter(col("doc_id") < 100)
+    val eval_ = docs.filter(col("doc_id") >= 100)
+    for (family <- Seq("xxhash64", "md5")) {
+      def sigsOf(df: org.apache.spark.sql.DataFrame) =
+        Dedup.simhashSignatures(df, "doc_id", col("text"), family)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, sa) <- sigsOf(train); (ib, sb) <- sigsOf(eval_)
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= 8
+      } yield (ia, ib, d)).toSet
+      val banded = Dedup.crossSimhashNearDups(train, eval_, "doc_id",
+          col("text"), maxDist = 8, hashFamily = family).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"family=$family")
+    }
+  }
+
   test("exact copy has identical simhash and jaccard 1.0") {
     val sig = docs.filter(col("doc_id").isin(2L, 102L))
       .select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
