@@ -150,13 +150,14 @@ object StreamingIngest {
   def replayDailyDedupFiles(spark: SparkSession, obs: DataFrame,
                             baseDir: String,
                             watermark: String = "25 days"): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    // Hadoop FileSystem throughout (not java.nio) so baseDir may be any
+    // supported scheme — hdfs://, s3a://, file:// — not just local disk
     val basePath = new org.apache.hadoop.fs.Path(baseDir)
-    basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(basePath, true)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(basePath, true)
     val in = s"$baseDir/in"; val ckpt = s"$baseDir/ckpt"
     val out = s"$baseDir/out"
-    Files.createDirectories(Paths.get(in))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(in))
     // same bounded-replay session overrides as replayDailyDedup, same
     // always-restore protocol
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -173,9 +174,9 @@ object StreamingIngest {
         obs.filter(to_date(col("obs_ts")) === lit(day))
           .select("domain", "obs_ts")
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.move(part.toPath, Paths.get(f"$in/day$i%03d.parquet"))
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        fs.rename(part, new org.apache.hadoop.fs.Path(f"$in/day$i%03d.parquet"))
         dedupWindow(
             spark.readStream.schema("domain STRING, obs_ts TIMESTAMP")
               .parquet(in), watermark)

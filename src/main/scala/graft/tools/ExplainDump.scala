@@ -7,11 +7,17 @@ import graft.query.{CoreQueries, DomainQueries}
 /** Writes EXPLAINS.md: formatted physical plans for the headline
   * queries — the concrete evidence behind PERF.md's plan-shape claims.
   *
+  * Each query is EXECUTED first (distributed, `toRdd.foreach`, no
+  * driver collect) so the dumped plan is the AQE FINAL plan
+  * (`isFinalPlan=true`) at the benchmark scale factor — the plan that
+  * actually ran, with runtime coalescing/skew splits/broadcast
+  * conversions applied — not the initial static plan.
+  *
   * {{{ sbt "runMain graft.tools.ExplainDump [sfDir] [outFile]" }}}
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "EXPLAINS.md"
     val spark = GraftSession.getOrCreate("graft-explain")
 
@@ -98,13 +104,19 @@ object ExplainDump {
       })
 
     val body = headliners.map { case (title, df) =>
+      // run THIS QueryExecution to completion so AQE finalizes every
+      // stage (a count() would build a new, separate QueryExecution
+      // and leave this plan un-finalized)
+      df.queryExecution.toRdd.foreach(_ => ())
       s"## $title\n\n```\n${df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)}\n```\n"
     }.mkString("\n")
 
     Files.writeString(Paths.get(out),
       "# EXPLAINS — formatted physical plans for headline queries\n\n" +
-        s"Generated by `graft.tools.ExplainDump` on `$sfDir`.\n\n" + body)
+        s"Generated by `graft.tools.ExplainDump` on `$sfDir` " +
+        "(queries executed first — AQE final plans, isFinalPlan=true " +
+        "where adaptive).\n\n" + body)
     spark.stop()
   }
 }

@@ -48,6 +48,24 @@ object ScaleBench {
       df.repartition(parts).write.mode("overwrite")
         .parquet(s"$outDir/$t.parquet")
 
+    // the linear-scaling-by-construction invariant depends on replica
+    // key ranges NOT colliding — fail loudly if a base table ever
+    // outgrows its offset stride instead of silently merging replicas
+    def requireStride(t: String, key: String, stride: Long): Unit = {
+      val mx = read(t).agg(max(col(key))).collect()(0)
+        .getAs[Number](0).longValue()
+      require(mx < stride,
+        s"$t.$key max $mx >= replica stride $stride — raise the stride")
+    }
+    requireStride("customer", "c_custkey", 100000000L)
+    requireStride("orders", "o_orderkey", 1000000000L)
+    requireStride("orders", "o_custkey", 100000000L)
+    requireStride("lineitem", "l_orderkey", 1000000000L)
+    requireStride("events", "event_id", 1000000000L)
+    requireStride("events", "user_id", 100000000L)
+    requireStride("documents", "doc_id", 10000000L)
+    requireStride("embeddings", "vec_id", 10000000L)
+
     // dims: unchanged (broadcast-sized at every scale)
     Seq("region", "nation", "supplier", "part")
       .foreach(t => write(read(t), t, 1))
@@ -143,13 +161,57 @@ object ScaleBench {
     println(f"[scale-bench] dedup_embedding prod-cfg(0.9,12,8,p1): " +
       f"sf0.1 pairs=$nb in $tb%.1f s | ${k}x pairs=$ns in $tsc%.1f s " +
       f"ratio=${tsc / tb}%.1f")
+    // Media (binary-column) family over the FULL documents table — the
+    // driver queries bound their ids to stay verify-sized, so the curve
+    // is measured here instead: (a) container build + byte-level header
+    // parse (codegen'd expression path), (b) real PNG encode + ImageIO
+    // pixel decode (mapPartitions path). Both are per-row CPU with no
+    // shuffle; anything superlinear is a plan problem.
+    def mediaScale(dir: String): (Long, Double, Long, Double) = {
+      import spark.implicits._
+      import graft.operators.{ImageCodec, Multimodal}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      val rate = (col("doc_id") % 8 * 4000 + 8000).cast("int")
+      val ch = (col("doc_id") % 2 + 1).cast("int")
+      val mts = ((col("doc_id") % 4 + 1) * lit(600)).cast("int")
+      val dur = (mts * (col("doc_id") % 30 + 1)).cast("int")
+      val bytes = when(col("doc_id") % 4 === 0, Multimodal.pngBytes(w, h))
+        .when(col("doc_id") % 4 === 1, Multimodal.jpegBytes(w, h))
+        .when(col("doc_id") % 4 === 2, Multimodal.wavBytes(rate, ch))
+        .otherwise(Multimodal.mp4Bytes(w, h, mts, dur))
+      val nMeta = docs.select(Multimodal.mediaMeta(bytes).as("m"))
+        .filter(col("m.format").isNotNull).count()
+      val tMeta = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val nFeat = docs.select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val c = (id * 1234567 % 0xFFFFFF).toInt
+            val f = ImageCodec.decodeFeatures(
+              ImageCodec.encodePng(16, 16, c, c))
+            if (f != null && f.length == 64) 1L else 0L
+          }
+        }.reduce(_ + _)
+      (nMeta, tMeta, nFeat, (System.nanoTime() - t1) / 1e9)
+    }
+    val (mnb, mtb, fnb, ftb) = mediaScale(sfDir)
+    val (mns, mtsc, fns, ftsc) = mediaScale(outDir)
+    println(f"[scale-bench] multimodal_meta: sf0.1 rows=$mnb in $mtb%.1f s" +
+      f" | ${k}x rows=$mns in $mtsc%.1f s ratio=${mtsc / mtb}%.1f")
+    println(f"[scale-bench] multimodal_features: sf0.1 rows=$fnb in " +
+      f"$ftb%.1f s | ${k}x rows=$fns in $ftsc%.1f s ratio=${ftsc / ftb}%.1f")
     val worst = rows.maxBy(_._4)
     println(f"[scale-bench] SUMMARY k=$k queries=${rows.size} " +
       f"median_ratio=${rows.map(_._4).sorted.apply(rows.size / 2)}%.1f " +
       f"worst=${worst._1}:${worst._4}%.1f")
     val json = (rows.map { case (n, b, s, r) =>
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
-    } :+ f""""dedup_embedding_prodcfg":{"base":$tb%.3f,"scaled":$tsc%.3f,"ratio":${tsc / tb}%.2f,"base_pairs":$nb,"scaled_pairs":$ns}""")
+    } :+ f""""dedup_embedding_prodcfg":{"base":$tb%.3f,"scaled":$tsc%.3f,"ratio":${tsc / tb}%.2f,"base_pairs":$nb,"scaled_pairs":$ns}"""
+      :+ f""""multimodal_meta_full":{"base":$mtb%.3f,"scaled":$mtsc%.3f,"ratio":${mtsc / mtb}%.2f,"base_rows":$mnb,"scaled_rows":$mns}"""
+      :+ f""""multimodal_features_full":{"base":$ftb%.3f,"scaled":$ftsc%.3f,"ratio":${ftsc / ftb}%.2f,"base_rows":$fnb,"scaled_rows":$fns}""")
       .mkString(s"""{"metric":"scale_curve","k":$k,"queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
