@@ -1366,11 +1366,13 @@ object TextQueries {
     * decoded BACK pixel-by-pixel by [[graft.operators.ImageCodec]]
     * (8x8 mean-luminance grid, lum = 299r+587g+114b) — with every
     * pixel a closed-form function of the id: doc_id%3==1 rows are
-    * solid color1, %3==2 rows split color1 (top half) / color2
-    * (bottom). Dimensions are multiples of 8 so grid cells are uniform
-    * blocks and the cell means are exact integers the DuckDB oracle
-    * recomputes WITHOUT decoding (encoder ∘ decoder = identity on
-    * lossless PNG). Video rows (%3==0) keep text-byte payloads and
+    * solid-color1 PNGs, %3==2 rows split color1 (top half) / color2
+    * (bottom) GIFs — two distinct real decoders under one gate (GIF
+    * palettizes losslessly at <=2 colors). Dimensions are multiples of
+    * 8 so grid cells are uniform blocks and the cell means are exact
+    * integers the DuckDB oracle recomputes WITHOUT decoding
+    * (encoder ∘ decoder = identity on lossless codecs).
+    * Video rows (%3==0) keep text-byte payloads and
     * certify frame-slice arithmetic as before; their feature vector is
     * null (no JDK video codec — documented stub boundary).
     *
@@ -1397,7 +1399,10 @@ object TextQueries {
             (((r % 256) << 16) | ((g % 256) << 8) | (b % 256)).toInt
           val c1 = rgb(id * 37, id * 59, id * 83)
           val c2 = if (id % 3 == 1) c1 else rgb(id * 101, id * 131, id * 163)
-          MediaRecord(id, "image", ImageCodec.encodePng(w, h, c1, c2),
+          val bytes =
+            if (id % 3 == 1) ImageCodec.encodePng(w, h, c1, c2)
+            else ImageCodec.encodeGif(w, h, c1, c2)
+          MediaRecord(id, "image", bytes,
             MediaMeta(Some(w), Some(h), None, None))
         }
       }

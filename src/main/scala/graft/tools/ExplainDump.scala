@@ -94,6 +94,15 @@ object ExplainDump {
           d.filter(col("doc_id") % 2 === 1),
           "doc_id", col("text"), 0.9, 16, 16, 2)
       },
+      "cross-corpus simhash (pigeonhole blocks, sig rows only on the shuffle)" -> {
+        import org.apache.spark.sql.functions.col
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.operators.Dedup.crossSimhashNearDups(
+          d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+          "doc_id", col("text"), maxDist = 8)
+      },
+      "q_join_salted_auto (derived salt factor, sampled measurement)" ->
+        CoreQueries.saltedJoinAuto(spark, sfDir),
       "ivf-pq top-k (codes through the cell join, bounded exact re-rank)" -> {
         import org.apache.spark.sql.functions.col
         graft.operators.Similarity.ivfPqTopK(
