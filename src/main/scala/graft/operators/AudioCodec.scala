@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.AudioSystem
+
+/** Real, pure-JVM audio decode for the multimodal operators — the
+  * audio analog of [[ImageCodec]]: `javax.sound.sampled` ships with
+  * the JDK and reads RIFF/WAVE PCM with no native dependency.
+  *
+  * Decoded features are defined in exact integer arithmetic so a
+  * DuckDB oracle can predict them closed-form on synthetic PCM:
+  *
+  *  - samples are signed 16-bit little-endian PCM frames (the format
+  *    is taken from the container's fmt chunk via AudioSystem, not
+  *    assumed);
+  *  - the sample sequence is divided into 8 segments by the
+  *    sample->segment map `seg = i*8/n` (every sample lands in
+  *    exactly one segment; n a multiple of 8 gives uniform segments);
+  *  - per segment the feature is the SUM OF ABSOLUTE sample values
+  *    (a Long — no division, no floats, bit-exact on any engine);
+  *  - plus the total absolute sum and the zero-crossing count
+  *    (adjacent samples with strictly opposite signs).
+  *
+  * Undecodable payloads (no data chunk, compressed formats, corrupt
+  * bytes) return null — corrupt media is data, not an error, at
+  * corpus scale. Decode is per-row CPU inside `mapPartitions`, no
+  * shuffle; parallelizes linearly with partitions.
+  */
+object AudioCodec {
+
+  val Segments = 8
+
+  final case class AudioFeatures(sampleRate: Int, channels: Int,
+                                 nSamples: Long, segAbs: Array[Long],
+                                 absTotal: Long, zeroCrossings: Long)
+
+  /** Decode WAV PCM bytes via the JDK audio stack; null when the
+    * stream is unreadable or not 16-bit PCM. */
+  def decodePcm(bytes: Array[Byte]): AudioFeatures = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) return null
+        val bigEndian = fmt.isBigEndian
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) return null
+        val segAbs = new Array[Long](Segments)
+        var absTotal = 0L
+        var crossings = 0L
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val lo = data(2 * i) & 0xFF
+          val hi = data(2 * i + 1) & 0xFF
+          val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+          val a = math.abs(s).toLong
+          segAbs(i * Segments / n) += a
+          absTotal += a
+          if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0)))
+            crossings += 1
+          prev = s
+          i += 1
+        }
+        AudioFeatures(fmt.getSampleRate.toInt, fmt.getChannels, n.toLong,
+          segAbs, absTotal, crossings)
+      } finally in.close()
+    } catch { case _: Exception => null }
+  }
+}

@@ -184,6 +184,28 @@ object Multimodal {
       le32hex(rate * lit(2) * channels),
       le16hex(lit(2) * channels), le16hex(lit(16))))
 
+  /** A COMPLETE honest WAV: RIFF/WAVE + PCM fmt chunk (mono, 16-bit)
+    * + a data chunk of 64 real little-endian samples, each the
+    * closed-form function `s_j = ((id*37 + j*101) % 4096) - 2048` of
+    * the row id — so the [[AudioCodec]] PCM decode output (segment
+    * absolute sums, zero crossings) is predictable by an engine that
+    * never touches the bytes. */
+  def wavBytesWithData(rate: org.apache.spark.sql.Column,
+                       id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val sampleHex = array_join(
+      transform(sequence(lit(0), lit(63)), j =>
+        le16hex(pmod( // 16-bit two's complement of the signed sample
+          pmod(id * lit(37) + j * lit(101), lit(4096)) - lit(2048),
+          lit(65536)))), "")
+    unhex(concat(
+      lit("52494646"), le32hex(lit(164)), lit("57415645"),
+      lit("666D7420"), le32hex(lit(16)), le16hex(lit(1)), le16hex(lit(1)),
+      le32hex(rate), le32hex(rate * lit(2)), le16hex(lit(2)),
+      le16hex(lit(16)),
+      lit("64617461"), le32hex(lit(128)), sampleHex))
+  }
+
   /** Minimal honest MP4 (ISO-BMFF): `ftyp` + `moov{ mvhd(v0), trak{
     * tkhd(v0) } }` with box sizes exactly matching content, identity
     * matrices, and width/height in tkhd's published 16.16 fixed-point

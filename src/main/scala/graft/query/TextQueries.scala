@@ -1130,6 +1130,7 @@ object TextQueries {
     "q_lang_fingerprint" -> (langFingerprint _, langFingerprintSql),
     "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
     "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
+    "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
     "q_dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "q_decontaminate_simhash" -> (decontaminateSimhash _, decontaminateSimhashSql),
     "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),
@@ -1509,6 +1510,60 @@ object TextQueries {
       |  CASE WHEN doc_id % 4 = 3
       |       THEN CAST((doc_id % 30 + 1) * 1000 AS INT) END AS duration_ms
       |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin
+
+  /** REAL audio decode under the hash gate — the audio analog of
+    * q_multimodal_features: complete honest WAVs (mono 16-bit PCM,
+    * 64 samples, each sample a closed-form function of the id) are
+    * built byte-for-byte in column land, then decoded BACK through the
+    * JDK audio stack ([[graft.operators.AudioCodec]]: AudioSystem
+    * format detection + frame iteration) into integer-exact features —
+    * per-segment absolute sums, total, zero crossings — that the
+    * DuckDB oracle recomputes from the sample formula without ever
+    * seeing the bytes (encoder ∘ decoder = identity on PCM). */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioCodec, Multimodal}
+    val rate = (col("media_id") % 8 * 4000 + 8000).cast("int")
+    docs(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("bytes", Multimodal.wavBytesWithData(rate, col("media_id")))
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        val f = AudioCodec.decodePcm(b)
+        if (f == null) (id, None: Option[Int], None: Option[Long],
+          None: Option[Long], None: Option[Long], None: Option[Long],
+          None: Option[Long])
+        else (id, Some(f.sampleRate), Some(f.nSamples), Some(f.segAbs(0)),
+          Some(f.segAbs(7)), Some(f.absTotal), Some(f.zeroCrossings))
+      }
+      .toDF("media_id", "sample_rate", "n_samples", "seg_abs_first",
+        "seg_abs_last", "abs_total", "zero_crossings")
+      .orderBy("media_id")
+  }
+
+  // Sample mirror: s_j = ((id*37 + j*101) % 4096) - 2048, j in [0, 64);
+  // segments are 8 samples wide (64/8); a zero sample never counts as
+  // a crossing on either side (strict sign flip in both engines).
+  val multimodalAudioSql: String =
+    """WITH s AS (SELECT doc_id AS media_id, j,
+      |    ((doc_id*37 + j*101) % 4096) - 2048 AS v
+      |  FROM documents, range(64) r(j) WHERE doc_id < 200),
+      |x AS (SELECT media_id, j, v,
+      |    lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
+      |  FROM s)
+      |SELECT media_id,
+      |  CAST(media_id % 8 * 4000 + 8000 AS INT) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(SUM(CASE WHEN j < 8 THEN ABS(v) END) AS BIGINT)
+      |    AS seg_abs_first,
+      |  CAST(SUM(CASE WHEN j >= 56 THEN ABS(v) END) AS BIGINT)
+      |    AS seg_abs_last,
+      |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_total,
+      |  CAST(SUM(CASE WHEN (pv > 0 AND v < 0) OR (pv < 0 AND v > 0)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      |FROM x GROUP BY media_id
+      |ORDER BY media_id""".stripMargin
 
   /** No rows-only entries remain: q_dedup_simhash moved under the md5
     * signature-replay oracle, q_sim_lsh under full-pipeline replay

@@ -204,6 +204,48 @@ class MultimodalSpec extends SparkTestBase {
     assert(p._2.isEmpty && p._3.isEmpty) // no trak -> no dims
   }
 
+  test("real WAV PCM decode: segment sums, crossings, exact samples") {
+    // hand-built mono 16-bit WAV: 8 samples [100,-100,100,-100,0,50,50,-50]
+    def le16(v: Int) = {
+      val w = v & 0xFFFF
+      f"${w & 0xFF}%02X${(w >> 8) & 0xFF}%02X"
+    }
+    val samples = Seq(100, -100, 100, -100, 0, 50, 50, -50)
+    val wav = hexBytes(
+      "52494646" + "34000000" + "57415645" +
+        "666D7420" + "10000000" + "0100" + "0100" + "44AC0000" +
+        "88580100" + "0200" + "1000" +
+        "64617461" + "10000000" + samples.map(le16).mkString)
+    val f = AudioCodec.decodePcm(wav)
+    assert(f != null)
+    assert(f.sampleRate == 44100 && f.channels == 1 && f.nSamples == 8)
+    assert(f.segAbs.toSeq == Seq(100L, 100L, 100L, 100L, 0L, 50L, 50L, 50L))
+    assert(f.absTotal == 550L)
+    // crossings: +/-, -/+, +/-, (zero breaks the run), +/- at the end
+    assert(f.zeroCrossings == 4L)
+    // fmt-only container (no data chunk) and garbage decode to null
+    assert(AudioCodec.decodePcm(hexBytes(
+      "52494646 1C000000 57415645 666D7420 10000000 0100 0100" +
+        " 44AC0000 88580100 0200 1000")) == null)
+    assert(AudioCodec.decodePcm(Array[Byte](1, 2, 3, 4)) == null)
+  }
+
+  test("wavBytesWithData round-trips through the JDK audio decode") {
+    val rows = spark.range(1, 30).toDF("media_id")
+      .withColumn("bytes", wavBytesWithData(
+        (col("media_id") % 8 * 4000 + 8000).cast("int"), col("media_id")))
+      .select("media_id", "bytes").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val f = AudioCodec.decodePcm(r.getAs[Array[Byte]](1))
+      assert(f != null && f.nSamples == 64 && f.channels == 1)
+      assert(f.sampleRate == (id % 8 * 4000 + 8000).toInt)
+      val expected = (0 until 64).map(j => ((id * 37 + j * 101) % 4096) - 2048)
+      assert(f.absTotal == expected.map(math.abs).sum)
+      assert(f.segAbs(0) == expected.take(8).map(math.abs).sum)
+    }
+  }
+
   test("garbage and empty payloads parse to null") {
     assert(parse(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)).isEmpty)
     assert(parse(Array.emptyByteArray).isEmpty)
