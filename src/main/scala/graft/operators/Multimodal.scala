@@ -216,24 +216,72 @@ object Multimodal {
                h: org.apache.spark.sql.Column,
                timescale: org.apache.spark.sql.Column,
                duration: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val matrix = "00010000" + "00000000" * 3 + "00010000" +
-      "00000000" * 3 + "40000000" // identity, 16.16 / 2.30 fixed point
-    val mvhd = concat(lit("0000006C" + "6D766864" + "00000000" +
-        "00000000" + "00000000"),               // v0, ctime, mtime
-      be32hex(timescale), be32hex(duration),
-      lit("00010000" + "0100" + "00" * 10 + matrix + "00" * 24 +
-        "00000002"))                            // rate, volume, next track
-    val tkhd = concat(lit("0000005C" + "746B6864" + "00000007" +
-        "00000000" + "00000000" + "00000001" + "00000000"), // track 1
-      be32hex(duration),
-      lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + matrix),
-      be32hex(w * lit(65536)), be32hex(h * lit(65536)))     // 16.16
+      : org.apache.spark.sql.Column =
     unhex(concat(
       lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp
       lit("000000D8" + "6D6F6F76"),                           // moov(216)
-      mvhd,
+      mvhdHex(timescale, duration),
       lit("00000064" + "7472616B"),                           // trak(100)
-      tkhd))
+      tkhdHex(w, h, duration)))
+
+  private val matrixHex = "00010000" + "00000000" * 3 + "00010000" +
+    "00000000" * 3 + "40000000" // identity, 16.16 / 2.30 fixed point
+
+  private def mvhdHex(timescale: org.apache.spark.sql.Column,
+                      duration: org.apache.spark.sql.Column) =
+    concat(lit("0000006C" + "6D766864" + "00000000" +
+        "00000000" + "00000000"),               // v0, ctime, mtime
+      be32hex(timescale), be32hex(duration),
+      lit("00010000" + "0100" + "00" * 10 + matrixHex + "00" * 24 +
+        "00000002"))                            // rate, volume, next track
+
+  private def tkhdHex(w: org.apache.spark.sql.Column,
+                      h: org.apache.spark.sql.Column,
+                      duration: org.apache.spark.sql.Column) =
+    concat(lit("0000005C" + "746B6864" + "00000007" +
+        "00000000" + "00000000" + "00000001" + "00000000"), // track 1
+      be32hex(duration),
+      lit("00" * 8 + "0000" + "0000" + "0000" + "0000" + matrixHex),
+      be32hex(w * lit(65536)), be32hex(h * lit(65536)))     // 16.16
+
+  /** Honest MP4 WITH a sample table: the trak carries a full
+    * `mdia{ mdhd, minf{ stbl{ stts } } }` ladder whose two
+    * (sample_count, sample_delta) runs are closed-form functions of
+    * the fixture parameters; the media timescale is 1000 so stts
+    * deltas are milliseconds and [[frameTimeline]]'s cumulative-sum
+    * output is exactly predictable. Movie-level duration in mvhd is
+    * kept consistent (n1*d1 + n2*d2). */
+  def mp4BytesWithTimeline(w: org.apache.spark.sql.Column,
+                           h: org.apache.spark.sql.Column,
+                           n1: org.apache.spark.sql.Column,
+                           d1: org.apache.spark.sql.Column,
+                           n2: org.apache.spark.sql.Column,
+                           d2: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val duration = n1 * d1 + n2 * d2 // media timescale 1000 = ms
+    val stts = concat(
+      lit("00000020" + "73747473" + "00000000" + "00000002"),
+      be32hex(n1), be32hex(d1), be32hex(n2), be32hex(d2))
+    val mdhd = concat(
+      lit("00000020" + "6D646864" + "00000000" + "00000000" + "00000000"),
+      be32hex(lit(1000)), be32hex(duration), lit("0000" + "0000"))
+    val mdia = concat(lit("00000058" + "6D646961"), mdhd,
+      lit("00000030" + "6D696E66" + "00000028" + "7374626C"), stts)
+    unhex(concat(
+      lit("00000010" + "66747970" + "69736F6D" + "00000000"), // ftyp
+      lit("00000130" + "6D6F6F76"),                           // moov(304)
+      mvhdHex(lit(1000), duration),
+      lit("000000BC" + "7472616B"),                           // trak(188)
+      tkhdHex(w, h, duration),
+      mdia))
   }
+
+  /** REAL per-frame presentation times (ms) from the MP4 sample table
+    * — `graft_mp4_timeline` ([[graft.plans.MediaOps.mp4SampleTimesMs]]):
+    * mdhd timescale + stts delta runs, cumulative. NULL for non-MP4
+    * payloads. Frame PIXELS still need a codec (the stub boundary);
+    * the TIMELINE is genuine container data. */
+  def frameTimeline(bytes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.plans.GraftExtensions.nativeFn("graft_mp4_timeline", bytes)
 }

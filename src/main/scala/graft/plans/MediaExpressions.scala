@@ -221,6 +221,115 @@ object MediaOps {
       } else null
     row("mp4", width, height, null, null, null, durMs)
   }
+
+  /** Defensive ceiling on the decoded timeline: an hour of 30 fps video
+    * is ~108k samples; anything claiming more than this in a header is
+    * treated as malformed rather than allocated. */
+  val MaxTimelineSamples = 1 << 20
+
+  /** REAL per-frame presentation times from the MP4 sample table:
+    * walk moov -> trak -> mdia -> { mdhd (media timescale), minf ->
+    * stbl -> stts } and expand the (sample_count, sample_delta) runs
+    * into cumulative start times, converted to milliseconds with the
+    * MEDIA timescale (stts deltas are in mdhd units, not mvhd units).
+    * Null for non-MP4 bytes, missing boxes, or malformed tables —
+    * never throws. */
+  def mp4SampleTimesMs(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 12 ||
+        !(b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'))
+      return null
+    try {
+      var off = 0
+      var moovS = -1; var moovE = -1
+      while (off < b.length && moovS < 0) {
+        val end = boxEnd(b, off, b.length)
+        if (end <= off) return null
+        if (boxIs(b, off, "moov")) { moovS = off; moovE = end }
+        off = end
+      }
+      if (moovS < 0) return null
+      // first trak only (same policy as parseMp4's dimensions)
+      var trakS = -1; var trakE = -1
+      var c = moovS + 8
+      while (c < moovE && trakS < 0) {
+        val end = boxEnd(b, c, moovE)
+        if (end <= c) return null
+        if (boxIs(b, c, "trak")) { trakS = c; trakE = end }
+        c = end
+      }
+      if (trakS < 0) return null
+      var mdiaS = -1; var mdiaE = -1
+      c = trakS + 8
+      while (c < trakE && mdiaS < 0) {
+        val end = boxEnd(b, c, trakE)
+        if (end <= c) return null
+        if (boxIs(b, c, "mdia")) { mdiaS = c; mdiaE = end }
+        c = end
+      }
+      if (mdiaS < 0) return null
+      var timescale = 0L
+      var sttsOff = -1; var sttsEnd = -1
+      c = mdiaS + 8
+      while (c < mdiaE) {
+        val end = boxEnd(b, c, mdiaE)
+        if (end <= c) return null
+        if (boxIs(b, c, "mdhd") && end - c >= 24) {
+          val v = b(c + 8) & 0xFF
+          timescale =
+            if (v == 1 && end - c >= 32) be32(b, c + 28) & 0xFFFFFFFFL
+            else be32(b, c + 20) & 0xFFFFFFFFL
+        } else if (boxIs(b, c, "minf")) {
+          var m = c + 8
+          while (m < end) {
+            val mend = boxEnd(b, m, end)
+            if (mend <= m) return null
+            if (boxIs(b, m, "stbl")) {
+              var s = m + 8
+              while (s < mend) {
+                val send = boxEnd(b, s, mend)
+                if (send <= s) return null
+                if (boxIs(b, s, "stts")) { sttsOff = s; sttsEnd = send }
+                s = send
+              }
+            }
+            m = mend
+          }
+        }
+        c = end
+      }
+      if (timescale <= 0 || sttsOff < 0 || sttsEnd - sttsOff < 16) return null
+      val entryCount = be32(b, sttsOff + 12)
+      if (entryCount < 0 || sttsOff + 16 + entryCount * 8L > sttsEnd)
+        return null
+      var total = 0L
+      var e = 0
+      while (e < entryCount) {
+        val n = be32(b, sttsOff + 16 + e * 8) & 0xFFFFFFFFL
+        total += n
+        if (total > MaxTimelineSamples) return null
+        e += 1
+      }
+      val times = new Array[Int](total.toInt)
+      var t = 0L
+      var idx = 0
+      e = 0
+      while (e < entryCount) {
+        val n = be32(b, sttsOff + 16 + e * 8)
+        val delta = be32(b, sttsOff + 20 + e * 8) & 0xFFFFFFFFL
+        var i = 0
+        while (i < n) {
+          val ms = t * 1000L / timescale
+          if (ms > Int.MaxValue) return null
+          times(idx) = ms.toInt
+          idx += 1
+          t += delta
+          i += 1
+        }
+        e += 1
+      }
+      times
+    } catch { case _: IndexOutOfBoundsException => null }
+  }
 }
 
 /** `graft_media_meta(bytes)` — media container metadata parsed from the
@@ -256,6 +365,48 @@ case class MediaMetaExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : MediaMetaExpr = copy(child = newChild)
+}
+
+/** `graft_mp4_timeline(bytes)` — per-frame presentation times (ms)
+  * decoded from the MP4 sample table ([[MediaOps.mp4SampleTimesMs]]);
+  * NULL for non-MP4 or malformed payloads. */
+case class Mp4TimelineExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BINARY, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_mp4_timeline"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val times = MediaOps.mp4SampleTimesMs(v.asInstanceOf[Array[Byte]])
+    if (times == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(times)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val res = ctx.freshName("mp4Times")
+      s"""
+        int[] $res = graft.plans.MediaOps.mp4SampleTimesMs($c);
+        if ($res == null) { ${ev.isNull} = true; }
+        else { ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($res); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Mp4TimelineExpr = copy(child = newChild)
+}
+
+object Mp4TimelineExpr {
+  val info: ExpressionInfo =
+    new ExpressionInfo(classOf[Mp4TimelineExpr].getName, "graft_mp4_timeline")
 }
 
 object MediaMetaExpr {

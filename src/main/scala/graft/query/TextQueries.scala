@@ -1131,6 +1131,7 @@ object TextQueries {
     "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
     "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
     "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
+    "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql),
     "q_dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "q_decontaminate_simhash" -> (decontaminateSimhash _, decontaminateSimhashSql),
     "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),
@@ -1510,6 +1511,44 @@ object TextQueries {
       |  CASE WHEN doc_id % 4 = 3
       |       THEN CAST((doc_id % 30 + 1) * 1000 AS INT) END AS duration_ms
       |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin
+
+  /** REAL video frame timeline under the hash gate: honest MP4s carry
+    * a full `mdia{mdhd, minf{stbl{stts}}}` ladder with two
+    * (count, delta) runs closed-form in the id; the native
+    * `graft_mp4_timeline` expression walks the boxes and expands the
+    * sample table into cumulative per-frame start times (media
+    * timescale from mdhd), which posexplode turns into
+    * (frame_index, ts_ms) rows the DuckDB oracle replays from the run
+    * formula. Frame PIXELS still need a codec (the one remaining
+    * labeled stub); the TIMELINE is genuine container data. */
+  def multimodalTimeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val base = docs(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id").as("media_id"))
+    val w = (col("media_id") % 640 + 1).cast("int")
+    val h = (col("media_id") % 480 + 1).cast("int")
+    val n1 = (col("media_id") % 3 + 1).cast("int")
+    val d1 = ((col("media_id") % 7 + 1) * 100).cast("int")
+    val n2 = (col("media_id") % 2 + 1).cast("int")
+    val d2 = ((col("media_id") % 5 + 1) * 200).cast("int")
+    base.select(col("media_id"), posexplode(Multimodal.frameTimeline(
+        Multimodal.mp4BytesWithTimeline(w, h, n1, d1, n2, d2))))
+      .toDF("media_id", "frame_index", "ts_ms")
+      .orderBy("media_id", "frame_index")
+  }
+
+  // Run mirror: frame j starts at j*d1 while inside the first stts
+  // run, then n1*d1 + (j-n1)*d2; n1+n2 <= 5 frames per fixture.
+  val multimodalTimelineSql: String =
+    """WITH p AS (SELECT doc_id AS media_id,
+      |    doc_id % 3 + 1 AS n1, (doc_id % 7 + 1) * 100 AS d1,
+      |    doc_id % 2 + 1 AS n2, (doc_id % 5 + 1) * 200 AS d2
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT media_id, CAST(j AS INT) AS frame_index,
+      |  CAST(CASE WHEN j < n1 THEN j * d1
+      |       ELSE n1 * d1 + (j - n1) * d2 END AS INT) AS ts_ms
+      |FROM p, range(8) r(j) WHERE j < n1 + n2
+      |ORDER BY media_id, frame_index""".stripMargin
 
   /** REAL audio decode under the hash gate — the audio analog of
     * q_multimodal_features: complete honest WAVs (mono 16-bit PCM,
