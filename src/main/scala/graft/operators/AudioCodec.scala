@@ -16,6 +16,13 @@ import javax.sound.sampled.AudioSystem
   *  - the sample sequence is divided into 8 segments by the
   *    sample->segment map `seg = i*8/n` (every sample lands in
   *    exactly one segment; n a multiple of 8 gives uniform segments);
+  *  - multi-channel streams are processed over the INTERLEAVED frame
+  *    sequence as stored (L R L R ...): segment sums mix channels and
+  *    a zero crossing may span a channel boundary. This is a defined,
+  *    deterministic feature of the interleaved stream — an engine
+  *    recomputing it from the same PCM bytes gets the same values —
+  *    not a per-channel analysis; deinterleave upstream if per-channel
+  *    features are needed;
   *  - per segment the feature is the SUM OF ABSOLUTE sample values
   *    (a Long — no division, no floats, bit-exact on any engine);
   *  - plus the total absolute sum and the zero-crossing count
@@ -57,7 +64,9 @@ object AudioCodec {
           val hi = data(2 * i + 1) & 0xFF
           val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
           val a = math.abs(s).toLong
-          segAbs(i * Segments / n) += a
+          // Long arithmetic: i * Segments overflows Int at >= 2^28
+          // samples (~537 MB of PCM), which would index negative
+          segAbs((i.toLong * Segments / n).toInt) += a
           absTotal += a
           if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0)))
             crossings += 1

@@ -40,6 +40,14 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // creates (and deletes) a temp file — pure overhead for in-memory
+  // byte arrays in a per-row mapPartitions hot path, and on an
+  // unwritable tmpdir the IOException would surface as a silent null
+  // feature. Memory-cache instead; payloads are corpus cells, not
+  // multi-GB files.
+  ImageIO.setUseCache(false)
+
   val Grid = 8
   val FeatureDim: Int = Grid * Grid
 

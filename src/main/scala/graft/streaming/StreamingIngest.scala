@@ -176,7 +176,12 @@ object StreamingIngest {
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-        fs.rename(part, new org.apache.hadoop.fs.Path(f"$in/day$i%03d.parquet"))
+        // fs.rename signals failure by RETURN VALUE (the java.nio
+        // Files.move it replaced threw); ignoring it would silently
+        // drop a day's input and replay with missing data
+        require(
+          fs.rename(part, new org.apache.hadoop.fs.Path(f"$in/day$i%03d.parquet")),
+          s"rename failed: $part -> $in/day$i%03d.parquet")
         dedupWindow(
             spark.readStream.schema("domain STRING, obs_ts TIMESTAMP")
               .parquet(in), watermark)

@@ -52,8 +52,10 @@ object ScaleBench {
     // key ranges NOT colliding — fail loudly if a base table ever
     // outgrows its offset stride instead of silently merging replicas
     def requireStride(t: String, key: String, stride: Long): Unit = {
-      val mx = read(t).agg(max(col(key))).collect()(0)
-        .getAs[Number](0).longValue()
+      // max() over an empty table is null — surface that as a clear
+      // message, not an NPE (an empty base table cannot collide)
+      val mx = Option(read(t).agg(max(col(key))).collect()(0)
+        .getAs[Number](0)).map(_.longValue()).getOrElse(-1L)
       require(mx < stride,
         s"$t.$key max $mx >= replica stride $stride — raise the stride")
     }
