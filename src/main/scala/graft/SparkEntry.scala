@@ -1,14 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.query.{CoreQueries, DomainQueries, TextQueries}
+import graft.query.{CoreQueries, DomainQueries, MediaQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   private def oracleBacked
       : Map[String, ((SparkSession, String) => DataFrame, String)] =
-    CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle
+    CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle ++
+      MediaQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline: quality + repetition gates

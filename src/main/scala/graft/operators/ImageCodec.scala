@@ -90,6 +90,49 @@ object ImageCodec {
       if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
   }
 
+  /** Nearest-neighbor resample with the EXPLICIT integer pixel map
+    * `src(x*srcW/dstW, y*srcH/dstH)` (floor division) — chosen over
+    * `Graphics2D` NN so the sample positions are engine-independent
+    * facts an oracle can replay: when dims scale by an exact integer
+    * factor, each dst pixel equals one specific src pixel, bit-exact. */
+  def resample(img: BufferedImage, dstW: Int, dstH: Int): BufferedImage = {
+    val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth
+    val sh = img.getHeight
+    var y = 0
+    while (y < dstH) {
+      val sy = y * sh / dstH
+      var x = 0
+      while (x < dstW) {
+        out.setRGB(x, y, img.getRGB(x * sw / dstW, sy) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Real byte-level resize: decode, cap the longest side at `maxDim`
+    * (scale = maxDim/max(w,h), floor dims, min 1), re-encode PNG
+    * (lossless). Returns null for undecodable payloads; returns the
+    * INPUT bytes unchanged when already within bounds (no pointless
+    * re-encode at corpus scale). */
+  def resizeBytes(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img = decodeImage(bytes)
+    if (img == null) null
+    else {
+      val m = math.max(img.getWidth, img.getHeight)
+      if (m <= maxDim) bytes
+      else {
+        val dw = math.max(1, img.getWidth * maxDim / m)
+        val dh = math.max(1, img.getHeight * maxDim / m)
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(resample(img, dw, dh), "png", out)
+        out.toByteArray
+      }
+    }
+  }
+
   /** Fixture encoder: a real PNG (JDK writer, color type 2 truecolor)
     * whose top half is `topRgb` and bottom half `bottomRgb` (pass the
     * same value for a solid image). Lossless, so decode is bit-exact. */

@@ -8,14 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * resize / frame-sample operators.
   *
-  * Image decode is REAL ([[ImageCodec]]: pure-JVM `javax.imageio`
-  * pixel decode for PNG/JPEG/GIF — the formats the byte-level header
-  * parser recognizes). Video frame extraction remains a clearly-marked
-  * deterministic STUB ([[StubCodec.sampleFrame]]) — there is no JVM
-  * video codec in the JDK — and everything Spark-side (schema,
-  * partitioning, the mapPartitions batch shape, operator signatures)
-  * is real and tested; swapping in an FFmpeg frame grabber changes no
-  * plan shape.
+  * Every byte path is REAL: image decode via [[ImageCodec]] (pure-JVM
+  * `javax.imageio`, PNG/JPEG/GIF), audio PCM via [[AudioCodec]], and
+  * video frame extraction via [[VideoCodec]] — an AVI (RIFF) container
+  * walk with DIB/MJPG pixel decode, which retires the last codec stub.
+  * Formats outside the JDK's reach (H.264 in MP4, ...) surface their
+  * container metadata/timeline ([[mediaMeta]], [[frameTimeline]]) and
+  * return null frames — swapping in an FFmpeg-class grabber widens
+  * codec coverage without changing any plan shape.
   *
   * Scale notes: media rows are large — the operators repartition by
   * size-aware bucketing upstream (caller policy), process
@@ -44,20 +44,9 @@ object Multimodal {
                                  feature: Array[Float], n_bytes: Long)
   final case class Frame(media_id: Long, frame_index: Int, ts_ms: Int,
                          frame_bytes: Array[Byte])
-
-  /** STUB codec — deterministic fake standing in for FFmpeg (video
-    * only; image decode is real, see [[ImageCodec]]). Replace
-    * `sampleFrame` with a real frame grabber; the call sites and plans
-    * do not change. */
-  object StubCodec {
-    /** Fake frame extraction: slices of the payload at regular strides. */
-    def sampleFrame(bytes: Array[Byte], idx: Int, of: Int): Array[Byte] =
-      if (bytes == null || bytes.isEmpty) Array.emptyByteArray
-      else {
-        val span = math.max(bytes.length / of, 1)
-        bytes.slice(idx * span, math.min((idx + 1) * span, bytes.length))
-      }
-  }
+  final case class FrameFeatures(media_id: Long, frame_index: Int,
+                                 ts_ms: Int, frame_bytes_len: Int,
+                                 feature: Array[Float])
 
   /** Decode + feature-extract, partition-at-a-time. The iterator-in /
     * iterator-out shape is what a vectorized (Arrow/pandas-style) UDF
@@ -78,28 +67,80 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame. */
-  def sampleFrames(media: Dataset[MediaRecord], frames: Int): Dataset[Frame] = {
+  /** REAL frame sampling for video rows: parse the AVI container once
+    * per row, pick up to `maxFrames` evenly-spaced frames (index map
+    * `j*n/maxFrames` — every frame when n <= maxFrames), and emit the
+    * RAW container frame payloads with their exact strh-clock
+    * presentation times. Non-AVI video payloads yield no rows (their
+    * timeline, if MP4, comes from [[frameTimeline]]). */
+  def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int)
+      : Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      (0 until frames).iterator.map { i =>
-        val dur = r.meta.duration_ms.getOrElse(0)
-        Frame(r.media_id, i, if (frames == 0) 0 else dur * i / frames,
-          StubCodec.sampleFrame(r.bytes, i, frames))
+      val avi = VideoCodec.parseAvi(r.bytes)
+      if (avi == null || maxFrames <= 0) Iterator.empty
+      else {
+        val n = avi.frames.length
+        val picks =
+          if (n <= maxFrames) 0 until n
+          else (0 until maxFrames).map(j => j * n / maxFrames)
+        picks.iterator.map(i =>
+          Frame(r.media_id, i, avi.tsMs(i), avi.frames(i)))
       }
     }
   }
 
-  /** Resize metadata transform (column-level; byte transform stubbed as
-    * pass-through — a real resize rewrites `bytes` in the same shape). */
+  /** REAL per-frame pixel features for video rows: one container parse
+    * + frame decode per row, emitting the [[ImageCodec.lumaGrid]] of
+    * every decoded frame (null feature for frames whose codec the JVM
+    * cannot decode). No shuffle — per-row CPU in a flatMap. */
+  def frameFeatures(media: Dataset[MediaRecord]): Dataset[FrameFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val fs = VideoCodec.frameFeatures(r.bytes)
+      if (fs == null) Iterator.empty
+      else fs.iterator.map { case (i, ts, len, feat) =>
+        FrameFeatures(r.media_id, i, ts, len, feat)
+      }
+    }
+  }
+
+  /** REAL resize: image rows whose longest side exceeds `maxDim` get
+    * their BYTES resampled ([[ImageCodec.resizeBytes]]: explicit
+    * integer nearest-neighbor, PNG re-encode) and their meta updated
+    * to the actual post-resize dimensions (floor(d*maxDim/max), the
+    * same integer rule the resampler applies). Undecodable or
+    * in-bounds rows pass through untouched. */
+  def resize(media: Dataset[MediaRecord], maxDim: Int)
+      : Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val resized =
+        if (r.kind != "image") null else ImageCodec.resizeBytes(r.bytes, maxDim)
+      if (resized == null || (resized eq r.bytes)) r
+      else {
+        val m = math.max(r.meta.width.getOrElse(0), r.meta.height.getOrElse(0))
+        r.copy(bytes = resized, meta = r.meta.copy(
+          width = r.meta.width.map(w => math.max(1, w * maxDim / m)),
+          height = r.meta.height.map(h => math.max(1, h * maxDim / m))))
+      }
+    })
+  }
+
+  /** Metadata-only resize PLANNING transform (column-level, no byte
+    * touch) — predicts what [[resize]] will do to the dims, for
+    * planning/stats passes that must not pay decode cost. Integer
+    * floor semantics match [[ImageCodec.resizeBytes]] exactly. */
   def resizeMeta(df: DataFrame, maxDim: Int): DataFrame = {
     val w = col("meta.width")
     val h = col("meta.height")
-    val scale = when(greatest(w, h) > maxDim,
-      lit(maxDim) / greatest(w, h).cast("double")).otherwise(lit(1.0))
+    val m = greatest(w, h)
+    val scaled = m > maxDim
     df.withColumn("meta", struct(
-      (w * scale).cast("int").as("width"),
-      (h * scale).cast("int").as("height"),
+      when(scaled, greatest(lit(1), floor(w * maxDim / m).cast("int")))
+        .otherwise(w).as("width"),
+      when(scaled, greatest(lit(1), floor(h * maxDim / m).cast("int")))
+        .otherwise(h).as("height"),
       col("meta.sample_rate").as("sample_rate"),
       col("meta.duration_ms").as("duration_ms")))
   }

@@ -1128,10 +1128,6 @@ object TextQueries {
     "q_dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
     "q_dedup_embedding_probe" -> (dedupEmbeddingProbe _, dedupEmbeddingProbeSql),
     "q_lang_fingerprint" -> (langFingerprint _, langFingerprintSql),
-    "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
-    "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
-    "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
-    "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql),
     "q_dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "q_decontaminate_simhash" -> (decontaminateSimhash _, decontaminateSimhashSql),
     "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),
@@ -1363,246 +1359,8 @@ object TextQueries {
       k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 64))
   }
 
-  /** REAL pixel decode under the hash gate. Image rows carry genuine
-    * PNGs — encoded by the JDK's ImageIO writer in the executors, then
-    * decoded BACK pixel-by-pixel by [[graft.operators.ImageCodec]]
-    * (8x8 mean-luminance grid, lum = 299r+587g+114b) — with every
-    * pixel a closed-form function of the id: doc_id%3==1 rows are
-    * solid-color1 PNGs, %3==2 rows split color1 (top half) / color2
-    * (bottom) GIFs — two distinct real decoders under one gate (GIF
-    * palettizes losslessly at <=2 colors). Dimensions are multiples of
-    * 8 so grid cells are uniform blocks and the cell means are exact
-    * integers the DuckDB oracle recomputes WITHOUT decoding
-    * (encoder ∘ decoder = identity on lossless codecs).
-    * Video rows (%3==0) keep text-byte payloads and
-    * certify frame-slice arithmetic as before; their feature vector is
-    * null (no JDK video codec — documented stub boundary).
-    *
-    * JPEG decode runs the same code path but is lossy (not closed-
-    * form): spec-locked with tolerance in MultimodalSpec instead. */
-  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.{ImageCodec, Multimodal}
-    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
-    val media = docs(s, dir).filter(col("doc_id") < 200)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        if (id % 3 == 0)
-          MediaRecord(id, "video",
-            if (text == null) Array.emptyByteArray
-            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            MediaMeta(None, None, None,
-              Some(Option(text).map(_.length).getOrElse(0) * 10)))
-        else {
-          val w = 8 * (id % 8 + 1).toInt
-          val h = 8 * (id % 6 + 1).toInt
-          def rgb(r: Long, g: Long, b: Long): Int =
-            (((r % 256) << 16) | ((g % 256) << 8) | (b % 256)).toInt
-          val c1 = rgb(id * 37, id * 59, id * 83)
-          val c2 = if (id % 3 == 1) c1 else rgb(id * 101, id * 131, id * 163)
-          val bytes =
-            if (id % 3 == 1) ImageCodec.encodePng(w, h, c1, c2)
-            else ImageCodec.encodeGif(w, h, c1, c2)
-          MediaRecord(id, "image", bytes,
-            MediaMeta(Some(w), Some(h), None, None))
-        }
-      }
-    val feats = Multimodal.extractFeatures(media).toDF()
-      .select(col("media_id"), col("kind"),
-        // PNG container size is encoder-internal; only the video
-        // payload length is semantic (and closed-form)
-        when(col("kind") === "video", col("n_bytes")).as("payload_bytes"),
-        element_at(col("feature"), 1).cast("long").as("lum_tl"),
-        element_at(col("feature"), 64).cast("long").as("lum_br"),
-        aggregate(col("feature"), lit(0L),
-          (acc, x) => acc + x.cast("long")).as("lum_sum"))
-    val frames = Multimodal.sampleFrames(media, frames = 4).toDF()
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_frames"),
-        sum(length(col("frame_bytes"))).cast("long").as("frame_bytes_total"))
-    feats.join(frames, Seq("media_id"), "left")
-      .orderBy("media_id")
-  }
-
-  // Image rows: per-pixel lum = 299r+587g+114b with (r,g,b) closed-form
-  // in the id; solid rows -> all 64 cells = l1; split rows -> top 32
-  // cells l1, bottom 32 l2 (split at h/2 = cell-row 4 boundary, h a
-  // multiple of 8). Frame slicing mirror: stride s = max(len/4, 1).
-  val multimodalFeaturesSql: String =
-    """WITH m AS (SELECT doc_id AS media_id,
-      |    CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
-      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-      |  FROM documents WHERE doc_id < 200),
-      |lum AS (SELECT media_id,
-      |    299*((media_id*37)%256) + 587*((media_id*59)%256)
-      |      + 114*((media_id*83)%256) AS l1,
-      |    299*((media_id*101)%256) + 587*((media_id*131)%256)
-      |      + 114*((media_id*163)%256) AS l2
-      |  FROM m WHERE media_id % 3 <> 0),
-      |img AS (SELECT media_id, CAST(l1 AS BIGINT) AS lum_tl,
-      |    CAST(CASE WHEN media_id % 3 = 1 THEN l1 ELSE l2 END AS BIGINT)
-      |      AS lum_br,
-      |    CAST(CASE WHEN media_id % 3 = 1 THEN 64*l1
-      |         ELSE 32*l1 + 32*l2 END AS BIGINT) AS lum_sum
-      |  FROM lum),
-      |f AS (SELECT media_id, CAST(4 AS BIGINT) AS n_frames,
-      |    CAST(list_sum([greatest(least((i + 1) * s, n_bytes) - i * s, 0)
-      |                   FOR i IN [0, 1, 2, 3]]) AS BIGINT)
-      |      AS frame_bytes_total
-      |  FROM (SELECT media_id, n_bytes,
-      |          greatest(n_bytes // 4, 1) AS s
-      |        FROM m WHERE kind = 'video'))
-      |SELECT m.media_id, m.kind,
-      |  CASE WHEN m.kind = 'video' THEN m.n_bytes END AS payload_bytes,
-      |  img.lum_tl, img.lum_br, img.lum_sum, f.n_frames,
-      |  f.frame_bytes_total
-      |FROM m LEFT JOIN img USING (media_id) LEFT JOIN f USING (media_id)
-      |ORDER BY media_id""".stripMargin
-
-  /** Real header parsing under the hash gate: deterministic
-    * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
-    * field a closed-form function of the id) are built byte-for-byte
-    * to the public container layouts, then parsed BACK by the native
-    * [[graft.operators.Multimodal.mediaMeta]] expression — the oracle
-    * predicts the parsed struct without parsing (generator ∘ parser =
-    * identity on honest containers; corrupt/truncated behavior is
-    * spec-locked in MultimodalSpec on hand-built fixtures). */
-  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Multimodal
-    val base = docs(s, dir).filter(col("doc_id") < 300)
-      .select(col("doc_id").as("media_id"))
-    val w = (col("media_id") % 640 + 1).cast("int")
-    val h = (col("media_id") % 480 + 1).cast("int")
-    val rate = (col("media_id") % 8 * 4000 + 8000).cast("int")
-    val ch = (col("media_id") % 2 + 1).cast("int")
-    // mp4 duration: timescale varies per row and divides the duration
-    // exactly, so duration_ms = (id%30+1)*1000 is closed-form
-    val ts = ((col("media_id") % 4 + 1) * lit(600)).cast("int")
-    val dur = (ts * (col("media_id") % 30 + 1)).cast("int")
-    val bytes = when(col("media_id") % 4 === 0, Multimodal.pngBytes(w, h))
-      .when(col("media_id") % 4 === 1, Multimodal.jpegBytes(w, h))
-      .when(col("media_id") % 4 === 2, Multimodal.wavBytes(rate, ch))
-      .otherwise(Multimodal.mp4Bytes(w, h, ts, dur))
-    base.withColumn("m", Multimodal.mediaMeta(bytes))
-      .select(col("media_id"), col("m.format").as("format"),
-        col("m.width").as("width"), col("m.height").as("height"),
-        col("m.sample_rate").as("sample_rate"),
-        col("m.channels").as("channels"),
-        col("m.bit_depth").as("bit_depth"),
-        col("m.duration_ms").as("duration_ms"))
-      .orderBy("media_id")
-  }
-
-  val multimodalMetaSql: String =
-    """SELECT doc_id AS media_id,
-      |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-      |       WHEN 2 THEN 'wav' ELSE 'mp4' END AS format,
-      |  CASE WHEN doc_id % 4 IN (0, 1, 3)
-      |       THEN CAST(doc_id % 640 + 1 AS INT) END AS width,
-      |  CASE WHEN doc_id % 4 IN (0, 1, 3)
-      |       THEN CAST(doc_id % 480 + 1 AS INT) END AS height,
-      |  CASE WHEN doc_id % 4 = 2
-      |       THEN CAST(doc_id % 8 * 4000 + 8000 AS INT) END AS sample_rate,
-      |  CAST(CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3
-      |       WHEN 2 THEN doc_id % 2 + 1 END AS INT) AS channels,
-      |  CAST(CASE WHEN doc_id % 4 < 2 THEN 8
-      |       WHEN doc_id % 4 = 2 THEN 16 END AS INT) AS bit_depth,
-      |  CASE WHEN doc_id % 4 = 3
-      |       THEN CAST((doc_id % 30 + 1) * 1000 AS INT) END AS duration_ms
-      |FROM documents WHERE doc_id < 300 ORDER BY media_id""".stripMargin
-
-  /** REAL video frame timeline under the hash gate: honest MP4s carry
-    * a full `mdia{mdhd, minf{stbl{stts}}}` ladder with two
-    * (count, delta) runs closed-form in the id; the native
-    * `graft_mp4_timeline` expression walks the boxes and expands the
-    * sample table into cumulative per-frame start times (media
-    * timescale from mdhd), which posexplode turns into
-    * (frame_index, ts_ms) rows the DuckDB oracle replays from the run
-    * formula. Frame PIXELS still need a codec (the one remaining
-    * labeled stub); the TIMELINE is genuine container data. */
-  def multimodalTimeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Multimodal
-    val base = docs(s, dir).filter(col("doc_id") < 300)
-      .select(col("doc_id").as("media_id"))
-    val w = (col("media_id") % 640 + 1).cast("int")
-    val h = (col("media_id") % 480 + 1).cast("int")
-    val n1 = (col("media_id") % 3 + 1).cast("int")
-    val d1 = ((col("media_id") % 7 + 1) * 100).cast("int")
-    val n2 = (col("media_id") % 2 + 1).cast("int")
-    val d2 = ((col("media_id") % 5 + 1) * 200).cast("int")
-    base.select(col("media_id"), posexplode(Multimodal.frameTimeline(
-        Multimodal.mp4BytesWithTimeline(w, h, n1, d1, n2, d2))))
-      .toDF("media_id", "frame_index", "ts_ms")
-      .orderBy("media_id", "frame_index")
-  }
-
-  // Run mirror: frame j starts at j*d1 while inside the first stts
-  // run, then n1*d1 + (j-n1)*d2; n1+n2 <= 5 frames per fixture.
-  val multimodalTimelineSql: String =
-    """WITH p AS (SELECT doc_id AS media_id,
-      |    doc_id % 3 + 1 AS n1, (doc_id % 7 + 1) * 100 AS d1,
-      |    doc_id % 2 + 1 AS n2, (doc_id % 5 + 1) * 200 AS d2
-      |  FROM documents WHERE doc_id < 300)
-      |SELECT media_id, CAST(j AS INT) AS frame_index,
-      |  CAST(CASE WHEN j < n1 THEN j * d1
-      |       ELSE n1 * d1 + (j - n1) * d2 END AS INT) AS ts_ms
-      |FROM p, range(8) r(j) WHERE j < n1 + n2
-      |ORDER BY media_id, frame_index""".stripMargin
-
-  /** REAL audio decode under the hash gate — the audio analog of
-    * q_multimodal_features: complete honest WAVs (mono 16-bit PCM,
-    * 64 samples, each sample a closed-form function of the id) are
-    * built byte-for-byte in column land, then decoded BACK through the
-    * JDK audio stack ([[graft.operators.AudioCodec]]: AudioSystem
-    * format detection + frame iteration) into integer-exact features —
-    * per-segment absolute sums, total, zero crossings — that the
-    * DuckDB oracle recomputes from the sample formula without ever
-    * seeing the bytes (encoder ∘ decoder = identity on PCM). */
-  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.operators.{AudioCodec, Multimodal}
-    val rate = (col("media_id") % 8 * 4000 + 8000).cast("int")
-    docs(s, dir).filter(col("doc_id") < 200)
-      .select(col("doc_id").as("media_id"))
-      .withColumn("bytes", Multimodal.wavBytesWithData(rate, col("media_id")))
-      .select(col("media_id"), col("bytes"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, b) =>
-        val f = AudioCodec.decodePcm(b)
-        if (f == null) (id, None: Option[Int], None: Option[Long],
-          None: Option[Long], None: Option[Long], None: Option[Long],
-          None: Option[Long])
-        else (id, Some(f.sampleRate), Some(f.nSamples), Some(f.segAbs(0)),
-          Some(f.segAbs(7)), Some(f.absTotal), Some(f.zeroCrossings))
-      }
-      .toDF("media_id", "sample_rate", "n_samples", "seg_abs_first",
-        "seg_abs_last", "abs_total", "zero_crossings")
-      .orderBy("media_id")
-  }
-
-  // Sample mirror: s_j = ((id*37 + j*101) % 4096) - 2048, j in [0, 64);
-  // segments are 8 samples wide (64/8); a zero sample never counts as
-  // a crossing on either side (strict sign flip in both engines).
-  val multimodalAudioSql: String =
-    """WITH s AS (SELECT doc_id AS media_id, j,
-      |    ((doc_id*37 + j*101) % 4096) - 2048 AS v
-      |  FROM documents, range(64) r(j) WHERE doc_id < 200),
-      |x AS (SELECT media_id, j, v,
-      |    lag(v) OVER (PARTITION BY media_id ORDER BY j) AS pv
-      |  FROM s)
-      |SELECT media_id,
-      |  CAST(media_id % 8 * 4000 + 8000 AS INT) AS sample_rate,
-      |  CAST(count(*) AS BIGINT) AS n_samples,
-      |  CAST(SUM(CASE WHEN j < 8 THEN ABS(v) END) AS BIGINT)
-      |    AS seg_abs_first,
-      |  CAST(SUM(CASE WHEN j >= 56 THEN ABS(v) END) AS BIGINT)
-      |    AS seg_abs_last,
-      |  CAST(SUM(ABS(v)) AS BIGINT) AS abs_total,
-      |  CAST(SUM(CASE WHEN (pv > 0 AND v < 0) OR (pv < 0 AND v > 0)
-      |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-      |FROM x GROUP BY media_id
-      |ORDER BY media_id""".stripMargin
+  // Multimodal (binary-column) queries moved to MediaQueries.scala
+  // once the media surface grew real codecs (round 8).
 
   /** No rows-only entries remain: q_dedup_simhash moved under the md5
     * signature-replay oracle, q_sim_lsh under full-pipeline replay

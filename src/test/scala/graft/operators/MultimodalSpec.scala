@@ -75,12 +75,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
   }
 
-  test("frame sampling explodes only video rows with timeline metadata") {
-    val frames = sampleFrames(media, 4).collect().sortBy(_.frame_index)
-    assert(frames.length == 4)
-    assert(frames.forall(_.media_id == 3L))
-    assert(frames.map(_.ts_ms).toSeq == Seq(0, 15000, 30000, 45000))
-    assert(frames.map(_.frame_bytes.length).sum == 100)  // full coverage
+  test("frame sampling decodes REAL AVI containers, only video rows") {
+    // a video row with non-video payload yields no frames (not fakes)
+    assert(sampleFrames(media, 4).collect().isEmpty)
+    // real AVI: 6 DIB frames at 10 fps, sample 4 -> picks j*6/4 = 0,1,3,4
+    val colors = (0 until 6).map(i => (0x101010 * i, 0x0F0F0F * i))
+    val avi = VideoCodec.encodeAvi(16, 16, colors, scale = 1, rate = 10)
+    val rows = Seq(
+      MediaRecord(7L, "video", avi, MediaMeta(Some(16), Some(16), None, None)),
+      MediaRecord(8L, "image", avi, MediaMeta(None, None, None, None))
+    ).toDS()
+    val frames = sampleFrames(rows, 4).collect().sortBy(_.frame_index)
+    assert(frames.forall(_.media_id == 7L)) // image rows never explode
+    assert(frames.map(_.frame_index).toSeq == Seq(0, 1, 3, 4))
+    assert(frames.map(_.ts_ms).toSeq == Seq(0, 100, 300, 400))
+    // raw DIB payloads: stride 48 (16*3), 16 rows
+    assert(frames.forall(_.frame_bytes.length == 48 * 16))
+    // asking for more frames than exist returns all of them once
+    assert(sampleFrames(rows, 100).collect().length == 6)
   }
 
   test("resize transform scales metadata preserving aspect") {
