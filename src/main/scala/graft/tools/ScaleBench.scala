@@ -41,6 +41,23 @@ object ScaleBench {
     "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
     "q_normalize", "q_heavy_hitters", "q_dedup_exact")
 
+  /** Documents-only replica at factor k — the media/dedup families
+    * derive everything from `documents`, so their high tiers (100x)
+    * need none of the fact tables. Same disjoint-vocabulary recipe as
+    * the full build. */
+  def buildScaledDocs(spark: SparkSession, sfDir: String, k: Int,
+                      outDir: String): Unit = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until k).map(i => base
+        .withColumn("doc_id", col("doc_id") + i * 10000000L)
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " ", -1),
+            t => concat(lit(s"r${i}_"), t)))))
+      .reduce(_ unionAll _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
   def buildScaled(spark: SparkSession, sfDir: String, k: Int,
                   outDir: String): Unit = {
     def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
@@ -110,11 +127,22 @@ object ScaleBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val outDir = args.drop(2).headOption.getOrElse("/tmp/graft_sf1")
+    // Focused-probe knobs (outlier pin-downs without the full sweep):
+    //  SCALE_BENCH_ONLY=q_a,q_b  run only those headline queries
+    //  SCALE_BENCH_RUNS=3        min-of-N per (query, scale)
+    //  SCALE_BENCH_SKIP_BUILD=1  reuse an existing outDir build
+    //  SCALE_BENCH_MEDIA_K=100   extra documents-only tier for the
+    //                            media family's 100x curve row
+    val only = sys.env.get("SCALE_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val runsPer = sys.env.get("SCALE_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    val skipBuild = sys.env.get("SCALE_BENCH_SKIP_BUILD").contains("1")
+    val mediaK = sys.env.get("SCALE_BENCH_MEDIA_K").map(_.toInt).getOrElse(0)
     val spark = GraftSession.getOrCreate("graft-scale-bench")
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
-    buildScaled(spark, sfDir, k, outDir)
+    if (!skipBuild) buildScaled(spark, sfDir, k, outDir)
     println(f"[scale-bench] built ${k}x tables under $outDir in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
 
@@ -123,19 +151,24 @@ object ScaleBench {
     spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
     val qs = graft.SparkEntry.queries
-    val rows = headline.map { name =>
+    val picked = headline.filter(n => only.forall(_.contains(n)))
+    val rows = picked.map { name =>
       val fn = qs(name)
-      def time(dir: String): Double = {
+      def time(dir: String): Double = (1 to runsPer).map { _ =>
         val s = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - s) / 1e9
-      }
+      }.min
       val base = time(sfDir)
       val scaled = time(outDir)
       val ratio = scaled / base
       println(f"[scale-bench] $name%-24s sf0.1=$base%7.2fs " +
-        f"${k}x=$scaled%7.2fs ratio=$ratio%5.1f")
+        f"${k}x=$scaled%7.2fs ratio=$ratio%5.1f runs=$runsPer")
       (name, base, scaled, ratio)
+    }
+    if (only.isDefined) { // focused probe: stop after the named queries
+      spark.stop()
+      return
     }
     // Embedding near-dup is excluded from `headline` deliberately — two
     // measured reasons (PERF.md round 6 for the full numbers):
@@ -205,6 +238,25 @@ object ScaleBench {
       f" | ${k}x rows=$mns in $mtsc%.1f s ratio=${mtsc / mtb}%.1f")
     println(f"[scale-bench] multimodal_features: sf0.1 rows=$fnb in " +
       f"$ftb%.1f s | ${k}x rows=$fns in $ftsc%.1f s ratio=${ftsc / ftb}%.1f")
+    // 100x tier for the media family (documents-only replica — the
+    // fixtures derive everything from doc_id/text, so the fact tables
+    // are dead weight at this tier). Measures LINEARITY, not overhead:
+    // per-row CPU with zero shuffle must scale ~k on a fixed box.
+    val media100 = if (mediaK <= 1) None else {
+      val dir100 = s"$outDir-docs$mediaK"
+      val tb0 = System.nanoTime()
+      if (!(skipBuild && new java.io.File(s"$dir100/documents.parquet")
+          .exists()))
+        buildScaledDocs(spark, sfDir, mediaK, dir100)
+      println(f"[scale-bench] built ${mediaK}x documents under $dir100 " +
+        f"in ${(System.nanoTime() - tb0) / 1e9}%.1f s")
+      val (mn1, mt1, fn1, ft1) = mediaScale(dir100)
+      println(f"[scale-bench] multimodal_meta@${mediaK}x: rows=$mn1 in " +
+        f"$mt1%.1f s ratio_vs_base=${mt1 / mtb}%.1f (linear=$mediaK)")
+      println(f"[scale-bench] multimodal_features@${mediaK}x: rows=$fn1 " +
+        f"in $ft1%.1f s ratio_vs_base=${ft1 / ftb}%.1f (linear=$mediaK)")
+      Some((mn1, mt1, fn1, ft1))
+    }
     val worst = rows.maxBy(_._4)
     println(f"[scale-bench] SUMMARY k=$k queries=${rows.size} " +
       f"median_ratio=${rows.map(_._4).sorted.apply(rows.size / 2)}%.1f " +
@@ -213,7 +265,10 @@ object ScaleBench {
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
     } :+ f""""dedup_embedding_prodcfg":{"base":$tb%.3f,"scaled":$tsc%.3f,"ratio":${tsc / tb}%.2f,"base_pairs":$nb,"scaled_pairs":$ns}"""
       :+ f""""multimodal_meta_full":{"base":$mtb%.3f,"scaled":$mtsc%.3f,"ratio":${mtsc / mtb}%.2f,"base_rows":$mnb,"scaled_rows":$mns}"""
-      :+ f""""multimodal_features_full":{"base":$ftb%.3f,"scaled":$ftsc%.3f,"ratio":${ftsc / ftb}%.2f,"base_rows":$fnb,"scaled_rows":$fns}""")
+      :+ f""""multimodal_features_full":{"base":$ftb%.3f,"scaled":$ftsc%.3f,"ratio":${ftsc / ftb}%.2f,"base_rows":$fnb,"scaled_rows":$fns}"""
+      :++ media100.toSeq.flatMap { case (mn1, mt1, fn1, ft1) => Seq(
+        f""""multimodal_meta_${mediaK}x":{"base":$mtb%.3f,"scaled":$mt1%.3f,"ratio":${mt1 / mtb}%.2f,"rows":$mn1,"linear_k":$mediaK}""",
+        f""""multimodal_features_${mediaK}x":{"base":$ftb%.3f,"scaled":$ft1%.3f,"ratio":${ft1 / ftb}%.2f,"rows":$fn1,"linear_k":$mediaK}""") })
       .mkString(s"""{"metric":"scale_curve","k":$k,"queries":{""", ",", "}}")
     java.nio.file.Files.write(java.nio.file.Paths.get("scale_bench.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
