@@ -145,18 +145,23 @@ object TextAnalysis {
     * so a second engine reproduces the ranking bit-for-bit).
     *
     * Scale shape: one token-explode shuffle with map-side partial
-    * aggregation into (doc, term) counts, a term-cardinality-sized df
-    * aggregate joined back, one per-doc window. */
+    * aggregation into (doc, term) counts, then TWO window passes —
+    * df as `count over (partition by term)` on the tf rows (one row
+    * per (doc, term), so the count IS document frequency) and the
+    * per-doc rank. This replaces the separate df aggregate + equi-join
+    * of the first version: same result, one fewer shuffle of the
+    * (doc, term) stream (3 exchanges, not 4) — measurably the
+    * heaviest chain in the text family at 10x data. */
   def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
                text: Column, n: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = df.select(col(idCol).as("doc_id"),
         explode(tokenize(text)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("tf"), asc("df"), asc("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select("doc_id", "term", "tf", "df", "rank")

@@ -103,6 +103,11 @@ object ExplainDump {
       },
       "q_join_salted_auto (derived salt factor, sampled measurement)" ->
         CoreQueries.saltedJoinAuto(spark, sfDir),
+      "video frame features (per-row AVI decode in a flatMap, no shuffle " +
+        "until the final order)" ->
+        graft.query.MediaQueries.multimodalFrames(spark, sfDir),
+      "image resize (byte rewrite in mapPartitions, meta updated in-row)" ->
+        graft.query.MediaQueries.multimodalResize(spark, sfDir),
       "ivf-pq top-k (codes through the cell join, bounded exact re-rank)" -> {
         import org.apache.spark.sql.functions.col
         graft.operators.Similarity.ivfPqTopK(
