@@ -307,12 +307,22 @@ object Dedup {
     * maxDist small (<= ~10) at corpus scale. */
   def simhashNearDups(df: DataFrame, idCol: String, text: Column,
                       maxDist: Int = 3,
-                      hashFamily: String = "xxhash64"): DataFrame = {
+                      hashFamily: String = "xxhash64"): DataFrame =
+    signatureNearDups(simhashSignatures(df, idCol, text, hashFamily),
+      maxDist)
+
+  /** Near-dup pairs over ARBITRARY 64-bit signatures (id, sig) within
+    * `maxDist` Hamming distance — the signature-agnostic core behind
+    * [[simhashNearDups]] (text) and [[Multimodal.imageNearDups]]
+    * (perceptual hashes): (maxDist+1)-block pigeonhole banding, then
+    * exact bit_count verification. Full recall at the requested
+    * distance (a pair within maxDist differing bits must agree on at
+    * least one block), so the output is a deterministic function of
+    * the signatures — oracle-replayable, no probability talk. */
+  def signatureNearDups(sigs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist < 32,
       s"maxDist must be in [0, 32), got $maxDist")
-    val blocks =
-      simhashBlocks(simhashSignatures(df, idCol, text, hashFamily),
-        maxDist + 1)
+    val blocks = simhashBlocks(sigs, maxDist + 1)
     // shuffle-hash self-join: identical exchanges -> signature pipeline
     // computed once; broadcast would rebuild it per side (and cannot
     // hold a banded corpus at scale)

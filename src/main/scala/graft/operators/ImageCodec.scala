@@ -90,6 +90,31 @@ object ImageCodec {
       if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
   }
 
+  /** 64-bit average hash (aHash) of a luminance grid: bit i is set
+    * iff cell i is STRICTLY above the grid mean. Comparison is done
+    * in exact integer arithmetic (`64*v_i > sum`) — cell means of
+    * uniform-block images are exact integers in Float, so the hash is
+    * bit-reproducible by any engine from the closed-form cell values.
+    * A solid image (all cells equal) hashes to 0 by the strictness.
+    *
+    * This is the classic perceptual-hash construction: resistant to
+    * re-encoding and exact-scale resize (the grid is scale-free),
+    * and 64 bits feed the pigeonhole-banded Hamming self-join
+    * ([[Dedup.signatureNearDups]]) for corpus-scale image near-dup
+    * with no pairwise pass. */
+  def aHash(grid: Array[Float]): Long = {
+    var total = 0L
+    var i = 0
+    while (i < FeatureDim) { total += grid(i).toLong; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < FeatureDim) {
+      if (64L * grid(i).toLong > total) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
   /** Nearest-neighbor resample with the EXPLICIT integer pixel map
     * `src(x*srcW/dstW, y*srcH/dstH)` (floor division) — chosen over
     * `Graphics2D` NN so the sample positions are engine-independent
@@ -150,11 +175,21 @@ object ImageCodec {
     encode("gif", w, h, topRgb, bottomRgb)
 
   private def encode(fmt: String, w: Int, h: Int,
-                     topRgb: Int, bottomRgb: Int): Array[Byte] = {
+                     topRgb: Int, bottomRgb: Int): Array[Byte] =
+    encodeBands(fmt, w, h, Seq(topRgb, bottomRgb))
+
+  /** Fixture encoder: `colors.length` equal horizontal bands (row y
+    * takes band `y*n/h` — exact cells when h is a multiple of 8n/gcd).
+    * PNG is lossless, so band structure round-trips bit-exactly. */
+  def encodePngBands(w: Int, h: Int, colors: Seq[Int]): Array[Byte] =
+    encodeBands("png", w, h, colors)
+
+  private def encodeBands(fmt: String, w: Int, h: Int,
+                          colors: Seq[Int]): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
-      val rgb = if (y < h / 2) topRgb else bottomRgb
+      val rgb = colors(y * colors.length / h)
       var x = 0
       while (x < w) { img.setRGB(x, y, rgb); x += 1 }
       y += 1

@@ -127,6 +127,27 @@ object Multimodal {
     })
   }
 
+  /** Per-image 64-bit perceptual hashes: decode -> luminance grid ->
+    * [[ImageCodec.aHash]]. Undecodable rows are dropped (null hash is
+    * not a signature). One decode per row, no shuffle. */
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val f = if (r.kind != "image") null else ImageCodec.decodeFeatures(r.bytes)
+      if (f == null) Iterator.empty
+      else Iterator.single((r.media_id, ImageCodec.aHash(f)))
+    }).toDF("id", "sig")
+  }
+
+  /** Image near-dup pairs within `maxDist` Hamming distance of their
+    * perceptual hashes — embedding-free visual dedup at corpus scale:
+    * per-row decode+hash (no shuffle), then the pigeonhole-banded
+    * signature self-join ([[Dedup.signatureNearDups]]) — only
+    * (id, sig, block) rows ever shuffle, never pixels, and recall at
+    * the requested distance is certain, not probabilistic. */
+  def imageNearDups(media: Dataset[MediaRecord], maxDist: Int): DataFrame =
+    Dedup.signatureNearDups(imageHashes(media), maxDist)
+
   /** Metadata-only resize PLANNING transform (column-level, no byte
     * touch) — predicts what [[resize]] will do to the dims, for
     * planning/stats passes that must not pay decode cost. Integer

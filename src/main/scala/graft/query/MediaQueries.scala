@@ -268,6 +268,65 @@ object MediaQueries {
       |  CAST(32*l1 + 32*l2 AS BIGINT) AS lum_sum
       |FROM r ORDER BY media_id""".stripMargin
 
+  /** Embedding-free IMAGE near-dup under the hash gate: real PNGs
+    * (four closed-form horizontal color bands, 32x32 -> each band is
+    * exactly 16 grid cells) are decoded and perceptually hashed
+    * ([[graft.operators.ImageCodec.aHash]]: bit i = cell i strictly
+    * above the grid mean, exact integer comparison), then paired by
+    * the pigeonhole-banded Hamming self-join
+    * ([[graft.operators.Dedup.signatureNearDups]], maxDist 16 =
+    * at most one band-bit differs). Banding gives CERTAIN recall at
+    * the distance, so the Spark output equals the exact threshold
+    * pair set the DuckDB oracle enumerates from the band-comparison
+    * formula (`4*q_j > q_0+..+q_3` sets bits 16j..16j+15) — including
+    * every hamming value, bit_count for bit_count. Pixels never
+    * shuffle; only (id, sig, block) rows do. */
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{ImageCodec, Multimodal}
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    val media = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def rgb(r: Long, g: Long, b: Long): Int =
+          (((r % 256) << 16) | ((g % 256) << 8) | (b % 256)).toInt
+        val bands = (0 until 4).map(j =>
+          rgb(id * 37 + j * 11, id * 59 + j * 13, id * 83 + j * 17))
+        MediaRecord(id, "image", ImageCodec.encodePngBands(32, 32, bands),
+          MediaMeta(Some(32), Some(32), None, None))
+      }
+    Multimodal.imageNearDups(media, maxDist = 16)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // Band j luminance q_j = 299*((id*37+j*11)%256) + 587*((id*59+j*13)%256)
+  // + 114*((id*83+j*17)%256); aHash bits 16j..16j+15 set iff 4*q_j > sum.
+  // Mask constants are the signed-64 values of 0xFFFF << 16j (j=3 wraps
+  // negative: -(2^48)). Pigeonhole banding has certain recall, so the
+  // engine output IS the exact threshold set.
+  val imagePhashDedupSql: String =
+    """WITH q AS (SELECT doc_id AS media_id, j,
+      |    299*((doc_id*37 + j*11)%256) + 587*((doc_id*59 + j*13)%256)
+      |      + 114*((doc_id*83 + j*17)%256) AS ql
+      |  FROM documents, range(4) r(j) WHERE doc_id < 150),
+      |qs AS (SELECT media_id, j, ql,
+      |    SUM(ql) OVER (PARTITION BY media_id) AS s FROM q),
+      |h AS (SELECT media_id,
+      |    CAST(SUM(CASE WHEN 4*ql > s
+      |         THEN CASE j WHEN 0 THEN 65535
+      |                     WHEN 1 THEN 4294901760
+      |                     WHEN 2 THEN 281470681743360
+      |                     ELSE -281474976710656 END
+      |         ELSE 0 END) AS BIGINT) AS sig
+      |  FROM qs GROUP BY media_id)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 16
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
     * field a closed-form function of the id) are built byte-for-byte
@@ -418,6 +477,7 @@ object MediaQueries {
       "q_multimodal_features" -> (multimodalFeatures _, multimodalFeaturesSql),
       "q_multimodal_frames" -> (multimodalFrames _, multimodalFramesSql),
       "q_multimodal_resize" -> (multimodalResize _, multimodalResizeSql),
+      "q_image_phash_dedup" -> (imagePhashDedup _, imagePhashDedupSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))

@@ -106,6 +106,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(resized(2) == ((3L, Some(1000), Some(562)))) // 1920x1080 scaled
   }
 
+  test("aHash: strict-above-mean bits, exact integer comparison") {
+    // solid image: every cell equals the mean -> strictness gives 0
+    assert(ImageCodec.aHash(ImageCodec.decodeFeatures(
+      ImageCodec.encodePng(16, 16, 0x808080, 0x808080))) == 0L)
+    // bright top / dark bottom: top 32 cells above mean -> low 32 bits
+    assert(ImageCodec.aHash(ImageCodec.decodeFeatures(
+      ImageCodec.encodePng(16, 16, 0xFFFFFF, 0x000000))) == 0xFFFFFFFFL)
+    // four bands, one bright: its 16 cells are the only above-mean bits
+    val oneBright = ImageCodec.encodePngBands(32, 32,
+      Seq(0x000000, 0xFFFFFF, 0x000000, 0x000000))
+    assert(ImageCodec.aHash(ImageCodec.decodeFeatures(oneBright)) ==
+      0xFFFF0000L)
+    // aHash is resize-invariant on exact-ratio fixtures (scale-free grid)
+    assert(ImageCodec.aHash(ImageCodec.decodeFeatures(
+      ImageCodec.resizeBytes(ImageCodec.encodePng(64, 64, 0xFFFFFF, 0x000000),
+        16))) == 0xFFFFFFFFL)
+  }
+
+  test("imageNearDups: banded Hamming join equals exact threshold pairs") {
+    val rows = (0L until 24L).map { id =>
+      // band pattern cycles through 4 shapes; equal shapes -> hamming 0,
+      // adjacent shapes differ in exactly one band bit -> hamming 16
+      val bright = (id % 4).toInt
+      val bands = (0 until 4).map(j => if (j == bright) 0xFFFFFF else 0)
+      MediaRecord(id, "image", ImageCodec.encodePngBands(32, 32, bands),
+        MediaMeta(Some(32), Some(32), None, None))
+    } :+ MediaRecord(99L, "image", Array[Byte](1, 2, 3), // undecodable: dropped
+      MediaMeta(None, None, None, None))
+    val got = imageNearDups(rows.toDS(), maxDist = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact reference: brute-force over the 4 one-hot hashes
+    def hash(id: Long) = 0xFFFFL << (16 * (id % 4).toInt)
+    val want = (for {
+      a <- 0L until 24L; b <- a + 1 until 24L
+      d = java.lang.Long.bitCount(hash(a) ^ hash(b))
+      if d <= 16
+    } yield (a, b, d)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 == 0) && !want.exists(_._3 == 16)) // one-hot pairs differ by 32
+  }
+
   test("raw DataFrame round-trips through the typed media schema") {
     val df = spark.createDataFrame(media.toDF().rdd, mediaSchema)
     val typed = asRecords(df).collect().sortBy(_.media_id)
