@@ -103,13 +103,24 @@ object ImageCodec {
     * ([[Dedup.signatureNearDups]]) for corpus-scale image near-dup
     * with no pairwise pass. */
   def aHash(grid: Array[Float]): Long = {
+    val cells = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < FeatureDim) { cells(i) = grid(i).toLong; i += 1 }
+    aHashSums(cells)
+  }
+
+  /** The aHash comparison over raw Long cell values — shared with the
+    * video signature, whose cells are per-cell luminance SUMS over
+    * frames (the comparison `64*v_i > total` is scale-free, so sums
+    * and means hash identically while sums stay integer-exact). */
+  def aHashSums(cells: Array[Long]): Long = {
     var total = 0L
     var i = 0
-    while (i < FeatureDim) { total += grid(i).toLong; i += 1 }
+    while (i < FeatureDim) { total += cells(i); i += 1 }
     var h = 0L
     i = 0
     while (i < FeatureDim) {
-      if (64L * grid(i).toLong > total) h |= 1L << i
+      if (64L * cells(i) > total) h |= 1L << i
       i += 1
     }
     h

@@ -148,6 +148,41 @@ object Multimodal {
   def imageNearDups(media: Dataset[MediaRecord], maxDist: Int): DataFrame =
     Dedup.signatureNearDups(imageHashes(media), maxDist)
 
+  /** Per-video 64-bit perceptual signatures: decode EVERY frame, sum
+    * the luminance grids per cell (Long — integer-exact, and the
+    * aHash comparison is scale-free so sums hash like means), hash
+    * with the same strict-above-mean rule as images. A whole-video
+    * signature, robust to re-encode and frame-rate-preserving edits;
+    * videos with no decodable frames are dropped. One container parse
+    * per row, no shuffle. */
+  def videoHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { r =>
+      val fs = VideoCodec.frameFeatures(r.bytes)
+      if (fs == null) Iterator.empty
+      else {
+        val sums = new Array[Long](ImageCodec.FeatureDim)
+        var any = false
+        fs.foreach { case (_, _, _, g) =>
+          if (g != null) {
+            any = true
+            var i = 0
+            while (i < sums.length) { sums(i) += g(i).toLong; i += 1 }
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.single((r.media_id, ImageCodec.aHashSums(sums)))
+      }
+    }).toDF("id", "sig")
+  }
+
+  /** Video near-dup pairs within `maxDist` Hamming distance of their
+    * whole-video signatures — the video face of the banded signature
+    * join: frames decode per-row (no shuffle), only (id, sig, block)
+    * rows shuffle, recall at the distance is certain by pigeonhole. */
+  def videoNearDups(media: Dataset[MediaRecord], maxDist: Int): DataFrame =
+    Dedup.signatureNearDups(videoHashes(media), maxDist)
+
   /** Metadata-only resize PLANNING transform (column-level, no byte
     * touch) — predicts what [[resize]] will do to the dims, for
     * planning/stats passes that must not pay decode cost. Integer

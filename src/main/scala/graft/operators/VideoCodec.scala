@@ -194,29 +194,47 @@ object VideoCodec {
     * closed-form decodable for DIB. `scale`/`rate` set the frame
     * clock (frame i at `i*scale*1000/rate` ms). */
   def encodeAvi(w: Int, h: Int, frameColors: Seq[(Int, Int)],
-                scale: Int, rate: Int, mjpg: Boolean = false): Array[Byte] = {
+                scale: Int, rate: Int, mjpg: Boolean = false): Array[Byte] =
+    if (mjpg)
+      encodeAviPayloads(w, h,
+        frameColors.map(c => ImageCodec.encodeJpeg(w, h, c._1, c._2)),
+        scale, rate, mjpg = true)
+    else
+      encodeAviBands(w, h, frameColors.map(c => Seq(c._1, c._2)),
+        scale, rate)
+
+  /** DIB-frame AVI with `bands.length` equal horizontal color bands
+    * per frame (row y takes band `y*n/h` in image space) — the
+    * closed-form fixture shape the perceptual-hash oracles use. */
+  def encodeAviBands(w: Int, h: Int, frames: Seq[Seq[Int]],
+                     scale: Int, rate: Int): Array[Byte] = {
     val stride = ((w * 3 + 3) / 4) * 4
-    val payloads: Seq[Array[Byte]] = frameColors.map { case (top, bottom) =>
-      if (mjpg) ImageCodec.encodeJpeg(w, h, top, bottom)
-      else {
-        val d = new Array[Byte](stride * h)
-        var y = 0
-        while (y < h) {
-          val rgb = if (y < h / 2) top else bottom // top half in IMAGE space
-          val row = (h - 1 - y) * stride           // stored bottom-up
-          var x = 0
-          while (x < w) {
-            val p = row + x * 3                    // DIB pixel order B,G,R;
-            d(p) = rgb.toByte                      // rgb int is 0xRRGGBB
-            d(p + 1) = (rgb >> 8).toByte
-            d(p + 2) = (rgb >> 16).toByte
-            x += 1
-          }
-          y += 1
+    val payloads: Seq[Array[Byte]] = frames.map { colors =>
+      val d = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val rgb = colors(y * colors.length / h)  // band in IMAGE space
+        val row = (h - 1 - y) * stride           // stored bottom-up
+        var x = 0
+        while (x < w) {
+          val p = row + x * 3                    // DIB pixel order B,G,R;
+          d(p) = rgb.toByte                      // rgb int is 0xRRGGBB
+          d(p + 1) = (rgb >> 8).toByte
+          d(p + 2) = (rgb >> 16).toByte
+          x += 1
         }
-        d
+        y += 1
       }
+      d
     }
+    encodeAviPayloads(w, h, payloads, scale, rate, mjpg = false)
+  }
+
+  private def encodeAviPayloads(w: Int, h: Int,
+                                payloads: Seq[Array[Byte]],
+                                scale: Int, rate: Int,
+                                mjpg: Boolean): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
     val n = payloads.length
     val maxPayload = if (n == 0) 0 else payloads.map(_.length).max
 

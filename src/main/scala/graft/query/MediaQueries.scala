@@ -327,6 +327,68 @@ object MediaQueries {
       |WHERE bit_count(xor(a.sig, b.sig)) <= 16
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** VIDEO near-dup under the hash gate — the video face of
+    * q_image_phash_dedup: honest AVIs (4-band DIB frames, 32x32,
+    * 2-4 frames, every band luminance closed-form in (id, frame,
+    * band)) are fully decoded, per-cell luminance SUMS over frames
+    * form the whole-video signature ([[graft.operators.Multimodal
+    * .videoHashes]] — integer-exact Longs; the strict-above-mean
+    * comparison is scale-free), and pairs come from the same
+    * certain-recall banded Hamming join. The oracle replays the
+    * band-sum comparison (`4*sum_j > total`) per video and
+    * enumerates the exact threshold pair set. Frames never shuffle;
+    * only (id, sig, block) rows do. */
+  def videoPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Multimodal, VideoCodec}
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    val media = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        def rgb(r: Long, g: Long, b: Long): Int =
+          (((r % 256) << 16) | ((g % 256) << 8) | (b % 256)).toInt
+        val n = (id % 3 + 2).toInt
+        val frames = (0 until n).map(i => (0 until 4).map(j =>
+          rgb(id * 37 + i * 11 + j * 7, id * 59 + i * 13 + j * 19,
+            id * 83 + i * 17 + j * 23)))
+        MediaRecord(id, "video",
+          VideoCodec.encodeAviBands(32, 32, frames, scale = 1, rate = 25),
+          MediaMeta(Some(32), Some(32), None, None))
+      }
+    Multimodal.videoNearDups(media, maxDist = 16)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // Band (id, frame i, band j) luminance from the color formula; the
+  // signature sums over frames per band (16 cells each), bits set iff
+  // 4*sum_j > total. Same signed-64 mask constants as the image query.
+  val videoPhashDedupSql: String =
+    """WITH q AS (SELECT doc_id AS media_id, i, j,
+      |    299*((doc_id*37 + i*11 + j*7)%256)
+      |      + 587*((doc_id*59 + i*13 + j*19)%256)
+      |      + 114*((doc_id*83 + i*17 + j*23)%256) AS ql
+      |  FROM documents, range(4) fi(i), range(4) bj(j)
+      |  WHERE doc_id < 150 AND i < doc_id % 3 + 2),
+      |b AS (SELECT media_id, j, SUM(ql) AS qs FROM q GROUP BY 1, 2),
+      |bs AS (SELECT media_id, j, qs,
+      |    SUM(qs) OVER (PARTITION BY media_id) AS s FROM b),
+      |h AS (SELECT media_id,
+      |    CAST(SUM(CASE WHEN 4*qs > s
+      |         THEN CASE j WHEN 0 THEN 65535
+      |                     WHEN 1 THEN 4294901760
+      |                     WHEN 2 THEN 281470681743360
+      |                     ELSE -281474976710656 END
+      |         ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bs GROUP BY media_id)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 16
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
     * field a closed-form function of the id) are built byte-for-byte
@@ -478,6 +540,7 @@ object MediaQueries {
       "q_multimodal_frames" -> (multimodalFrames _, multimodalFramesSql),
       "q_multimodal_resize" -> (multimodalResize _, multimodalResizeSql),
       "q_image_phash_dedup" -> (imagePhashDedup _, imagePhashDedupSql),
+      "q_video_phash_dedup" -> (videoPhashDedup _, videoPhashDedupSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))

@@ -147,6 +147,28 @@ class MultimodalSpec extends SparkTestBase {
     assert(want.exists(_._3 == 0) && !want.exists(_._3 == 16)) // one-hot pairs differ by 32
   }
 
+  test("videoHashes: frame-sum signature, band bits, dropped non-video") {
+    def avi(bright: Int) = VideoCodec.encodeAviBands(32, 32,
+      // 3 frames, band `bright` bright in every frame
+      Seq.fill(3)((0 until 4).map(j => if (j == bright) 0xFFFFFF else 0)),
+      scale = 1, rate = 10)
+    val rows = Seq(
+      MediaRecord(1L, "video", avi(0), MediaMeta(None, None, None, None)),
+      MediaRecord(2L, "video", avi(0), MediaMeta(None, None, None, None)),
+      MediaRecord(3L, "video", avi(2), MediaMeta(None, None, None, None)),
+      MediaRecord(4L, "image", avi(0), MediaMeta(None, None, None, None)),
+      MediaRecord(5L, "video", Array[Byte](1, 2), MediaMeta(None, None, None, None))
+    ).toDS()
+    val sigs = videoHashes(rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs.keySet == Set(1L, 2L, 3L)) // image + undecodable dropped
+    assert(sigs(1L) == 0xFFFFL && sigs(1L) == sigs(2L))
+    assert(sigs(3L) == 0xFFFFL << 32)
+    val pairs = videoNearDups(rows, maxDist = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0))) // 1-3 differ by 32 bits
+  }
+
   test("raw DataFrame round-trips through the typed media schema") {
     val df = spark.createDataFrame(media.toDF().rdd, mediaSchema)
     val typed = asRecords(df).collect().sortBy(_.media_id)
