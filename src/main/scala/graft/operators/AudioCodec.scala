@@ -44,37 +44,69 @@ object AudioCodec {
   /** Decode WAV PCM bytes via the JDK audio stack; null when the
     * stream is unreadable or not 16-bit PCM. */
   def decodePcm(bytes: Array[Byte]): AudioFeatures = {
+    val sp = samples16(bytes)
+    if (sp == null) return null
+    val (fmt, data, n) = sp
+    val segAbs = new Array[Long](Segments)
+    var absTotal = 0L
+    var crossings = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val s = sample(data, i, fmt.isBigEndian)
+      val a = math.abs(s).toLong
+      // Long arithmetic: i * Segments overflows Int at >= 2^28
+      // samples (~537 MB of PCM), which would index negative
+      segAbs((i.toLong * Segments / n).toInt) += a
+      absTotal += a
+      if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0)))
+        crossings += 1
+      prev = s
+      i += 1
+    }
+    AudioFeatures(fmt.getSampleRate.toInt, fmt.getChannels, n.toLong,
+      segAbs, absTotal, crossings)
+  }
+
+  /** Per-segment absolute-sum vector at ARBITRARY granularity — the
+    * 64-segment form feeds the perceptual audio signature
+    * ([[graft.operators.ImageCodec.aHashSums]] over these cells).
+    * Same segment map `seg = i*nSeg/n` as the 8-segment features;
+    * null for undecodable payloads. */
+  def segmentSums(bytes: Array[Byte], nSeg: Int): Array[Long] = {
+    val sp = samples16(bytes)
+    if (sp == null) return null
+    val (fmt, data, n) = sp
+    val sums = new Array[Long](nSeg)
+    var i = 0
+    while (i < n) {
+      sums((i.toLong * nSeg / n).toInt) +=
+        math.abs(sample(data, i, fmt.isBigEndian)).toLong
+      i += 1
+    }
+    sums
+  }
+
+  @inline private def sample(data: Array[Byte], i: Int,
+                             bigEndian: Boolean): Int = {
+    val lo = data(2 * i) & 0xFF
+    val hi = data(2 * i + 1) & 0xFF
+    (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
+  }
+
+  /** Shared 16-bit PCM extraction: (format, raw frames, sample count);
+    * null when unreadable, not 16-bit, or empty. Never throws. */
+  private def samples16(bytes: Array[Byte])
+      : (javax.sound.sampled.AudioFormat, Array[Byte], Int) = {
     if (bytes == null || bytes.length == 0) return null
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
         if (fmt.getSampleSizeInBits != 16) return null
-        val bigEndian = fmt.isBigEndian
         val data = in.readAllBytes()
         val n = data.length / 2
-        if (n == 0) return null
-        val segAbs = new Array[Long](Segments)
-        var absTotal = 0L
-        var crossings = 0L
-        var prev = 0
-        var i = 0
-        while (i < n) {
-          val lo = data(2 * i) & 0xFF
-          val hi = data(2 * i + 1) & 0xFF
-          val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
-          val a = math.abs(s).toLong
-          // Long arithmetic: i * Segments overflows Int at >= 2^28
-          // samples (~537 MB of PCM), which would index negative
-          segAbs((i.toLong * Segments / n).toInt) += a
-          absTotal += a
-          if (i > 0 && ((prev > 0 && s < 0) || (prev < 0 && s > 0)))
-            crossings += 1
-          prev = s
-          i += 1
-        }
-        AudioFeatures(fmt.getSampleRate.toInt, fmt.getChannels, n.toLong,
-          segAbs, absTotal, crossings)
+        if (n == 0) null else (fmt, data, n)
       } finally in.close()
     } catch { case _: Exception => null }
   }

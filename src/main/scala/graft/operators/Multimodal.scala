@@ -183,6 +183,28 @@ object Multimodal {
   def videoNearDups(media: Dataset[MediaRecord], maxDist: Int): DataFrame =
     Dedup.signatureNearDups(videoHashes(media), maxDist)
 
+  /** Per-clip 64-bit perceptual audio signatures: decode PCM, take
+    * 64 per-segment absolute-sum cells ([[AudioCodec.segmentSums]] —
+    * a coarse loudness envelope, integer-exact), hash with the same
+    * strict-above-mean rule as images/video. Undecodable rows are
+    * dropped. One decode per row, no shuffle. */
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions(_.flatMap { r =>
+      val sums = AudioCodec.segmentSums(r.bytes, ImageCodec.FeatureDim)
+      if (sums == null) Iterator.empty
+      else Iterator.single((r.media_id, ImageCodec.aHashSums(sums)))
+    }).toDF("id", "sig")
+  }
+
+  /** Audio near-dup pairs within `maxDist` Hamming distance of their
+    * envelope signatures — completes the modality set (text simhash,
+    * image aHash, video frame-sum, audio envelope) over ONE banded
+    * signature join: [[Dedup.signatureNearDups]], certain recall,
+    * only (id, sig, block) rows on the shuffle. */
+  def audioNearDups(media: Dataset[MediaRecord], maxDist: Int): DataFrame =
+    Dedup.signatureNearDups(audioHashes(media), maxDist)
+
   /** Metadata-only resize PLANNING transform (column-level, no byte
     * touch) — predicts what [[resize]] will do to the dims, for
     * planning/stats passes that must not pay decode cost. Integer

@@ -389,6 +389,55 @@ object MediaQueries {
       |WHERE bit_count(xor(a.sig, b.sig)) <= 16
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** AUDIO near-dup under the hash gate — completing the modality set
+    * (image/video/audio over ONE banded signature join). Honest WAVs
+    * (mono 16-bit PCM, 64 closed-form samples) decode through the JDK
+    * audio stack to 64 per-segment absolute sums (one sample each
+    * here), hashed strict-above-mean ([[graft.operators.ImageCodec
+    * .aHashSums]]); pairs from the certain-recall banded Hamming join.
+    * The oracle replays every bit (`64*|s_j| > sum|s|`, bit j = 1<<j,
+    * bit 63 as the signed min-long literal — DuckDB's `<<` raises on
+    * 1<<63) and enumerates the exact threshold pair set. */
+  def audioPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    val rate = (col("media_id") % 8 * 4000 + 8000).cast("int")
+    val media = docs(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"))
+      .withColumn("bytes", Multimodal.wavBytesWithData(rate, col("media_id")))
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, b) =>
+        MediaRecord(id, "audio", b, MediaMeta(None, None, None, None))
+      }
+    Multimodal.audioNearDups(media, maxDist = 8)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // Sample mirror: s_j = ((id*37 + j*101) % 4096) - 2048; with 64
+  // samples each segment is one sample, so cell j = |s_j| exactly.
+  val audioPhashDedupSql: String =
+    """WITH s AS (SELECT doc_id AS media_id, j,
+      |    ABS(((doc_id*37 + j*101) % 4096) - 2048) AS a
+      |  FROM documents, range(64) r(j) WHERE doc_id < 150),
+      |ss AS (SELECT media_id, j, a,
+      |    SUM(a) OVER (PARTITION BY media_id) AS t FROM s),
+      |h AS (SELECT media_id,
+      |    CAST(SUM(CASE WHEN 64*a > t
+      |         THEN CASE WHEN j = 63
+      |              THEN CAST(-9223372036854775808 AS BIGINT)
+      |              ELSE CAST(1 AS BIGINT) << j END
+      |         ELSE 0 END) AS BIGINT) AS sig
+      |  FROM ss GROUP BY media_id)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      |FROM h a JOIN h b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
     * field a closed-form function of the id) are built byte-for-byte
@@ -541,6 +590,7 @@ object MediaQueries {
       "q_multimodal_resize" -> (multimodalResize _, multimodalResizeSql),
       "q_image_phash_dedup" -> (imagePhashDedup _, imagePhashDedupSql),
       "q_video_phash_dedup" -> (videoPhashDedup _, videoPhashDedupSql),
+      "q_audio_phash_dedup" -> (audioPhashDedup _, audioPhashDedupSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))

@@ -169,6 +169,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.toSeq == Seq((1L, 2L, 0))) // 1-3 differ by 32 bits
   }
 
+  test("audioHashes: 64-segment envelope signature matches hand-compute") {
+    val wavs = spark.range(1, 20).toDF("media_id")
+      .withColumn("bytes", wavBytesWithData(lit(8000), col("media_id")))
+      .select("media_id", "bytes").collect()
+      .map(r => MediaRecord(r.getLong(0), "audio",
+        r.getAs[Array[Byte]](1), MediaMeta(None, None, None, None)))
+    val sigs = audioHashes(wavs.toSeq.toDS()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L until 20L).foreach { id =>
+      val a = (0 until 64).map(j =>
+        math.abs(((id * 37 + j * 101) % 4096) - 2048))
+      val t = a.sum
+      val want = (0 until 64).foldLeft(0L)((h, j) =>
+        if (64L * a(j) > t) h | (1L << j) else h)
+      assert(sigs(id) == want, s"id $id")
+    }
+    // undecodable audio rows are dropped, non-audio rows ignored
+    val junk = Seq(
+      MediaRecord(50L, "audio", Array[Byte](9), MediaMeta(None, None, None, None)),
+      MediaRecord(51L, "image", wavs.head.bytes, MediaMeta(None, None, None, None)))
+    assert(audioHashes(junk.toDS()).count() == 0)
+  }
+
   test("raw DataFrame round-trips through the typed media schema") {
     val df = spark.createDataFrame(media.toDF().rdd, mediaSchema)
     val typed = asRecords(df).collect().sortBy(_.media_id)
