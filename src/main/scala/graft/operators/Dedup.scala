@@ -337,12 +337,15 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** (id, sig, block, block_val) — the (maxDist+1)-block pigeonhole
-    * banding of 64-bit signatures shared by the self-join and
-    * cross-corpus simhash paths. */
-  private def simhashBlocks(sigs: DataFrame, nb: Int): DataFrame = {
+  /** (id, sig, [extra...], block, block_val) — the (maxDist+1)-block
+    * pigeonhole banding of 64-bit signatures shared by the self-join
+    * and cross-corpus paths. `extra` columns ride along for callers
+    * that must confine matches within a partition key (e.g. media
+    * modality). */
+  private def simhashBlocks(sigs: DataFrame, nb: Int,
+                            extra: Seq[String] = Nil): DataFrame = {
     val bounds = (0 to nb).map(b => b * 64 / nb)
-    sigs.select(col("id"), col("sig"), posexplode(
+    sigs.select(col("id") +: col("sig") +: extra.map(col) :+ posexplode(
       array((0 until nb).map { b =>
         val width = bounds(b + 1) - bounds(b)
         // -1L >>> (64 - width): correct for width == 64 too, where
@@ -350,8 +353,46 @@ object Dedup {
         // block_val would collapse to 0 — an all-pairs cross join
         shiftrightunsigned(col("sig"), bounds(b))
           .bitwiseAND(-1L >>> (64 - width))
-      }: _*)))
-      .toDF("id", "sig", "block", "block_val")
+      }: _*)): _*)
+      .toDF("id" +: "sig" +: extra :+ "block" :+ "block_val": _*)
+  }
+
+  /** Cross-corpus near-dup pairs over ARBITRARY 64-bit signatures:
+    * (left id as `id_a`, right id as `id_b`, [extraKeys...], hamming)
+    * within `maxDist` Hamming distance — the signature-agnostic face
+    * of [[crossSimhashNearDups]], and the INCREMENTAL-corpus primitive
+    * behind [[Multimodal.screenMedia]]: a new batch joins a persisted
+    * (id, sig) index instead of re-running the n² self-join over the
+    * whole corpus. Same (maxDist+1)-block pigeonhole banding, so
+    * recall at the distance is certain and the output is a
+    * deterministic function of the two signature sets.
+    *
+    * `extraKeys` columns (present on BOTH inputs) join alongside
+    * (block, block_val) and pass through to the output — e.g. media
+    * `kind`, so an image never pairs with an audio clip that happens
+    * to collide in signature space.
+    *
+    * Scale: each side shuffles (id, sig, extra, block, block_val)
+    * rows only — maxDist+1 rows per item, never payloads; the batch
+    * side is typically tiny next to the corpus index and the banded
+    * key spreads both sides. */
+  def crossSignatureNearDups(leftSigs: DataFrame, rightSigs: DataFrame,
+                             maxDist: Int,
+                             extraKeys: Seq[String] = Nil): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"maxDist must be in [0, 32), got $maxDist")
+    val nb = maxDist + 1
+    val la = simhashBlocks(leftSigs, nb, extraKeys)
+    val rb = simhashBlocks(rightSigs, nb, extraKeys)
+    val cond = ("block" +: "block_val" +: extraKeys)
+      .map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    la.as("a").hint("shuffle_hash")
+      .join(rb.as("b").hint("shuffle_hash"), cond)
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        extraKeys.map(k => col(s"a.$k")) :+
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"): _*)
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Cross-corpus SimHash decontamination: (left id, right id) pairs
@@ -369,21 +410,10 @@ object Dedup {
     * the join key (block, block_val) spreads both sides. */
   def crossSimhashNearDups(left: DataFrame, right: DataFrame,
                            idCol: String, text: Column, maxDist: Int = 3,
-                           hashFamily: String = "xxhash64"): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32,
-      s"maxDist must be in [0, 32), got $maxDist")
-    val nb = maxDist + 1
-    val la = simhashBlocks(simhashSignatures(left, idCol, text, hashFamily), nb)
-    val rb = simhashBlocks(simhashSignatures(right, idCol, text, hashFamily), nb)
-    la.as("a").hint("shuffle_hash")
-      .join(rb.as("b").hint("shuffle_hash"),
-        col("a.block") === col("b.block") &&
-        col("a.block_val") === col("b.block_val"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
-  }
+                           hashFamily: String = "xxhash64"): DataFrame =
+    crossSignatureNearDups(
+      simhashSignatures(left, idCol, text, hashFamily),
+      simhashSignatures(right, idCol, text, hashFamily), maxDist)
 
   /** Embedding-cosine near-dup: pairs above `threshold` found via LSH
     * hyperplane buckets (the scale path — no global n²), plus the

@@ -127,17 +127,57 @@ object Multimodal {
     })
   }
 
+  /** 64-bit perceptual signature of one payload, dispatched by
+    * modality — image: pixel-decoded luminance grid aHash; video:
+    * per-cell luminance SUMS over all decoded frames (integer-exact,
+    * scale-free under the strict-above-mean rule); audio: 64-segment
+    * PCM absolute-sum envelope. Null when undecodable or an unknown
+    * kind (corrupt media is data, not an error, at corpus scale). */
+  private def sigOf(kind: String, bytes: Array[Byte]): java.lang.Long =
+    kind match {
+      case "image" =>
+        val f = ImageCodec.decodeFeatures(bytes)
+        if (f == null) null else java.lang.Long.valueOf(ImageCodec.aHash(f))
+      case "video" =>
+        val fs = VideoCodec.frameFeatures(bytes)
+        if (fs == null) null
+        else {
+          val sums = new Array[Long](ImageCodec.FeatureDim)
+          var any = false
+          fs.foreach { case (_, _, _, g) =>
+            if (g != null) {
+              any = true
+              var i = 0
+              while (i < sums.length) { sums(i) += g(i).toLong; i += 1 }
+            }
+          }
+          if (!any) null
+          else java.lang.Long.valueOf(ImageCodec.aHashSums(sums))
+        }
+      case "audio" =>
+        val s = AudioCodec.segmentSums(bytes, ImageCodec.FeatureDim)
+        if (s == null) null
+        else java.lang.Long.valueOf(ImageCodec.aHashSums(s))
+      case _ => null
+    }
+
+  /** (id, sig) signatures of the rows of ONE modality — shared body of
+    * the per-kind hash entry points. One decode per row, no shuffle. */
+  private def kindHashes(media: Dataset[MediaRecord], kind: String)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val sig = if (r.kind != kind) null else sigOf(kind, r.bytes)
+      if (sig == null) Iterator.empty
+      else Iterator.single((r.media_id, sig.longValue))
+    }).toDF("id", "sig")
+  }
+
   /** Per-image 64-bit perceptual hashes: decode -> luminance grid ->
     * [[ImageCodec.aHash]]. Undecodable rows are dropped (null hash is
     * not a signature). One decode per row, no shuffle. */
-  def imageHashes(media: Dataset[MediaRecord]): DataFrame = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap { r =>
-      val f = if (r.kind != "image") null else ImageCodec.decodeFeatures(r.bytes)
-      if (f == null) Iterator.empty
-      else Iterator.single((r.media_id, ImageCodec.aHash(f)))
-    }).toDF("id", "sig")
-  }
+  def imageHashes(media: Dataset[MediaRecord]): DataFrame =
+    kindHashes(media, "image")
 
   /** Image near-dup pairs within `maxDist` Hamming distance of their
     * perceptual hashes — embedding-free visual dedup at corpus scale:
@@ -155,26 +195,8 @@ object Multimodal {
     * signature, robust to re-encode and frame-rate-preserving edits;
     * videos with no decodable frames are dropped. One container parse
     * per row, no shuffle. */
-  def videoHashes(media: Dataset[MediaRecord]): DataFrame = {
-    import media.sparkSession.implicits._
-    media.filter(_.kind == "video").mapPartitions(_.flatMap { r =>
-      val fs = VideoCodec.frameFeatures(r.bytes)
-      if (fs == null) Iterator.empty
-      else {
-        val sums = new Array[Long](ImageCodec.FeatureDim)
-        var any = false
-        fs.foreach { case (_, _, _, g) =>
-          if (g != null) {
-            any = true
-            var i = 0
-            while (i < sums.length) { sums(i) += g(i).toLong; i += 1 }
-          }
-        }
-        if (!any) Iterator.empty
-        else Iterator.single((r.media_id, ImageCodec.aHashSums(sums)))
-      }
-    }).toDF("id", "sig")
-  }
+  def videoHashes(media: Dataset[MediaRecord]): DataFrame =
+    kindHashes(media, "video")
 
   /** Video near-dup pairs within `maxDist` Hamming distance of their
     * whole-video signatures — the video face of the banded signature
@@ -188,14 +210,47 @@ object Multimodal {
     * a coarse loudness envelope, integer-exact), hash with the same
     * strict-above-mean rule as images/video. Undecodable rows are
     * dropped. One decode per row, no shuffle. */
-  def audioHashes(media: Dataset[MediaRecord]): DataFrame = {
+  def audioHashes(media: Dataset[MediaRecord]): DataFrame =
+    kindHashes(media, "audio")
+
+  /** One-pass mixed-modality signatures: (id, kind, sig) for every
+    * decodable row, whatever its kind — a single decode scan over a
+    * heterogeneous corpus (vs three kind-filtered passes), feeding
+    * [[saveSignatureIndex]] / [[screenMedia]]. */
+  def mediaHashes(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "audio").mapPartitions(_.flatMap { r =>
-      val sums = AudioCodec.segmentSums(r.bytes, ImageCodec.FeatureDim)
-      if (sums == null) Iterator.empty
-      else Iterator.single((r.media_id, ImageCodec.aHashSums(sums)))
-    }).toDF("id", "sig")
+    media.mapPartitions(_.flatMap { r =>
+      val sig = sigOf(r.kind, r.bytes)
+      if (sig == null) Iterator.empty
+      else Iterator.single((r.media_id, r.kind, sig.longValue))
+    }).toDF("id", "kind", "sig")
   }
+
+  /** Persist a corpus's perceptual-signature index — the pay-once
+    * side of INCREMENTAL media dedup at 100 TB: decode each corpus
+    * item once, keep 17 bytes/row (id, kind, sig), and every future
+    * batch screens against the index ([[screenMedia]]) instead of
+    * re-decoding the corpus or re-running the n² self-join. Mirrors
+    * [[Dedup.saveMinhashIndex]] for text. */
+  def saveSignatureIndex(sigs: DataFrame, path: String): Unit =
+    sigs.select("id", "kind", "sig").write.mode("overwrite").parquet(path)
+
+  def loadSignatureIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Screen an incoming media batch against a persisted corpus
+    * signature index: (id_a = corpus id, id_b = batch id, kind,
+    * hamming) pairs within `maxDist`, per modality — `kind` joins the
+    * banded key ([[Dedup.crossSignatureNearDups]] extraKeys), so an
+    * image never pairs with an audio clip that happens to collide in
+    * signature space. The batch decodes once (no corpus re-decode);
+    * only (id, kind, sig, block) rows shuffle; pigeonhole banding
+    * makes recall at the distance certain, so the output is a
+    * deterministic function of index + batch. */
+  def screenMedia(batch: Dataset[MediaRecord], index: DataFrame,
+                  maxDist: Int): DataFrame =
+    Dedup.crossSignatureNearDups(index, mediaHashes(batch), maxDist,
+      extraKeys = Seq("kind"))
 
   /** Audio near-dup pairs within `maxDist` Hamming distance of their
     * envelope signatures — completes the modality set (text simhash,

@@ -192,6 +192,60 @@ class MultimodalSpec extends SparkTestBase {
     assert(audioHashes(junk.toDS()).count() == 0)
   }
 
+  test("crossSignatureNearDups: extraKeys confine matches within kind") {
+    val idx = Seq((1L, "image", 42L), (2L, "audio", 42L))
+      .toDF("id", "kind", "sig")
+    val batch = Seq((10L, "audio", 42L), (11L, "image", 40L))
+      .toDF("id", "kind", "sig")
+    val pairs = Dedup.crossSignatureNearDups(idx, batch, maxDist = 2,
+        extraKeys = Seq("kind"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).sorted
+    // image sig 42 never pairs with audio sig 42; image 42 vs 40 is
+    // 1 differing bit (0b101010 vs 0b101000)
+    assert(pairs.toSeq == Seq((1L, 11L, "image", 1), (2L, 10L, "audio", 0)))
+    // without extraKeys the cross-modal collision WOULD pair — the
+    // confinement is doing real work above
+    val unconfined = Dedup.crossSignatureNearDups(
+      idx.select("id", "sig"), batch.select("id", "sig"), maxDist = 2)
+    assert(unconfined.count() == 4)
+  }
+
+  test("screenMedia: batch vs persisted index, per-modality, no corpus re-decode") {
+    val png = ImageCodec.encodePng(16, 16, 0xFF0000, 0xFF0000)
+    val pngNear = ImageCodec.encodePngBands(16, 16,
+      Seq(0xFF0000, 0xFF0000, 0xFF0000, 0x00FF00)) // bottom band differs
+    val wav = wavBytesColl(5L)
+    val corpus = Seq(
+      MediaRecord(1L, "image", png, MediaMeta(Some(16), Some(16), None, None)),
+      MediaRecord(2L, "audio", wav, MediaMeta(None, None, None, None)),
+      MediaRecord(3L, "image", Array[Byte](1, 2, 3), MediaMeta(None, None, None, None))
+    ).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+    saveSignatureIndex(mediaHashes(corpus), dir)
+    // the persisted index is signatures only — 2 decodable rows
+    val idx = loadSignatureIndex(spark, dir)
+    assert(idx.count() == 2)
+    val batch = Seq(
+      MediaRecord(10L, "image", pngNear, MediaMeta(Some(16), Some(16), None, None)),
+      MediaRecord(11L, "audio", wav, MediaMeta(None, None, None, None)),
+      MediaRecord(12L, "image", wav, MediaMeta(None, None, None, None))
+    ).toDS()
+    val out = screenMedia(batch, idx, maxDist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3))).sorted
+    // 1-10: same-ish image (<=16 bits apart); 2-11: identical audio;
+    // 12 is a WAV mislabeled "image" -> ImageIO can't decode -> dropped
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 10L, "image"), (2L, 11L, "audio")))
+    assert(out.find(_._1 == 2L).get._4 == 0)
+  }
+
+  private def wavBytesColl(id: Long): Array[Byte] =
+    spark.range(id, id + 1).toDF("media_id")
+      .select(wavBytesWithData(lit(8000), col("media_id")))
+      .collect()(0).getAs[Array[Byte]](0)
+
   test("raw DataFrame round-trips through the typed media schema") {
     val df = spark.createDataFrame(media.toDF().rdd, mediaSchema)
     val typed = asRecords(df).collect().sortBy(_.media_id)
