@@ -252,6 +252,18 @@ object Multimodal {
     Dedup.crossSignatureNearDups(index, mediaHashes(batch), maxDist,
       extraKeys = Seq("kind"))
 
+  /** [[screenMedia]] through the multi-index-hashing candidate path
+    * ([[Dedup.crossSignatureNearDupsMih]]) — same exact pair set
+    * (both are certain-recall), sparser buckets: 16-bit substring
+    * keys instead of the banded ~(64/(maxDist+1))-bit blocks, with
+    * the probe expansion paid by the small batch, never the corpus
+    * index. Prefer this for screening at perceptual-hash distances
+    * (maxDist ~8-10) over corpus-scale indexes. */
+  def screenMediaMih(batch: Dataset[MediaRecord], index: DataFrame,
+                     maxDist: Int, m: Int = 4): DataFrame =
+    Dedup.crossSignatureNearDupsMih(index, mediaHashes(batch), maxDist,
+      extraKeys = Seq("kind"), m = m)
+
   /** Audio near-dup pairs within `maxDist` Hamming distance of their
     * envelope signatures — completes the modality set (text simhash,
     * image aHash, video frame-sum, audio envelope) over ONE banded

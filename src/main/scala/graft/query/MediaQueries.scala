@@ -512,8 +512,10 @@ object MediaQueries {
   // on kind. SUMs cast back to BIGINT before xor (DuckDB SUM(BIGINT)
   // is HUGEINT; 128-bit xor would sign-extend). (id_a, id_b) is unique
   // — parity fixes each pair's modality.
-  val mediaScreenSql: String =
-    """WITH sa AS (SELECT doc_id AS media_id, j,
+  val mediaScreenSql: String = mediaScreenSqlAt(16)
+
+  private def mediaScreenSqlAt(dist: Int): String =
+    s"""WITH sa AS (SELECT doc_id AS media_id, j,
       |    ABS(((doc_id*37 + j*101) % 4096) - 2048) AS a
       |  FROM documents, range(64) ra(j)
       |  WHERE doc_id < 200 AND doc_id % 2 = 1),
@@ -546,8 +548,37 @@ object MediaQueries {
       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
       |FROM h a JOIN h b ON a.kind = b.kind
       |WHERE a.media_id < 100 AND b.media_id >= 100
-      |  AND bit_count(xor(a.sig, b.sig)) <= 16
+      |  AND bit_count(xor(a.sig, b.sig)) <= $dist
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The SAME screen through the multi-index-hashing candidate path
+    * ([[graft.operators.Multimodal.screenMediaMih]]): 16-bit substring
+    * keys + 137-mask batch-side probe expansion instead of ~7-bit
+    * banded blocks, at the perceptual-hash distance 8 (the realistic
+    * screening threshold — maxDist 16 above stress-tests recall on the
+    * 4-band fixtures). Both paths have CERTAIN recall, so this query's
+    * oracle is the same closed-form enumeration at distance 8 — the
+    * gate certifies path-equivalence end-to-end, not just the pair
+    * count. */
+  def mediaScreenMih(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val corpus = screenFixtures(s, docs(s, dir).filter(col("doc_id") < 100))
+    val batch = screenFixtures(s,
+      docs(s, dir).filter(col("doc_id") >= 100 && col("doc_id") < 200))
+    val tag = (s.sparkContext.applicationId + "_" +
+      Integer.toHexString(dir.hashCode)).replaceAll("[^a-zA-Z0-9]", "_")
+    val idxDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_sigidx_$tag").toString
+    if (sigStaged.add(tag))
+      Multimodal.saveSignatureIndex(Multimodal.mediaHashes(corpus), idxDir)
+    Multimodal.screenMediaMih(batch, Multimodal.loadSignatureIndex(s, idxDir),
+        maxDist = 8)
+      .select(col("id_a"), col("id_b"), col("kind"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val mediaScreenMihSql: String = mediaScreenSqlAt(8)
 
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
@@ -703,6 +734,7 @@ object MediaQueries {
       "q_video_phash_dedup" -> (videoPhashDedup _, videoPhashDedupSql),
       "q_audio_phash_dedup" -> (audioPhashDedup _, audioPhashDedupSql),
       "q_media_screen" -> (mediaScreen _, mediaScreenSql),
+      "q_media_screen_mih" -> (mediaScreenMih _, mediaScreenMihSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))

@@ -110,6 +110,34 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("MIH screen equals banded screen equals brute force at several radii") {
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 120L).map(i => (i, rnd.nextLong()))
+    // batch: flip 0..9 deterministic bits of some corpus sig, so pairs
+    // straddle every tested radius (plus incidental random collisions)
+    val batch = (1L to 60L).map { i =>
+      val sig = corpus(((i - 1) % 120).toInt)._2
+      val flips = (0 until (i % 10).toInt)
+        .map(k => 1L << ((i * 7 + k * 13) % 64))
+      (1000L + i, flips.foldLeft(sig)(_ ^ _))
+    }
+    val cDf = corpus.toDF("id", "sig")
+    val bDf = batch.toDF("id", "sig")
+    for (d <- Seq(0, 3, 8); m <- Seq(4, 8)) {
+      val brute = (for {
+        (ia, sa) <- corpus; (ib, sb) <- batch
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= d
+      } yield (ia, ib, h)).toSet
+      val banded = Dedup.crossSignatureNearDups(cDf, bDf, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val mih = Dedup.crossSignatureNearDupsMih(cDf, bDf, d, m = m)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"banded d=$d")
+      assert(mih == brute, s"mih d=$d m=$m")
+    }
+  }
+
   test("exact copy has identical simhash and jaccard 1.0") {
     val sig = docs.filter(col("doc_id").isin(2L, 102L))
       .select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
