@@ -514,8 +514,11 @@ object MediaQueries {
   // — parity fixes each pair's modality.
   val mediaScreenSql: String = mediaScreenSqlAt(16)
 
-  private def mediaScreenSqlAt(dist: Int): String =
-    s"""WITH sa AS (SELECT doc_id AS media_id, j,
+  // Closed-form (media_id, kind, sig) CTE chain `h` shared by every
+  // screen oracle (ids < 200; audio = odd ids, image = even ids).
+  // A def, not a val: mediaScreenSql above initializes first.
+  private def mediaSigCtes: String =
+    """sa AS (SELECT doc_id AS media_id, j,
       |    ABS(((doc_id*37 + j*101) % 4096) - 2048) AS a
       |  FROM documents, range(64) ra(j)
       |  WHERE doc_id < 200 AND doc_id % 2 = 1),
@@ -543,13 +546,16 @@ object MediaQueries {
       |                     ELSE -281474976710656 END
       |         ELSE 0 END) AS BIGINT) AS sig
       |  FROM qs GROUP BY media_id),
-      |h AS (SELECT * FROM ha UNION ALL SELECT * FROM hi)
-      |SELECT a.media_id AS id_a, b.media_id AS id_b, a.kind AS kind,
-      |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-      |FROM h a JOIN h b ON a.kind = b.kind
-      |WHERE a.media_id < 100 AND b.media_id >= 100
-      |  AND bit_count(xor(a.sig, b.sig)) <= $dist
-      |ORDER BY id_a, id_b""".stripMargin
+      |h AS (SELECT * FROM ha UNION ALL SELECT * FROM hi)""".stripMargin
+
+  private def mediaScreenSqlAt(dist: Int): String =
+    s"""WITH $mediaSigCtes
+       |SELECT a.media_id AS id_a, b.media_id AS id_b, a.kind AS kind,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.kind = b.kind
+       |WHERE a.media_id < 100 AND b.media_id >= 100
+       |  AND bit_count(xor(a.sig, b.sig)) <= $dist
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** The SAME screen through the multi-index-hashing candidate path
     * ([[graft.operators.Multimodal.screenMediaMih]]): 16-bit substring
@@ -579,6 +585,82 @@ object MediaQueries {
   }
 
   val mediaScreenMihSql: String = mediaScreenSqlAt(8)
+
+  /** The streaming face of the media screen, with a GROWING index
+    * ([[graft.streaming.StreamingIngest.screenMediaIngest]]): the
+    * base corpus (ids < 100) persists as `batch=base`; two files
+    * (ids 100-149, then 150-199 AFTER a checkpointed restart) replay
+    * through the REAL file-source stream — each micro-batch screens
+    * against base + prior admissions via the kind-confined MIH join
+    * and admits its clean signatures as an idempotent `batch=b<id>`
+    * partition. The surviving `clean/` set must equal the SEQUENTIAL
+    * semantics the oracle recomputes closed-form: f1 vs base, then
+    * f2 vs base UNION clean(f1) — so the gate certifies exactly-once
+    * progress AND index growth, not just one join. */
+  def mediaScreenStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.operators.Multimodal
+    val all = screenFixtures(s, docs(s, dir).filter(col("doc_id") < 200))
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_mediastream_$tag").toString
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(basePath, true)
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val idx = s"$base/index"
+    Files.createDirectories(Paths.get(in))
+    Multimodal.saveSignatureIndex(
+      Multimodal.mediaHashes(all.filter(col("media_id") < 100)),
+      s"$idx/batch=base")
+    def addFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$name"))
+      ()
+    }
+    def screen(): Unit =
+      graft.streaming.StreamingIngest.screenMediaIngest(
+        s.readStream.schema(Multimodal.mediaSchema).parquet(in),
+        idx, maxDist = 8, ckpt, out).awaitTermination()
+    addFile(all.filter(col("media_id") >= 100 && col("media_id") < 150)
+      .toDF(), "f1.parquet")
+    screen()
+    addFile(all.filter(col("media_id") >= 150).toDF(), "f2.parquet")
+    screen() // restart: only the new file may be (re)processed
+    // certify the full ROUTING, not just survivors: every batch item
+    // lands in exactly one of clean/ and flagged/
+    s.read.parquet(s"$out/clean").withColumn("status", lit("clean"))
+      .unionByName(
+        s.read.parquet(s"$out/flagged").withColumn("status", lit("flagged")))
+      .select(col("id"), col("kind"), col("status"))
+      .orderBy("id")
+  }
+
+  val mediaScreenStreamSql: String =
+    s"""WITH $mediaSigCtes,
+       |base AS (SELECT * FROM h WHERE media_id < 100),
+       |f1 AS (SELECT * FROM h WHERE media_id >= 100 AND media_id < 150),
+       |f2 AS (SELECT * FROM h WHERE media_id >= 150),
+       |hit1 AS (SELECT DISTINCT b.media_id FROM base a JOIN f1 b
+       |  ON a.kind = b.kind AND bit_count(xor(a.sig, b.sig)) <= 8),
+       |clean1 AS (SELECT * FROM f1
+       |  WHERE media_id NOT IN (SELECT media_id FROM hit1)),
+       |idx2 AS (SELECT * FROM base UNION ALL SELECT * FROM clean1),
+       |hit2 AS (SELECT DISTINCT b.media_id FROM idx2 a JOIN f2 b
+       |  ON a.kind = b.kind AND bit_count(xor(a.sig, b.sig)) <= 8),
+       |clean2 AS (SELECT * FROM f2
+       |  WHERE media_id NOT IN (SELECT media_id FROM hit2))
+       |SELECT media_id AS id, kind,
+       |  CASE WHEN media_id IN (SELECT media_id FROM hit1)
+       |       THEN 'flagged' ELSE 'clean' END AS status FROM f1
+       |UNION ALL
+       |SELECT media_id AS id, kind,
+       |  CASE WHEN media_id IN (SELECT media_id FROM hit2)
+       |       THEN 'flagged' ELSE 'clean' END AS status FROM f2
+       |ORDER BY id""".stripMargin
 
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
@@ -735,6 +817,7 @@ object MediaQueries {
       "q_audio_phash_dedup" -> (audioPhashDedup _, audioPhashDedupSql),
       "q_media_screen" -> (mediaScreen _, mediaScreenSql),
       "q_media_screen_mih" -> (mediaScreenMih _, mediaScreenMihSql),
+      "q_media_screen_stream" -> (mediaScreenStream _, mediaScreenStreamSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))

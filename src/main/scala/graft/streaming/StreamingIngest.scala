@@ -239,6 +239,59 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming perceptual screen for MEDIA with a GROWING index — the
+    * incremental-corpus loop at ingest time: each micro-batch decodes
+    * its payloads once ([[graft.operators.Multimodal.mediaHashes]]),
+    * screens against the persisted signature index — base corpus PLUS
+    * every batch admitted so far — through the kind-confined MIH join
+    * ([[graft.operators.Multimodal.screenMediaMih]]'s core), writes
+    * clean/flagged id sets, and ADMITS the clean signatures back into
+    * the index.
+    *
+    * Exactly-once END-TO-END on the same argument as [[ingest]]:
+    * foreachBatch is at-least-once, so every write — including the
+    * index admission — lands in a `batch=b<id>` partition directory
+    * with OVERWRITE; a replayed batch rewrites its own partitions
+    * instead of appending duplicate signatures. The base corpus lives
+    * under `batch=base` (partition-discovery keeps the layout uniform),
+    * so `read.parquet(indexDir)` always sees base + admissions.
+    *
+    * Scale: the index is 17 bytes/item and never re-decodes; per batch
+    * the join shuffles m rows/index item and m*137 probe rows/batch
+    * item — batch-sized work against a corpus-sized index. */
+  def screenMediaIngest(streamMedia: DataFrame, indexDir: String,
+                        maxDist: Int, checkpointDir: String,
+                        outDir: String): StreamingQuery =
+    streamMedia.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, Multimodal}
+        val spark = batch.sparkSession
+        val sigs = Multimodal.mediaHashes(Multimodal.asRecords(batch))
+          .persist()
+        try {
+          val index = Multimodal.loadSignatureIndex(spark, indexDir)
+            .select("id", "kind", "sig")
+          // both output joins and the admission consume the hit set ->
+          // persist so the MIH ladder runs once per micro-batch
+          val hits = Dedup.crossSignatureNearDupsMih(index, sigs, maxDist,
+              extraKeys = Seq("kind"))
+            .select(col("id_b").as("id")).distinct().persist()
+          val clean = sigs.join(hits, Seq("id"), "left_anti").persist()
+          try {
+            clean.select("id", "kind").write.mode("overwrite")
+              .parquet(s"$outDir/clean/batch=b$batchId")
+            sigs.join(hits, Seq("id"), "left_semi").select("id", "kind")
+              .write.mode("overwrite")
+              .parquet(s"$outDir/flagged/batch=b$batchId")
+            clean.select("id", "kind", "sig").write.mode("overwrite")
+              .parquet(s"$indexDir/batch=b$batchId")
+          } finally { clean.unpersist(); hits.unpersist(); () }
+        } finally { sigs.unpersist(); () }
+      }
+      .start()
+
   final case class DomainState(domain: String, firstSeen: java.sql.Timestamp,
                                lastSeen: java.sql.Timestamp, observations: Long)
 

@@ -115,6 +115,23 @@ object ExplainDump {
             .filter(col("vec_id") < 200),
           "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4,
           m = 8, ksub = 16, rerank = 64)
+      },
+      "signature screen, banded (kind-confined block join, sig rows only)" -> {
+        import org.apache.spark.sql.functions.{col, lit, xxhash64}
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("id"), lit("image").as("kind"),
+            xxhash64(col("doc_id")).as("sig"))
+        graft.operators.Dedup.crossSignatureNearDups(
+          d, d.filter(col("id") % 10 === 0), 8, Seq("kind"))
+      },
+      "signature screen, MIH (16-bit substring keys, broadcast probe-mask " +
+        "expansion on the batch side only)" -> {
+        import org.apache.spark.sql.functions.{col, lit, xxhash64}
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").as("id"), lit("image").as("kind"),
+            xxhash64(col("doc_id")).as("sig"))
+        graft.operators.Dedup.crossSignatureNearDupsMih(
+          d, d.filter(col("id") % 10 === 0), 8, Seq("kind"))
       })
 
     val body = headliners.map { case (title, df) =>

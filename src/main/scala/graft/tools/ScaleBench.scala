@@ -257,6 +257,50 @@ object ScaleBench {
         f"in $ft1%.1f s ratio_vs_base=${ft1 / ftb}%.1f (linear=$mediaK)")
       Some((mn1, mt1, fn1, ft1))
     }
+    // Perceptual-signature SCREEN at scale: corpus index (every doc)
+    // vs a 1/10th batch, banded (crossSignatureNearDups) against
+    // multi-index hashing (crossSignatureNearDupsMih), both at the
+    // realistic phash distance 8. Signatures are xxhash64-UNIFORM —
+    // the worst case for bucket density (real phash corpora cluster
+    // into dup groups; uniform spreads candidates maximally across
+    // ~7-bit banded blocks) — with 10% of the batch planted one bit
+    // from a corpus sig so output is non-trivial at every scale.
+    // Expectation from the bucket arithmetic: banded candidates ~
+    // 9*|corpus|*|batch|/2^7, MIH ~ 4*137*|corpus|*|batch|/2^16 —
+    // ~8x apart; the curve makes the gap (and each path's own
+    // linearity in corpus size at fixed batch fraction) measured
+    // rather than argued.
+    def sigScreen(dir: String): ((Long, Double), (Long, Double)) = {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.select(col("doc_id").as("id"),
+        xxhash64(col("doc_id")).as("sig"))
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(5000000000L)).as("id"),
+          when(col("doc_id") % 100 === 0,
+            xxhash64(col("doc_id")).bitwiseXOR(
+              expr("shiftleft(1L, cast(doc_id/100 % 64 as int))")))
+            .otherwise(xxhash64(col("doc_id") + lit(7777777L))).as("sig"))
+      def t(f: => Long): (Long, Double) = {
+        val s0 = System.nanoTime()
+        val n = f
+        (n, (System.nanoTime() - s0) / 1e9)
+      }
+      (t(Dedup.crossSignatureNearDups(corpus, batch, 8).count()),
+        t(Dedup.crossSignatureNearDupsMih(corpus, batch, 8).count()))
+    }
+    val sigTiers =
+      (Seq("1x" -> sfDir, s"${k}x" -> outDir) ++
+        (if (mediaK > 1) Seq(s"${mediaK}x" -> s"$outDir-docs$mediaK")
+         else Nil))
+        .map { case (tier, dir) =>
+          val ((nb2, tb2), (nm2, tm2)) = sigScreen(dir)
+          println(f"[scale-bench] sig_screen@$tier: banded pairs=$nb2 " +
+            f"in $tb2%.1f s | mih pairs=$nm2 in $tm2%.1f s " +
+            f"(same pair set expected: ${nb2 == nm2})")
+          (tier, tb2, tm2)
+        }
+
     val worst = rows.maxBy(_._4)
     println(f"[scale-bench] SUMMARY k=$k queries=${rows.size} " +
       f"median_ratio=${rows.map(_._4).sorted.apply(rows.size / 2)}%.1f " +
@@ -266,6 +310,8 @@ object ScaleBench {
     } :+ f""""dedup_embedding_prodcfg":{"base":$tb%.3f,"scaled":$tsc%.3f,"ratio":${tsc / tb}%.2f,"base_pairs":$nb,"scaled_pairs":$ns}"""
       :+ f""""multimodal_meta_full":{"base":$mtb%.3f,"scaled":$mtsc%.3f,"ratio":${mtsc / mtb}%.2f,"base_rows":$mnb,"scaled_rows":$mns}"""
       :+ f""""multimodal_features_full":{"base":$ftb%.3f,"scaled":$ftsc%.3f,"ratio":${ftsc / ftb}%.2f,"base_rows":$fnb,"scaled_rows":$fns}"""
+      :++ sigTiers.map { case (tier, tb2, tm2) =>
+        f""""sig_screen_$tier":{"banded":$tb2%.3f,"mih":$tm2%.3f}""" }
       :++ media100.toSeq.flatMap { case (mn1, mt1, fn1, ft1) => Seq(
         f""""multimodal_meta_${mediaK}x":{"base":$mtb%.3f,"scaled":$mt1%.3f,"ratio":${mt1 / mtb}%.2f,"rows":$mn1,"linear_k":$mediaK}""",
         f""""multimodal_features_${mediaK}x":{"base":$ftb%.3f,"scaled":$ft1%.3f,"ratio":${ft1 / ftb}%.2f,"rows":$fn1,"linear_k":$mediaK}""") })
