@@ -228,6 +228,30 @@ object Similarity {
     spark.read.parquet(path).orderBy("cell").collect()
       .map(_.getSeq[Double](1).toArray)
 
+  /** Assign a batch to FIXED centroids — the incremental step shared
+    * by [[appendToIvfIndex]] and [[appendIvfIndex]]: the same rank-1
+    * coarse assignment as [[buildIvfIndex]], no retraining. */
+  private def assignToCentroids(batch: DataFrame, idCol: String,
+                                vecCol: String,
+                                coarse: Array[Array[Double]]): DataFrame =
+    rankCells(batch.select(col(idCol).as("id"), col(vecCol).as("v")),
+        centroidFrame(batch.sparkSession, coarse))
+      .filter(col("probe_rank") === 1)
+      .select("id", "v", "cell")
+
+  /** Append a batch to a prebuilt [[IvfIndex]] WITHOUT retraining:
+    * batch vectors take the rank-1 cell of the index's FIXED
+    * centroids and union into `assigned` — corpus growth costs one
+    * assignment scan of the batch, never a corpus re-scan or
+    * re-train. Search over the appended index is exactly
+    * [[ivfSearchIndex]] over (same centroids, old ∪ new assignments).
+    * Centroid drift is caller policy: rebuild when the corpus
+    * distribution moves; the centroids are the pay-once artifact. */
+  def appendToIvfIndex(index: IvfIndex, batch: DataFrame, idCol: String,
+                       vecCol: String): IvfIndex =
+    index.copy(assigned = index.assigned.unionByName(
+      assignToCentroids(batch, idCol, vecCol, index.coarse)))
+
   /** Write an [[IvfIndex]] under `path` (overwrites): `assigned/`
     * parquet partitioned by cell — the cell join prunes to the probed
     * cells' files — plus `centroids/`. */
@@ -238,11 +262,33 @@ object Similarity {
       s"$path/centroids")
   }
 
+  /** PERSISTED incremental append: assign `batch` to the centroids
+    * stored under `path` and write the assignments as an idempotent
+    * `delta_<tag>/` sibling of `assigned/` (same cell-partitioned
+    * layout; overwrite per tag, so a replayed batch rewrites its own
+    * delta instead of duplicating rows — the exactly-once protocol of
+    * [[graft.streaming.StreamingIngest.screenMediaIngest]]'s index
+    * admissions). [[loadIvfIndex]] sees base + every delta. */
+  def appendIvfIndex(spark: SparkSession, path: String, batch: DataFrame,
+                     idCol: String, vecCol: String, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
+    val coarse = readCentroids(spark, s"$path/centroids")
+    assignToCentroids(batch, idCol, vecCol, coarse)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/delta_$tag")
+  }
+
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
     val coarse = readCentroids(spark, s"$path/centroids")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.toString).sorted
     // normalize column order (partitionBy moves `cell` last on disk)
-    IvfIndex(spark.read.parquet(s"$path/assigned")
-      .select("id", "v", "cell"), coarse, coarse.length)
+    IvfIndex((s"$path/assigned" +: deltas.toSeq)
+      .map(p => spark.read.parquet(p).select("id", "v", "cell"))
+      .reduce(_ unionByName _), coarse, coarse.length)
   }
 
   /** Write a [[PqIndex]] under `path` (overwrites): `assigned/`

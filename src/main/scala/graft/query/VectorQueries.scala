@@ -234,6 +234,54 @@ object VectorQueries {
       |FROM embeddings, range(1, 6) t(r)
       |WHERE vec_id < 200 ORDER BY query_id, rank""".stripMargin
 
+  /** INCREMENTAL index growth under the hash gate: the base index
+    * (vec_id < 200) persists; a batch (200-299) appends TWICE under
+    * one delta tag — the replay must overwrite, not duplicate
+    * ([[Similarity.appendIvfIndex]]) — and the LOADED base+delta
+    * index must search bit-identically (neighbor ids and raw cosine
+    * bits) to the in-memory append ([[Similarity.appendToIvfIndex]]).
+    * Certifies the 100 TB contract that corpus growth costs one
+    * batch-assignment scan against frozen pay-once centroids, with
+    * exactly-once delta persistence. */
+  def simIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val sub = embs(s, dir).filter(col("vec_id") < 200)
+    val batch = embs(s, dir)
+      .filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val base = sub.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val fresh = Similarity.buildIvfIndex(sub, "vec_id", "embedding",
+      nlist = 8)
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ivfappend_$tag").toString
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    Similarity.saveIvfIndex(fresh, path)
+    Similarity.appendIvfIndex(s, path, batch, "vec_id", "embedding", "b0")
+    Similarity.appendIvfIndex(s, path, batch, "vec_id", "embedding", "b0")
+    val loaded = Similarity.loadIvfIndex(s, path)
+    val mem = Similarity.appendToIvfIndex(fresh, batch,
+      "vec_id", "embedding")
+    def search(ix: Similarity.IvfIndex) =
+      Similarity.ivfSearchIndex(base, ix, k = 5, nprobe = 4,
+          excludeSelf = true)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    search(loaded)
+      .join(search(mem)
+          .withColumnRenamed("neighbor_id", "m_neighbor")
+          .withColumnRenamed("cos", "m_cos"),
+        Seq("query_id", "rank"))
+      .select(col("query_id"), col("rank"),
+        (col("neighbor_id") === col("m_neighbor") &&
+          col("cos") === col("m_cos")).as("loaded_eq_mem"))
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfAppendSql: String =
+    """SELECT vec_id AS query_id, CAST(r AS INT) AS rank,
+      |  true AS loaded_eq_mem
+      |FROM embeddings, range(1, 6) t(r)
+      |WHERE vec_id < 200 ORDER BY query_id, rank""".stripMargin
+
   // ---- ANN recall gates (judge-suggested derived-boolean oracles):
   // the approximate result is scored per query against the engine's own
   // exact brute-force truth (itself oracle-locked via q_sim_bruteforce /
@@ -305,6 +353,7 @@ object VectorQueries {
       "q_sim_lsh" -> (simLsh _, simLshSql),
       "q_sim_ivf" -> (simIvf _, simIvfSql),
       "q_sim_ivf_loaded" -> (simIvfLoaded _, simIvfLoadedSql),
+      "q_sim_ivf_append" -> (simIvfAppend _, simIvfAppendSql),
       "q_sim_lsh_recall" -> (simLshRecall _, recallGateSql),
       "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
       "q_sim_pq_recall" -> (simPqRecall _, recallGateSql),

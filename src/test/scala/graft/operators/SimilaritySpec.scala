@@ -172,6 +172,56 @@ class SimilaritySpec extends SparkTestBase {
     assert(run(loaded) == run(fresh))
   }
 
+  test("IVF append: fixed centroids, correct cells, idempotent deltas") {
+    // batch vectors live in cluster 2's region with new ids
+    val batch = vecs.filter(col("vec_id") >= 20)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val fresh = Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      nlist = 3)
+    // in-memory append: batch cells equal an INDEPENDENT driver-side
+    // argmin over the frozen centroids (exact doubles)
+    val appended = Similarity.appendToIvfIndex(fresh, batch,
+      "vec_id", "embedding")
+    val cells = appended.assigned.filter(col("id") >= 120)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batchVecs = batch.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    batchVecs.foreach { case (id, v) =>
+      val want = fresh.coarse.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum, i)
+      }._2
+      assert(cells(id) == want, s"cell of appended id $id")
+    }
+    assert(appended.assigned.count() == 40)
+    // persisted deltas: save base, append twice under the SAME tag
+    // (replay must overwrite, not duplicate), then a second tag
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    Similarity.saveIvfIndex(fresh, path)
+    Similarity.appendIvfIndex(spark, path, batch, "vec_id", "embedding",
+      tag = "b0")
+    Similarity.appendIvfIndex(spark, path, batch, "vec_id", "embedding",
+      tag = "b0")
+    val batch2 = batch.select((col("vec_id") + 100).as("vec_id"),
+      col("embedding"))
+    Similarity.appendIvfIndex(spark, path, batch2, "vec_id", "embedding",
+      tag = "b1")
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.assigned.count() == 50) // 30 base + 10 (b0, once) + 10 (b1)
+    // loaded search must equal the in-memory twice-appended search
+    val mem = Similarity.appendToIvfIndex(appended, batch2,
+      "vec_id", "embedding")
+    def run(ix: Similarity.IvfIndex) =
+      Similarity.ivfSearchIndex(
+          vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+          ix, k = 4, nprobe = 2, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cos")),
+          r.getInt(3))).toSet
+    assert(run(loaded) == run(mem))
+  }
+
   test("PQ index round-trips through parquet: loaded search == fresh") {
     val base = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
     val fresh = Similarity.buildPqIndex(vecs, "vec_id", "embedding",
