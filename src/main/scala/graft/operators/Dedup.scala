@@ -210,11 +210,59 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** Append a batch to a prebuilt [[MinhashIndex]] WITHOUT rescanning
+    * the corpus: the batch bands with the SAME seeded signature
+    * family and parameters (deterministic — appended rows are
+    * bit-identical to what a full rebuild would produce for them),
+    * and both frames union. The incremental contract of
+    * [[graft.operators.Similarity.appendToIvfIndex]] for the text
+    * decontamination index. */
+  def appendToMinhashIndex(index: MinhashIndex, batch: DataFrame,
+                           idCol: String, text: Column): MinhashIndex =
+    index.copy(
+      banded = index.banded.unionByName(bandedFrame(batch, idCol, text,
+        index.numHashes, index.bands, index.shingleK)),
+      shingleSets = index.shingleSets.unionByName(
+        batch.select(col(idCol).as("id"),
+          shingles(text, index.shingleK).as("sh"))))
+
+  /** PERSISTED incremental append: band `batch` with the parameters
+    * stored under `path` and write (banded, shingleSets) as an
+    * idempotent `delta_<tag>/` — a replayed batch rewrites its own
+    * delta instead of duplicating rows. [[loadMinhashIndex]] sees
+    * base + every delta. */
+  def appendMinhashIndex(spark: SparkSession, path: String,
+                         batch: DataFrame, idCol: String, text: Column,
+                         tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val (nh, nb, sk) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    bandedFrame(batch, idCol, text, nh, nb, sk)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/delta_$tag/banded")
+    batch.select(col(idCol).as("id"), shingles(text, sk).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/delta_$tag/shingleSets")
+  }
+
+  private def minhashDeltaDirs(spark: SparkSession,
+                               path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
   def loadMinhashIndex(spark: SparkSession, path: String): MinhashIndex = {
     val p = spark.read.parquet(s"$path/params").collect()(0)
+    val deltas = minhashDeltaDirs(spark, path)
     MinhashIndex(
-      spark.read.parquet(s"$path/banded").select("id", "band", "band_hash"),
-      spark.read.parquet(s"$path/shingleSets"),
+      (s"$path/banded" +: deltas.map(d => s"$d/banded"))
+        .map(q => spark.read.parquet(q).select("id", "band", "band_hash"))
+        .reduce(_ unionByName _),
+      (s"$path/shingleSets" +: deltas.map(d => s"$d/shingleSets"))
+        .map(q => spark.read.parquet(q).select("id", "sh"))
+        .reduce(_ unionByName _),
       p.getInt(0), p.getInt(1), p.getInt(2))
   }
 

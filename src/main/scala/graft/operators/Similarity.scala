@@ -280,13 +280,8 @@ object Similarity {
 
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
     val coarse = readCentroids(spark, s"$path/centroids")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
-      .map(_.getPath.toString).sorted
     // normalize column order (partitionBy moves `cell` last on disk)
-    IvfIndex((s"$path/assigned" +: deltas.toSeq)
+    IvfIndex((s"$path/assigned" +: deltaDirs(spark, path))
       .map(p => spark.read.parquet(p).select("id", "v", "cell"))
       .reduce(_ unionByName _), coarse, coarse.length)
   }
@@ -309,6 +304,30 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** PERSISTED incremental PQ append: encode `batch` against the
+    * frozen artifacts stored under `path` and write (assigned,
+    * vectors) as an idempotent `delta_<tag>/` — the
+    * [[appendIvfIndex]] protocol; a replayed batch rewrites its own
+    * delta. [[loadPqIndex]] sees base + every delta. */
+  def appendPqIndex(spark: SparkSession, path: String, batch: DataFrame,
+                    idCol: String, vecCol: String, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
+    val ix = loadPqIndex(spark, path) // artifacts only; frames stay lazy
+    val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    encodePq(base, ix.coarse, ix.codebooks, ix.m, ix.dsub)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/delta_$tag/assigned")
+    base.write.mode("overwrite").parquet(s"$path/delta_$tag/vectors")
+  }
+
+  private def deltaDirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
     val coarse = readCentroids(spark, s"$path/centroids")
     val codebooks = spark.read.parquet(s"$path/codebooks")
@@ -316,9 +335,14 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.map(_._2).toArray).toArray
+    val deltas = deltaDirs(spark, path)
     PqIndex(
-      spark.read.parquet(s"$path/assigned").select("id", "cell", "codes"),
-      spark.read.parquet(s"$path/vectors"),
+      (s"$path/assigned" +: deltas.map(d => s"$d/assigned"))
+        .map(p => spark.read.parquet(p).select("id", "cell", "codes"))
+        .reduce(_ unionByName _),
+      (s"$path/vectors" +: deltas.map(d => s"$d/vectors"))
+        .map(p => spark.read.parquet(p).select("id", "v"))
+        .reduce(_ unionByName _),
       coarse, codebooks, coarse.length, codebooks.length,
       codebooks.head.head.length)
   }
@@ -375,7 +399,18 @@ object Similarity {
         seed = 42L + j)
     }
 
-    // code_j = argmin_c ||v_j - c||^2 = argmin_c (|c|^2 - 2<v_j, c>)
+    PqIndex(encodePq(base, coarse, codebooks, m, dsub), base,
+      coarse, codebooks, nlist, m, dsub)
+  }
+
+  /** Encode (id, v) rows against FROZEN coarse centroids + codebooks:
+    * (id, cell, codes) — the shared assignment/encode step of
+    * [[buildPqIndex]] and the PQ appends. Vectors do NOT pass this
+    * point. code_j = argmin_c ||v_j - c||^2 = argmin_c (|c|^2 -
+    * 2<v_j, c>). */
+  private def encodePq(base: DataFrame, coarse: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       m: Int, dsub: Int): DataFrame = {
     def codeFor(j: Int): Column = {
       // codebooks may hold < ksub centroids on tiny training samples
       val dists = array(codebooks(j).map { cen =>
@@ -384,12 +419,25 @@ object Similarity {
       }.toIndexedSeq: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    val assigned = rankCells(base, centroidFrame(spark, coarse))
+    rankCells(base, centroidFrame(base.sparkSession, coarse))
       .filter(col("probe_rank") === 1)
       .withColumn("codes", array((0 until m).map(codeFor): _*))
-      .select("id", "cell", "codes") // vectors do NOT pass this point
+      .select("id", "cell", "codes")
+  }
 
-    PqIndex(assigned, base, coarse, codebooks, nlist, m, dsub)
+  /** Append a batch to a prebuilt [[PqIndex]] WITHOUT retraining:
+    * batch vectors are assigned and PQ-encoded against the FROZEN
+    * coarse centroids and codebooks — the [[appendToIvfIndex]]
+    * contract extended to codes. Quantization drift (codebooks
+    * trained before the batch existed) is caller policy, as for
+    * centroids: rebuild when the corpus distribution moves. */
+  def appendToPqIndex(index: PqIndex, batch: DataFrame, idCol: String,
+                      vecCol: String): PqIndex = {
+    val base = batch.select(col(idCol).as("id"), col(vecCol).as("v"))
+    index.copy(
+      assigned = index.assigned.unionByName(
+        encodePq(base, index.coarse, index.codebooks, index.m, index.dsub)),
+      vectors = index.vectors.unionByName(base))
   }
 
   /** Search a prebuilt [[PqIndex]]: `queries` must carry (id, v)

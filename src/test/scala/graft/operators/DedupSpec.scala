@@ -203,6 +203,40 @@ class DedupSpec extends SparkTestBase {
     assert(!l.exists(_._1 == 201L))
   }
 
+  test("minhash index append: delta == full rebuild, idempotent replay") {
+    val half = docs.filter(col("doc_id") < 10)
+    val rest = docs.filter(col("doc_id") >= 10 && col("doc_id") < 20)
+    val incoming = Seq(
+      (200L, docs.collect().find(_.getLong(0) == 12L).get.getString(1)),
+      (201L, "nothing like the corpus at all")).toDF("doc_id", "text")
+    val base = Dedup.buildMinhashIndex(half, "doc_id", col("text"),
+      numHashes = 16, bands = 16, shingleK = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mh-append").toString
+    Dedup.saveMinhashIndex(base, path)
+    Dedup.appendMinhashIndex(spark, path, rest, "doc_id", col("text"),
+      tag = "b0")
+    Dedup.appendMinhashIndex(spark, path, rest, "doc_id", col("text"),
+      tag = "b0") // replay overwrites its own delta
+    val loaded = Dedup.loadMinhashIndex(spark, path)
+    assert(loaded.banded.count() ==
+      loaded.banded.select("id", "band").distinct().count())
+    def run(ix: Dedup.MinhashIndex) =
+      Dedup.nearDupsAgainstIndex(incoming, "doc_id", col("text"), ix,
+          threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Double]("jaccard"))).toSet
+    val viaDelta = run(loaded)
+    // appended banding is bit-identical to a full rebuild's
+    val rebuilt = Dedup.buildMinhashIndex(docs.filter(col("doc_id") < 20),
+      "doc_id", col("text"), numHashes = 16, bands = 16, shingleK = 3)
+    assert(viaDelta == run(rebuilt))
+    assert(viaDelta == run(Dedup.appendToMinhashIndex(base, rest,
+      "doc_id", col("text"))))
+    // the screen actually uses the appended half: doc 200 == doc 12
+    assert(viaDelta.exists(p => p._1 == 200L && p._2 == 12L))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = docs.select(Dedup.minhashSignature(
       Dedup.shingles(col("text")), 8)).collect().map(_.getSeq[Long](0))

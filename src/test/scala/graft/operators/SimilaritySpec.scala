@@ -243,6 +243,34 @@ class SimilaritySpec extends SparkTestBase {
     assert(run(loaded) == run(fresh))
   }
 
+  test("PQ append: frozen codebooks, idempotent deltas, loaded == in-memory") {
+    val batch = vecs.filter(col("vec_id") >= 20)
+      .select((col("vec_id") + 100).as("vec_id"), col("embedding"))
+    val fresh = Similarity.buildPqIndex(vecs, "vec_id", "embedding",
+      nlist = 3, m = 4, ksub = 4, dims = 16)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-append").toString
+    Similarity.savePqIndex(fresh, path)
+    Similarity.appendPqIndex(spark, path, batch, "vec_id", "embedding",
+      tag = "b0")
+    Similarity.appendPqIndex(spark, path, batch, "vec_id", "embedding",
+      tag = "b0") // replay must overwrite, not duplicate
+    val loaded = Similarity.loadPqIndex(spark, path)
+    assert(loaded.assigned.count() == 40 && loaded.vectors.count() == 40)
+    // frozen artifacts: append changed neither centroids nor codebooks
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      fresh.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val mem = Similarity.appendToPqIndex(fresh, batch, "vec_id", "embedding")
+    def run(ix: Similarity.PqIndex) =
+      Similarity.pqSearchIndex(
+          vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+          ix, k = 3, nprobe = 2, rerank = 6, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cos")),
+          r.getInt(3))).toSet
+    assert(run(loaded) == run(mem))
+  }
+
   test("signatures deterministic across runs") {
     val s1 = vecs.select(Similarity.lshSignature(col("embedding"), 8, dims = 16))
       .collect().map(_.getLong(0)).toSeq
