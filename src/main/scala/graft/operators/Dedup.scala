@@ -518,6 +518,18 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Self-join face of [[crossSignatureNearDupsMih]]: near-dup pairs
+    * (id_a < id_b) within one signature set through the MIH candidate
+    * path. Prefer over [[signatureNearDups]] when maxDist is large
+    * relative to the banded block width (~maxDist >= 8 for 64-bit
+    * signatures); the probe expansion then applies to the whole
+    * corpus (m * P rows/item), which buys the sparser 16-bit buckets
+    * — the right trade exactly when banded buckets go dense. */
+  def signatureNearDupsMih(sigs: DataFrame, maxDist: Int,
+                           m: Int = 4): DataFrame =
+    crossSignatureNearDupsMih(sigs, sigs, maxDist, Nil, m)
+      .filter(col("id_a") < col("id_b"))
+
   def crossSimhashNearDups(left: DataFrame, right: DataFrame,
                            idCol: String, text: Column, maxDist: Int = 3,
                            hashFamily: String = "xxhash64"): DataFrame =

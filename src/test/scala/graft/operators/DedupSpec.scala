@@ -136,6 +136,13 @@ class DedupSpec extends SparkTestBase {
       assert(banded == brute, s"banded d=$d")
       assert(mih == brute, s"mih d=$d m=$m")
     }
+    // self-join face: MIH == banded on one signature set
+    val allSigs = (corpus ++ batch).toDF("id", "sig")
+    val selfBanded = Dedup.signatureNearDups(allSigs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val selfMih = Dedup.signatureNearDupsMih(allSigs, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(selfMih == selfBanded)
   }
 
   test("exact copy has identical simhash and jaccard 1.0") {
