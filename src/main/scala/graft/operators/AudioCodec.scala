@@ -94,6 +94,33 @@ object AudioCodec {
     (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toInt
   }
 
+  /** Minimal mono 16-bit little-endian WAV around the given samples —
+    * encoder ∘ [[samples]] = identity (spec-locked), the JVM-side
+    * sibling of the column-level fixture builder
+    * [[Multimodal.wavBytesWithData]]. */
+  def encodeWav(rate: Int, pcm: Array[Short]): Array[Byte] = {
+    val dataLen = pcm.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    pcm.foreach(s => { buf.putShort(s); () })
+    buf.array()
+  }
+
+  /** Decoded 16-bit samples as an Int array (interleaved stream order);
+    * null when undecodable. The raw-sample face shared with
+    * [[SpectralCodec]]. */
+  private[operators] def samples(bytes: Array[Byte]): Array[Int] = {
+    val sp = samples16(bytes)
+    if (sp == null) return null
+    val (fmt, data, n) = sp
+    Array.tabulate(n)(i => sample(data, i, fmt.isBigEndian))
+  }
+
   /** Shared 16-bit PCM extraction: (format, raw frames, sample count);
     * null when unreadable, not 16-bit, or empty. Never throws. */
   private def samples16(bytes: Array[Byte])

@@ -272,6 +272,46 @@ object Multimodal {
   def audioNearDups(media: Dataset[MediaRecord], maxDist: Int): DataFrame =
     Dedup.signatureNearDups(audioHashes(media), maxDist)
 
+  /** Per-clip spectral landmark fingerprints (id, fp array<long>) —
+    * [[SpectralCodec.fingerprint]] per row, no shuffle; undecodable
+    * or sub-window clips are dropped. */
+  def audioFingerprints(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val fp = if (r.kind != "audio") null
+        else SpectralCodec.fingerprint(r.bytes)
+      if (fp == null) Iterator.empty
+      else Iterator.single((r.media_id, fp))
+    }).toDF("id", "fp")
+  }
+
+  /** TIME-SHIFT-ROBUST audio near-dup: pairs whose constellation hash
+    * sets overlap with Jaccard >= `threshold`. Candidates come from an
+    * inverted hash index (explode -> equi-join on the hash — a pair
+    * is a candidate iff it SHARES a landmark, so recall at any
+    * threshold > 0 is certain), then the exact set Jaccard verifies
+    * via codegen'd array_intersect/array_union. Only (id, hash) rows
+    * and the candidate pairs' fingerprint arrays shuffle — never PCM.
+    * Landmark selectivity (bin-pair + delta keys, ~2^24 values) keeps
+    * the inverted buckets sparse at corpus scale (Wang, ISMIR 2003). */
+  def audioFingerprintNearDups(media: Dataset[MediaRecord],
+                               threshold: Double): DataFrame = {
+    val fps = audioFingerprints(media)
+    val inv = fps.select(col("id"), explode(col("fp")).as("h"))
+    val cands = inv.as("a").hint("shuffle_hash")
+      .join(inv.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cands
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .withColumn("overlap",
+        size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
+          size(array_union(col("fp_a"), col("fp_b"))))
+      .filter(col("overlap") >= threshold)
+      .select("id_a", "id_b", "overlap")
+  }
+
   /** Metadata-only resize PLANNING transform (column-level, no byte
     * touch) — predicts what [[resize]] will do to the dims, for
     * planning/stats passes that must not pay decode cost. Integer

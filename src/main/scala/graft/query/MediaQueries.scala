@@ -662,6 +662,69 @@ object MediaQueries {
        |       THEN 'flagged' ELSE 'clean' END AS status FROM f2
        |ORDER BY id""".stripMargin
 
+  /** SHIFT-ROBUST audio dedup under the derived-boolean gate (the
+    * recall-gate pattern): each group g < 40 plants an original clip
+    * (two bin-aligned sines, bins closed-form in g), a copy shifted
+    * by two whole windows of silence, and a spectrally distinct clip.
+    * Spectral landmark fingerprints ([[graft.operators.SpectralCodec]],
+    * Wang ISMIR 2003) must pair original-with-shifted at overlap 1.0
+    * — bin-aligned sines are window-periodic, so the invariance is
+    * EXACT, not a margin — while the envelope hash provably fails
+    * this shift (SpectralCodecSpec pins both) and the distinct clip
+    * stays out at the 0.5 threshold (disjoint bin ranges; shared-bin
+    * cross-group hashes cap measured jaccard well under 0.2). The
+    * oracle recomputes the group universe and expected booleans
+    * closed-form. */
+  def audioSpectralDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioCodec, Multimodal, SpectralCodec}
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    val media = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+      .flatMap { g =>
+        val none = MediaMeta(None, None, None, None)
+        val w = SpectralCodec.WindowSize
+        def sine(bins: Seq[Long], silence: Int): Array[Byte] = {
+          val n = 8 * w
+          val pcm = new Array[Short](silence * w + n)
+          var i = 0
+          while (i < n) {
+            val t = i.toDouble / w
+            val v = bins.map(b =>
+              8000.0 * StrictMath.sin(2 * StrictMath.PI * b * t)).sum
+            pcm(silence * w + i) =
+              math.max(-32768L, math.min(32767L, StrictMath.round(v))).toShort
+            i += 1
+          }
+          AudioCodec.encodeWav(8000, pcm)
+        }
+        // bin RANGES are pairwise disjoint: originals use [5,33]+[45,75],
+        // distinct clips [80,102]+[108,124] — no true-bin collisions
+        val b1 = g % 29 + 5; val b2 = g % 31 + 45
+        val c1 = g % 23 + 80; val c2 = g % 17 + 108
+        Seq(
+          MediaRecord(g * 10, "audio", sine(Seq(b1, b2), 0), none),
+          MediaRecord(g * 10 + 1, "audio", sine(Seq(b1, b2), 2), none),
+          MediaRecord(g * 10 + 2, "audio", sine(Seq(c1, c2), 0), none))
+      }
+    val pairs = Multimodal.audioFingerprintNearDups(media, threshold = 0.5)
+      .withColumn("g", (col("id_a") / 10).cast("long"))
+    val agg = pairs.groupBy("g").agg(
+      max(col("id_a") % 10 === 0 && col("id_b") % 10 === 1 &&
+        col("overlap") >= 0.9).as("shifted_match"),
+      max(col("id_a") % 10 === 2 || col("id_b") % 10 === 2).as("dirty"))
+    docs(s, dir).filter(col("doc_id") < 40).select(col("doc_id").as("g"))
+      .join(agg, Seq("g"), "left")
+      .select(col("g"),
+        coalesce(col("shifted_match"), lit(false)).as("shifted_match"),
+        (!coalesce(col("dirty"), lit(false))).as("distinct_clean"))
+      .orderBy("g")
+  }
+
+  val audioSpectralDedupSql: String =
+    """SELECT doc_id AS g, true AS shifted_match, true AS distinct_clean
+      |FROM documents WHERE doc_id < 40 ORDER BY g""".stripMargin
+
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
     * field a closed-form function of the id) are built byte-for-byte
@@ -818,6 +881,7 @@ object MediaQueries {
       "q_media_screen" -> (mediaScreen _, mediaScreenSql),
       "q_media_screen_mih" -> (mediaScreenMih _, mediaScreenMihSql),
       "q_media_screen_stream" -> (mediaScreenStream _, mediaScreenStreamSql),
+      "q_audio_spectral_dedup" -> (audioSpectralDedup _, audioSpectralDedupSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))
