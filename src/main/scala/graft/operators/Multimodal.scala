@@ -295,8 +295,18 @@ object Multimodal {
     * Landmark selectivity (bin-pair + delta keys, ~2^24 values) keeps
     * the inverted buckets sparse at corpus scale (Wang, ISMIR 2003). */
   def audioFingerprintNearDups(media: Dataset[MediaRecord],
-                               threshold: Double): DataFrame = {
-    val fps = audioFingerprints(media)
+                               threshold: Double): DataFrame =
+    fingerprintOverlapPairs(audioFingerprints(media), threshold)
+
+  /** Set-overlap near-dup over ANY (id, fp: array<_>) fingerprint
+    * frame — the shared tail of the audio landmark and video temporal
+    * paths: candidates from an inverted element index (explode ->
+    * equi-join — a pair is a candidate iff it SHARES an element, so
+    * recall at any threshold > 0 is certain), exact set Jaccard on
+    * the candidates via codegen'd array_intersect/array_union. Only
+    * (id, element) rows and candidate pairs' arrays shuffle. */
+  private def fingerprintOverlapPairs(fps: DataFrame,
+                                      threshold: Double): DataFrame = {
     val inv = fps.select(col("id"), explode(col("fp")).as("h"))
     val cands = inv.as("a").hint("shuffle_hash")
       .join(inv.as("b").hint("shuffle_hash"),
@@ -311,6 +321,57 @@ object Multimodal {
       .filter(col("overlap") >= threshold)
       .select("id_a", "id_b", "overlap")
   }
+
+  /** A temporal landmark: frame-hash pair at relative frame distance
+    * dt — bin identities and RELATIVE position only, so whole-frame
+    * shifts (prepended intros, re-muxed leaders) preserve the body's
+    * landmarks, unlike the whole-video SUM signature
+    * ([[videoHashes]]) which any prepended frame rewrites. */
+  final case class TemporalLandmark(a: Long, b: Long, dt: Int)
+
+  /** Per-video temporal fingerprints: decode every frame, aHash each
+    * ([[ImageCodec.aHash]] on the luminance grid), then the DISTINCT
+    * (hash_i, hash_j, j - i) triples for 1 <= j - i <= maxDt — the
+    * video face of [[SpectralCodec]]'s constellation idea, with
+    * frame-level perceptual hashes as the "peaks". One container
+    * parse per row, no shuffle. */
+  def videoTemporalFingerprints(media: Dataset[MediaRecord],
+                                maxDt: Int = 4): Dataset[(Long, Seq[TemporalLandmark])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val fs = if (r.kind != "video") null else VideoCodec.frameFeatures(r.bytes)
+      if (fs == null) Iterator.empty
+      else {
+        val hs = fs.flatMap { case (_, _, _, g) =>
+          if (g == null) None else Some(ImageCodec.aHash(g))
+        }
+        if (hs.isEmpty) Iterator.empty
+        else {
+          val lm = scala.collection.mutable.LinkedHashSet.empty[TemporalLandmark]
+          var i = 0
+          while (i < hs.length) {
+            var j = i + 1
+            while (j < hs.length && j - i <= maxDt) {
+              lm += TemporalLandmark(hs(i), hs(j), j - i)
+              j += 1
+            }
+            i += 1
+          }
+          if (lm.isEmpty) Iterator.empty
+          else Iterator.single((r.media_id, lm.toSeq))
+        }
+      }
+    })
+  }
+
+  /** SHIFT-ROBUST video near-dup: pairs whose temporal landmark sets
+    * overlap with Jaccard >= `threshold` — same inverted-index +
+    * exact-verify tail as the audio landmarks
+    * ([[fingerprintOverlapPairs]]). */
+  def videoTemporalNearDups(media: Dataset[MediaRecord],
+                            threshold: Double, maxDt: Int = 4): DataFrame =
+    fingerprintOverlapPairs(
+      videoTemporalFingerprints(media, maxDt).toDF("id", "fp"), threshold)
 
   /** Metadata-only resize PLANNING transform (column-level, no byte
     * touch) — predicts what [[resize]] will do to the dims, for

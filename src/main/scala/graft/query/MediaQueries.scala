@@ -725,6 +725,107 @@ object MediaQueries {
     """SELECT doc_id AS g, true AS shifted_match, true AS distinct_clean
       |FROM documents WHERE doc_id < 40 ORDER BY g""".stripMargin
 
+  /** SHIFT-ROBUST video near-dup under the FULL hash gate: per group
+    * g < 40, an original AVI (4 band-frames, colors closed-form in
+    * (g, frame, band)), the same clip behind a two-frame non-uniform
+    * "title card" leader, and a spectrally different clip. Frames
+    * decode for real ([[graft.operators.VideoCodec]]), per-frame
+    * aHashes are closed-form (band comparisons), and the
+    * temporal landmark sets ([[graft.operators.Multimodal
+    * .videoTemporalFingerprints]]) with their exact pairwise Jaccards
+    * are therefore ENUMERABLE: the oracle rebuilds every clip's
+    * landmark set from the color formulas and lists the exact pair
+    * set at threshold 0.5 — including incidental cross-group pairs
+    * (the 4-band fixture hash space is small, so distinct groups DO
+    * collide; both sides compute the same deterministic function).
+    * Certifies what the whole-video SUM signature cannot: a prepended
+    * leader leaves the body's landmarks intact. */
+  def videoTemporalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Multimodal, VideoCodec}
+    import graft.operators.Multimodal.{MediaMeta, MediaRecord}
+    val media = docs(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id")).as[Long]
+      .flatMap { g =>
+        val none = MediaMeta(Some(32), Some(32), None, None)
+        def rgb(r: Long, gg: Long, b: Long): Int =
+          (((r % 256) << 16) | ((gg % 256) << 8) | (b % 256)).toInt
+        val orig = (0 until 8).map(i => (0 until 4).map(j =>
+          rgb(g * 37 + i * 91 + j * 37, g * 59 + i * 129 + j * 119,
+            g * 83 + i * 67 + j * 93)))
+        val other = (0 until 8).map(i => (0 until 4).map(j =>
+          rgb(g * 41 + i * 113 + j * 53, g * 61 + i * 141 + j * 87,
+            g * 89 + i * 79 + j * 101)))
+        // a NON-uniform "title card" leader: the body's temporal
+        // landmarks survive it untouched (the property this gate
+        // certifies); MultimodalSpec separately proves a band-order-
+        // reversing leader rewrites the whole-video SUM signature,
+        // the gap this operator closes
+        val leader = Seq.fill(2)((0 until 4).map(j =>
+          rgb(123 + j * 5, 45 + j * 3, 200 + j * 7)))
+        def avi(frames: Seq[Seq[Int]]) =
+          VideoCodec.encodeAviBands(32, 32, frames, scale = 1, rate = 25)
+        Seq(
+          MediaRecord(g * 10, "video", avi(orig), none),
+          MediaRecord(g * 10 + 1, "video", avi(leader ++ orig), none),
+          MediaRecord(g * 10 + 2, "video", avi(other), none))
+      }
+    Multimodal.videoTemporalNearDups(media, threshold = 0.5, maxDt = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  // Frame hash h(g, clip, i) from the band formulas (k=0 original
+  // colors, k=1 the distinct clip's, k=2 the g-independent title-card
+  // leader); landmarks = DISTINCT (ha, hb, dt<=4) per clip; exact
+  // count-based Jaccard over the landmark sets. Same signed-64 band
+  // masks as the image oracle.
+  val videoTemporalDedupSql: String =
+    """WITH src AS (
+      |  SELECT doc_id AS g, 0 AS clip, i, i AS s, 0 AS k
+      |    FROM documents, range(8) r(i) WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id, 1, i, i - 2, CASE WHEN i < 2 THEN 2 ELSE 0 END
+      |    FROM documents, range(10) r(i) WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id, 2, i, i, 1
+      |    FROM documents, range(8) r(i) WHERE doc_id < 40),
+      |q AS (SELECT g, clip, i, j,
+      |    CASE k
+      |      WHEN 0 THEN 299*((g*37 + s*91 + j*37)%256)
+      |        + 587*((g*59 + s*129 + j*119)%256) + 114*((g*83 + s*67 + j*93)%256)
+      |      WHEN 1 THEN 299*((g*41 + s*113 + j*53)%256)
+      |        + 587*((g*61 + s*141 + j*87)%256) + 114*((g*89 + s*79 + j*101)%256)
+      |      ELSE 299*(123 + j*5) + 587*(45 + j*3) + 114*(200 + j*7)
+      |      END AS ql
+      |  FROM src, range(4) b(j)),
+      |qs AS (SELECT g, clip, i, j, ql,
+      |    SUM(ql) OVER (PARTITION BY g, clip, i) AS t FROM q),
+      |h AS (SELECT g, clip, i,
+      |    CAST(SUM(CASE WHEN 4*ql > t
+      |         THEN CASE j WHEN 0 THEN 65535
+      |                     WHEN 1 THEN 4294901760
+      |                     WHEN 2 THEN 281470681743360
+      |                     ELSE -281474976710656 END
+      |         ELSE 0 END) AS BIGINT) AS fh
+      |  FROM qs GROUP BY 1, 2, 3),
+      |lmd AS (SELECT DISTINCT a.g*10 + a.clip AS media_id,
+      |    a.fh AS ha, b.fh AS hb, b.i - a.i AS dt
+      |  FROM h a JOIN h b ON a.g = b.g AND a.clip = b.clip
+      |    AND b.i > a.i AND b.i - a.i <= 4),
+      |cnt AS (SELECT media_id, COUNT(*) AS n FROM lmd GROUP BY 1),
+      |inter AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |    COUNT(*) AS ic
+      |  FROM lmd a JOIN lmd b ON a.ha = b.ha AND a.hb = b.hb
+      |    AND a.dt = b.dt AND a.media_id < b.media_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) AS overlap
+      |FROM inter
+      |JOIN cnt ca ON ca.media_id = id_a
+      |JOIN cnt cb ON cb.media_id = id_b
+      |WHERE CAST(ic AS DOUBLE) / (ca.n + cb.n - ic) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Real header parsing under the hash gate: deterministic
     * honest-format PNG/JPEG/WAV/MP4 payloads (every varying header
     * field a closed-form function of the id) are built byte-for-byte
@@ -882,6 +983,7 @@ object MediaQueries {
       "q_media_screen_mih" -> (mediaScreenMih _, mediaScreenMihSql),
       "q_media_screen_stream" -> (mediaScreenStream _, mediaScreenStreamSql),
       "q_audio_spectral_dedup" -> (audioSpectralDedup _, audioSpectralDedupSql),
+      "q_video_temporal_dedup" -> (videoTemporalDedup _, videoTemporalDedupSql),
       "q_multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
       "q_multimodal_audio" -> (multimodalAudio _, multimodalAudioSql),
       "q_multimodal_timeline" -> (multimodalTimeline _, multimodalTimelineSql))

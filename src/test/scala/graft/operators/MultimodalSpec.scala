@@ -246,6 +246,55 @@ class MultimodalSpec extends SparkTestBase {
       .select(wavBytesWithData(lit(8000), col("media_id")))
       .collect()(0).getAs[Array[Byte]](0)
 
+  test("videoTemporalFingerprints: body landmarks survive a leader; sum hash does not") {
+    def rgb(r: Int, g: Int, b: Int) = (r << 16) | (g << 8) | b
+    // 8 body frames with WRAPPING color formulas (varied band
+    // orderings -> varied frame hashes): enough body landmarks that a
+    // 2-frame leader's extra landmarks cannot drown the overlap
+    val frames = (0 until 8).map(i => (0 until 4).map(j =>
+      rgb((185 + 91 * i + 37 * j) % 256, (39 + 129 * i + 119 * j) % 256,
+        (159 + 67 * i + 93 * j) % 256)))
+    def avi(fs: Seq[Seq[Int]]) =
+      VideoCodec.encodeAviBands(32, 32, fs, scale = 1, rate = 25)
+    val none = MediaMeta(Some(32), Some(32), None, None)
+    // non-uniform title-card leader with luminance DECREASING steeply
+    // across bands — the body's band sums increase with j, so the
+    // leader reverses which bands sit above the mean and rewrites the
+    // sum hash (a uniform or order-preserving leader would leave it
+    // invariant: aHash ignores constant shifts)
+    val leader = Seq.fill(2)((0 until 4).map(j =>
+      rgb(250 - j * 80, 250 - j * 80, 250 - j * 80)))
+    val media = Seq(
+      MediaRecord(1L, "video", avi(frames), none),
+      MediaRecord(2L, "video", avi(leader ++ frames), none),
+      MediaRecord(3L, "audio", avi(frames), none) // wrong kind -> dropped
+    ).toDS()
+    val fps = videoTemporalFingerprints(media).collect().toMap
+    assert(fps.keySet == Set(1L, 2L))
+    // every original landmark survives the leader
+    assert(fps(1L).toSet.subsetOf(fps(2L).toSet))
+    val pairs = videoTemporalNearDups(media, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("overlap")))
+    assert(pairs.length == 1 && pairs(0)._1 == 1L && pairs(0)._2 == 2L)
+    assert(pairs(0)._3 >= 0.5)
+    // the whole-video SUM signature is REWRITTEN by a leader that
+    // out-slopes the body: body bands rise 8 frames x lum(10j*1000/f),
+    // the leader falls 2 x 80j-grayscale — net band order REVERSES,
+    // so above-mean bands flip from {2,3} to {0,1}. The temporal
+    // landmarks of the same body survive any leader (proven above);
+    // this is the gap they close.
+    val body2 = (0 until 8).map(_ => (0 until 4).map(j =>
+      rgb(10 * j, 10 * j, 10 * j)))
+    val media2 = Seq(
+      MediaRecord(11L, "video", avi(body2), none),
+      MediaRecord(12L, "video", avi(leader ++ body2), none)).toDS()
+    val sums2 = videoHashes(media2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sums2(11L) ^ sums2(12L)) > 0)
+    val fps2 = videoTemporalFingerprints(media2).collect().toMap
+    assert(fps2(11L).toSet.subsetOf(fps2(12L).toSet))
+  }
+
   test("raw DataFrame round-trips through the typed media schema") {
     val df = spark.createDataFrame(media.toDF().rdd, mediaSchema)
     val typed = asRecords(df).collect().sortBy(_.media_id)
