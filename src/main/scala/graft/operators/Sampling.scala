@@ -85,6 +85,31 @@ object Sampling {
     df.withColumn("split", label).filter(col("split").isNotNull)
   }
 
+  /** LEAKAGE-FREE split: near-duplicate documents must never straddle
+    * train and test (a test doc whose near-dup sits in train is
+    * memorized, not generalized — the contamination mode group-aware
+    * splits exist to kill). The coin is thrown for the near-dup
+    * CLUSTER representative, not the document: `clusters` is an
+    * (id, cluster) frame from [[Dedup.nearDupClusters]] (cluster =
+    * min-id of the connected component); documents in no near-dup
+    * pair are their own representative. A whole near-dup family
+    * therefore moves between splits as one unit, under the same
+    * stable-under-growth md5 coin as [[hashSplit]].
+    *
+    * Scale: one equi-join on id (clusters holds only documents that
+    * appear in some near-dup pair — a small fraction of the corpus;
+    * AQE broadcasts it when it fits), then the scan-level split
+    * labeling. Output adds (cluster, split). */
+  def leakFreeSplit(df: DataFrame, key: Column, clusters: DataFrame,
+                    splits: Seq[(String, Double)]): DataFrame = {
+    val rep = df
+      .join(clusters.select(col("id").as("__id"), col("cluster")),
+        key === col("__id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), key.cast("long")))
+      .drop("__id")
+    hashSplit(rep, col("cluster"), splits)
+  }
+
   /** Deterministic global shuffle into `numShards` output shards: the
     * md5 of (seed, key) assigns the shard from its first 24 bits and
     * the within-shard order from the next 32 (decorrelated by

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.plans.GraftExtensions
 
@@ -238,6 +238,114 @@ object TextAnalysis {
           col("n_grams")).as("top_frac"),
         (lit(1.0) - col("n_distinct").cast("double") /
           col("n_grams")).as("dup_frac"))
+  }
+
+  // ---- corpus-trained bigram LM quality (CCNet shape, integer-exact) ----
+  // CCNet (Wenzek et al., LREC 2020) buckets a crawl into head/middle/
+  // tail by language-model perplexity: a STATISTICAL quality signal the
+  // heuristic qualityScore above cannot give (it scores fluency against
+  // the corpus itself, so boilerplate and keyboard-mash score badly even
+  // when length/punctuation look fine). The engine's twist is exactness:
+  // per-bigram cost is the Shannon code length rounded DOWN to whole
+  // bits — floor(log2(total/cnt)) — computed in pure integer arithmetic
+  // (length-of-binary-string of the integer quotient), so training,
+  // scoring, and bucketing are bit-identical in any engine, no
+  // transcendental log in sight.
+
+  /** Normalization for the character-bigram LM: lowercase, ASCII
+    * whitespace folded to ' ', everything outside [a-z0-9 ] to '_' — a
+    * FIXED 38-symbol alphabet, so the trained model is bounded at
+    * 38^2 = 1444 rows no matter the corpus size. Explicit character
+    * classes keep Java-regex and RE2 semantics identical. */
+  def lmNormalize(text: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(text), "[\\t\\n\\f\\r]", " "),
+      "[^a-z0-9 ]", "_")
+
+  /** Adjacent character bigrams of the normalized text (empty array
+    * for docs shorter than 2 normalized chars). Scan-level HOF —
+    * codegen'd, no UDF, no shuffle. */
+  def lmBigrams(text: Column): Column = {
+    val s = lmNormalize(text)
+    when(length(s) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s) - 1),
+        i => s.substr(i, lit(2))))
+  }
+
+  /** Train the bit-cost bigram LM over a corpus: one explode +
+    * groupBy — the shuffle carries at most 1444 rows per map
+    * partition (partial aggregation over the bounded alphabet), so
+    * training cost is one corpus scan regardless of size. The
+    * unpartitioned total-count window runs over the <=1444-row count
+    * frame, not the corpus. Returns (bigram, cnt, bits). */
+  def trainBitCostLm(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(lmBigrams(text)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("__total", sum("cnt").over())
+      // bits = floor(log2(total / cnt)), integer-exactly: the floor of
+      // log2 of a rational t/c equals bitlength(t div c) - 1 (for any
+      // integer m, m <= t/c iff m <= t div c)
+      .withColumn("bits",
+        (length(bin(expr("__total div cnt"))) - 1).cast("long"))
+      .drop("__total")
+
+  /** Score each document against a trained LM: total coded bits and
+    * bigram count. The LM broadcasts (bounded at 1444 rows); the only
+    * corpus-scale shuffle is the per-doc partial-agg groupBy. Bigrams
+    * the LM never saw (cross-corpus scoring — train on a clean corpus,
+    * score a crawl) cost one bit more than the rarest seen bigram;
+    * docs with no bigrams survive with (bits, n_bigrams) = (0, 0). */
+  def lmScoreBits(df: DataFrame, idCol: String, text: Column,
+                  lm: DataFrame): DataFrame = {
+    // bounded collect: one aggregate row off the <=1444-row model
+    val fallback = lm.agg(coalesce(max("bits"), lit(0L))).collect()(0)
+      .getLong(0) + 1
+    df.select(col(idCol), explode_outer(lmBigrams(text)).as("bigram"))
+      .join(broadcast(lm.select("bigram", "bits")), Seq("bigram"), "left")
+      .groupBy(idCol)
+      .agg(
+        sum(when(col("bigram").isNull, 0L)
+          .otherwise(coalesce(col("bits"), lit(fallback)))).as("bits"),
+        count(col("bigram")).as("n_bigrams"))
+  }
+
+  /** Quantization granularity of the bits-per-bigram key: 1e-5 bits. */
+  val LmKeyScale = 100000L
+
+  /** Monotone INTEGER surrogate for mean bits-per-bigram:
+    * floor(bits * 1e5 / n). Its cardinality is bounded by quantization
+    * (~2.5M distinct values across the meaningful 0..25-bit range)
+    * regardless of corpus size — which is what makes the exact corpus
+    * terciles below scalable. No-bigram docs get the worst key. */
+  def withBitRateKey(scored: DataFrame): DataFrame =
+    scored.withColumn("key",
+      when(col("n_bigrams") === 0, lit(Long.MaxValue))
+        .otherwise(expr(s"bits * $LmKeyScale div n_bigrams")))
+
+  /** CCNet-style head/middle/tail bucketing at EXACT corpus terciles,
+    * without a global sort or single-partition window over the corpus:
+    * per-key counts aggregate (partial agg; bounded-cardinality key),
+    * one cumulative pass over the sorted key table (bounded rows),
+    * thresholds broadcast back. k1 is the smallest key whose cumulative
+    * count reaches ceil(N/3) — 3*cum >= N is that condition in pure
+    * integers — so docs sharing a boundary key land in one bucket,
+    * deterministically. */
+  def bitRateBuckets(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = withBitRateKey(scored)
+    val keys = keyed.groupBy("key").agg(count(lit(1)).as("__c"))
+    val cum = keys
+      .withColumn("__cum", sum("__c").over(Window.orderBy("key")))
+      .withColumn("__n", sum("__c").over())
+    val th = cum.agg(
+      min(when(col("__cum") * 3 >= col("__n"), col("key"))).as("__k1"),
+      min(when(col("__cum") * 3 >= col("__n") * 2, col("key"))).as("__k2"))
+    keyed.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("key") <= col("__k1"), "head")
+          .when(col("key") <= col("__k2"), "middle")
+          .otherwise("tail"))
+      .drop("__k1", "__k2")
   }
 
   // ---- PII redaction ----

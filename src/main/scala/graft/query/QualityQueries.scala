@@ -1,0 +1,159 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Statistical-quality and split-hygiene queries over `documents` —
+  * the curation steps between dedup and packing: corpus-trained LM
+  * perplexity bucketing (CCNet shape) and the leakage-free
+  * cluster-aware train/val/test split. Split out of [[TextQueries]]
+  * (the round-7 monolith guideline) like [[MediaQueries]]/
+  * [[VectorQueries]].
+  *
+  * Everything is integer-exact by construction (bit-cost LM, md5
+  * coins), so every query here carries a full rows+schema+hash
+  * oracle. */
+object QualityQueries {
+
+  import TextQueries.{coinSql, docs}
+
+  // ---- corpus-trained bigram LM quality buckets ----
+
+  /** CCNet-style head/middle/tail quality bucketing, self-trained:
+    * the bit-cost bigram LM ([[TextAnalysis.trainBitCostLm]]) is
+    * trained on the corpus itself, every document is scored in whole
+    * coded bits, and exact corpus terciles of the quantized
+    * bits-per-bigram rate assign the buckets — all in integer
+    * arithmetic, so the oracle replays training, scoring, and
+    * thresholds bit-for-bit. At sf0.01 the terciles split 500 docs
+    * 167/167/166 (measured — the score distribution is well-spread,
+    * not degenerate). */
+  def lmQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = TextAnalysis.trainBitCostLm(d, col("text"))
+    val scored = TextAnalysis.lmScoreBits(d, "doc_id", col("text"), lm)
+    TextAnalysis.bitRateBuckets(scored)
+      .select("doc_id", "bits", "n_bigrams", "bucket")
+      .orderBy("doc_id")
+  }
+
+  private val lmNormalizeSql: String =
+    """regexp_replace(regexp_replace(lower(text), '[\t\n\f\r]', ' ', 'g'),
+      |                   '[^a-z0-9 ]', '_', 'g')""".stripMargin
+
+  private val bigramListSql: String =
+    "unnest([substr(s, CAST(i AS INT), 2) FOR i IN range(1, length(s))])"
+
+  /** Tail shared by both LM oracles: quantized key, per-key counts,
+    * integer terciles (3*cum >= N is cum >= ceil(N/3)), bucketing. */
+  private val lmBucketTailSql: String =
+    """k AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+      |cum AS (SELECT key, CAST(SUM(c) OVER (ORDER BY key) AS BIGINT) AS cum,
+      |    (SELECT CAST(SUM(c) AS BIGINT) FROM k) AS n FROM k),
+      |th AS (SELECT MIN(CASE WHEN cum*3 >= n THEN key END) AS k1,
+      |              MIN(CASE WHEN cum*3 >= 2*n THEN key END) AS k2 FROM cum)
+      |SELECT doc_id, bits, n_bigrams,
+      |  CASE WHEN key <= k1 THEN 'head' WHEN key <= k2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM sc, th ORDER BY doc_id""".stripMargin
+
+  val lmQualitySql: String =
+    s"""WITH nrm AS (SELECT doc_id, $lmNormalizeSql AS s FROM documents),
+      |bg AS (SELECT doc_id, $bigramListSql AS bigram FROM nrm),
+      |lmc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM bg GROUP BY 1),
+      |lm AS (SELECT bigram,
+      |    CAST(length(bin((SELECT CAST(SUM(cnt) AS BIGINT) FROM lmc)
+      |                    // cnt)) - 1 AS BIGINT) AS bits
+      |  FROM lmc),
+      |ds AS (SELECT b.doc_id, CAST(SUM(l.bits) AS BIGINT) AS bits,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      |  FROM bg b JOIN lm l USING (bigram) GROUP BY 1),
+      |sc AS (SELECT d.doc_id, COALESCE(s.bits, 0) AS bits,
+      |    COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |    CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 9223372036854775807
+      |         ELSE s.bits * ${TextAnalysis.LmKeyScale} // s.n_bigrams
+      |    END AS key
+      |  FROM documents d LEFT JOIN ds s USING (doc_id)),
+      |$lmBucketTailSql""".stripMargin
+
+  /** The CROSS-corpus face of the LM (CCNet proper trains on a clean
+    * reference corpus and scores the crawl): the model sees only
+    * even-doc_id documents, every document is scored — so the
+    * unseen-bigram fallback path (1 bit above the rarest seen bigram)
+    * is exercised under the hash gate, not just spec'd. */
+  def lmQualityCross(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = TextAnalysis.trainBitCostLm(
+      d.filter(col("doc_id") % 2 === 0), col("text"))
+    val scored = TextAnalysis.lmScoreBits(d, "doc_id", col("text"), lm)
+    TextAnalysis.bitRateBuckets(scored)
+      .select("doc_id", "bits", "n_bigrams", "bucket")
+      .orderBy("doc_id")
+  }
+
+  val lmQualityCrossSql: String =
+    s"""WITH nrm AS (SELECT doc_id, $lmNormalizeSql AS s FROM documents),
+      |bg AS (SELECT doc_id, $bigramListSql AS bigram FROM nrm),
+      |lmc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM bg WHERE doc_id % 2 = 0 GROUP BY 1),
+      |lm AS (SELECT bigram,
+      |    CAST(length(bin((SELECT CAST(SUM(cnt) AS BIGINT) FROM lmc)
+      |                    // cnt)) - 1 AS BIGINT) AS bits
+      |  FROM lmc),
+      |fb AS (SELECT COALESCE(MAX(bits), 0) + 1 AS fb FROM lm),
+      |ds AS (SELECT b.doc_id,
+      |    CAST(SUM(COALESCE(l.bits, (SELECT fb FROM fb))) AS BIGINT) AS bits,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      |  FROM bg b LEFT JOIN lm l USING (bigram) GROUP BY 1),
+      |sc AS (SELECT d.doc_id, COALESCE(s.bits, 0) AS bits,
+      |    COALESCE(s.n_bigrams, 0) AS n_bigrams,
+      |    CASE WHEN COALESCE(s.n_bigrams, 0) = 0 THEN 9223372036854775807
+      |         ELSE s.bits * ${TextAnalysis.LmKeyScale} // s.n_bigrams
+      |    END AS key
+      |  FROM documents d LEFT JOIN ds s USING (doc_id)),
+      |$lmBucketTailSql""".stripMargin
+
+  // ---- leakage-free cluster-aware split ----
+
+  /** Train/val/test split where near-duplicates NEVER straddle
+    * splits: minhash near-dup pairs -> connected components
+    * ([[Dedup.nearDupClusters]]) -> the md5 split coin is thrown for
+    * the cluster representative ([[Sampling.leakFreeSplit]]), so a
+    * whole near-dup family lands in one split. Same pair generation
+    * and parameters as q_dedup_clusters, so the oracle reuses the
+    * proven recursive-reachability CTE. */
+  def splitLeakFree(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.minhashNearDups(d, "doc_id", col("text"),
+      threshold = 0.9, numHashes = 16, bands = 16, shingleK = 2)
+    val clusters = Dedup.nearDupClusters(pairs)
+    Sampling.leakFreeSplit(d, col("doc_id"), clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "cluster", "split")
+      .orderBy("doc_id")
+  }
+
+  val splitLeakFreeSql: String = {
+    val t = Seq(0.8, 0.9, 1.0).map(Sampling.hexThreshold)
+    val coin = coinSql("cluster")
+    s"""WITH RECURSIVE
+      |${TextQueries.clusterReachCte},
+      |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |j AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
+      |      FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+      |      LEFT JOIN cl ON cl.id = d.doc_id)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN $coin <= '${t(0)}' THEN 'train'
+      |       WHEN $coin <= '${t(1)}' THEN 'val'
+      |       WHEN $coin <= '${t(2)}' THEN 'test' END AS split
+      |FROM j ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_lm_quality" -> (lmQuality _, lmQualitySql),
+    "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
+    "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql))
+}

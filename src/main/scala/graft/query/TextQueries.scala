@@ -14,7 +14,7 @@ import graft.sources.Tables
   * binary-column media family in [[MediaQueries]] (round-8 split). */
 object TextQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[query] def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -88,7 +88,7 @@ object TextQueries {
 
   /** Coin expression shared with the oracle: first 8 hex chars of
     * md5 of the stringified key — lowercase hex in both engines. */
-  private def coinSql(key: String): String =
+  private[query] def coinSql(key: String): String =
     s"substr(md5(CAST($key AS VARCHAR)), 1, 8)"
 
   def sampleBernoulli(s: SparkSession, dir: String): DataFrame =
@@ -440,9 +440,13 @@ object TextQueries {
       .orderBy("id")
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE
-      |t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** The recursive connected-components CTE over brute-force Jaccard
+    * pairs (threshold 0.9, doc_id < 1000) — the oracle face of
+    * minhashNearDups + nearDupClusters, shared between
+    * [[dedupClustersSql]] and the leakage-free split oracle
+    * ([[QualityQueries.splitLeakFreeSql]]). Exposes `reach(id, r)`. */
+  private[query] val clusterReachCte: String =
+    s"""t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
       |       FROM documents WHERE doc_id < 1000),
       |t AS (SELECT doc_id, $bigramShinglesSql AS sh FROM t0),
       |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
@@ -455,7 +459,11 @@ object TextQueries {
       |reach(id, r) AS (
       |  SELECT id, id FROM n
       |  UNION
-      |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a)
+      |  SELECT re.id, e.b FROM reach re JOIN e ON re.r = e.a)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+      |$clusterReachCte
       |SELECT id, min(r) AS cluster, id <> min(r) AS dropped
       |FROM reach GROUP BY id
       |ORDER BY id""".stripMargin

@@ -96,6 +96,31 @@ class SamplingSpec extends SparkTestBase {
     assert(half.count() > 400 && half.count() < 600)
   }
 
+  test("leakFreeSplit co-assigns near-dup clusters; singletons match hashSplit") {
+    // components {1,2,3} (rep 1) and {10,11} (rep 10); 20, 21 singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val out = Sampling.leakFreeSplit(docs, col("id"), clusters,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "cluster", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size == 7, "rates summing to 1 keep every row")
+    // a whole near-dup family lands in ONE split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(10L) == out(11L))
+    // singletons are their own representative: identical to the plain
+    // hashSplit of their id
+    val plain = Sampling.hashSplit(docs, col("id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(20L) == ((20L, plain(20L))))
+    assert(out(21L) == ((21L, plain(21L))))
+    // and a clustered doc follows its REPRESENTATIVE's coin, not its own
+    assert(out(2L)._2 == plain(1L))
+  }
+
   test("prioritySample draws k by w/u priority, weight-biased and deterministic") {
     val weighted = corpus.withColumn("w",
       when(col("id") < 100, lit(1000L)).otherwise(lit(1L)))

@@ -103,4 +103,73 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getLong(1) == 1L && r.getString(3) == "solo")
     assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 0.0)
   }
+
+  // ---- bit-cost bigram LM ----
+
+  test("lmNormalize folds to the fixed 38-symbol alphabet; lmBigrams edges") {
+    val got = Seq("AbC\t9,x\n!").toDF("t")
+      .select(TextAnalysis.lmNormalize(col("t"))).collect()(0).getString(0)
+    assert(got == "abc 9_x _")
+    def bigrams(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.lmBigrams(col("t")))
+        .collect()(0).getSeq[String](0)
+    assert(bigrams("abc") == Seq("ab", "bc"))
+    assert(bigrams("a").isEmpty && bigrams("").isEmpty)
+    // null text -> null array -> scoring treats it as a no-bigram doc
+    val nul = Seq((1L, null: String)).toDF("doc_id", "t")
+    assert(nul.select(TextAnalysis.lmBigrams(col("t"))).collect()(0)
+      .isNullAt(0))
+    val sc = TextAnalysis.lmScoreBits(nul, "doc_id", col("t"),
+      TextAnalysis.trainBitCostLm(Seq("ab").toDF("t"), col("t")))
+      .collect()(0)
+    assert(sc.getLong(1) == 0L && sc.getLong(2) == 0L)
+  }
+
+  test("trainBitCostLm costs bigrams at floor(log2(total/cnt)) exactly") {
+    // corpus "aaab" + "ab": bigrams aa,aa,ab + ab -> cnt(aa)=2,
+    // cnt(ab)=2, total=4 -> both cost floor(log2(4/2)) = 1 bit;
+    // corpus "aaaab": aa x3, ab x1, total 4 -> aa: floor(log2(4/3))=0,
+    // ab: floor(log2(4))=2
+    val lm1 = TextAnalysis.trainBitCostLm(
+        Seq("aaab", "ab").toDF("t"), col("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(lm1 == Map("aa" -> 1L, "ab" -> 1L))
+    val lm2 = TextAnalysis.trainBitCostLm(Seq("aaaab").toDF("t"), col("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(lm2 == Map("aa" -> 0L, "ab" -> 2L))
+  }
+
+  test("lmScoreBits sums seen costs; unseen bigrams cost max+1") {
+    val lm = TextAnalysis.trainBitCostLm(Seq("aaaab").toDF("t"), col("t"))
+    val docs = Seq((1L, "aab"), (2L, "zz")).toDF("doc_id", "t")
+    val got = TextAnalysis.lmScoreBits(docs, "doc_id", col("t"), lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // doc 1: aa(0) + ab(2) = 2 bits over 2 bigrams; doc 2: zz unseen
+    // -> max(bits)=2 -> 3 bits
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((3L, 1L))))
+  }
+
+  test("bitRateBuckets cuts exact terciles; boundary keys share a bucket") {
+    // 9 docs with strictly increasing rates -> 3/3/3
+    val scored = (1L to 9L).map(i => (i, i, 1L))
+      .toDF("doc_id", "bits", "n_bigrams")
+    val b = TextAnalysis.bitRateBuckets(scored).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert((1L to 3L).forall(b(_) == "head") &&
+      (4L to 6L).forall(b(_) == "middle") &&
+      (7L to 9L).forall(b(_) == "tail"))
+    // all-equal keys: every doc shares the boundary key -> one bucket
+    val flat = (1L to 6L).map(i => (i, 5L, 1L))
+      .toDF("doc_id", "bits", "n_bigrams")
+    val fb = TextAnalysis.bitRateBuckets(flat).collect()
+      .map(_.getString(4)).toSet
+    assert(fb == Set("head"))
+    // no-bigram docs take the worst key -> tail (never head)
+    val mix = ((1L to 4L).map(i => (i, i, 1L)) :+ ((5L, 0L, 0L)))
+      .toDF("doc_id", "bits", "n_bigrams")
+    val mb = TextAnalysis.bitRateBuckets(mix).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(mb(5L) == "tail")
+  }
 }
