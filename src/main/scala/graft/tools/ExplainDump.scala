@@ -132,7 +132,12 @@ object ExplainDump {
             xxhash64(col("doc_id")).as("sig"))
         graft.operators.Dedup.crossSignatureNearDupsMih(
           d, d.filter(col("id") % 10 === 0), 8, Seq("kind"))
-      })
+      },
+      "lm quality buckets (alphabet-bounded LM broadcast back over the " +
+        "scan; tercile cut on the bounded quantized-key frame)" ->
+        graft.query.QualityQueries.lmQuality(spark, sfDir),
+      "leak-free split (cluster-rep equi-join, scan-level coin labeling)" ->
+        graft.query.QualityQueries.splitLeakFree(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every

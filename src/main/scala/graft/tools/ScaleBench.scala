@@ -39,7 +39,7 @@ object ScaleBench {
     "q_asof_latest_order", "q_sessionize", "q_events_hourly",
     "q_session_window", "q_retention", "q_funnel",
     "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
-    "q_normalize", "q_heavy_hitters", "q_dedup_exact")
+    "q_normalize", "q_heavy_hitters", "q_dedup_exact", "q_lm_quality")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
