@@ -68,4 +68,36 @@ object Retrieval {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    * two ranked lists — the standard hybrid-retrieval merge (BM25 +
+    * dense ANN) that needs no score calibration, only ranks:
+    * `score(d) = Σ 1/(k + rank_i(d))`, absent lists contribute 0.
+    *
+    * Determinism: the score is carried as an exact integer fraction —
+    * with `adj_i = k + rank_i` (1 when absent), `num = Σ_i present_j≠i
+    * adj_j`, `den = Π adj_i` — so fusion never touches floats until
+    * the final rounded display/order column, which any engine
+    * reproduces bit-for-bit from the same integers.
+    *
+    * Scale: inputs are top-k lists (bounded rows); the full-outer
+    * merge and sort are driver-trivial no matter the corpus behind
+    * the lists. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              rankCol: String = "rank", k: Int = 60,
+              topK: Int = 20): DataFrame = {
+    val fa = a.select(col(idCol), col(rankCol).as("__ra"))
+    val fb = b.select(col(idCol), col(rankCol).as("__rb"))
+    val adjA = coalesce(col("__ra") + k, lit(1L))
+    val adjB = coalesce(col("__rb") + k, lit(1L))
+    val indA = col("__ra").isNotNull.cast("long")
+    val indB = col("__rb").isNotNull.cast("long")
+    fa.join(fb, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        round((indA * adjB + indB * adjA).cast("double") / (adjA * adjB), 9))
+      .withColumnRenamed("__ra", "rank_a")
+      .withColumnRenamed("__rb", "rank_b")
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(topK)
+  }
 }

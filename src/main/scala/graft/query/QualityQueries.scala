@@ -152,8 +152,38 @@ object QualityQueries {
       |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  // ---- data-card corpus report ----
+
+  /** The corpus summary a curation run publishes next to its output
+    * (a "data card"): doc/token/char totals and char-length extrema
+    * by source, by (source, lang), and overall — one GROUPING SETS
+    * aggregate, integer-exact, one corpus scan. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    docs(s, dir)
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      .createOrReplaceTempView("graft_docs_report")
+    s.sql("""SELECT source, lang, count(*) AS n_docs,
+            |  sum(n_tokens) AS n_tokens, sum(n_chars) AS sum_chars,
+            |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            |FROM graft_docs_report
+            |GROUP BY GROUPING SETS ((source), (source, lang), ())
+            |ORDER BY source ASC NULLS FIRST,
+            |  lang ASC NULLS FIRST""".stripMargin)
+  }
+
+  val corpusReportSql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source), (source, lang), ())
+      |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
-    "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql))
+    "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql),
+    "q_corpus_report" -> (corpusReport _, corpusReportSql))
 }

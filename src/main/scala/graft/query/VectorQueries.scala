@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Retrieval, Similarity}
 import graft.sources.Tables
 
 /** Embedding-vector query family over `embeddings` — similarity
@@ -347,8 +347,93 @@ object VectorQueries {
       k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, rerank = 64))
   }
 
+  // ---- hybrid retrieval ----
+
+  /** HYBRID retrieval: BM25 lexical top-20 fused with dense
+    * exact-cosine top-20 (query = document 0's embedding, candidate
+    * universe = docs that HAVE an embedding) by reciprocal-rank
+    * fusion ([[graft.operators.Retrieval.rrfFuse]]) — the standard
+    * two-tower retrieval merge, no score calibration. Both input
+    * rankings are engine-deterministic (rounded BM25 scores /
+    * bit-exact cosines, id tie-breaks), and RRF itself is an integer
+    * fraction, so the full pipeline carries a hash gate. In
+    * production the dense side swaps to the IVF/PQ index
+    * ([[graft.operators.Similarity.ivfTopK]]) — brute force here
+    * keeps the oracle exact; the fusion is identical either way. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = TextQueries.docs(s, dir)
+    val text = Retrieval.bm25TopK(d, "doc_id", col("text"),
+        Seq("dup", "vector", "spark"), k = 20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+    val e = embs(s, dir).join(d.select("doc_id"),
+      col("vec_id") === col("doc_id"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"),
+        Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+      .orderBy(desc("cos"), col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("cos"), col("doc_id"))).cast("long"))
+    Retrieval.rrfFuse(text.select("doc_id", "rank"),
+        dense.select("doc_id", "rank"), "doc_id")
+      .select(col("doc_id"), col("rank_a").as("rank_text"),
+        col("rank_b").as("rank_dense"), col("rrf"))
+  }
+
+  val hybridRrfSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents),
+      |f AS (SELECT doc_id, len(toks) AS dl,
+      |        len(list_filter(toks, x -> x = 'dup')) AS tf_0,
+      |        len(list_filter(toks, x -> x = 'vector')) AS tf_1,
+      |        len(list_filter(toks, x -> x = 'spark')) AS tf_2
+      |      FROM d),
+      |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+      |        sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+      |        sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+      |        sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+      |      FROM f),
+      |bm AS (SELECT doc_id, score FROM (
+      |    SELECT doc_id, round(
+      |        ln(1 + (n_docs - df_0 + 0.5) / (df_0 + 0.5)) * (tf_0 * 2.2)
+      |          / (tf_0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |      + ln(1 + (n_docs - df_1 + 0.5) / (df_1 + 0.5)) * (tf_1 * 2.2)
+      |          / (tf_1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |      + ln(1 + (n_docs - df_2 + 0.5) / (df_2 + 0.5)) * (tf_2 * 2.2)
+      |          / (tf_2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+      |      AS score
+      |    FROM f, s)
+      |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20),
+      |bmr AS (SELECT doc_id, CAST(row_number() OVER (
+      |          ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM bm),
+      |ev AS (SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+      |       FROM embeddings e JOIN documents dd ON e.vec_id = dd.doc_id),
+      |qv AS (SELECT v FROM ev WHERE doc_id = 0),
+      |dn AS (SELECT ev.doc_id,
+      |         list_dot_product(ev.v, qv.v) /
+      |           (sqrt(list_dot_product(ev.v, ev.v)) *
+      |            sqrt(list_dot_product(qv.v, qv.v))) AS cos
+      |       FROM ev, qv WHERE ev.doc_id <> 0
+      |       ORDER BY cos DESC, ev.doc_id LIMIT 20),
+      |dnr AS (SELECT doc_id, CAST(row_number() OVER (
+      |          ORDER BY cos DESC, doc_id) AS BIGINT) AS rank FROM dn),
+      |j AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |        a.rank AS ra, b.rank AS rb
+      |      FROM bmr a FULL JOIN dnr b ON a.doc_id = b.doc_id)
+      |SELECT doc_id, ra AS rank_text, rb AS rank_dense,
+      |  round(CAST((CASE WHEN ra IS NULL THEN 0 ELSE 1 END)
+      |               * COALESCE(rb + 60, 1)
+      |           + (CASE WHEN rb IS NULL THEN 0 ELSE 1 END)
+      |               * COALESCE(ra + 60, 1) AS DOUBLE)
+      |        / (COALESCE(ra + 60, 1) * COALESCE(rb + 60, 1)), 9) AS rrf
+      |FROM j ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q_hybrid_rrf" -> (hybridRrf _, hybridRrfSql),
       "q_sim_bruteforce" -> (simBruteForce _, simBruteForceSql),
       "q_sim_lsh" -> (simLsh _, simLshSql),
       "q_sim_ivf" -> (simIvf _, simIvfSql),
