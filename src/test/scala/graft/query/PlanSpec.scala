@@ -222,7 +222,7 @@ class PlanSpec extends SparkTestBase {
 
   test("day-partitioned layout prunes partitions at the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-part")
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.sources.Tables.load(spark, dir, "events")
       .withColumn("day", to_date(timestamp_micros(
         (col("ts") / 1000L).cast("long"))))
     events.write.partitionBy("day").mode("overwrite")
