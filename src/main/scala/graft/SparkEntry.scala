@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.query.{CoreQueries, DomainQueries, MediaQueries,
-  QualityQueries, TextQueries, VectorQueries}
+  QualityQueries, TextQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   private def oracleBacked
       : Map[String, ((SparkSession, String) => DataFrame, String)] =
     CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle ++
-      MediaQueries.all ++ VectorQueries.all ++ QualityQueries.all
+      MediaQueries.all ++ VectorQueries.all ++ QualityQueries.all ++
+      WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline: quality + repetition gates

@@ -95,6 +95,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => TokenCountExpr(es(0), es(1))),
     (FunctionIdentifier("graft_media_meta"), MediaMetaExpr.info,
       (es: Seq[Expression]) => MediaMetaExpr(es.head)),
+    (FunctionIdentifier("graft_zorder"), ZOrderExpr.info,
+      (es: Seq[Expression]) => ZOrderExpr(es(0), es(1))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable

@@ -1,0 +1,208 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FuzzyJoin, PageRank, Skyline, ZOrder}
+import graft.plans.ZOrderOps
+import graft.sources.Tables
+
+/** Warehouse-analytics operators beyond the reference surface:
+  * Pareto frontiers (distributed skyline), edit-distance similarity
+  * joins (deletion-neighborhood blocking), Z-order clustering keys
+  * (multi-dimensional data skipping), and SCD-2 history
+  * reconstruction (gaps-and-islands). Each carries a full
+  * rows+schema+hash DuckDB oracle. */
+object WarehouseQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- distributed skyline (Pareto frontier) ----
+
+  /** Customers on the (total spend, order count) Pareto frontier —
+    * the "best under any monotone preference" set. The operator is
+    * the two-phase distributed skyline ([[Skyline]]): per-partition
+    * sort-sweep pruning (no shuffle), then one tiny merge pass; the
+    * oracle is the O(n²) relational NOT EXISTS definition, so the
+    * gate certifies the distributed algorithm against the textbook
+    * semantics including ties and duplicates. */
+  def skylineCustomers(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("spend"),
+        count(lit(1)).as("n_orders"))
+    Skyline.skylineMax(per, "spend", "n_orders")
+      .orderBy("custkey")
+  }
+
+  val skylineCustomersSql: String =
+    """WITH s AS (SELECT o_custkey AS custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT custkey, spend, n_orders FROM s p
+      |WHERE NOT EXISTS (SELECT 1 FROM s q
+      |  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+      |    AND (q.spend > p.spend OR q.n_orders > p.n_orders))
+      |ORDER BY custkey""".stripMargin
+
+  // ---- fuzzy (edit-distance) join ----
+
+  /** Every customer name within edit distance 1 of a corrupted probe
+    * set (each 7th name with its last character replaced). The
+    * engine side is the linear-cost FastSS blocking join
+    * ([[FuzzyJoin.lev1Join]]); the oracle is the quadratic
+    * cross-join + levenshtein definition — the gate certifies the
+    * blocking loses no pair. Probes can match several customers
+    * (names differing only in the replaced character), which is the
+    * interesting part of the fixture. */
+  def fuzzyJoinNames(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val probes = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("probe_key"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X"))
+          .as("probe_name"))
+    val cands = cust.select(col("c_custkey").as("cand_key"), col("c_name"))
+    FuzzyJoin.lev1Join(probes, "probe_key", "probe_name",
+        cands, "cand_key", "c_name")
+      .select(col("probe_key"), col("cand_key"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("probe_key", "cand_key")
+  }
+
+  val fuzzyJoinNamesSql: String =
+    """WITH probes AS (SELECT c_custkey AS probe_key,
+      |    substr(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+      |  FROM customer WHERE c_custkey % 7 = 0)
+      |SELECT p.probe_key, c.c_custkey AS cand_key,
+      |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
+      |FROM probes p CROSS JOIN customer c
+      |WHERE levenshtein(p.probe_name, c.c_name) <= 1
+      |ORDER BY probe_key, cand_key""".stripMargin
+
+  // ---- Z-order clustering key ----
+
+  /** The Morton key over (user_id, event_id) for every event — the
+    * clustering column a z-ordered write sorts on ([[ZOrder]]). The
+    * oracle recomputes the 42-bit interleave as the explicit
+    * bit-by-bit sum, certifying the codegen'd spread-mask native
+    * expression bit for bit; the layout effect (file-level skipping
+    * on both dimensions) is locked by ZOrderSpec. */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        ZOrder.zkey(col("user_id"), col("event_id")).as("z"))
+      .orderBy("z", "event_id")
+
+  val zorderKeysSql: String = {
+    val terms = (0 until ZOrderOps.Bits).flatMap { i =>
+      Seq(s"(((user_id >> $i) & 1) << ${2 * i})",
+        s"(((event_id >> $i) & 1) << ${2 * i + 1})")
+    }
+    s"""SELECT event_id, user_id,
+       |  (${terms.mkString(" | ")}) AS z
+       |FROM events ORDER BY z, event_id""".stripMargin
+  }
+
+  // ---- SCD-2 history reconstruction (gaps and islands) ----
+
+  /** Collapse each user's event stream into versioned
+    * validity intervals over `event_type` — the slowly-changing-
+    * dimension type-2 shape (the reference's firstSeen/lastSeen
+    * upsert generalized to full history): one island per run of
+    * consecutive equal values, `valid_from` = first observation,
+    * `valid_to` = next island's start (NULL while current). Two
+    * windows and one aggregation, all partitioned on `user_id` —
+    * one shuffle at any scale. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prev = lag("event_type", 1).over(w)
+    val chg = when(prev.isNull || prev =!= col("event_type"), 1L)
+      .otherwise(0L)
+    ev.withColumn("version", sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "version")
+      .agg(min("event_type").as("event_type"), // constant within island
+        min("us").as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead("valid_from", 1)
+        .over(Window.partitionBy("user_id").orderBy("version")))
+      .select("user_id", "version", "event_type", "valid_from",
+        "valid_to", "n_events")
+      .orderBy("user_id", "version")
+  }
+
+  val scd2HistorySql: String =
+    """WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |c AS (SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |i AS (SELECT user_id, event_type, us,
+      |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS version
+      |  FROM c),
+      |g AS (SELECT user_id, version, min(event_type) AS event_type,
+      |    min(us) AS valid_from, count(*) AS n_events
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, version, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  n_events
+      |FROM g ORDER BY user_id, version""".stripMargin
+
+  // ---- integer-scaled PageRank (iterative joins) ----
+
+  /** Three damped PageRank iterations over a deterministic
+    * 1000-node graph derived from `events` by modular arithmetic
+    * (both engines rebuild the identical edge list). The engine side
+    * is the generic iterative-join operator ([[PageRank.run]]) in
+    * scaled integer arithmetic — order-independent sums are what
+    * make a distributed iterative computation hash-certifiable; the
+    * oracle unrolls the same three iterations as CTEs. */
+  def pageRankEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select((col("user_id") % 1000).as("src"),
+        ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
+      .distinct()
+    PageRank.run(e, iters = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy("node")
+  }
+
+  val pageRankEventsSql: String = {
+    val scale = 1000000000000L
+    val base = 15L * scale / 100L
+    def round(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, SUM(r${i - 1}.pr // deg.d) AS s
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST($base + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i USING (node))""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst FROM events),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS pr FROM nodes),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
+    "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
+    "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),
+    "q_scd2_history" -> (scd2History _, scd2HistorySql),
+    "q_pagerank" -> (pageRankEvents _, pageRankEventsSql))
+}

@@ -108,6 +108,13 @@ object ExplainDump {
         graft.query.MediaQueries.multimodalFrames(spark, sfDir),
       "image resize (byte rewrite in mapPartitions, meta updated in-row)" ->
         graft.query.MediaQueries.multimodalResize(spark, sfDir),
+      "q_skyline (per-partition sort-sweep pruning, single-row merge input)" ->
+        graft.query.WarehouseQueries.skylineCustomers(spark, sfDir),
+      "q_fuzzy_join (deletion-key explode, one hash-key equi-join, no " +
+        "cross product)" ->
+        graft.query.WarehouseQueries.fuzzyJoinNames(spark, sfDir),
+      "q_pagerank (three iterative joins, broadcast rank/deg sides)" ->
+        graft.query.WarehouseQueries.pageRankEvents(spark, sfDir),
       "ivf-pq top-k (codes through the cell join, bounded exact re-rank)" -> {
         import org.apache.spark.sql.functions.col
         graft.operators.Similarity.ivfPqTopK(

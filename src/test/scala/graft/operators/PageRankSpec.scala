@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class PageRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Single-threaded reference of the exact integer recurrence. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / deg(s) }.sum
+      }
+      rank = nodes.map(n =>
+        n -> (15L * scale / 100L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    rank
+  }
+
+  private val edges = Seq[(Long, Long)](
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 5)) // dangling-free + self-loop
+
+  test("matches the integer recurrence on a hand graph") {
+    for (iters <- Seq(0, 1, 3)) {
+      val got = PageRank.run(edges.toDF("src", "dst"), iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(edges, iters, 1000000000000L), s"iters=$iters")
+    }
+  }
+
+  test("dangling node keeps base rank; its mass leaks") {
+    val e = Seq[(Long, Long)]((1, 2)).toDF("src", "dst") // 2 is dangling
+    val got = PageRank.run(e, 2).as[(Long, Long)].collect().toMap
+    assert(got == reference(Seq((1L, 2L)), 2, 1000000000000L))
+    // node 1 receives nothing after round 1: pure base
+    assert(got(1L) == 150000000000L)
+  }
+
+  test("result is partition-count invariant (integer sums commute)") {
+    val big = (1 to 400).map(i =>
+      ((i % 37).toLong, ((i * 13) % 41).toLong)).distinct
+    val expected = reference(big, 3, 1000000000000L)
+    for (parts <- Seq(1, 7)) {
+      val got = PageRank.run(big.toDF("src", "dst").repartition(parts), 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.{GenForAll, SparkTestBase}
+
+class SkylineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference O(n²) skyline: p survives iff no q dominates it. */
+  private def brute(pts: Seq[(Long, Double, Double)])
+      : Set[(Long, Double, Double)] =
+    pts.filter { p =>
+      !pts.exists(q => q._2 >= p._2 && q._3 >= p._3 &&
+        (q._2 > p._2 || q._3 > p._3))
+    }.toSet
+
+  private def run(pts: Seq[(Long, Double, Double)], parts: Int)
+      : Set[(Long, Double, Double)] =
+    Skyline.skylineMax(
+        pts.toDF("id", "x", "y").repartition(parts), "x", "y")
+      .as[(Long, Double, Double)].collect().toSet
+
+  test("random point sets match the NOT EXISTS definition") {
+    // small coordinate domain forces heavy x/y ties and exact
+    // duplicates — the cases where sweep bookkeeping goes wrong
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, 6)
+        y <- Gen.choose(0, 6)
+      } yield (x.toDouble, y.toDouble))
+    } yield pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    GenForAll.forAll(gen, n = 120) { pts =>
+      if (pts.nonEmpty)
+        assert(run(pts, 3) == brute(pts), s"points: $pts")
+    }
+  }
+
+  test("result is partition-count invariant") {
+    val pts = (1 to 500).map { i =>
+      (i.toLong, (i * 37 % 101).toDouble, (i * 61 % 97).toDouble)
+    }
+    val expected = brute(pts)
+    for (parts <- Seq(1, 4, 32))
+      assert(run(pts, parts) == expected, s"parts=$parts")
+  }
+
+  test("duplicate frontier points all survive") {
+    val pts = Seq((1L, 5.0, 5.0), (2L, 5.0, 5.0), (3L, 1.0, 9.0),
+      (4L, 4.0, 4.0))
+    assert(run(pts, 2) ==
+      Set((1L, 5.0, 5.0), (2L, 5.0, 5.0), (3L, 1.0, 9.0)))
+  }
+
+  test("direction flags minimize via negation") {
+    val df = Seq((1L, 2.0, 10.0), (2L, 3.0, 1.0), (3L, 1.0, 20.0))
+      .toDF("id", "cost", "gain")
+    // minimize cost, maximize gain: (2,3,1) dominated by nothing?
+    // (1.0,20.0) dominates nothing else; (2.0,10.0) vs (1.0,20.0):
+    // higher cost and lower gain → dominated. (3.0,1.0) likewise? no:
+    // nothing has lower-or-equal cost AND higher-or-equal gain except
+    // id=3/1 which have lower cost and higher gain → dominated.
+    val got = Skyline.skyline(df, ("cost", false), ("gain", true))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+}
