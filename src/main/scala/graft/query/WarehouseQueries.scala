@@ -4,16 +4,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{FuzzyJoin, PageRank, Skyline, ZOrder}
+import graft.operators.{Dedup, FuzzyJoin, PageRank, Skyline, Triangles, ZOrder}
 import graft.plans.ZOrderOps
 import graft.sources.Tables
 
 /** Warehouse-analytics operators beyond the reference surface:
   * Pareto frontiers (distributed skyline), edit-distance similarity
   * joins (deletion-neighborhood blocking), Z-order clustering keys
-  * (multi-dimensional data skipping), and SCD-2 history
-  * reconstruction (gaps-and-islands). Each carries a full
-  * rows+schema+hash DuckDB oracle. */
+  * (multi-dimensional data skipping), SCD-2 history reconstruction
+  * (gaps-and-islands), and general graph analytics (integer-scaled
+  * PageRank, connected components, per-vertex triangle counts). Each
+  * carries a full rows+schema+hash DuckDB oracle. */
 object WarehouseQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -199,10 +200,77 @@ object WarehouseQueries {
        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
   }
 
+  // ---- general graph analytics on a derived deterministic graph ----
+
+  /** The same modular-arithmetic edge derivation both engines can
+    * rebuild, at a chosen sparsity (`every`-th event). */
+  private def eventEdges(s: SparkSession, dir: String, every: Int)
+      : DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") % every === 0)
+      .select((col("user_id") % 1000).as("src"),
+        ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
+
+  private def edgeCteSql(every: Int): String =
+    s"""raw AS (SELECT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % $every = 0),
+       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM raw WHERE src <> dst)""".stripMargin
+
+  /** Connected components of a sparse undirected graph — the general
+    * form of the near-dup clustering machinery: the adaptive
+    * pointer-jumping label propagation ([[Dedup.nearDupClusters]])
+    * runs on an arbitrary edge list, converging in
+    * O(hops + log diameter) shuffle rounds. The oracle computes the
+    * same min-reachable-id labels by recursive-CTE transitive
+    * closure — tractable at oracle scale, certifying the distributed
+    * algorithm's fixpoint on a graph with many non-trivial
+    * components. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = eventEdges(s, dir, every = 599)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"))
+      .distinct()
+    Dedup.nearDupClusters(pairs).orderBy("id")
+  }
+
+  val graphComponentsSql: String =
+    s"""WITH RECURSIVE ${edgeCteSql(599)},
+       |und AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+       |reach AS (SELECT s, t FROM und
+       |  UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+       |n AS (SELECT DISTINCT s AS node FROM und)
+       |SELECT n.node AS id, least(n.node, MIN(r.t)) AS cluster
+       |FROM n JOIN reach r ON r.s = n.node
+       |GROUP BY n.node ORDER BY id""".stripMargin
+
+  /** Per-vertex triangle counts under degree-ranked orientation
+    * ([[Triangles.perNode]] — the √m wedge bound that survives
+    * celebrity vertices); the oracle enumerates canonical `x<y<z`
+    * triangles with the plain three-way self-join. */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    Triangles.perNode(eventEdges(s, dir, every = 3))
+      .orderBy("node")
+
+  val graphTrianglesSql: String =
+    s"""WITH ${edgeCteSql(3)},
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+       |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |corners AS (SELECT x AS node FROM tri
+       |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+       |SELECT node, COUNT(*) AS n_triangles FROM corners
+       |GROUP BY 1 ORDER BY node""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
     "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
     "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),
     "q_scd2_history" -> (scd2History _, scd2HistorySql),
-    "q_pagerank" -> (pageRankEvents _, pageRankEventsSql))
+    "q_pagerank" -> (pageRankEvents _, pageRankEventsSql),
+    "q_graph_components" -> (graphComponents _, graphComponentsSql),
+    "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql))
 }

@@ -39,7 +39,16 @@ object ScaleBench {
     "q_asof_latest_order", "q_sessionize", "q_events_hourly",
     "q_session_window", "q_retention", "q_funnel",
     "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
-    "q_normalize", "q_heavy_hitters", "q_dedup_exact", "q_lm_quality")
+    "q_normalize", "q_heavy_hitters", "q_dedup_exact", "q_lm_quality",
+    // warehouse family (round 8) — the members whose WORK scales
+    // linearly with the input. Excluded for fixture (not plan)
+    // reasons: q_fuzzy_join (replicated customers duplicate names, so
+    // the true match set itself grows quadratically across replicas);
+    // q_pagerank / q_graph_components / q_graph_triangles (the
+    // %1000-node modulus means replicas DENSIFY the fixed node set —
+    // triangle counts grow ~cubically in density by graph math, not
+    // by plan defect; see PERF.md round-8 warehouse notes).
+    "q_skyline", "q_zorder_keys", "q_scd2_history")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
