@@ -7,8 +7,9 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Statistical-quality and split-hygiene queries over `documents` —
   * the curation steps between dedup and packing: corpus-trained LM
-  * perplexity bucketing (CCNet shape) and the leakage-free
-  * cluster-aware train/val/test split. Split out of [[TextQueries]]
+  * perplexity bucketing (CCNet shape), the leakage-free
+  * cluster-aware train/val/test split, PMI collocations, and
+  * nucleus top-p selection. Split out of [[TextQueries]]
   * (the round-7 monolith guideline) like [[MediaQueries]]/
   * [[VectorQueries]].
   *
@@ -181,9 +182,99 @@ object QualityQueries {
       |GROUP BY GROUPING SETS ((source), (source, lang), ())
       |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin
 
+  // ---- PMI collocations (exact integer scoring) ----
+
+  /** Top-100 word-bigram collocations by micro-PMI —
+    * `(((c_ab·10^6) div c_a) · N) div c_b`, the integer-division
+    * associativity chosen so every intermediate fits a long up to
+    * trillions of tokens (c_ab·10^6/c_a ≤ 10^6 before N enters).
+    * Both engines evaluate the identical parenthesization, so the
+    * score — and therefore the top-k boundary — is exact, not a
+    * float-rounding coin flip. One shuffle for bigram counts, one
+    * for unigram counts, a broadcast of the scalar N, and a
+    * TakeOrdered top-k; at 100 TB nothing here materializes a global
+    * sort. Low-count noise is cut at c_ab ≥ 5 (PMI's classic
+    * rare-pair pathology). */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokenize(col("text"))
+    val d = docs(s, dir).select(toks.as("l"))
+    val uni = d.select(explode(col("l")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum("c").as("n"))
+    val bg = d.select(explode(zip_with(
+        slice(col("l"), lit(1), size(col("l")) - 1),
+        slice(col("l"), lit(2), size(col("l")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bg.join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .join(broadcast(n))
+      .withColumn("score_micro",
+        expr("(((c_ab * 1000000L) div c_a) * n) div c_b"))
+      .select("a", "b", "c_ab", "c_a", "c_b", "score_micro")
+      .orderBy(desc("score_micro"), asc("a"), asc("b"))
+      .limit(100)
+  }
+
+  val collocationsSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |uni AS (SELECT unnest(l) AS tok FROM d),
+      |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+      |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+      |bg AS (SELECT unnest([l[i] FOR i IN range(1, len(l))]) AS a,
+      |              unnest([l[i + 1] FOR i IN range(1, len(l))]) AS b
+      |       FROM d),
+      |bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      |SELECT bc.a, bc.b, bc.c_ab, ua.c AS c_a, ub.c AS c_b,
+      |  CAST((((bc.c_ab * 1000000) // ua.c) * n.n) // ub.c AS BIGINT)
+      |    AS score_micro
+      |FROM bc JOIN uc ua ON ua.tok = bc.a
+      |        JOIN uc ub ON ub.tok = bc.b, n
+      |ORDER BY score_micro DESC, a ASC, b ASC LIMIT 100""".stripMargin
+
+  // ---- nucleus (top-p) corpus selection ----
+
+  /** Per-language top-p selection by character mass: rank documents
+    * by `(n_chars desc, doc_id)` and keep the smallest prefix whose
+    * cumulative mass reaches 80% of the language's total — the
+    * nucleus-sampling shape applied to corpus curation (cut the long
+    * tail, keep the bulk). Kept iff `(cum_before · 100) < (80 ·
+    * total)` — all integer, so the cut point is exact. One window
+    * per language partition; no global sort. */
+  def nucleusTopP(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("total", sum("n_chars").over(wAll))
+      .filter((col("cum") - col("n_chars")) * 100 < col("total") * 80)
+      .select("doc_id", "lang", "n_chars", "cum")
+      .orderBy("lang", "doc_id")
+  }
+
+  val nucleusTopPSql: String =
+    """WITH r AS (SELECT doc_id, lang, n_chars,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars, cum FROM r
+      |WHERE (cum - n_chars) * 100 < total * 80
+      |ORDER BY lang, doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
     "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql),
-    "q_corpus_report" -> (corpusReport _, corpusReportSql))
+    "q_corpus_report" -> (corpusReport _, corpusReportSql),
+    "q_collocations" -> (collocations _, collocationsSql),
+    "q_nucleus_topp" -> (nucleusTopP _, nucleusTopPSql))
 }

@@ -66,6 +66,13 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 10L, 0), (1L, 11L, 1), (2L, 12L, 1)))
   }
 
+  test("empty sides yield empty joins, no error") {
+    val empty = Seq.empty[(Long, String)].toDF("lid", "lstr")
+    val some = Seq((1L, "abc")).toDF("rid", "rstr")
+    assert(FuzzyJoin.lev1Join(empty, "lid", "lstr",
+      some, "rid", "rstr").count() == 0)
+  }
+
   test("maxBucket caps fan-out and only ever drops pairs") {
     // 60 identical left strings: the shared keys form one huge bucket
     val left = (1 to 60).map(i => (i.toLong, "aaaa")).toDF("lid", "lstr")

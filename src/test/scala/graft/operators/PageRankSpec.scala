@@ -40,6 +40,11 @@ class PageRankSpec extends SparkTestBase {
     assert(got(1L) == 150000000000L)
   }
 
+  test("empty edge list yields an empty rank table") {
+    assert(PageRank.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 3).count() == 0)
+  }
+
   test("result is partition-count invariant (integer sums commute)") {
     val big = (1 to 400).map(i =>
       ((i % 37).toLong, ((i * 13) % 41).toLong)).distinct

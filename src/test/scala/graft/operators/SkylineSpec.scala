@@ -54,6 +54,10 @@ class SkylineSpec extends SparkTestBase {
       Set((1L, 5.0, 5.0), (2L, 5.0, 5.0), (3L, 1.0, 9.0)))
   }
 
+  test("empty input yields an empty frontier, no error") {
+    assert(run(Seq.empty, 4).isEmpty)
+  }
+
   test("direction flags minimize via negation") {
     val df = Seq((1L, 2.0, 10.0), (2L, 3.0, 1.0), (3L, 1.0, 20.0))
       .toDF("id", "cost", "gain")

@@ -35,6 +35,13 @@ class TrianglesSpec extends SparkTestBase {
     }
   }
 
+  test("empty and triangle-free graphs yield empty results") {
+    assert(Triangles.perNode(Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .count() == 0)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(Triangles.perNode(path).count() == 0)
+  }
+
   test("K4 gives every vertex 3 triangles; orientation dedups exactly") {
     val k4 = for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)
     val got = Triangles.perNode(k4.toDF("src", "dst"))
