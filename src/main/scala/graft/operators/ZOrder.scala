@@ -32,6 +32,10 @@ object ZOrder {
   def zkey(x: Column, y: Column): Column =
     graft.plans.GraftExtensions.nativeFn("graft_zorder", x, y)
 
+  /** 3-D Morton key (tenant × time × key layouts). */
+  def zkey3(x: Column, y: Column, z: Column): Column =
+    graft.plans.GraftExtensions.nativeFn("graft_zorder3", x, y, z)
+
   /** Width-`buckets` equi-width bucketing of an arbitrary numeric
     * column into the z domain given its (min, max) — the cheap
     * normalizer when bounds are known (one `agg` if not). */

@@ -97,6 +97,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => MediaMetaExpr(es.head)),
     (FunctionIdentifier("graft_zorder"), ZOrderExpr.info,
       (es: Seq[Expression]) => ZOrderExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_zorder3"), ZOrder3Expr.info,
+      (es: Seq[Expression]) => ZOrder3Expr(es(0), es(1), es(2))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable

@@ -38,6 +38,22 @@ object ZOrderOps {
 
   def interleave(x: Long, y: Long): Long =
     spread(x) | (spread(y) << 1)
+
+  /** 3-D spread: bit i lands at bit 3i (21 bits × 3 dims = 63 bits,
+    * still a positive long). Same parallel-prefix family, every-third
+    * constants. */
+  def spread3(v: Long): Long = {
+    var x = v & Mask
+    x = (x | (x << 32)) & 0x1f00000000ffffL
+    x = (x | (x << 16)) & 0x1f0000ff0000ffL
+    x = (x | (x << 8)) & 0x100f00f00f00f00fL
+    x = (x | (x << 4)) & 0x10c30c30c30c30c3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
+
+  def interleave3(x: Long, y: Long, z: Long): Long =
+    spread3(x) | (spread3(y) << 1) | (spread3(z) << 2)
 }
 
 /** Native codegen'd `graft_zorder(x, y)` — stays inside
@@ -72,4 +88,41 @@ case class ZOrderExpr(left: Expression, right: Expression)
 object ZOrderExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[ZOrderExpr], "graft_zorder")
+}
+
+/** Native codegen'd `graft_zorder3(x, y, z)` — three 21-bit
+  * dimensions into a 63-bit Morton code; the layout key when scans
+  * filter boxes in three dimensions (e.g. tenant × time × key). */
+case class ZOrder3Expr(first: Expression, second: Expression,
+                       third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (BIGINT, BIGINT, BIGINT), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zorder3"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    ZOrderOps.interleave3(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      c.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.plans.ZOrderOps.interleave3($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): ZOrder3Expr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object ZOrder3Expr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[ZOrder3Expr], "graft_zorder3")
 }

@@ -109,6 +109,32 @@ object WarehouseQueries {
        |FROM events ORDER BY z, event_id""".stripMargin
   }
 
+  /** 3-D Morton key over (user_id, event_id, floor(value·100)) —
+    * the tenant × time × key layout shape. `floor` before the long
+    * cast on BOTH sides (Spark casts truncate toward zero, DuckDB
+    * rounds half-even — floor removes the divergence); the oracle
+    * rebuilds the 63-bit interleave bit by bit. */
+  def zorder3Keys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("v100"))
+      .select(col("event_id"), col("user_id"), col("v100"),
+        ZOrder.zkey3(col("user_id"), col("event_id"), col("v100"))
+          .as("z"))
+      .orderBy("z", "event_id")
+
+  val zorder3KeysSql: String = {
+    val dims = Seq("user_id" -> 0, "event_id" -> 1, "v100" -> 2)
+    val terms = (0 until ZOrderOps.Bits).flatMap { i =>
+      dims.map { case (c, off) => s"((($c >> $i) & 1) << ${3 * i + off})" }
+    }
+    s"""WITH e AS (SELECT event_id, user_id,
+       |    CAST(floor(value * 100) AS BIGINT) AS v100 FROM events)
+       |SELECT event_id, user_id, v100,
+       |  (${terms.mkString(" | ")}) AS z
+       |FROM e ORDER BY z, event_id""".stripMargin
+  }
+
   // ---- SCD-2 history reconstruction (gaps and islands) ----
 
   /** Collapse each user's event stream into versioned
@@ -159,6 +185,49 @@ object WarehouseQueries {
       |    AS valid_to,
       |  n_events
       |FROM g ORDER BY user_id, version""".stripMargin
+
+  // ---- batch CDC apply (change-data-capture reconciliation) ----
+
+  /** Reconstruct current state from a change stream with deletes —
+    * the batch MERGE/CDC-apply primitive: per key take the LAST
+    * operation by `(ts, event_id)`; a trailing delete removes the
+    * key, otherwise the last upsert's payload wins. Derived op
+    * mapping on `events` (`signup`→insert, `error`→delete, rest→
+    * update) gives every key a nontrivial op history. One
+    * row_number window per key partition — the same single-shuffle
+    * shape at any scale; at 100 TB the change stream is the small
+    * side and this plan never rescans the base (the reconstructed
+    * state IS the output, the reference's last-write-wins upsert
+    * [T4] generalized with deletes). */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val ops = t(s, dir, "events").select(
+      col("user_id"),
+      expr("ts div 1000").as("us"),
+      col("event_id"),
+      when(col("event_type") === "signup", lit("I"))
+        .when(col("event_type") === "error", lit("D"))
+        .otherwise(lit("U")).as("op"),
+      col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(desc("us"), desc("event_id"))
+    ops.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("us").as("last_us"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  val cdcApplySql: String =
+    """WITH ops AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CASE event_type WHEN 'signup' THEN 'I'
+      |                    WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM ops)
+      |SELECT user_id, op AS last_op, us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
 
   // ---- integer-scaled PageRank (iterative joins) ----
 
@@ -269,8 +338,10 @@ object WarehouseQueries {
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
     "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
     "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),
+    "q_zorder3_keys" -> (zorder3Keys _, zorder3KeysSql),
     "q_scd2_history" -> (scd2History _, scd2HistorySql),
     "q_pagerank" -> (pageRankEvents _, pageRankEventsSql),
     "q_graph_components" -> (graphComponents _, graphComponentsSql),
-    "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql))
+    "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql),
+    "q_cdc_apply" -> (cdcApply _, cdcApplySql))
 }

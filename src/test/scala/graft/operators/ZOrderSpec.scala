@@ -34,6 +34,35 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("3-D interleave = naive bit loop; 63-bit codes stay positive") {
+    def naive3(x: Long, y: Long, z: Long): Long = {
+      var r = 0L
+      for (i <- 0 until ZOrderOps.Bits) {
+        r |= ((x >> i) & 1L) << (3 * i)
+        r |= ((y >> i) & 1L) << (3 * i + 1)
+        r |= ((z >> i) & 1L) << (3 * i + 2)
+      }
+      r
+    }
+    val gen = Gen.listOfN(3, Gen.choose(Long.MinValue, Long.MaxValue))
+    GenForAll.forAll(gen, n = 500) { case List(x, y, z) =>
+      val g = ZOrderOps.interleave3(x, y, z)
+      assert(g == naive3(x, y, z))
+      assert(g >= 0)
+    }
+    // expression path (codegen) agrees with the scala reference
+    val rows = (0 until 200).map(i =>
+      (i.toLong * 7919 % 99991, i.toLong * 104729 % 31337,
+        i.toLong - 100)) // includes negatives → masked
+    val got = rows.toDF("x", "y", "zc")
+      .select(col("x"), col("y"), col("zc"),
+        ZOrder.zkey3(col("x"), col("y"), col("zc")).as("m"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (x, y, z, m) =>
+      assert(m == ZOrderOps.interleave3(x, y, z), s"($x, $y, $z)")
+    }
+  }
+
   test("native expression matches the scala reference through codegen") {
     val rows = (0 until 1000).map(i =>
       (i.toLong * 2654435761L % (1L << 30), i.toLong * 40503L % 77777))
