@@ -42,35 +42,78 @@ object FuzzyJoin {
     array_union(array(s), dels)
   }
 
-  /** Edit-distance-≤1 join between `left(idL, strL)` and
-    * `right(idR, strR)`. Returns `(idL, strL, idR, strR, dist)`,
-    * exact and complete (FastSS completeness for k = 1).
+  /** Depth-`k` deletion neighborhood (k ∈ {1, 2}): every string
+    * reachable by deleting at most `k` characters. If
+    * `lev(a, b) <= k` then the depth-k neighborhoods intersect
+    * (align any ≤k-edit script; deleting the edited positions from
+    * both sides meets at the common subsequence) — so blocking on
+    * these keys is complete for distance ≤ k. Key count is
+    * `1 + n` for k = 1 and `+ n(n−1)/2` for k = 2 — the classic
+    * FastSS space/shuffle trade for the wider radius. */
+  def deletionKeysK(s: Column, k: Int): Column = {
+    require(k == 1 || k == 2, s"supported radii: 1, 2 (got $k)")
+    val d1 = deletionKeys(s)
+    if (k == 1) d1
+    else {
+      val n = length(s)
+      val pairs = when(n >= 2,
+        flatten(transform(sequence(lit(1), n - 1), i =>
+          transform(sequence(i + 1, n), j =>
+            concat(substring(s, lit(1), i - 1),
+              s.substr(i + 1, j - i - 1),
+              s.substr(j + 1, n - j))))))
+        .otherwise(array().cast("array<string>"))
+      array_distinct(concat(d1, pairs))
+    }
+  }
+
+  /** Edit-distance-≤k join (k ∈ {1, 2}) between `left(idL, strL)`
+    * and `right(idR, strR)`. Returns `(idL, strL, idR, strR, dist)`,
+    * exact and complete (FastSS completeness for the given radius).
     *
     * @param maxBucket if > 0, drop blocking buckets larger than this
     *                  on either side (explicit recall/skew trade;
     *                  0 = exact join). */
-  def lev1Join(left: DataFrame, idL: String, strL: String,
-               right: DataFrame, idR: String, strR: String,
-               maxBucket: Int = 0): DataFrame = {
-    def keyed(df: DataFrame, id: String, s: String, side: String): DataFrame = {
-      val k = df.select(col(id), col(s),
-          explode(deletionKeys(col(s))).as("__key"))
-        .select(col(id), col(s), xxhash64(col("__key")).as("__kh"))
-      if (maxBucket <= 0) k
+  def levJoin(left: DataFrame, idL: String, strL: String,
+              right: DataFrame, idR: String, strR: String,
+              k: Int, maxBucket: Int = 0): DataFrame = {
+    // the (usually larger) right side travels as (id, keyhash) ONLY —
+    // at radius 2 a corpus row emits O(len²/2) keys, so shuffle fat is
+    // the dominant cost; the string rejoins by id after candidate
+    // dedup, when the pair set is small again
+    def keyed(df: DataFrame, id: String, s: String,
+              keep: Seq[Column], side: String): DataFrame = {
+      // native codegen'd variant hashing (graft_del_hashes) — the HOF
+      // deletionKeysK + xxhash64 form is the spec, interpreted and
+      // string-allocating; the native form emits the same hashes
+      // (seed 42, parity-spec'd) without materializing variants
+      val kd = df.select((keep :+
+          explode(graft.plans.GraftExtensions.nativeFn(
+            "graft_del_hashes", col(s), lit(k))).as("__kh")): _*)
+      if (maxBucket <= 0) kd
       else {
         // cap per-key fan-out: count per (key, side), keep small buckets
-        val counts = k.groupBy("__kh")
+        val counts = kd.groupBy("__kh")
           .agg(count(lit(1)).as(s"__c_$side"))
           .filter(col(s"__c_$side") <= maxBucket)
-        k.join(counts, Seq("__kh"), "left_semi")
+        kd.join(counts, Seq("__kh"), "left_semi")
       }
     }
-    val l = keyed(left, idL, strL, "l")
-    val r = keyed(right, idR, strR, "r")
+    val l = keyed(left, idL, strL, Seq(col(idL), col(strL)), "l")
+    val r = keyed(right, idR, strR, Seq(col(idR)), "r")
     l.join(r, Seq("__kh"))
-      .select(col(idL), col(strL), col(idR), col(strR))
+      .select(col(idL), col(strL), col(idR))
       .distinct() // a pair can share several deletion keys
+      .join(right.select(col(idR), col(strR)), idR)
       .withColumn("dist", levenshtein(col(strL), col(strR)))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= k)
+      .select(col(idL), col(strL), col(idR), col(strR), col("dist"))
   }
+
+  /** Edit-distance-≤1 join — the common radius, kept as the named
+    * entry point. */
+  def lev1Join(left: DataFrame, idL: String, strL: String,
+               right: DataFrame, idR: String, strR: String,
+               maxBucket: Int = 0): DataFrame =
+    levJoin(left, idL, strL, right, idR, strR, k = 1, maxBucket)
 }

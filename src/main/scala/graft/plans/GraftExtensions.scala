@@ -99,6 +99,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => ZOrderExpr(es(0), es(1))),
     (FunctionIdentifier("graft_zorder3"), ZOrder3Expr.info,
       (es: Seq[Expression]) => ZOrder3Expr(es(0), es(1), es(2))),
+    (FunctionIdentifier("graft_del_hashes"), DeletionHashesExpr.info,
+      (es: Seq[Expression]) => DeletionHashesExpr(es(0),
+        litInt(es(1), "graft_del_hashes"))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable

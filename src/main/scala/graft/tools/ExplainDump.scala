@@ -115,6 +115,12 @@ object ExplainDump {
         graft.query.WarehouseQueries.fuzzyJoinNames(spark, sfDir),
       "q_pagerank (three iterative joins, broadcast rank/deg sides)" ->
         graft.query.WarehouseQueries.pageRankEvents(spark, sfDir),
+      "q_collocations (two count shuffles + TakeOrdered, no global sort)" ->
+        graft.query.QualityQueries.collocations(spark, sfDir),
+      "q_cdc_apply (one row_number window per key partition)" ->
+        graft.query.WarehouseQueries.cdcApply(spark, sfDir),
+      "q_graph_triangles (oriented wedge join, equi-joins only)" ->
+        graft.query.WarehouseQueries.graphTriangles(spark, sfDir),
       "ivf-pq top-k (codes through the cell join, bounded exact re-rank)" -> {
         import org.apache.spark.sql.functions.col
         graft.operators.Similarity.ivfPqTopK(

@@ -57,6 +57,65 @@ class FuzzyJoinSpec extends SparkTestBase {
     }
   }
 
+  test("k=2 blocked join = brute-force lev<=2 join on random strings") {
+    val word = for {
+      n <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val gen = for {
+      ls <- Gen.listOfN(8, word)
+      rs <- Gen.listOfN(8, word)
+    } yield (ls.distinct, rs.distinct)
+    GenForAll.forAll(gen, n = 40) { case (ls, rs) =>
+      if (ls.nonEmpty && rs.nonEmpty) {
+        val left = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("lid", "lstr")
+        val right = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("rid", "rstr")
+        val got = FuzzyJoin.levJoin(left, "lid", "lstr",
+            right, "rid", "rstr", k = 2)
+          .select("lstr", "rstr").as[(String, String)].collect().toSet
+        val want = (for {
+          l <- ls; r <- rs; if lev(l, r) <= 2
+        } yield (l, r)).toSet
+        assert(got == want, s"left=$ls right=$rs")
+      }
+    }
+  }
+
+  test("depth-2 deletion keys: {s} ∪ del1 ∪ del2, deduplicated") {
+    val got = Seq("abcd").toDF("s")
+      .select(FuzzyJoin.deletionKeysK(col("s"), 2)).as[Seq[String]]
+      .head().toSet
+    val del1 = Set("bcd", "acd", "abd", "abc")
+    val del2 = Set("cd", "bd", "bc", "ad", "ac", "ab")
+    assert(got == Set("abcd") ++ del1 ++ del2)
+    // short strings: no pair deletions possible, no error
+    assert(Seq("a").toDF("s")
+      .select(FuzzyJoin.deletionKeysK(col("s"), 2)).as[Seq[String]]
+      .head().toSet == Set("a", ""))
+  }
+
+  test("native del-hashes = xxhash64 over the HOF deletion keys") {
+    val word = for {
+      n <- Gen.choose(0, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'é', 'ß', '水', '1'))
+    } yield cs.mkString
+    GenForAll.forAll(word, n = 150) { s =>
+      for (k <- Seq(1, 2)) {
+        val native = Seq(s).toDF("s")
+          .select(graft.plans.GraftExtensions.nativeFn(
+            "graft_del_hashes", col("s"), lit(k)))
+          .as[Seq[Long]].head().toSet
+        val spec = Seq(s).toDF("s")
+          .select(transform(FuzzyJoin.deletionKeysK(col("s"), k),
+            v => xxhash64(v)))
+          .as[Seq[Long]].head().toSet
+        assert(native == spec, s"s=$s k=$k")
+      }
+    }
+  }
+
   test("reported distance is the exact levenshtein distance") {
     val left = Seq((1L, "kitten"), (2L, "abc")).toDF("lid", "lstr")
     val right = Seq((10L, "kitten"), (11L, "kittex"), (12L, "abcd"),
