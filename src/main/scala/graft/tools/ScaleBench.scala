@@ -48,7 +48,8 @@ object ScaleBench {
     // %1000-node modulus means replicas DENSIFY the fixed node set —
     // triangle counts grow ~cubically in density by graph math, not
     // by plan defect; see PERF.md round-8 warehouse notes).
-    "q_skyline", "q_zorder_keys", "q_scd2_history",
+    "q_skyline", "q_zorder_keys", "q_zorder3_keys", "q_scd2_history",
+    "q_cdc_apply",
     // corpus statistics (round 8): disjoint replica vocabularies keep
     // unigram/bigram group counts linear; per-language window mass is
     // per-replica-linear too
