@@ -85,6 +85,52 @@ object Skyline {
     pass(pass(df).repartition(1))
   }
 
+  /** d-dimensional skyline (all dimensions maximized), same
+    * two-phase shape: the 2-D sort-sweep does not generalize past two
+    * dimensions, so the local phase is the block-nested-loop skyline
+    * — each partition folds its rows into a running frontier
+    * (O(rows × frontier) comparisons, frontier stays small on
+    * non-adversarial data), and the union of local frontiers is
+    * re-folded in one partition. Exact dominance semantics match
+    * the 2-D operator: strict in at least one dimension, duplicates
+    * survive. */
+  def skylineMaxN(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.size >= 2, "need at least two dimensions")
+    val enc = Encoders.row(df.schema)
+    val idx = dims.map(df.schema.fieldIndex).toArray
+
+    def num(r: Row, i: Int): Double = r.get(i) match {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(
+        s"skyline dimension must be numeric, got: $other")
+    }
+    // q dominates p: >= everywhere, > somewhere
+    def dominates(q: Row, p: Row): Boolean = {
+      var ge = true
+      var gt = false
+      var i = 0
+      while (i < idx.length && ge) {
+        val d = num(q, idx(i)) - num(p, idx(i))
+        if (d < 0) ge = false else if (d > 0) gt = true
+        i += 1
+      }
+      ge && gt
+    }
+    def bnl(it: Iterator[Row]): Iterator[Row] = {
+      val frontier = scala.collection.mutable.ArrayBuffer.empty[Row]
+      it.foreach { p =>
+        if (!frontier.exists(q => dominates(q, p))) {
+          val keep = frontier.filterNot(q => dominates(p, q))
+          frontier.clear()
+          frontier ++= keep
+          frontier += p
+        }
+      }
+      frontier.iterator
+    }
+    df.mapPartitions(bnl _)(enc).repartition(1).mapPartitions(bnl _)(enc)
+  }
+
   /** Convenience: skyline with per-dimension direction flags
     * (`true` = maximize). Minimized dimensions are negated into
     * shadow columns for the sweep, then restored. */

@@ -51,6 +51,39 @@ object WarehouseQueries {
       |    AND (q.spend > p.spend OR q.n_orders > p.n_orders))
       |ORDER BY custkey""".stripMargin
 
+  /** Three-dimensional frontier — (total spend, order count, most
+    * recent order) all maximized: the "recent, frequent, big" nobody-
+    * beats-them set. Past two dimensions the sort-sweep no longer
+    * applies, so this runs the block-nested-loop local phase
+    * ([[Skyline.skylineMaxN]]); the oracle is the same NOT EXISTS
+    * definition with three conjuncts. */
+  def skyline3Customers(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("spend"),
+        count(lit(1)).as("n_orders"),
+        max(unix_micros(col("o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType))).as("last_us"))
+    Skyline.skylineMaxN(per, Seq("spend", "n_orders", "last_us"))
+      .orderBy("custkey")
+  }
+
+  val skyline3CustomersSql: String =
+    """WITH s AS (SELECT o_custkey AS custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |    COUNT(*) AS n_orders,
+      |    CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_us
+      |  FROM orders GROUP BY 1)
+      |SELECT custkey, spend, n_orders, last_us FROM s p
+      |WHERE NOT EXISTS (SELECT 1 FROM s q
+      |  WHERE q.spend >= p.spend AND q.n_orders >= p.n_orders
+      |    AND q.last_us >= p.last_us
+      |    AND (q.spend > p.spend OR q.n_orders > p.n_orders
+      |         OR q.last_us > p.last_us))
+      |ORDER BY custkey""".stripMargin
+
   // ---- fuzzy (edit-distance) join ----
 
   /** Every customer name within edit distance 1 of a corrupted probe
@@ -370,6 +403,7 @@ object WarehouseQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
+    "q_skyline3" -> (skyline3Customers _, skyline3CustomersSql),
     "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
     "q_fuzzy_join2" -> (fuzzyJoin2Names _, fuzzyJoin2NamesSql),
     "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),

@@ -54,6 +54,43 @@ class SkylineSpec extends SparkTestBase {
       Set((1L, 5.0, 5.0), (2L, 5.0, 5.0), (3L, 1.0, 9.0)))
   }
 
+  test("3-D BNL skyline matches the NOT EXISTS definition") {
+    def brute3(pts: Seq[(Long, Double, Double, Double)]) =
+      pts.filter { p =>
+        !pts.exists(q =>
+          q._2 >= p._2 && q._3 >= p._3 && q._4 >= p._4 &&
+            (q._2 > p._2 || q._3 > p._3 || q._4 > p._4))
+      }.toSet
+    val gen = for {
+      n <- Gen.choose(0, 30)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, 4); y <- Gen.choose(0, 4); z <- Gen.choose(0, 4)
+      } yield (x.toDouble, y.toDouble, z.toDouble))
+    } yield pts.zipWithIndex.map { case ((x, y, z), i) =>
+      (i.toLong, x, y, z)
+    }
+    GenForAll.forAll(gen, n = 80) { pts =>
+      if (pts.nonEmpty) {
+        val got = Skyline.skylineMaxN(
+            pts.toDF("id", "x", "y", "z").repartition(3),
+            Seq("x", "y", "z"))
+          .as[(Long, Double, Double, Double)].collect().toSet
+        assert(got == brute3(pts), s"points: $pts")
+      }
+    }
+  }
+
+  test("n-dim agrees with the 2-D sweep on shared inputs") {
+    val pts = (1 to 300).map { i =>
+      (i.toLong, (i * 37 % 101).toDouble, (i * 61 % 97).toDouble)
+    }
+    val sweep = run(pts, 4)
+    val bnl = Skyline.skylineMaxN(pts.toDF("id", "x", "y").repartition(4),
+        Seq("x", "y"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(bnl == sweep)
+  }
+
   test("empty input yields an empty frontier, no error") {
     assert(run(Seq.empty, 4).isEmpty)
   }
