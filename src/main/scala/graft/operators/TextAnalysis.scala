@@ -135,6 +135,41 @@ object TextAnalysis {
 
   /** Rolling fingerprint: xxhash64 chaining over tokens — order-sensitive
     * and deterministic, with no overflow under ANSI mode. */
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003
+    * — the MOSS scheme): hash every character k-gram, slide a window
+    * of `w` consecutive gram positions, keep each window's minimum
+    * hash. Guarantees: any match of length ≥ w+k−1 between two
+    * documents shares at least one selected fingerprint, and
+    * selection density is ~2/(w+1) — the bounded-density local
+    * dedup/plagiarism primitive. The OUTPUT is the fingerprint SET
+    * per document (selected hash values, positions dropped), so each
+    * full window simply contributes its min — value-identical to the
+    * classic positional selection, and the guarantee carries: two
+    * documents sharing a substring of length ≥ w+k−1 share a full
+    * gram window, hence its min, hence a fingerprint. Hashes are md5
+    * hex STRINGS (lexicographic min — identical in Spark and DuckDB,
+    * same determinism convention as the sampling coins). One
+    * generator + one per-document window — no cross-document shuffle
+    * beyond the window's own partition-by-doc exchange. */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame,
+                         idCol: String, text: Column,
+                         k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = length(text)
+    val positions = when(n >= k,
+        sequence(lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = df.select(col(idCol).as("doc_id"),
+        text.as("__t"), explode(positions).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("__t").substr(col("pos"), lit(k))).as("g"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    grams.withColumn("__mn", min("g").over(win))
+      .filter(col("pos") >= w) // full windows only
+      .select(col("doc_id"), col("__mn").as("fp")).distinct()
+  }
+
   def fingerprint(text: Column): Column =
     aggregate(tokenize(text), lit(0L), (acc, t) => xxhash64(acc, t))
 

@@ -270,11 +270,47 @@ object QualityQueries {
       |WHERE (cum - n_chars) * 100 < total * 80
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---- winnowing fingerprints (MOSS) ----
+
+  /** Winnowing fingerprint sets ([[TextAnalysis.winnowFingerprints]],
+    * k=8 char grams, window w=16): the bounded-density local
+    * fingerprinting primitive — any shared substring of length
+    * ≥ 23 chars between two documents is guaranteed a shared
+    * fingerprint. Emitted as (doc_id, n_fps, min_fp, max_fp) per
+    * document to keep the gate row count bounded while still pinning
+    * the SET (count + lexicographic extremes over md5 hex values —
+    * a different set changes at least one of them with
+    * overwhelming probability; the full set feeds dedup joins in
+    * production). */
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(docs(s, dir), "doc_id",
+        col("text"), k = 8, w = 16)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"), min("fp").as("min_fp"),
+        max("fp").as("max_fp"))
+      .orderBy("doc_id")
+
+  val winnowSql: String =
+    """WITH pos AS (SELECT doc_id, text,
+      |    unnest([i FOR i IN range(1, length(text) - 6)]) AS p
+      |  FROM documents WHERE length(text) >= 8),
+      |g AS (SELECT doc_id, p, md5(substr(text, CAST(p AS INT), 8)) AS h
+      |  FROM pos),
+      |mn AS (SELECT doc_id, p,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM mn WHERE p >= 16)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps,
+      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
     "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql),
     "q_corpus_report" -> (corpusReport _, corpusReportSql),
     "q_collocations" -> (collocations _, collocationsSql),
-    "q_nucleus_topp" -> (nucleusTopP _, nucleusTopPSql))
+    "q_nucleus_topp" -> (nucleusTopP _, nucleusTopPSql),
+    "q_winnow" -> (winnow _, winnowSql))
 }

@@ -172,4 +172,36 @@ class TextAnalysisSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(mb(5L) == "tail")
   }
+
+  test("winnowing: shared >= w+k-1 substring guarantees a shared fp") {
+    val shared = "The quick brown fox jumps!" // 26 chars >= 16+8-1
+    val a = (1L, s"aaaa zzzz $shared qqqq pppp wwww dddd ffff gggg")
+    val b = (2L, s"totally different prefix text $shared and a tail xx")
+    val c = (3L, "no overlap here at all, completely distinct content!")
+    val fps = TextAnalysis.winnowFingerprints(
+        Seq(a, b, c).toDF("doc_id", "text"), "doc_id", col("text"),
+        k = 8, w = 16)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "planted overlap must share a fp")
+    assert((fps(1L) & fps(3L)).isEmpty ||
+      (fps(1L) & fps(3L)).size < (fps(1L) & fps(2L)).size)
+  }
+
+  test("winnowing density: |fps| well below gram count, never zero") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val fps = TextAnalysis.winnowFingerprints(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", col("text"),
+        k = 8, w = 16).count()
+    val grams = text.length - 7
+    assert(fps > 0 && fps * 4 < grams,
+      s"density off: $fps fps for $grams grams")
+  }
+
+  test("winnowing: docs shorter than one full window emit nothing") {
+    val fps = TextAnalysis.winnowFingerprints(
+        Seq((1L, "tiny text"), (2L, "")).toDF("doc_id", "text"),
+        "doc_id", col("text"), k = 8, w = 16).count()
+    assert(fps == 0)
+  }
 }
