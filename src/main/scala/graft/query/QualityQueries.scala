@@ -270,6 +270,44 @@ object QualityQueries {
       |WHERE (cum - n_chars) * 100 < total * 80
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---- frequent itemset pairs (Apriori k=2) ----
+
+  /** Top-100 token pairs by document co-occurrence, with the Apriori
+    * prune: a pair can only be frequent if both tokens are (the
+    * monotonicity that makes itemset mining feasible at scale), so
+    * the first pass keeps tokens in ≥ 20 documents and the within-
+    * document self-join runs over survivors only. Join is per
+    * document (shuffle on doc_id), counts are exact integers, and
+    * the top-k boundary is fully tie-broken — one Apriori level,
+    * the k=2 association-mining primitive. */
+  def itemsetPairs(s: SparkSession, dir: String): DataFrame = {
+    val minSup = 20
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokenize(col("text"))))
+        .as("tok"))
+    val freq = toks.groupBy("tok")
+      .agg(count(lit(1)).as("df")).filter(col("df") >= minSup)
+    val ft = toks.join(freq.select("tok"), Seq("tok"), "left_semi")
+    ft.select(col("doc_id"), col("tok").as("a"))
+      .join(ft.select(col("doc_id"), col("tok").as("b")), "doc_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSup)
+      .orderBy(desc("support"), asc("a"), asc("b"))
+      .limit(100)
+  }
+
+  val itemsetPairsSql: String =
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+      |    AS tok FROM documents),
+      |freq AS (SELECT tok FROM toks GROUP BY tok
+      |  HAVING COUNT(*) >= 20),
+      |ft AS (SELECT t.doc_id, t.tok FROM toks t JOIN freq USING (tok))
+      |SELECT x.tok AS a, y.tok AS b, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.tok < y.tok
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 20
+      |ORDER BY support DESC, a ASC, b ASC LIMIT 100""".stripMargin
+
   // ---- winnowing fingerprints (MOSS) ----
 
   /** Winnowing fingerprint sets ([[TextAnalysis.winnowFingerprints]],
@@ -312,5 +350,6 @@ object QualityQueries {
     "q_corpus_report" -> (corpusReport _, corpusReportSql),
     "q_collocations" -> (collocations _, collocationsSql),
     "q_nucleus_topp" -> (nucleusTopP _, nucleusTopPSql),
-    "q_winnow" -> (winnow _, winnowSql))
+    "q_winnow" -> (winnow _, winnowSql),
+    "q_itemset_pairs" -> (itemsetPairs _, itemsetPairsSql))
 }
