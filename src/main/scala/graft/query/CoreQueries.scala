@@ -23,6 +23,12 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** events with scan-derived `ets` (timestamp) / `us` (epoch-µs long)
+    * columns — see [[Tables.loadEventsTs]]; avoids the measured-1.7×
+    * long↔timestamp round-trip on typed parquet encodings. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEventsTs(s, dir)
+
   /** Exact, order-independent sum of a double column, returned as double. */
   private def dsum(c: String): Column =
     sum(col(c).cast("decimal(18,2)")).cast("double")
@@ -316,8 +322,8 @@ object CoreQueries {
   // Timestamp rendered as string to make the hash representation-stable.
   // (events.ts arrives as long nanos — see nanosAsLong in GraftSession.)
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    ev(s, dir)
+      .withColumn("ts_t", col("ets"))
       .groupBy(
         date_format(date_trunc("hour", col("ts_t")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
@@ -343,9 +349,8 @@ object CoreQueries {
     * `daily_all_upload.sh:16-39`, generalized from overwrite to
     * algebraic merge). */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "events")
-      .select(col("user_id"), col("value"),
-        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val d = ev(s, dir)
+      .select(col("user_id"), col("value"), to_date(col("ets")).as("day"))
     val maxDay = d.agg(max("day").as("max_day"))
     def aggOf(df: DataFrame): DataFrame = df.groupBy("user_id").agg(
       count(lit(1)).as("cnt"),
@@ -385,8 +390,8 @@ object CoreQueries {
   // in two windows; Spark's window() generator vs an explicit shifted-
   // tumbling union in the oracle.
   def eventsSliding(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    ev(s, dir)
+      .withColumn("ts_t", col("ets"))
       .groupBy(window(col("ts_t"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(
@@ -430,8 +435,8 @@ object CoreQueries {
     * epoch-MICROS (integer `div`, not double division — raw nanos
     * would diverge from DuckDB, whose timestamps truncate to µs). */
   def funnelSteps(s: SparkSession, dir: String): DataFrame =
-    QueryOps.funnel(t(s, dir, "events"), col("user_id"),
-        expr("ts div 1000"), col("event_type"),
+    QueryOps.funnel(ev(s, dir), col("user_id"),
+        col("us"), col("event_type"),
         Seq("view", "click", "purchase"))
       .orderBy("entity")
 
@@ -457,9 +462,7 @@ object CoreQueries {
     * per (cohort, day offset) — two entity-keyed aggregates and one
     * entity join, no global windows. */
   def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "events").select(col("user_id"),
-      to_date(timestamp_micros(expr("ts div 1000")))
-        .as("day"))
+    val d = ev(s, dir).select(col("user_id"), to_date(col("ets")).as("day"))
     val firstDay = d.groupBy("user_id").agg(min("day").as("cohort"))
     d.join(firstDay, Seq("user_id"))
       .select(
@@ -491,9 +494,8 @@ object CoreQueries {
     * landing exactly on the end starts a NEW session — the oracle
     * flags on `gap >=`, not `>` (sessionize's tie rule differs). */
   def sessionWindows(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("ets"))
+    graft.sources.Tables.loadEventsTs(s, dir)
+      .select(col("user_id"), col("ets"))
       .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -644,12 +646,11 @@ object CoreQueries {
     * epoch-µs longs, integer-exact across engines. */
   def windowRange7d(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val us = expr("ts div 1000")
     val k = get_json_object(col("props"), "$.k").cast("long")
     val w = Window.partitionBy("user_id").orderBy("us")
       .rangeBetween(-7L * 86400000000L, 0L)
-    t(s, dir, "events")
-      .select(col("event_id"), col("user_id"), us.as("us"), k.as("k"))
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("us"), k.as("k"))
       .withColumn("k_7d", sum("k").over(w))
       .select("event_id", "user_id", "us", "k_7d")
       .orderBy("event_id")
@@ -670,9 +671,8 @@ object CoreQueries {
   def windowRankFamily(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("us")
-    t(s, dir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("us"))
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("us"))
       .select(col("event_id"), col("user_id"),
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("pct_rank"),
@@ -871,9 +871,9 @@ object CoreQueries {
   // Scale: one shuffle on user_id for the grid bounds, one window sort
   // per user — both partition-parallel; no driver-side grid.
   def resampleFfill(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").filter(col("user_id") < 50)
-    QueryOps.resampleFfill(ev, col("user_id"),
-        expr("ts div 1000"), col("event_id"), col("value"),
+    val evs = ev(s, dir).filter(col("user_id") < 50)
+    QueryOps.resampleFfill(evs, col("user_id"),
+        col("us"), col("event_id"), col("value"),
         stepUs = 3600000000L)
       .select(col("key").as("user_id"),
         date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss")

@@ -186,9 +186,8 @@ object DomainQueries {
   // so "new on the last day" would certify only the empty-result path;
   // day two is where genuinely-new users exist at every SF.
   def historyNewUsers(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "events")
-      .select(col("user_id"),
-        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val d = Tables.loadEventsTs(s, dir)
+      .select(col("user_id"), to_date(col("ets")).as("day"))
     val pivot = d.agg(date_add(min("day"), 1).as("pivot_day"))
     val today = d.join(broadcast(pivot), col("day") === col("pivot_day"))
       .select("user_id").distinct()
@@ -213,9 +212,8 @@ object DomainQueries {
     * candidates' bloom. Result must stay row-identical, so the oracle
     * is the SAME SQL as the plain form. */
   def historyNewUsersBloom(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "events")
-      .select(col("user_id"),
-        to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+    val d = Tables.loadEventsTs(s, dir)
+      .select(col("user_id"), to_date(col("ets")).as("day"))
     val pivot = d.agg(date_add(min("day"), 1).as("pivot_day"))
     // The bloom build and the exact phase each act on these frames, so
     // materialize the (distinct-key-sized, i.e. tiny) sets once — at
@@ -257,10 +255,10 @@ object DomainQueries {
     * those. Bounded verification corpus (user_id < 1000, 5-day tail):
     * the bound, not the SF, sizes it. */
   def streamReplayDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.load(s, dir, "events")
+    val d = Tables.loadEventsTs(s, dir)
       .filter(col("user_id") < 1000)
       .select(col("user_id").cast("string").as("domain"),
-        timestamp_micros(expr("ts div 1000")).as("obs_ts"))
+        col("ets").as("obs_ts"))
       .withColumn("day", to_date(col("obs_ts")))
     val cutoff = d.agg(date_sub(max("day"), 4)).collect()(0).getDate(0)
     val obs = d.filter(col("day") >= lit(cutoff))
@@ -286,9 +284,9 @@ object DomainQueries {
   // As-of join: latest order (by date) per customer at or before each
   // event's timestamp — oracle is DuckDB's native ASOF JOIN.
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(s, dir, "events")
+    val events = Tables.loadEventsTs(s, dir)
       .select(col("event_id"), col("user_id").as("custkey"),
-        timestamp_micros(expr("ts div 1000")).as("ev_ts"))
+        col("ets").as("ev_ts"))
     val orders = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"), col("o_orderdate"))
       .agg(max("o_totalprice").as("last_price"))
@@ -317,9 +315,9 @@ object DomainQueries {
     * the composed operator and keeps the wide shape under the oracle.
     * Oracle: DuckDB native ASOF LEFT JOIN over the same aggregate. */
   def asofWide(s: SparkSession, dir: String): DataFrame = {
-    val events = Tables.load(s, dir, "events")
+    val events = Tables.loadEventsTs(s, dir)
       .select(col("event_id"), col("user_id").as("custkey"),
-        timestamp_micros(expr("ts div 1000")).as("ev_ts"))
+        col("ets").as("ev_ts"))
     val snap = Tables.load(s, dir, "orders")
       .groupBy(col("o_custkey").as("custkey"),
         // parquet NTZ -> TZ (UTC session): native exec requires the time

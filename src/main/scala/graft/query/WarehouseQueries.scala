@@ -213,8 +213,8 @@ object WarehouseQueries {
     * windows and one aggregation, all partitioned on `user_id` —
     * one shuffle at any scale. */
   def scd2History(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("user_id"),
-      expr("ts div 1000").as("us"), col("event_id"), col("event_type"))
+    val ev = Tables.loadEventsTs(s, dir).select(col("user_id"),
+      col("us"), col("event_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val prev = lag("event_type", 1).over(w)
     val chg = when(prev.isNull || prev =!= col("event_type"), 1L)
@@ -267,9 +267,9 @@ object WarehouseQueries {
     * state IS the output, the reference's last-write-wins upsert
     * [T4] generalized with deletes). */
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
-    val ops = t(s, dir, "events").select(
+    val ops = Tables.loadEventsTs(s, dir).select(
       col("user_id"),
-      expr("ts div 1000").as("us"),
+      col("us"),
       col("event_id"),
       when(col("event_type") === "signup", lit("I"))
         .when(col("event_type") === "error", lit("D"))

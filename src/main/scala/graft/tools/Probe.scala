@@ -102,6 +102,57 @@ object Probe {
           sub, "vec_id", "embedding", k = 5, nlist = 8, nprobe = nprobe))
       spark.stop(); return
     }
+    if (only.contains("sesswin")) {
+      // q_session_window r8 bench anomaly A/B (VERDICT r8 item 1):
+      // (a) current path  — normalizeEventTs long round-trip
+      //     (NTZ -> cast TZ -> unix_micros*1000) then
+      //     timestamp_micros(ts div 1000) inside the query;
+      // (b) raw-direct    — read parquet raw, session_window on the
+      //     typed column with ONE cast, no long round-trip;
+      // (c) scan-only     — no session_window, isolates read+project.
+      import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      def tsCol = raw.schema("ts").dataType match {
+        case LongType         => timestamp_micros(expr("ts div 1000"))
+        case TimestampType    => col("ts")
+        case TimestampNTZType => col("ts").cast(TimestampType)
+      }
+      def current() = graft.query.CoreQueries.sessionWindows(spark, dir).count()
+      def rawDirect() = raw
+        .select(col("user_id"), tsCol.as("ets"))
+        .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("s_start"),
+          unix_micros(col("session_window.end")).as("s_end"),
+          col("n_events"))
+        .orderBy("user_id", "s_start").count()
+      def scanOnly() = Tables.load(spark, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ets"))
+        .agg(count(lit(1))).count()
+      def m3(name: String, f: () => Long): Unit = {
+        val times = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        println(f"[probe] sesswin $name rows=${times.head._2} " +
+          f"min=${times.map(_._1).min}%.3f runs=${times.map(t => f"${t._1}%.3f").mkString(",")}")
+      }
+      m3("warmup", current _)
+      // alternate the two variants so box noise hits both equally
+      val cur = collection.mutable.ArrayBuffer[Double]()
+      val rd = collection.mutable.ArrayBuffer[Double]()
+      for (_ <- 1 to 5) {
+        var t0 = System.nanoTime(); current(); cur += (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime(); rawDirect(); rd += (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] sesswin ALT current  min=${cur.min}%.3f runs=${cur.map(t => f"$t%.3f").mkString(",")}")
+      println(f"[probe] sesswin ALT rawdirect min=${rd.min}%.3f runs=${rd.map(t => f"$t%.3f").mkString(",")}")
+      m3("scanonly", scanOnly _)
+      graft.query.CoreQueries.sessionWindows(spark, dir).explain("formatted")
+      spark.stop(); return
+    }
     if (only.contains("scaledemo")) {
       // production-threshold embedding dedup (cos >= 0.9, planes sized
       // so buckets stay sparse): wall must scale ~linearly corpus 1x->10x
