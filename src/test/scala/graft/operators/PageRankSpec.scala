@@ -45,6 +45,34 @@ class PageRankSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("src", "dst"), 3).count() == 0)
   }
 
+  test("checkpoint cadence is result-invariant (pure integer recurrence)") {
+    val expected = reference(edges, 7, 1000000000000L)
+    for (interval <- Seq(1, 2, 5, 100)) {
+      val got = PageRank.run(edges.toDF("src", "dst"), 7,
+          checkpointInterval = interval)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"interval=$interval")
+    }
+  }
+
+  test("plan size stays bounded across 20 iterations (lineage truncated)") {
+    val big = (1 to 200).map(i =>
+      ((i % 23).toLong, ((i * 7) % 29).toLong)).distinct
+    val df = PageRank.run(big.toDF("src", "dst"), 20)
+    // the returned frame is an eager localCheckpoint: a scan of
+    // materialized blocks, NOT a 20-deep join tree
+    val lines = df.queryExecution.optimizedPlan.treeString.linesIterator.size
+    assert(lines < 10, s"plan tree unexpectedly deep: $lines lines")
+    assert(df.count() == big.flatMap(e => Seq(e._1, e._2)).distinct.size)
+  }
+
+  test("overflow headroom guard fails loudly instead of wrapping") {
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.run(edges.toDF("src", "dst"), 1, scale = Long.MaxValue / 300L)
+    }
+    assert(ex.getMessage.contains("overflow headroom"))
+  }
+
   test("result is partition-count invariant (integer sums commute)") {
     val big = (1 to 400).map(i =>
       ((i % 37).toLong, ((i * 13) % 41).toLong)).distinct
