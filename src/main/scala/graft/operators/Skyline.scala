@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed 2-D skyline (Pareto frontier): the rows not dominated
   * by any other row, where `q` dominates `p` iff `q.x >= p.x` and
@@ -17,12 +19,25 @@ import org.apache.spark.sql.functions._
   *     This is where the data reduction happens — on anything but an
   *     anti-correlated pathology the per-partition frontier is
   *     O(log n), so the surviving set is tiny relative to the input.
-  *  2. '''Global merge''' — the union of local frontiers (≤ parts ×
-  *     local-frontier-size rows) is re-swept in a single partition.
-  *     At 100 TB phase 2's input is still only the concatenation of
-  *     per-partition frontiers, not the data; if a workload ever had
-  *     a frontier too large for one task, phase 2 re-range-partitions
-  *     on x and repeats — not needed for any realistic frontier.
+  *  2. '''Global merge''' — when the union of local frontiers fits a
+  *     task (`mergeMaxRows`), it is re-swept in a single partition.
+  *     When a workload's frontier is larger (the anti-correlated
+  *     pathology, frontier O(n)), the merge instead RANGE-PARTITIONS
+  *     the frontier on `x desc` and sweeps each range with its
+  *     cross-partition dominance state injected: equal `x` values
+  *     co-locate under range partitioning, so every dominator with
+  *     strictly larger `x` lives in an earlier partition, and for the
+  *     2-D MAX skyline the only state a partition needs from earlier
+  *     ones is their maximum `y` — a per-partition scalar, prefix-
+  *     maxed on the driver (partition-count-sized, not data-sized)
+  *     and broadcast. One extra narrow pass, no single-task
+  *     bottleneck, exact row-for-row semantics either way.
+  *
+  * Dimension typing is EXACT: integral columns compare as longs
+  * (no 2^53 double mantissa cliff), decimals as BigDecimal,
+  * float/double as double. A NULL in a dimension throws a clear
+  * error naming the column — dominance is undefined on nulls and the
+  * caller must filter or impute them first (ADVICE r8).
   *
   * The sweep keeps exact dominance semantics including ties: within
   * an equal-`x` group only the max-`y` rows survive, and only when
@@ -34,55 +49,142 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
-  /** Append nothing, drop dominated rows; `xCol`/`yCol` must be
-    * numeric (compared as double — exact for longs below 2^53 and for
-    * identically-derived doubles). */
-  def skylineMax(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val enc = Encoders.row(df.schema)
-    val xi = df.schema.fieldIndex(xCol)
-    val yi = df.schema.fieldIndex(yCol)
-
-    def sweep(it: Iterator[Row]): Iterator[Row] = new Iterator[Row] {
-      // one equal-x group buffered at a time; input sorted (x desc, y desc)
-      private val pending = scala.collection.mutable.Queue.empty[Row]
-      private var bestY = Double.NegativeInfinity
-      private var nextGroupHead: Row = if (it.hasNext) it.next() else null
-
-      private def num(r: Row, i: Int): Double =
-        r.get(i) match {
-          case n: java.lang.Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"skyline dimension must be numeric, got: $other")
-        }
-
-      private def refill(): Unit =
-        while (pending.isEmpty && nextGroupHead != null) {
-          val x = num(nextGroupHead, xi)
-          val groupMaxY = num(nextGroupHead, yi) // first in group = max (sorted y desc)
-          var r = nextGroupHead
-          nextGroupHead = null
-          var done = false
-          while (!done) {
-            // survivors: y ties the group max AND that max strictly
-            // beats every y seen at strictly larger x
-            if (num(r, yi) == groupMaxY && groupMaxY > bestY) pending += r
-            if (it.hasNext) {
-              r = it.next()
-              if (num(r, xi) != x) { nextGroupHead = r; done = true }
-            } else done = true
-          }
-          if (groupMaxY > bestY) bestY = groupMaxY
-        }
-
-      override def hasNext: Boolean = { refill(); pending.nonEmpty }
-      override def next(): Row = { refill(); pending.dequeue() }
+  /** Type-exact dimension accessor + comparator: integrals compare as
+    * Long, decimals as BigDecimal, fp as double. Nulls and non-numeric
+    * types fail loudly with the column name. */
+  private final class Dim(schema: StructType, val name: String)
+      extends Serializable {
+    val i: Int = schema.fieldIndex(name)
+    private val kind: Int = schema(i).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => 0
+      case FloatType | DoubleType                        => 1
+      case _: DecimalType                                => 2
+      case other => throw new IllegalArgumentException(
+        s"skyline dimension '$name' must be numeric, got type $other")
     }
+    /** Extract the dimension value in its exact comparison domain. */
+    def get(r: Row): Any = {
+      if (r.isNullAt(i)) throw new IllegalArgumentException(
+        s"skyline dimension '$name' is NULL: dominance is undefined " +
+          "for null dimensions — filter or impute nulls before Skyline")
+      kind match {
+        case 0 => r.get(i).asInstanceOf[java.lang.Number].longValue()
+        case 1 => r.get(i).asInstanceOf[java.lang.Number].doubleValue()
+        case _ => r.getDecimal(i)
+      }
+    }
+    /** Compare two values produced by [[get]]. */
+    def cmp(a: Any, b: Any): Int = kind match {
+      case 0 => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case 1 => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case _ => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal])
+    }
+  }
 
-    def pass(d: DataFrame): DataFrame = d
+  /** Drop dominated rows (both dims maximized). `mergeMaxRows` caps
+    * the single-task merge; above it the distributed range merge
+    * engages (see object doc). The operator is EAGER (it must count
+    * the local frontier to pick the merge strategy); the returned
+    * frame is materialized and lineage-truncated. */
+  def skylineMax(df: DataFrame, xCol: String, yCol: String,
+                 mergeMaxRows: Long = 2000000L): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val dx = new Dim(df.schema, xCol)
+    val dy = new Dim(df.schema, yCol)
+
+    /** Sweep a (x desc, y desc)-sorted partition; `startBestY` is the
+      * dominance state inherited from strictly-larger-x partitions
+      * (null = -infinity). */
+    def sweep(it: Iterator[Row], startBestY: Any): Iterator[Row] =
+      new Iterator[Row] {
+        // one equal-x group buffered at a time
+        private val pending = scala.collection.mutable.Queue.empty[Row]
+        private var bestY: Any = startBestY
+        private var nextGroupHead: Row = if (it.hasNext) it.next() else null
+        private def beats(y: Any): Boolean =
+          bestY == null || dy.cmp(y, bestY) > 0
+
+        private def refill(): Unit =
+          while (pending.isEmpty && nextGroupHead != null) {
+            val x = dx.get(nextGroupHead)
+            // first in group = group max (sorted y desc)
+            val groupMaxY = dy.get(nextGroupHead)
+            var r = nextGroupHead
+            nextGroupHead = null
+            var done = false
+            while (!done) {
+              // survivors: y ties the group max AND that max strictly
+              // beats every y seen at strictly larger x
+              if (dy.cmp(dy.get(r), groupMaxY) == 0 && beats(groupMaxY))
+                pending += r
+              if (it.hasNext) {
+                r = it.next()
+                if (dx.cmp(dx.get(r), x) != 0) { nextGroupHead = r; done = true }
+              } else done = true
+            }
+            if (beats(groupMaxY)) bestY = groupMaxY
+          }
+
+        override def hasNext: Boolean = { refill(); pending.nonEmpty }
+        override def next(): Row = { refill(); pending.dequeue() }
+      }
+
+    def localPass(d: DataFrame): DataFrame = d
       .sortWithinPartitions(col(xCol).desc, col(yCol).desc)
-      .mapPartitions(sweep _)(enc)
+      .mapPartitions(it => sweep(it, null))(enc)
 
-    pass(pass(df).repartition(1))
+    val local = localPass(df).persist(StorageLevel.MEMORY_AND_DISK)
+    val frontierRows = local.count()
+    val merged =
+      if (frontierRows <= mergeMaxRows) localPass(local.repartition(1))
+      else {
+        // Distributed merge. Freeze the range partitioning first
+        // (RangePartitioner samples — two jobs over a lazy repartition
+        // could disagree on boundaries), then: per-partition max y →
+        // driver prefix-max (partition-count-sized) → broadcast →
+        // one injected sweep per range. Equal x co-locates, so
+        // earlier partitions hold exactly the strictly-larger-x rows.
+        // explicit partition count (~mergeMaxRows rows per task) — an
+        // unsized repartitionByRange is subject to AQE coalescing,
+        // which would fold the merge back into one task
+        val perTask = math.max(1L, mergeMaxRows)
+        val parts = math.min(10000L,
+          math.max(2L, (frontierRows + perTask - 1) / perTask)).toInt
+        val ranged = local
+          .repartitionByRange(parts, col(xCol).desc)
+          .sortWithinPartitions(col(xCol).desc, col(yCol).desc)
+          .localCheckpoint(true)
+        val rdd = ranged.rdd
+        val numParts = rdd.getNumPartitions
+        val maxes: Map[Int, Any] = rdd.mapPartitionsWithIndex { (pid, it) =>
+          var best: Any = null
+          it.foreach { r =>
+            val y = dy.get(r)
+            if (best == null || dy.cmp(y, best) > 0) best = y
+          }
+          if (best == null) Iterator.empty else Iterator((pid, best))
+        }.collect().toMap
+        val prefix = new Array[Any](numParts)
+        var run: Any = null
+        for (p <- 0 until numParts) {
+          prefix(p) = run
+          maxes.get(p).foreach { m =>
+            if (run == null || dy.cmp(m, run) > 0) run = m
+          }
+        }
+        val bc = df.sparkSession.sparkContext.broadcast(prefix)
+        val swept = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+          sweep(it, bc.value(pid))
+        }
+        df.sparkSession.createDataFrame(swept, df.schema)
+      }
+    // materialize before dropping the local-frontier cache
+    val out = merged.localCheckpoint(true)
+    local.unpersist()
+    out
   }
 
   /** d-dimensional skyline (all dimensions maximized), same
@@ -91,42 +193,42 @@ object Skyline {
     * — each partition folds its rows into a running frontier
     * (O(rows × frontier) comparisons, frontier stays small on
     * non-adversarial data), and the union of local frontiers is
-    * re-folded in one partition. Exact dominance semantics match
-    * the 2-D operator: strict in at least one dimension, duplicates
-    * survive. */
+    * re-folded in one partition. The merge stays single-partition by
+    * design: past 2-D there is no scalar cross-partition dominance
+    * state to inject (a range on one dimension bounds nothing about
+    * the others), and the merge input is output-bounded. Exact
+    * dominance semantics match the 2-D operator: strict in at least
+    * one dimension, duplicates survive; integral dims compare as
+    * longs, nulls throw naming the column. */
   def skylineMaxN(df: DataFrame, dims: Seq[String]): DataFrame = {
     require(dims.size >= 2, "need at least two dimensions")
     val enc = Encoders.row(df.schema)
-    val idx = dims.map(df.schema.fieldIndex).toArray
+    val dv = dims.map(new Dim(df.schema, _)).toArray
 
-    def num(r: Row, i: Int): Double = r.get(i) match {
-      case n: java.lang.Number => n.doubleValue()
-      case other => throw new IllegalArgumentException(
-        s"skyline dimension must be numeric, got: $other")
-    }
     // q dominates p: >= everywhere, > somewhere
-    def dominates(q: Row, p: Row): Boolean = {
+    def dominates(q: Array[Any], p: Array[Any]): Boolean = {
       var ge = true
       var gt = false
       var i = 0
-      while (i < idx.length && ge) {
-        val d = num(q, idx(i)) - num(p, idx(i))
-        if (d < 0) ge = false else if (d > 0) gt = true
+      while (i < dv.length && ge) {
+        val c = dv(i).cmp(q(i), p(i))
+        if (c < 0) ge = false else if (c > 0) gt = true
         i += 1
       }
       ge && gt
     }
     def bnl(it: Iterator[Row]): Iterator[Row] = {
-      val frontier = scala.collection.mutable.ArrayBuffer.empty[Row]
+      val frontier = scala.collection.mutable.ArrayBuffer.empty[(Row, Array[Any])]
       it.foreach { p =>
-        if (!frontier.exists(q => dominates(q, p))) {
-          val keep = frontier.filterNot(q => dominates(p, q))
+        val pv = dv.map(_.get(p))
+        if (!frontier.exists { case (_, qv) => dominates(qv, pv) }) {
+          val keep = frontier.filterNot { case (_, qv) => dominates(pv, qv) }
           frontier.clear()
           frontier ++= keep
-          frontier += p
+          frontier += ((p, pv))
         }
       }
-      frontier.iterator
+      frontier.iterator.map(_._1)
     }
     df.mapPartitions(bnl _)(enc).repartition(1).mapPartitions(bnl _)(enc)
   }

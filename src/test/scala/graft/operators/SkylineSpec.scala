@@ -95,6 +95,65 @@ class SkylineSpec extends SparkTestBase {
     assert(run(Seq.empty, 4).isEmpty)
   }
 
+  test("anti-correlated frontier engages the distributed range merge") {
+    // x = -y: EVERY point is on the frontier (no point beats another
+    // in both dims), so the local phase prunes nothing and a
+    // single-task merge would concentrate all n rows. With
+    // mergeMaxRows below n the range-merge path must engage, stay
+    // multi-partition, and still return every row exactly once —
+    // including duplicated boundary-candidate points.
+    val n = 5000
+    val pts = (1 to n).map(i => (i.toLong, i.toDouble, (n - i).toDouble)) ++
+      Seq((9001L, 2500.0, 2500.0), (9002L, 2500.0, 2500.0)) // dup tie pair
+    val df = pts.toDF("id", "x", "y").repartition(8)
+    val res = Skyline.skylineMax(df, "x", "y", mergeMaxRows = 100)
+    assert(res.rdd.getNumPartitions > 1,
+      "distributed merge should keep multiple partitions")
+    val got = res.as[(Long, Double, Double)].collect().toSet
+    assert(got == brute(pts), "range-merge result differs from NOT EXISTS")
+  }
+
+  test("distributed merge equals single-task merge on random ties") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      pts <- Gen.listOfN(n, for {
+        x <- Gen.choose(0, 6); y <- Gen.choose(0, 6)
+      } yield (x.toDouble, y.toDouble))
+    } yield pts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    GenForAll.forAll(gen, n = 60) { pts =>
+      val df = pts.toDF("id", "x", "y").repartition(3)
+      val dist = Skyline.skylineMax(df, "x", "y", mergeMaxRows = 0)
+        .as[(Long, Double, Double)].collect().toSet
+      assert(dist == brute(pts), s"points: $pts")
+    }
+  }
+
+  test("long dimensions beyond 2^53 compare exactly") {
+    // adjacent longs above the double mantissa: doubleValue() would
+    // collapse them to the same double and corrupt dominance
+    val base = (1L << 53) + 2L
+    val pts = Seq((1L, base, 10L), (2L, base + 1L, 10L), (3L, base, 11L))
+    // (base+1,10) dominates (base,10); (base,11) survives (y beats)
+    val got = Skyline.skylineMax(pts.toDF("id", "x", "y"), "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L))
+    val gotN = Skyline.skylineMaxN(pts.toDF("id", "x", "y"), Seq("x", "y"))
+      .select("id").as[Long].collect().toSet
+    assert(gotN == Set(2L, 3L))
+  }
+
+  test("null dimension throws naming the column") {
+    val df = Seq((1L, Some(1.0), 2.0), (2L, None, 3.0))
+      .toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      Skyline.skylineMax(df, "x", "y").collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(ex).contains("skyline dimension 'x' is NULL"))
+  }
+
   test("direction flags minimize via negation") {
     val df = Seq((1L, 2.0, 10.0), (2L, 3.0, 1.0), (3L, 1.0, 20.0))
       .toDF("id", "cost", "gain")
