@@ -67,37 +67,54 @@ object Multimodal {
     }
   }
 
-  /** REAL frame sampling for video rows: parse the AVI container once
-    * per row, pick up to `maxFrames` evenly-spaced frames (index map
+  /** REAL frame sampling for video rows: parse the container once per
+    * row — AVI ([[VideoCodec]]) or MP4 sample table ([[Mp4Codec]]) —
+    * pick up to `maxFrames` evenly-spaced frames (index map
     * `j*n/maxFrames` — every frame when n <= maxFrames), and emit the
-    * RAW container frame payloads with their exact strh-clock
-    * presentation times. Non-AVI video payloads yield no rows (their
-    * timeline, if MP4, comes from [[frameTimeline]]). */
+    * RAW container frame payloads with their exact clock presentation
+    * times (AVI: strh scale/rate; MP4: cumulative stts deltas).
+    * Unparseable video payloads yield no rows. */
   def sampleFrames(media: Dataset[MediaRecord], maxFrames: Int)
       : Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val avi = VideoCodec.parseAvi(r.bytes)
-      if (avi == null || maxFrames <= 0) Iterator.empty
+      if (maxFrames <= 0) Iterator.empty
       else {
-        val n = avi.frames.length
+        val avi = VideoCodec.parseAvi(r.bytes)
+        val (n, tsOf, frameOf): (Int, Int => Int, Int => Array[Byte]) =
+          if (avi != null) (avi.frames.length, avi.tsMs _, avi.frames.apply _)
+          else {
+            val m = Mp4Codec.parseMp4Video(r.bytes)
+            if (m == null) (0, (_: Int) => 0, (_: Int) => null)
+            else (m.samples.length, m.tsMs _, m.samples.apply _)
+          }
         val picks =
           if (n <= maxFrames) 0 until n
           else (0 until maxFrames).map(j => j * n / maxFrames)
-        picks.iterator.map(i =>
-          Frame(r.media_id, i, avi.tsMs(i), avi.frames(i)))
+        picks.iterator.map(i => Frame(r.media_id, i, tsOf(i), frameOf(i)))
       }
     }
+  }
+
+  /** Container-dispatched frame features: RIFF/AVI first
+    * ([[VideoCodec]]), then ISO-BMFF/MP4 via the full
+    * stsd/stts/stsc/stsz/stco sample walk ([[Mp4Codec]]). Null when
+    * neither container parses. */
+  private def videoFrameFeatures(bytes: Array[Byte])
+      : Array[(Int, Int, Int, Array[Float])] = {
+    val avi = VideoCodec.frameFeatures(bytes)
+    if (avi != null) avi else Mp4Codec.frameFeatures(bytes)
   }
 
   /** REAL per-frame pixel features for video rows: one container parse
     * + frame decode per row, emitting the [[ImageCodec.lumaGrid]] of
     * every decoded frame (null feature for frames whose codec the JVM
-    * cannot decode). No shuffle — per-row CPU in a flatMap. */
+    * cannot decode). AVI and MP4 containers both decode
+    * ([[videoFrameFeatures]]). No shuffle — per-row CPU in a flatMap. */
   def frameFeatures(media: Dataset[MediaRecord]): Dataset[FrameFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val fs = VideoCodec.frameFeatures(r.bytes)
+      val fs = videoFrameFeatures(r.bytes)
       if (fs == null) Iterator.empty
       else fs.iterator.map { case (i, ts, len, feat) =>
         FrameFeatures(r.media_id, i, ts, len, feat)
@@ -139,7 +156,7 @@ object Multimodal {
         val f = ImageCodec.decodeFeatures(bytes)
         if (f == null) null else java.lang.Long.valueOf(ImageCodec.aHash(f))
       case "video" =>
-        val fs = VideoCodec.frameFeatures(bytes)
+        val fs = videoFrameFeatures(bytes)
         if (fs == null) null
         else {
           val sums = new Array[Long](ImageCodec.FeatureDim)
@@ -339,7 +356,7 @@ object Multimodal {
                                 maxDt: Int = 4): Dataset[(Long, Seq[TemporalLandmark])] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
-      val fs = if (r.kind != "video") null else VideoCodec.frameFeatures(r.bytes)
+      val fs = if (r.kind != "video") null else videoFrameFeatures(r.bytes)
       if (fs == null) Iterator.empty
       else {
         val hs = fs.flatMap { case (_, _, _, g) =>
@@ -566,8 +583,12 @@ object Multimodal {
   /** REAL per-frame presentation times (ms) from the MP4 sample table
     * — `graft_mp4_timeline` ([[graft.plans.MediaOps.mp4SampleTimesMs]]):
     * mdhd timescale + stts delta runs, cumulative. NULL for non-MP4
-    * payloads. Frame PIXELS still need a codec (the stub boundary);
-    * the TIMELINE is genuine container data. */
+    * payloads. Frame PIXELS decode through [[Mp4Codec]]'s full
+    * stsd/stts/stsc/stsz/stco sample walk for `'raw '` (lossless,
+    * oracle-gated) and `'jpeg'` (MJPEG, ImageIO, spec tolerance)
+    * sample codecs; `avc1`/`hvc1` remain the PERMANENT pure-JVM
+    * boundary (no JDK inter-frame codec) — their timelines/sizes
+    * parse, their pixels are null. */
   def frameTimeline(bytes: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     graft.plans.GraftExtensions.nativeFn("graft_mp4_timeline", bytes)

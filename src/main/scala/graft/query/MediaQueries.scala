@@ -142,10 +142,20 @@ object MediaQueries {
     * the oracle replays from the color formulas; frame timestamps are
     * the strh clock `i*scale*1000/rate` with rates dividing 1000.
     * MJPG frames exercise the same walk + the ImageIO decoder under
-    * spec tolerance (VideoCodecSpec) — lossy, so not oracle-gated. */
+    * spec tolerance (VideoCodecSpec) — lossy, so not oracle-gated.
+    *
+    * `id % 5 == 2` rows ship as MP4 instead of AVI: `'raw '` RGB24
+    * samples (lossless, QuickTime layout) behind a REAL
+    * stsd/stts/stsc/stsz/stco sample table ([[graft.operators
+    * .Mp4Codec]]) — 2-sample chunks exercise the stsc run expansion,
+    * a mid-stream delta change exercises multi-run stts, and a
+    * non-ms media timescale exercises the `t*1000/timescale`
+    * conversion. Same closed-form colors, so the SAME luminance
+    * oracle covers both containers; ts/size arithmetic is exact
+    * container math in both. */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.operators.{Multimodal, VideoCodec}
+    import graft.operators.{Mp4Codec, Multimodal, VideoCodec}
     import graft.operators.Multimodal.{MediaMeta, MediaRecord}
     val media = docs(s, dir).filter(col("doc_id") < 150)
       .select(col("doc_id"))
@@ -159,10 +169,18 @@ object MediaQueries {
         val colors = (0 until n).map(i =>
           (rgb(id * 37 + i * 11, id * 59 + i * 13, id * 83 + i * 17),
             rgb(id * 101 + i * 19, id * 131 + i * 23, id * 163 + i * 29)))
-        MediaRecord(id, "video",
-          VideoCodec.encodeAvi(w, h, colors, scale = 1,
-            rate = Seq(10, 20, 25, 40)((id % 4).toInt)),
-          MediaMeta(Some(w), Some(h), None, None))
+        val bytes =
+          if (id % 5 == 2) {
+            val base = ((id % 5 + 1) * 20).toInt // = 60 for id%5==2
+            val timescale = (600 + (id % 4) * 200).toInt
+            val deltas = (0 until n).map(i => if (i < 2) base else 2 * base)
+            Mp4Codec.encodeMp4Bands(w, h,
+              colors.map(c => Seq(c._1, c._2)), timescale, deltas,
+              samplesPerChunk = 2)
+          } else
+            VideoCodec.encodeAvi(w, h, colors, scale = 1,
+              rate = Seq(10, 20, 25, 40)((id % 4).toInt))
+        MediaRecord(id, "video", bytes, MediaMeta(Some(w), Some(h), None, None))
       }
     Multimodal.frameFeatures(media).toDF()
       .select(col("media_id"), col("frame_index"), col("ts_ms"),
@@ -176,23 +194,32 @@ object MediaQueries {
 
   // Frame i of id: top lum from (37+11i, 59+13i, 83+17i), bottom from
   // (101+19i, 131+23i, 163+29i); h a multiple of 16 -> split at the
-  // cell-row 4 boundary, 32 top cells / 32 bottom. DIB payload 3wh.
-  // Clock: scale 1, rate in {10,20,25,40} (all divide 1000).
+  // cell-row 4 boundary, 32 top cells / 32 bottom. Payload 3wh bytes
+  // for BOTH containers (DIB stride = 3w at w%4==0; 'raw ' rowbytes =
+  // 3w by definition). Clock: AVI scale 1, rate in {10,20,25,40}
+  // (divide 1000); MP4 (id%5=2) stts deltas 60,60,120,120... units at
+  // timescale 600+(id%4)*200 -> t_units*1000 // timescale (floor).
   val multimodalFramesSql: String =
     """WITH p AS (SELECT doc_id AS media_id,
       |    16 * (doc_id % 4 + 1) AS w, 16 * (doc_id % 3 + 1) AS h,
       |    doc_id % 3 + 2 AS n,
+      |    doc_id % 5 = 2 AS is_mp4,
+      |    600 + (doc_id % 4) * 200 AS tscale,
       |    CASE doc_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
       |         WHEN 2 THEN 25 ELSE 40 END AS rate
       |  FROM documents WHERE doc_id < 150),
-      |fr AS (SELECT media_id, w, h, rate, CAST(i AS INT) AS frame_index,
+      |fr AS (SELECT media_id, w, h, rate, is_mp4, tscale,
+      |    CAST(i AS INT) AS frame_index,
       |    299*((media_id*37 + i*11)%256) + 587*((media_id*59 + i*13)%256)
       |      + 114*((media_id*83 + i*17)%256) AS l1,
       |    299*((media_id*101 + i*19)%256) + 587*((media_id*131 + i*23)%256)
       |      + 114*((media_id*163 + i*29)%256) AS l2
       |  FROM p, range(4) r(i) WHERE i < n)
       |SELECT media_id, frame_index,
-      |  CAST(frame_index * 1000 / rate AS INT) AS ts_ms,
+      |  CAST(CASE WHEN is_mp4 THEN
+      |      ((CASE WHEN frame_index <= 2 THEN 60 * frame_index
+      |        ELSE 120 * (frame_index - 1) END) * 1000) // tscale
+      |    ELSE frame_index * 1000 / rate END AS INT) AS ts_ms,
       |  CAST(3 * w * h AS INT) AS frame_bytes_len,
       |  CAST(l1 AS BIGINT) AS lum_tl, CAST(l2 AS BIGINT) AS lum_br,
       |  CAST(32*l1 + 32*l2 AS BIGINT) AS lum_sum
