@@ -110,10 +110,14 @@ object Bench {
       if (len + p.length + 1 <= budget) { kept += p; len += p.length + 1 }
       else full = true
     }
+    // the omitted (fastest) queries' united total makes the headline
+    // reconstructible from the tail alone: total = shown + omitted_sec
     val omitted = parts.size - kept.size
+    val omittedSec = best.sortBy(-_._2).drop(kept.size)
+      .map(_._2).filter(_ >= 0).sum
     val extra =
       if (omitted > 0)
-        s""","omitted_fast_queries":$omitted,"full":"bench_full.json""""
+        f""","omitted_fast_queries":$omitted,"omitted_sec":$omittedSec%.3f,"full":"bench_full.json""""
       else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$health,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$extra}""")
     spark.stop()

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.query.{CoreQueries, DomainQueries, MediaQueries,
+import graft.query.{CoreQueries, DedupQueries, DomainQueries, MediaQueries,
   QualityQueries, TextQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -10,6 +10,7 @@ object SparkEntry {
   private def oracleBacked
       : Map[String, ((SparkSession, String) => DataFrame, String)] =
     CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle ++
+      DedupQueries.withOracle ++
       MediaQueries.all ++ VectorQueries.all ++ QualityQueries.all ++
       WarehouseQueries.all
 

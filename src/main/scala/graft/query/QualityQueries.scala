@@ -141,7 +141,7 @@ object QualityQueries {
     val t = Seq(0.8, 0.9, 1.0).map(Sampling.hexThreshold)
     val coin = coinSql("cluster")
     s"""WITH RECURSIVE
-      |${TextQueries.clusterReachCte},
+      |${DedupQueries.clusterReachCte},
       |cl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
       |j AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS cluster
       |      FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d

@@ -67,10 +67,10 @@ object Probe {
     }
     if (only.contains("clusters")) {
       val tc = System.nanoTime()
-      val n = graft.query.TextQueries.dedupClusters(spark, dir).count()
+      val n = graft.query.DedupQueries.dedupClusters(spark, dir).count()
       println(s"[probe] dedupClusters query rows=$n in ${(System.nanoTime()-tc)/1e9}s")
       val tc2 = System.nanoTime()
-      graft.query.TextQueries.dedupClusters(spark, dir).count()
+      graft.query.DedupQueries.dedupClusters(spark, dir).count()
       println(s"[probe] dedupClusters warm in ${(System.nanoTime()-tc2)/1e9}s")
       spark.stop(); return
     }
