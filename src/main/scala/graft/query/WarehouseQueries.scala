@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,6 +150,70 @@ object WarehouseQueries {
       |  CAST(levenshtein(p.probe_name, c.c_name) AS BIGINT) AS dist
       |FROM probes p CROSS JOIN customer c
       |WHERE levenshtein(p.probe_name, c.c_name) <= 2
+      |ORDER BY probe_key, cand_key""".stripMargin
+
+  /** The `maxBucket` skew cap under the hash gate (VERDICT r8 item 7):
+    * drop-oversized blocking-bucket semantics, exercised on a
+    * SF-invariant hot-key fixture (custkey < 120 exists at every SF).
+    * Candidates: custkey%3==0 rows all named `HOT` (a 40-row hot
+    * bucket — the blocking-skew pathology), the rest unique
+    * `u<key>`. Probes (custkey%4==1) append `X`. With maxBucket=10:
+    * every `HOT` deletion bucket (40 rows) is dropped on the RIGHT
+    * side, so hot matches vanish; the 10-row `HOTX` probe buckets sit
+    * exactly AT the cap on the LEFT side (certifying <=, not <); the
+    * unique-name buckets (size 1) pass, so each non-hot probe still
+    * finds its base candidate at dist 1. The oracle replays the SAME
+    * per-(key, side) count filter in SQL over the FastSS deletion
+    * neighborhoods — string keys there, xxhash64 keys here (a
+    * collision would only merge counts; none occurs on this data, and
+    * the hash gate would catch it). */
+  def fuzzyJoinCapped(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_custkey") < 120)
+    def skewName(key: Column): Column =
+      when(key % 3 === 0, lit("HOT"))
+        .otherwise(concat(lit("u"), key.cast("string")))
+    val cands = cust.select(col("c_custkey").as("cand_key"),
+      skewName(col("c_custkey")).as("cand_name"))
+    val probes = cust.filter(col("c_custkey") % 4 === 1)
+      .select(col("c_custkey").as("probe_key"),
+        concat(skewName(col("c_custkey")), lit("X")).as("probe_name"))
+    FuzzyJoin.levJoin(probes, "probe_key", "probe_name",
+        cands, "cand_key", "cand_name", k = 1, maxBucket = 10)
+      .select(col("probe_key"), col("cand_key"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("probe_key", "cand_key")
+  }
+
+  // FastSS deletion neighborhood in SQL: the string plus every
+  // single-character deletion, distinct — then the cap is a per-(key,
+  // side) window count filter, exactly keyed's drop-oversized rule.
+  val fuzzyJoinCappedSql: String =
+    """WITH base AS (SELECT c_custkey AS key,
+      |    CASE WHEN c_custkey % 3 = 0 THEN 'HOT'
+      |         ELSE 'u' || c_custkey END AS nm
+      |  FROM customer WHERE c_custkey < 120),
+      |probes AS (SELECT key AS probe_key, nm || 'X' AS probe_name
+      |  FROM base WHERE key % 4 = 1),
+      |cands AS (SELECT key AS cand_key, nm AS cand_name FROM base),
+      |lk AS (SELECT probe_key, probe_name, unnest(list_distinct(
+      |    [probe_name] || [substr(probe_name, 1, i - 1) ||
+      |       substr(probe_name, i + 1)
+      |     FOR i IN range(1, length(probe_name) + 1)])) AS k
+      |  FROM probes),
+      |rk AS (SELECT cand_key, cand_name, unnest(list_distinct(
+      |    [cand_name] || [substr(cand_name, 1, i - 1) ||
+      |       substr(cand_name, i + 1)
+      |     FOR i IN range(1, length(cand_name) + 1)])) AS k
+      |  FROM cands),
+      |lkc AS (SELECT * FROM lk
+      |  QUALIFY count(*) OVER (PARTITION BY k) <= 10),
+      |rkc AS (SELECT * FROM rk
+      |  QUALIFY count(*) OVER (PARTITION BY k) <= 10),
+      |pairs AS (SELECT DISTINCT probe_key, probe_name, cand_key, cand_name
+      |  FROM lkc JOIN rkc USING (k))
+      |SELECT probe_key, cand_key,
+      |  CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
+      |FROM pairs WHERE levenshtein(probe_name, cand_name) <= 1
       |ORDER BY probe_key, cand_key""".stripMargin
 
   // ---- Z-order clustering key ----
@@ -406,6 +470,7 @@ object WarehouseQueries {
     "q_skyline3" -> (skyline3Customers _, skyline3CustomersSql),
     "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
     "q_fuzzy_join2" -> (fuzzyJoin2Names _, fuzzyJoin2NamesSql),
+    "q_fuzzy_join_capped" -> (fuzzyJoinCapped _, fuzzyJoinCappedSql),
     "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),
     "q_zorder3_keys" -> (zorder3Keys _, zorder3KeysSql),
     "q_scd2_history" -> (scd2History _, scd2HistorySql),
