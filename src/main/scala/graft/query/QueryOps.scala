@@ -194,6 +194,60 @@ object QueryOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"), col("filled_value"))
   }
 
+  /** Per-key integer-scaled EWMA scan (exponentially-decayed counter):
+    * ordered by `(timeUs, tie)` within each key,
+    * `s_0 = v_0 * scale` and
+    * `s_i = (alphaNum * v_i * scale + (alphaDen - alphaNum) * s_{i-1})
+    * div alphaDen` — integer division at every step, so the
+    * recurrence is NON-associative and must be evaluated as a true
+    * left-to-right scan (no window-function shortcut exists), which
+    * is exactly why it is hash-certifiable: both engines replay the
+    * identical integer sequence. Emits one row per input row with the
+    * running decayed value.
+    *
+    * Scale: one shuffle on the key; each group is scanned in a single
+    * task in time order ([[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroups]] over a sorted buffer). Groups are
+    * entity-per-key sized (a user's events), not data-sized — the
+    * standard sessionize/scan contract; a key whose history exceeds
+    * task memory needs time-windowed keys upstream.
+    *
+    * Values must be NON-NEGATIVE (decayed counters): truncating and
+    * flooring division agree on non-negatives, so Spark's `/` and the
+    * oracle's `//` replay identical sequences; a negative value fails
+    * loudly. Overflow headroom is enforced: v * scale * alphaDen must
+    * fit a Long with slack (the scan's intermediate is bounded by
+    * max(v)·scale since EWMA is a convex combination). */
+  def ewmaScan(df: DataFrame, key: Column, timeUs: Column, tie: Column,
+               value: Column, alphaNum: Long, alphaDen: Long,
+               scale: Long = 1000000L): DataFrame = {
+    require(alphaDen >= 1 && alphaNum >= 0 && alphaNum <= alphaDen,
+      "need 0 <= alphaNum <= alphaDen")
+    require(scale >= 1, "scale must be >= 1")
+    val prepared = df.select(key.cast("long").as("key"),
+      timeUs.cast("long").as("us"), tie.cast("long").as("tie"),
+      value.cast("long").as("v"))
+    import prepared.sparkSession.implicits._
+    val maxAbs = Long.MaxValue / math.max(1L, alphaDen) / scale / 2
+    prepared.as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var s = 0L
+        var first = true
+        rows.iterator.map { case (_, us, tie, v) =>
+          require(v >= 0, s"ewmaScan values must be non-negative, got $v " +
+            "(floor vs truncate division diverge below zero)")
+          require(v <= maxAbs,
+            s"ewma overflow headroom: $v * $scale * $alphaDen exceeds Long")
+          s = if (first) { first = false; v * scale }
+          else (alphaNum * v * scale + (alphaDen - alphaNum) * s) / alphaDen
+          (k, us, tie, v, s)
+        }
+      }
+      .toDF("key", "us", "tie", "v", "ewma")
+  }
+
   /** A4: running counters — the reference's processedEntries /
     * lookedUpEntries log counters as observable metrics attached to the
     * plan (collected by a QueryExecutionListener or streaming progress,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, FuzzyJoin, PageRank, Skyline, Triangles, ZOrder}
+import graft.operators.{Bfs, Dedup, FuzzyJoin, PageRank, Skyline, Triangles, ZOrder}
 import graft.plans.ZOrderOps
 import graft.sources.Tables
 
@@ -465,6 +465,103 @@ object WarehouseQueries {
        |SELECT node, COUNT(*) AS n_triangles FROM corners
        |GROUP BY 1 ORDER BY node""".stripMargin
 
+  /** Multi-source BFS hop distances ([[graft.operators.Bfs.hops]])
+    * over the event-derived directed graph (denser fixture than the
+    * components one — avg out-degree ~6, so waves actually propagate
+    * at every SF): dist = min directed hops from sources {0..4},
+    * capped at 6; unreached nodes absent. The oracle explores the
+    * same bounded walk as a recursive CTE and takes MIN(dist) —
+    * exact integers, full hash gate. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    val e = eventEdges(s, dir, every = 17).distinct()
+    val sources = s.range(5).select(col("id").as("node"))
+    Bfs.hops(e, sources, maxHops = 6).orderBy("node")
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE raw AS (SELECT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % 17 = 0),
+       |e AS (SELECT DISTINCT src, dst FROM raw),
+       |walk AS (SELECT CAST(x AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+       |    FROM (VALUES (0), (1), (2), (3), (4)) t(x)
+       |  UNION
+       |  SELECT e.dst, w.dist + 1 FROM walk w
+       |  JOIN e ON e.src = w.node WHERE w.dist < 6)
+       |SELECT node, MIN(dist) AS dist FROM walk
+       |GROUP BY node ORDER BY node""".stripMargin
+
+  /** Integer-scaled EWMA decayed counters
+    * ([[QueryOps.ewmaScan]], alpha = 0.30, scale 10^6) per user over
+    * the event stream — the sequential recurrence NO window function
+    * expresses (integer division each step makes it non-associative),
+    * evaluated as a per-key sorted scan. The oracle replays the
+    * identical integer sequence with a recursive CTE over
+    * row_number — truncating and flooring division agree because the
+    * metric is non-negative. */
+  def ewmaDecay(s: SparkSession, dir: String): DataFrame =
+    QueryOps.ewmaScan(
+        Tables.loadEventsTs(s, dir).filter(col("user_id") < 50),
+        col("user_id"), col("us"), col("event_id"),
+        col("event_id") % 100, alphaNum = 30, alphaDen = 100)
+      .select(col("key").as("user_id"), col("us"),
+        col("tie").as("event_id"), col("v"), col("ewma"))
+      .orderBy("user_id", "us", "event_id")
+
+  val ewmaDecaySql: String =
+    """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    event_id % 100 AS v,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events WHERE user_id < 50),
+      |scan AS (SELECT user_id, us, event_id, v, rn,
+      |    CAST(v * 1000000 AS BIGINT) AS ewma
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.us, e.event_id, e.v, e.rn,
+      |    CAST((30 * e.v * 1000000 + 70 * s.ewma) // 100 AS BIGINT)
+      |  FROM scan s JOIN ev e ON e.user_id = s.user_id
+      |    AND e.rn = s.rn + 1)
+      |SELECT user_id, us, CAST(event_id AS BIGINT) AS event_id,
+      |  CAST(v AS BIGINT) AS v, ewma
+      |FROM scan ORDER BY user_id, us, event_id""".stripMargin
+
+  /** Robust outliers by median absolute deviation per event type:
+    * |value − median| > 3·MAD — the data-quality screen that survives
+    * the outliers it hunts (unlike z-scores, whose mean/stddev the
+    * outliers drag). Two per-group EXACT percentiles (engine-shared
+    * interpolation definition — see [[CoreQueries.groupQuantiles]];
+    * approx_percentile is the corpus-scale variant and stays out of
+    * the hash gate) + one broadcast of the group-count-sized stats. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("absdev") > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy("event_id")
+  }
+
+  val madOutliersSql: String =
+    """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+      |    abs(e.value - m.med) AS ad
+      |  FROM events e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.value, d.med, md.mad
+      |FROM d JOIN md USING (event_type)
+      |WHERE d.ad > 3 * md.mad
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
     "q_skyline3" -> (skyline3Customers _, skyline3CustomersSql),
@@ -476,6 +573,9 @@ object WarehouseQueries {
     "q_scd2_history" -> (scd2History _, scd2HistorySql),
     "q_pagerank" -> (pageRankEvents _, pageRankEventsSql),
     "q_graph_components" -> (graphComponents _, graphComponentsSql),
+    "q_graph_bfs" -> (graphBfs _, graphBfsSql),
+    "q_ewma_decay" -> (ewmaDecay _, ewmaDecaySql),
+    "q_mad_outliers" -> (madOutliers _, madOutliersSql),
     "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "q_cdc_apply" -> (cdcApply _, cdcApplySql))
 }
