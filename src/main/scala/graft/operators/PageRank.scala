@@ -34,15 +34,16 @@ import org.apache.spark.storage.StorageLevel
   * Checkpointing cannot change a single bit of the result: the
   * integer recurrence is a pure function of the checkpointed values.
   *
-  * Overflow headroom is ENFORCED, not just documented: total rank
-  * mass is conserved-or-leaking (Σ rank ≤ n·scale at every
-  * iteration), so the largest value the `85 * s` multiply can see is
-  * n·scale; `run` requires n·scale ≤ Long.Max/100 and fails loudly
-  * with the actual node count instead of wrapping silently under
-  * non-ANSI mode (ADVICE r8). At the default scale that admits
-  * ~9.2×10^4 nodes; pass a smaller `scale` for bigger graphs (e.g.
-  * 10^6 still gives 6 exact decimal digits and admits ~9×10^10
-  * nodes).
+  * Overflow headroom is ENFORCED, not just documented: every
+  * iteration's summed contribution `s` passes through an inline
+  * codegen'd `assert_true(s <= Long.Max/85)` folded into the rank
+  * expression (a no-op NULL when fine), so the `85 * s` multiply
+  * fails loudly on the ACTUAL value instead of wrapping silently
+  * under non-ANSI mode (ADVICE r8) — and it costs zero extra jobs,
+  * unlike an up-front node-count bound. At the default scale the
+  * headroom runs out around ~10^5 nodes of concentrated mass; pass a
+  * smaller `scale` for bigger graphs (10^6 still gives 6 exact
+  * decimal digits and admits ~9×10^10 nodes).
   */
 object PageRank {
 
@@ -62,18 +63,30 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
     if (iters == 0) return nodes.withColumn("rank", lit(scale))
 
-    val eP = e.persist(StorageLevel.MEMORY_AND_DISK)
-    val nodesP = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = eP.groupBy("src").agg(count(lit(1)).as("out_deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // One node-set-sized action up front: materializes the caches the
-    // loop reuses anyway AND checks the multiply headroom (see above).
-    val n = nodesP.count()
-    require(n <= Long.MaxValue / 100L / scale,
-      s"overflow headroom: $n nodes at scale=$scale exceeds " +
-        s"Long range for the 85x damping multiply " +
-        s"(max ${Long.MaxValue / 100L / scale} nodes); lower `scale`")
+    // The persistence machinery (caches + checkpoint cadence) pays for
+    // itself when the loop is long enough to take a checkpoint; below
+    // the interval the lazy plan is ≤ interval joins deep — already
+    // bounded — and the eager materializations are pure overhead
+    // (measured 6× on the 3-iteration certification run, BENCH r9).
+    val doPersist = iters >= checkpointInterval
+    val eP = if (doPersist) e.persist(StorageLevel.MEMORY_AND_DISK) else e
+    val nodesP =
+      if (doPersist) nodes.persist(StorageLevel.MEMORY_AND_DISK) else nodes
+    val deg = {
+      val d = eP.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      if (doPersist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+    }
     val base = lit(15L * scale / 100L)
+    // Inline headroom check on the actual sum (see object doc): NULL
+    // (-> +0) when safe, loud error before the multiply can wrap.
+    // Folded into the rank arithmetic so column pruning cannot drop it.
+    val sLim = Long.MaxValue / 85L
+    val sGuard = coalesce(
+      assert_true(coalesce(col("s"), lit(0L)) <= lit(sLim),
+        lit(s"pagerank overflow headroom: a node's summed contribution " +
+          s"exceeded Long.Max/85 = $sLim at scale=$scale; lower `scale`"))
+        .cast("long"),
+      lit(0L))
 
     var ranks = nodesP.withColumn("rank", lit(scale))
     var prevCkpt: DataFrame = null
@@ -88,17 +101,23 @@ object PageRank {
       ranks = nodesP
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (base + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
-      if (i % checkpointInterval == 0 || i == iters) {
+          // guard is the LEFT operand: addition evaluates left-to-
+          // right, so the assert fires (clear message) before the
+          // multiply can wrap (non-ANSI) or throw raw (ANSI)
+          (base + sGuard + expr("(85 * coalesce(s, 0L)) div 100"))
+            .as("rank"))
+      if (doPersist && (i % checkpointInterval == 0 || i == iters)) {
         val ckpt = ranks.localCheckpoint(eager = true)
         if (prevCkpt != null) prevCkpt.unpersist()
         prevCkpt = ckpt
         ranks = ckpt
       }
     }
-    // Final frame is materialized (eager checkpoint) — the loop inputs
-    // can be dropped without recompute risk.
-    eP.unpersist(); nodesP.unpersist(); deg.unpersist()
+    if (doPersist) {
+      // Final frame is materialized (eager checkpoint) — the loop
+      // inputs can be dropped without recompute risk.
+      eP.unpersist(); nodesP.unpersist(); deg.unpersist()
+    }
     ranks
   }
 }

@@ -102,6 +102,19 @@ object Probe {
           sub, "vec_id", "embedding", k = 5, nlist = 8, nprobe = nprobe))
       spark.stop(); return
     }
+    if (only.contains("pr3")) {
+      // q_pagerank fixed-cost check after the doPersist gating
+      for (r <- 1 to 4) {
+        val t0 = System.nanoTime()
+        val n = graft.query.WarehouseQueries.graphBfs(spark, dir).count()
+        val t1 = System.nanoTime()
+        val m = graft.query.WarehouseQueries.pageRankEvents(spark, dir).count()
+        val t2 = System.nanoTime()
+        println(f"[probe] r$r bfs rows=$n ${(t1 - t0) / 1e9}%.2f s | " +
+          f"pagerank rows=$m ${(t2 - t1) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
     if (only.contains("sesswin")) {
       // q_session_window r8 bench anomaly A/B (VERDICT r8 item 1):
       // (a) current path  — normalizeEventTs long round-trip

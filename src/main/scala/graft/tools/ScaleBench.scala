@@ -53,7 +53,13 @@ object ScaleBench {
     // corpus statistics (round 8): disjoint replica vocabularies keep
     // unigram/bigram group counts linear; per-language window mass is
     // per-replica-linear too
-    "q_collocations", "q_nucleus_topp")
+    "q_collocations", "q_nucleus_topp",
+    // round 9: full-events-scan MAD screen (two per-type percentiles +
+    // broadcast stats). Excluded for fixture reasons: q_ewma_decay
+    // (fixed user<50 slice — replica key offsets leave the slice at
+    // base size); q_graph_bfs (the %1000-node modulus densifies the
+    // fixed node set, same as the pagerank/components exclusion)
+    "q_mad_outliers")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)

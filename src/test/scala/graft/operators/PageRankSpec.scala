@@ -67,10 +67,18 @@ class PageRankSpec extends SparkTestBase {
   }
 
   test("overflow headroom guard fails loudly instead of wrapping") {
-    val ex = intercept[IllegalArgumentException] {
-      PageRank.run(edges.toDF("src", "dst"), 1, scale = Long.MaxValue / 300L)
+    // 3 rank-scale sources feed node 4 with out_deg 1 each: the summed
+    // contribution is 3*scale = 1.5e17 > Long.Max/85 — the 85x multiply
+    // would wrap silently; the inline assert must fire instead
+    val hot = Seq[(Long, Long)]((1, 4), (2, 4), (3, 4))
+    val ex = intercept[Exception] {
+      PageRank.run(hot.toDF("src", "dst"), 1, scale = 50000000000000000L)
+        .collect()
     }
-    assert(ex.getMessage.contains("overflow headroom"))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(ex).contains("overflow headroom"))
   }
 
   test("result is partition-count invariant (integer sums commute)") {
