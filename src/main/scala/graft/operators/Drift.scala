@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample distribution-drift screens in EXACT integer
+  * arithmetic — the corpus-monitoring step of a training-data
+  * pipeline (did this crawl snapshot / source mix shift against the
+  * last one?). Classical drift statistics (KS, chi-squared) are
+  * float-valued; both screens here keep the DECISION quantities as
+  * exact cross-multiplied integers so a distributed run is
+  * hash-certifiable against a SQL oracle, and only derive the
+  * conventional float statistic from those integers at the end (one
+  * division of exact longs — bit-identical across engines).
+  *
+  * Scale shape: one groupBy on the discretized value (or token), one
+  * value-domain-bounded global cumulative window (KS), one top-k.
+  * The global window is a single-partition sort over DISTINCT
+  * values, not rows — bounded by the value domain (a discretized
+  * feature), the same bound the [[Skyline]] merge documents. For an
+  * unbounded-domain feature, bucket it first (that discretization is
+  * part of the screen's definition, not a shortcut).
+  *
+  * Overflow headroom: every cross product is `count_a * total_b`
+  * (longs) — exact to ~9.2e18, i.e. two slices of ~3e9 observations
+  * each. Beyond that, lift the same expressions to decimal(38,0);
+  * the shapes are unchanged.
+  */
+object Drift {
+
+  /** Exact two-sample Kolmogorov–Smirnov over a discrete/discretized
+    * value: one row with the scaled KS numerator
+    * `ks_num = max_v |cumA(v)·nB - cumB(v)·nA|`, the smallest value
+    * attaining it (`ks_at`), the slice sizes, and the conventional
+    * statistic `ks = ks_num / (nA·nB)`.
+    *
+    * @param inA boolean column: true → slice A, false → slice B */
+  def ksStatistic(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val per = df.select(value.as("v"), inA.cast("long").as("__a"))
+      .groupBy("v")
+      .agg(sum("__a").as("__ca"),
+        (count(lit(1)) - sum("__a")).as("__cb"))
+    val cumW = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .select(col("v"),
+        sum("__ca").over(cumW).as("__cumA"),
+        sum("__cb").over(cumW).as("__cumB"),
+        sum("__ca").over(allW).as("n_a"),
+        sum("__cb").over(allW).as("n_b"))
+      .withColumn("ks_num",
+        abs(col("__cumA") * col("n_b") - col("__cumB") * col("n_a")))
+      .orderBy(desc("ks_num"), asc("v"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("v").as("ks_at"), col("ks_num"),
+        (col("ks_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** Token-level rate-drift screen: explode `tokens`, count per
+    * (token, slice), and rank tokens by the exact scaled rate
+    * difference `|cnt_a·nB - cnt_b·nA|` (the cross-multiplied form of
+    * `|cnt_a/nA - cnt_b/nB|` — totals are TOKEN totals, so the rate
+    * is each token's share of its slice's token mass). Returns the
+    * `topK` most-drifted tokens with their counts and the SIGNED
+    * scaled difference (positive → over-represented in A).
+    *
+    * This is the exact-integer core of a chi-squared/G-test screen:
+    * `cnt_a·nB - cnt_b·nA` is the 2×2 determinant `ad - bc` whose
+    * square drives the chi-squared numerator; ranking by |det| ranks
+    * by per-token evidence of drift without ever leaving integers. */
+  def tokenRateDiff(df: DataFrame, tokens: Column, inA: Column,
+                    topK: Int): DataFrame = {
+    val tok = df.select(explode(tokens).as("token"),
+      inA.cast("long").as("__a"))
+    val per = tok.groupBy("token")
+      .agg(sum("__a").as("cnt_a"),
+        (count(lit(1)) - sum("__a")).as("cnt_b"))
+    val totals = per.agg(sum("cnt_a").as("n_a"), sum("cnt_b").as("n_b"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("diff_num",
+        col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a"))
+      .orderBy(abs(col("diff_num")).desc, asc("token"))
+      .limit(topK)
+      .select("token", "cnt_a", "cnt_b", "diff_num")
+  }
+}

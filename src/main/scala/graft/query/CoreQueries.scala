@@ -910,6 +910,71 @@ object CoreQueries {
       |  COALESCE(cnt, 0) AS cnt, filled_value
       |FROM filled ORDER BY user_id, hour""".stripMargin
 
+  /** Linear-interpolation gap fill ([[QueryOps.resampleInterp]]) on
+    * the same per-user hourly grid as q_resample_ffill, with the
+    * integer observation `event_id % 100`: gap hours get the exact
+    * scaled lerp between the surrounding observed hours, computed
+    * entirely in integer arithmetic (S = 10^6, bucket-index
+    * distances, sign branched so truncating and flooring division
+    * agree on the non-negative quotient) — every value
+    * hash-certifiable. */
+  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val evs = ev(s, dir).filter(col("user_id") < 50)
+    QueryOps.resampleInterp(evs, col("user_id"),
+        col("us"), col("event_id"), col("event_id") % 100,
+        stepUs = 3600000000L)
+      .select(col("key").as("user_id"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("cnt"), col("interp_scaled"))
+      .orderBy("user_id", "hour")
+  }
+
+  val resampleInterpSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_id % 100 AS v, epoch_us(ts) AS us,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+      |  FROM events WHERE user_id < 50),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, hour_us
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM ev),
+      |per_hour AS (
+      |  SELECT user_id, hour_us, count(*) AS cnt,
+      |    max(CASE WHEN rn = 1 THEN v END) AS hv
+      |  FROM ranked GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000))
+      |      AS hour_us
+      |  FROM ev GROUP BY user_id),
+      |nbr AS (
+      |  SELECT g.user_id, g.hour_us, p.cnt, p.hv,
+      |    last_value(p.hv IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN p.hv IS NOT NULL THEN g.hour_us END
+      |        IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |    first_value(p.hv IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN p.hv IS NOT NULL THEN g.hour_us END
+      |        IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      |  FROM grid g LEFT JOIN per_hour p
+      |    ON g.user_id = p.user_id AND g.hour_us = p.hour_us)
+      |SELECT user_id,
+      |  strftime(make_timestamp(hour_us), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(cnt, 0) AS cnt,
+      |  CAST(CASE WHEN hv IS NOT NULL THEN hv * 1000000
+      |    ELSE pv * 1000000
+      |      + (CASE WHEN nv >= pv THEN 1 ELSE -1 END)
+      |      * ((ABS(nv - pv) * 1000000 * ((hour_us - pb) // 3600000000))
+      |         // ((nb - pb) // 3600000000)) END AS BIGINT) AS interp_scaled
+      |FROM nbr ORDER BY user_id, hour""".stripMargin
+
   /** Co-located fact-fact join on bucketed tables
     * ([[graft.sources.Bucketing]]): orders and customer are written
     * pre-hashed into 8 buckets on custkey, then sort-merge joined with
@@ -1011,5 +1076,6 @@ object CoreQueries {
     "q_join_salted_auto" -> (saltedJoinAuto _, joinOrdersCustomerSql),
     "q_join_bucketed" -> (joinBucketed _, joinBucketedSql),
     "q_incremental_agg" -> (incrementalAgg _, incrementalAggSql),
-    "q_resample_ffill" -> (resampleFfill _, resampleFfillSql))
+    "q_resample_ffill" -> (resampleFfill _, resampleFfillSql),
+    "q_resample_interp" -> (resampleInterp _, resampleInterpSql))
 }

@@ -486,8 +486,44 @@ object DedupQueries {
        |  AND doc_id NOT IN (SELECT doc_id FROM hits)
        |ORDER BY doc_id""".stripMargin
 
+  /** EXACT Jaccard-threshold self-join via global-frequency prefix
+    * filtering ([[graft.operators.SimilarityJoin.prefixJaccardSelfJoin]],
+    * AllPairs/PPJoin family) — the guaranteed-recall counterpart to
+    * the LSH candidate paths above. Because the algorithm is exact,
+    * the brute-force threshold join IS its oracle, with no recall
+    * argument needed: every emitted pair and every omitted pair is
+    * certified. Bigram shingle sets over a 1000-doc slice with
+    * threshold 0.5 — the EXACT same (input, threshold) as
+    * q_dedup_minhash, so the two queries certify each other: the LSH
+    * path equals brute force by a recall ARGUMENT (certain-recall
+    * banding above the corpus gap), the prefix path equals it by
+    * CONSTRUCTION. Unigram sets would be useless here: the corpus
+    * vocabulary is 31 tokens, so unigram Jaccard is coarse and
+    * near-uniform; the bigram space (~31²) is where similarity
+    * discriminates, and where df-ordered prefixes actually prune. */
+  def jaccardJoinExact(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SimilarityJoin.prefixJaccardSelfJoin(
+        docs(s, dir).filter(col("doc_id") < 1000), "doc_id",
+        Dedup.shingles(col("text"), 2), threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val jaccardJoinExactSql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |            FROM documents WHERE doc_id < 1000),
+       |t AS (SELECT doc_id, $bigramShinglesSql AS sh FROM t0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(a.sh || b.sh)) END AS jaccard
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |         / len(list_distinct(a.sh || b.sh)) END >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_dedup_exact" -> (dedupExact _, dedupExactSql),
+    "q_jaccard_join_exact" -> (jaccardJoinExact _, jaccardJoinExactSql),
     "q_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
     "q_dedup_minhash" -> (dedupMinhash _, dedupMinhashSql),
     "q_dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),

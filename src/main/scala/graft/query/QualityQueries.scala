@@ -3,7 +3,7 @@ package graft.query
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Drift, Sampling, TextAnalysis}
 
 /** Statistical-quality and split-hygiene queries over `documents` —
   * the curation steps between dedup and packing: corpus-trained LM
@@ -343,6 +343,71 @@ object QualityQueries {
       |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
       |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- two-sample corpus drift screens (exact-integer statistics) ----
+
+  /** Exact two-sample KS ([[graft.operators.Drift.ksStatistic]])
+    * between the `en` slice and the rest, over the discrete `n_chars`
+    * length distribution — "did this source/snapshot shift the length
+    * profile?". The decision quantities (cross-multiplied ECDF gaps)
+    * stay integers end-to-end; the one float column is a single
+    * division of exact longs, bit-identical across engines. */
+  def driftKs(s: SparkSession, dir: String): DataFrame =
+    Drift.ksStatistic(docs(s, dir), col("n_chars"), col("lang") === "en")
+
+  val driftKsSql: String =
+    """WITH per AS (SELECT n_chars AS v,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM documents GROUP BY 1),
+      |cum AS (SELECT v,
+      |    SUM(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumA,
+      |    SUM(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumB,
+      |    SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+      |  FROM per)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  v AS ks_at,
+      |  CAST(ABS(cumA * n_b - cumB * n_a) AS BIGINT) AS ks_num,
+      |  CAST(ABS(cumA * n_b - cumB * n_a) AS DOUBLE)
+      |    / CAST(n_a * n_b AS DOUBLE) AS ks
+      |FROM cum ORDER BY ks_num DESC, ks_at ASC LIMIT 1""".stripMargin
+
+  /** Token-rate drift screen ([[graft.operators.Drift.tokenRateDiff]]):
+    * the 40 adjacent-token bigrams whose share of the slice's bigram
+    * mass moved most between the `en` slice and the rest, ranked by
+    * the exact 2×2 determinant |cnt_a·nB − cnt_b·nA| (the integer
+    * core of a chi-squared screen). Bigram OCCURRENCES, not unigrams:
+    * the corpus vocabulary is 31 tokens (a top-40 unigram screen
+    * would just return the whole vocabulary), while the observed
+    * bigram space is ~31² — a real ranking problem. Deterministic
+    * total order: |det| desc, token asc — token is unique per row. */
+  def driftTokens(s: SparkSession, dir: String): DataFrame = {
+    val l = TextAnalysis.tokenize(col("text"))
+    val bigrams = zip_with(
+      slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Drift.tokenRateDiff(docs(s, dir), bigrams,
+      col("lang") === "en", topK = 40)
+  }
+
+  val driftTokensSql: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS l, lang FROM documents),
+      |tok AS (SELECT unnest([l[i] || ' ' || l[i+1]
+      |      FOR i IN range(1, len(l))]) AS token,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+      |  FROM d),
+      |per AS (SELECT token, CAST(SUM(a) AS BIGINT) AS cnt_a,
+      |    CAST(COUNT(*) - SUM(a) AS BIGINT) AS cnt_b
+      |  FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+      |    CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM per)
+      |SELECT token, cnt_a, cnt_b,
+      |  cnt_a * n_b - cnt_b * n_a AS diff_num
+      |FROM per, tot
+      |ORDER BY ABS(cnt_a * n_b - cnt_b * n_a) DESC, token ASC
+      |LIMIT 40""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
@@ -351,5 +416,7 @@ object QualityQueries {
     "q_collocations" -> (collocations _, collocationsSql),
     "q_nucleus_topp" -> (nucleusTopP _, nucleusTopPSql),
     "q_winnow" -> (winnow _, winnowSql),
-    "q_itemset_pairs" -> (itemsetPairs _, itemsetPairsSql))
+    "q_itemset_pairs" -> (itemsetPairs _, itemsetPairsSql),
+    "q_drift_ks" -> (driftKs _, driftKsSql),
+    "q_drift_tokens" -> (driftTokens _, driftTokensSql))
 }

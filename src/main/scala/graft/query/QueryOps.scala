@@ -194,6 +194,73 @@ object QueryOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"), col("filled_value"))
   }
 
+  /** Time-series resample + LINEAR interpolation, integer-exact: snap
+    * each event to a fixed-`stepUs` grid bucket, generate every key's
+    * bucket range between its first and last event, and fill gap
+    * buckets by interpolating between the surrounding observed bucket
+    * values IN SCALED INTEGERS:
+    *
+    *   filled = prev·S ± (|next − prev|·S·gapIdx) div spanIdx
+    *
+    * where S = 10^6, gapIdx/spanIdx are BUCKET-INDEX distances
+    * (bucket deltas div stepUs — µs deltas would overflow the scaled
+    * product on long gaps), the division is integer, and the sign is
+    * branched explicitly so truncating (Spark `div`) and flooring
+    * engines agree: the quotient is always non-negative, where the
+    * two semantics coincide. That makes every interpolated value an
+    * exact integer both engines reproduce bit-for-bit — the
+    * float-free analog of the usual `lerp`.
+    *
+    * `intValue` must be an integer-typed observation (the caller
+    * picks the discretization — that choice is part of the
+    * definition, as in [[graft.operators.Drift]]). The in-bucket
+    * representative is the event with the greatest (timeUs, tie).
+    * Grid endpoints are observed buckets, so every grid row has both
+    * neighbors — no edge NULLs by construction.
+    *
+    * Output: (key, bucket_us, cnt, interp_scaled). Scale shape: one
+    * shuffle on the key for bounds + per-key window sorts; grid rows
+    * scale with key time-span, never the driver. */
+  def resampleInterp(df: DataFrame, key: Column, timeUs: Column,
+                     tie: Column, intValue: Column, stepUs: Long,
+                     scale: Long = 1000000L): DataFrame = {
+    val ev = df.select(key.as("key"), timeUs.as("__us"), tie.as("__tie"),
+        intValue.cast("long").as("__v"))
+      .withColumn("bucket_us", col("__us") - pmod(col("__us"), lit(stepUs)))
+    val perBucket = ev
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("key", "bucket_us")
+          .orderBy(desc("__us"), desc("__tie"))))
+      .groupBy("key", "bucket_us")
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("__rn") === 1, col("__v"))).as("__bv"))
+    val grid = ev.groupBy("key")
+      .agg(min("bucket_us").as("__lo"), max("bucket_us").as("__hi"))
+      .select(col("key"),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepUs)))
+          .as("bucket_us"))
+    val wPrev = Window.partitionBy("key").orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("key").orderBy("bucket_us")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(perBucket, Seq("key", "bucket_us"), "left")
+      .withColumn("__pv", last(col("__bv"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pb", last(when(col("__bv").isNotNull, col("bucket_us")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__bv"), ignoreNulls = true).over(wNext))
+      .withColumn("__nb", first(when(col("__bv").isNotNull, col("bucket_us")),
+        ignoreNulls = true).over(wNext))
+      .withColumn("interp_scaled",
+        when(col("__bv").isNotNull, col("__bv") * scale)
+          .otherwise(col("__pv") * scale +
+            when(col("__nv") >= col("__pv"), lit(1L)).otherwise(lit(-1L)) *
+              expr(s"""(abs(__nv - __pv) * ${scale}L *
+                       ((bucket_us - __pb) div ${stepUs}L))
+                      div ((__nb - __pb) div ${stepUs}L)""")))
+      .select(col("key"), col("bucket_us"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"), col("interp_scaled"))
+  }
+
   /** Per-key integer-scaled EWMA scan (exponentially-decayed counter):
     * ordered by `(timeUs, tie)` within each key,
     * `s_0 = v_0 * scale` and

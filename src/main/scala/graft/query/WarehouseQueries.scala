@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, Dedup, FuzzyJoin, PageRank, Skyline, Triangles, ZOrder}
+import graft.operators.{Bfs, Dedup, FuzzyJoin, PageRank, Skyline, Sssp, Triangles, ZOrder}
 import graft.plans.ZOrderOps
 import graft.sources.Tables
 
@@ -491,6 +491,40 @@ object WarehouseQueries {
        |SELECT node, MIN(dist) AS dist FROM walk
        |GROUP BY node ORDER BY node""".stripMargin
 
+  /** Bounded-depth weighted shortest paths
+    * ([[graft.operators.Sssp.bounded]] — distributed Bellman-Ford)
+    * over the event-derived directed graph (every=5 — denser than the
+    * BFS fixture so single-digit sources propagate at sf0.001 too:
+    * 39/396/600 reached nodes at sf0.001/0.01/0.1, measured), with a
+    * deterministic integer weight `(src*7 + dst*13) % 9 + 1` both
+    * engines rebuild: dist = min cost over walks of <= 5 edges from
+    * sources {0,1,2}. Exact integer distances, full hash gate; the oracle
+    * enumerates the bounded walk space as a recursive CTE (dedup on
+    * (node, dist, hops) keeps it finite) and takes MIN(dist). The
+    * weight range is deliberately small (1..9) to bound the oracle's
+    * reachable-state space; the Spark operator is indifferent. */
+  def graphSssp(s: SparkSession, dir: String): DataFrame = {
+    val e = eventEdges(s, dir, every = 5).distinct()
+      .withColumn("w", (col("src") * 7 + col("dst") * 13) % 9 + 1)
+    val sources = s.range(3).select(col("id").as("node"))
+    Sssp.bounded(e, sources, maxHops = 5).orderBy("node")
+  }
+
+  val graphSsspSql: String =
+    s"""WITH RECURSIVE raw AS (SELECT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % 5 = 0),
+       |e AS (SELECT DISTINCT src, dst,
+       |    (src * 7 + dst * 13) % 9 + 1 AS w FROM raw),
+       |walk AS (SELECT CAST(x AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist,
+       |    0 AS hops
+       |  FROM (VALUES (0), (1), (2)) t(x)
+       |  UNION
+       |  SELECT e.dst, w.dist + e.w, w.hops + 1 FROM walk w
+       |  JOIN e ON e.src = w.node WHERE w.hops < 5)
+       |SELECT node, MIN(dist) AS dist FROM walk
+       |GROUP BY node ORDER BY node""".stripMargin
+
   /** Integer-scaled EWMA decayed counters
     * ([[QueryOps.ewmaScan]], alpha = 0.30, scale 10^6) per user over
     * the event stream — the sequential recurrence NO window function
@@ -574,6 +608,7 @@ object WarehouseQueries {
     "q_pagerank" -> (pageRankEvents _, pageRankEventsSql),
     "q_graph_components" -> (graphComponents _, graphComponentsSql),
     "q_graph_bfs" -> (graphBfs _, graphBfsSql),
+    "q_graph_sssp" -> (graphSssp _, graphSsspSql),
     "q_ewma_decay" -> (ewmaDecay _, ewmaDecaySql),
     "q_mad_outliers" -> (madOutliers _, madOutliersSql),
     "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql),

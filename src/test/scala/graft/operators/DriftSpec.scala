@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ksStatistic computes the exact scaled ECDF gap on a hand fixture") {
+    // A = {1, 2, 3}, B = {3, 4, 5}; nA = nB = 3.
+    // cumA*nB - cumB*nA over v: 1→3, 2→6, 3→6(9-3), 4→3, 5→0
+    // max = 6 first attained at v = 2; ks = 6/9
+    val df = Seq((1, true), (2, true), (3, true),
+      (3, false), (4, false), (5, false)).toDF("v", "a")
+    val r = Drift.ksStatistic(df, col("v"), col("a")).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getInt(2) == 2)       // ks_at: smallest argmax value
+    assert(r.getLong(3) == 6L)     // ks_num
+    assert(r.getDouble(4) == 6.0 / 9.0)
+  }
+
+  test("ksStatistic matches a scipy-style reference on random samples") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(80)(rnd.nextInt(20))
+    val b = Seq.fill(50)(rnd.nextInt(20) + 3) // shifted slice
+    val rows = a.map((_, true)) ++ b.map((_, false))
+    val r = Drift.ksStatistic(rows.toDF("v", "a"), col("v"), col("a"))
+      .collect()(0)
+    // reference: exact max over the pooled support
+    val support = (a ++ b).distinct.sorted
+    val expected = support.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.size - b.count(_ <= v).toLong * a.size)
+    }.max
+    assert(r.getLong(3) == expected)
+    assert(r.getDouble(4) == expected.toDouble / (a.size.toLong * b.size))
+  }
+
+  test("identical distributions give ks_num 0") {
+    val rows = (1 to 10).flatMap(v => Seq((v, true), (v, false)))
+    val r = Drift.ksStatistic(rows.toDF("v", "a"), col("v"), col("a"))
+      .collect()(0)
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("tokenRateDiff ranks by the exact cross-multiplied rate gap") {
+    // A: [x x y], B: [x y y y]; nA=3, nB=4.
+    // x: 2*4 - 1*3 = 5; y: 1*4 - 3*3 = -5; z absent.
+    val df = Seq((Seq("x", "x", "y"), true), (Seq("x", "y", "y", "y"), false))
+      .toDF("toks", "a")
+    val out = Drift.tokenRateDiff(df, col("toks"), col("a"), topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // |5| ties: token asc breaks it — "x" before "y"
+    assert(out == Seq(("x", 2L, 1L, 5L), ("y", 1L, 3L, -5L)))
+  }
+
+  test("tokenRateDiff topK truncates after the deterministic order") {
+    val df = Seq((Seq("a", "b", "c"), true), (Seq("c", "d"), false))
+      .toDF("toks", "a")
+    val out = Drift.tokenRateDiff(df, col("toks"), col("a"), topK = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // nA=3, nB=2: a: 1*2-0*3=2; b: 2; c: 1*2-1*3=-1; d: 0*2-1*3=-3
+    // order by |diff| desc, token asc: d(3), then a(2) before b(2)
+    assert(out.map(_._1) == Seq("d", "a"))
+  }
+}

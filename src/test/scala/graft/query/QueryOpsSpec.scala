@@ -178,6 +178,45 @@ class QueryOpsSpec extends SparkTestBase {
     assert(out(("b", 100L)) == ((1L, Some(4.0))))
   }
 
+  test("resampleInterp lerps gap buckets in exact scaled integers") {
+    import spark.implicits._
+    // key "a": observed buckets 0 (v=10) and 30 (v=4), step 10.
+    // Gaps at 10, 20 interpolate DOWN a 6-unit drop over 3 steps:
+    //   b=10: 10e6 - (6e6*1) div 3 = 8e6;  b=20: 10e6 - (6e6*2) div 3 = 6e6
+    // Truncation case, key "b": 0 (v=0) to 30 (v=10): 10e6*1 div 3 =
+    // 3333333 (exact integer division, not a float rounding).
+    val ev = Seq(
+      ("a", 3L, 1L, 10L), ("a", 33L, 2L, 4L),
+      ("b", 5L, 3L, 0L), ("b", 35L, 4L, 10L)
+    ).toDF("k", "us", "id", "v")
+    val out = QueryOps.resampleInterp(ev, col("k"), col("us"), col("id"),
+        col("v"), stepUs = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 8)
+    assert(out(("a", 0L)) == ((1L, 10000000L)))
+    assert(out(("a", 10L)) == ((0L, 8000000L)))
+    assert(out(("a", 20L)) == ((0L, 6000000L)))
+    assert(out(("a", 30L)) == ((1L, 4000000L)))
+    assert(out(("b", 10L)) == ((0L, 3333333L)))
+    assert(out(("b", 20L)) == ((0L, 6666666L)))
+  }
+
+  test("resampleInterp: observed buckets use their own value; in-bucket " +
+      "representative is the latest (us, tie) event") {
+    import spark.implicits._
+    val ev = Seq(
+      // same bucket 0: (us=7, id=2) wins -> v=9
+      ("k", 3L, 1L, 1L), ("k", 7L, 2L, 9L),
+      ("k", 25L, 3L, 9L) // flat segment: gap must interpolate to 9 exactly
+    ).toDF("k", "us", "id", "v")
+    val out = QueryOps.resampleInterp(ev, col("k"), col("us"), col("id"),
+        col("v"), stepUs = 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out == Map(0L -> 9000000L, 10L -> 9000000L, 20L -> 9000000L))
+  }
+
   test("resampleFfill: ties on time break by the tie column; leading " +
       "buckets before any value stay null") {
     import spark.implicits._
