@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+  * list, in ''scaled integer arithmetic'': the textbook algorithm
+  * normalizes by an L2 norm each iteration, which is
+  * floating-point and therefore summation-order-dependent under a
+  * shuffle; here each vector is rescaled so its MAXIMUM entry equals
+  * `scale`, using integer division — order-independent, so a
+  * distributed run is bit-reproducible and an unrolled SQL oracle can
+  * certify it value-for-value (the same fixed-point discipline as
+  * [[PageRank]]).
+  *
+  * Semantics per iteration, certified by the oracle:
+  *  - `auth_raw(v) = Σ_{(u,v) ∈ E} hub(u)`, then
+  *    `auth(v) = auth_raw(v) * scale div max(auth_raw)`;
+  *  - `hub_raw(u) = Σ_{(u,v) ∈ E} auth(v)` (with the JUST-updated
+  *    authorities — the standard Gauss-Seidel ordering), then
+  *    `hub(u) = hub_raw(u) * scale div max(hub_raw)`;
+  *  - hubs start at `scale`; nodes with no in-edges have authority 0,
+  *    nodes with no out-edges have hub 0.
+  *
+  * Overflow headroom: values are ≤ `scale` after each rescale, so the
+  * largest intermediate is `max_degree * scale * scale`; the default
+  * `scale = 10^6` admits max-degree ~9×10^6 before a Long could wrap,
+  * and the rescale step guards the actual product with an inline
+  * codegen'd `assert_true` so exhaustion fails loudly (the
+  * [[PageRank]] lesson, ADVICE r8).
+  *
+  * Scale shape: each half-iteration is one equi-join (edges ⋈ scores,
+  * shuffled on the node key) + one sum aggregation with map-side
+  * partials; the max is a single scalar aggregate (one tiny job per
+  * half-iteration — the fixed price of normalized iteration). Edges
+  * and the node set are persisted once; scores are eagerly
+  * `localCheckpoint`ed on cadence so the plan stays bounded at any
+  * iteration count.
+  */
+object Hits {
+
+  /** @param edges (src: long, dst: long) directed edge list;
+    *              multi-edges must be pre-collapsed if unwanted
+    * @param iters fixed iteration count (≥ 1)
+    * @param scale integer fixed-point unit for score 1.0
+    * @param checkpointInterval eager-localCheckpoint cadence (≥ 1)
+    * @return (node, hub, auth) — one row per node */
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+          checkpointInterval: Int = 5): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(scale >= 1L, "scale must be >= 1")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+
+    val doPersist = iters >= checkpointInterval
+    val eP = if (doPersist) e.persist(StorageLevel.MEMORY_AND_DISK) else e
+    val nodesP = if (doPersist) nodes.persist(StorageLevel.MEMORY_AND_DISK)
+                 else nodes
+
+    val rawLim = Long.MaxValue / scale
+    def rescaled(raw: DataFrame, out: String): DataFrame = {
+      // one-row scalar: the max of a node-set-bounded aggregate —
+      // the documented bounded-collect pattern (cf. Skew/Dedup params)
+      val row = raw.agg(max(col("raw")).as("m")).first()
+      require(!row.isNullAt(0) && row.getLong(0) > 0L,
+        "hits: the graph has no edges feeding this side — scores are " +
+          "all zero and the max-rescale is undefined")
+      val m = row.getLong(0)
+      val guard = coalesce(
+        assert_true(coalesce(col("raw"), lit(0L)) <= lit(rawLim),
+          lit(s"hits overflow headroom: a summed score exceeded " +
+            s"Long.Max/scale at scale=$scale; lower `scale`"))
+          .cast("long"),
+        lit(0L))
+      nodesP.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          // guard first (left-to-right), then exact integer rescale
+          (guard + expr(s"(coalesce(raw, 0L) * $scale) div $m"))
+            .as(out))
+    }
+
+    var hub = nodesP.withColumn("hub", lit(scale))
+    var auth: DataFrame = null
+    var prevCkpt: DataFrame = null
+    for (i <- 1 to iters) {
+      val aRaw = eP
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum("hub").as("raw"))
+      auth = rescaled(aRaw, "auth")
+      val hRaw = eP
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum("auth").as("raw"))
+      hub = rescaled(hRaw, "hub")
+      if (doPersist && (i % checkpointInterval == 0 || i == iters)) {
+        val ckpt = hub.localCheckpoint(eager = true)
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = ckpt
+        hub = ckpt
+      }
+    }
+    val out = hub.join(auth, Seq("node"), "left")
+      .select(col("node"), col("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+    if (doPersist) { eP.unpersist(); nodesP.unpersist() }
+    out
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Synchronous label propagation (community detection) over an
+  * undirected edge list — the classic near-linear community heuristic
+  * (Raghavan et al. 2007), made ''deterministic'' so a distributed run
+  * is hash-certifiable: the usual LPA breaks frequency ties randomly,
+  * which destroys reproducibility across partitionings; here ties
+  * break on the SMALLEST label, and all nodes update simultaneously
+  * from the previous round's labels (Jacobi-style), so the result is a
+  * pure function of (graph, rounds) that an unrolled SQL oracle can
+  * replay value-for-value.
+  *
+  * Semantics per round, certified by the oracle:
+  *  - `label'(v)` = the most frequent label among `v`'s neighbors'
+  *    CURRENT labels; ties on frequency break toward the smallest
+  *    label value;
+  *  - an isolated node (no neighbors) keeps its current label;
+  *  - labels start as the node id.
+  *
+  * A fixed round count (not convergence detection) keeps the oracle
+  * expressible as unrolled CTEs; synchronous LPA can two-cycle on
+  * bipartite structures, which a fixed even/odd round count surfaces
+  * deterministically rather than hiding.
+  *
+  * Scale shape: each round is one equi-join (labels ⋈ edges, shuffled
+  * on the node key) + one count aggregation with map-side partial sums
+  * + one window pick per node — no per-node state on the driver, no
+  * collect. The undirected expansion and node set are persisted once
+  * for the run; labels are eagerly `localCheckpoint`ed every
+  * `checkpointInterval` rounds so the physical plan stays bounded at
+  * any depth (same lineage discipline as [[PageRank.run]]/[[Bfs]]).
+  */
+object LabelProp {
+
+  /** @param edges  (src: long, dst: long) edge list, read as
+    *               undirected (both orientations are expanded here;
+    *               self-loops are dropped — a self-vote is a no-op in
+    *               max-frequency terms but would skew tie-breaks)
+    * @param rounds fixed number of synchronous rounds (≥ 0)
+    * @param checkpointInterval eager-localCheckpoint cadence (≥ 1) */
+  def run(edges: DataFrame, rounds: Int,
+          checkpointInterval: Int = 5): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst"), col("src")))
+      .toDF("s", "t").distinct()
+    val nodes = und.select(col("s").as("node")).distinct()
+
+    val doPersist = rounds >= checkpointInterval
+    val undP = if (doPersist) und.persist(StorageLevel.MEMORY_AND_DISK)
+               else und
+    val nodesP = if (doPersist) nodes.persist(StorageLevel.MEMORY_AND_DISK)
+                 else nodes
+
+    var labels = nodesP.withColumn("label", col("node"))
+    var prevCkpt: DataFrame = null
+    val pick = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("label").asc)
+    for (i <- 1 to rounds) {
+      val votes = undP
+        .join(labels.withColumnRenamed("node", "s"), "s")
+        .groupBy(col("t").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val winner = votes
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      labels = labels
+        .join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      if (doPersist && (i % checkpointInterval == 0 || i == rounds)) {
+        val ckpt = labels.localCheckpoint(eager = true)
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = ckpt
+        labels = ckpt
+      }
+    }
+    if (doPersist) { undP.unpersist(); nodesP.unpersist() }
+    labels
+  }
+}

@@ -202,6 +202,75 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "rank")
   }
 
+  /** Capped frequency-ranked vocabulary + integer encoding — the
+    * tokenizer-table step of a pretraining pipeline: build the top-V
+    * vocabulary by corpus frequency (ties toward the
+    * lexicographically smaller token, so the table is a pure function
+    * of the corpus), then encode documents as (doc, pos, token_id)
+    * rows with id 0 reserved for out-of-vocabulary tokens.
+    *
+    * Scale shape: one token-explode shuffle with map-side partial
+    * counts builds the frequency table; the top-V cut is a global
+    * sort-limit (TakeOrderedAndProject — V is the CAP, so the single
+    * ordered pass is bounded by design, exactly why production
+    * tokenizers cap their vocabulary); encoding is a BROADCAST left
+    * join of the V-row table against the token stream — the corpus is
+    * never shuffled to be encoded. Row-form output (not arrays) keeps
+    * the result streamable and exact-hashable.
+    *
+    * @return (vocab, encoded): vocab = (term, token_id 1..V);
+    *         encoded = (<id>, pos 1-based, token_id, 0 = OOV) */
+  def vocabEncode(df: DataFrame, idCol: String, text: Column,
+                  maxVocab: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxVocab >= 1, "maxVocab must be >= 1")
+    val toks = df.select(col(idCol),
+      posexplode(tokenize(text)).as(Seq("pos0", "term")))
+    val order = Seq(col("c").desc, col("term").asc)
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(order: _*).limit(maxVocab)
+      .select(col("term"),
+        // window over <= maxVocab rows — bounded by the cap
+        row_number().over(Window.orderBy(order: _*)).cast("long")
+          .as("token_id"))
+    val encoded = toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+    (vocab, encoded)
+  }
+
+  /** Per-document Shannon entropy over whitespace tokens, in bits —
+    * the classic gibberish/boilerplate screen (low entropy = repeated
+    * junk, implausibly high = random noise). `H = log2 n − (Σ c·ln c)
+    * / (n·ln 2)` from EXACT integer token counts; the float part is a
+    * deterministic LEFT-TO-RIGHT fold over the count multiset sorted
+    * ascending (a shuffle-order-dependent double SUM would not
+    * hash-certify; the sorted HOF fold is the [[Retrieval]] cosine
+    * discipline), rounded to 6 dp to survive cross-engine `ln` ulps.
+    *
+    * Scale shape: one token-explode shuffle into (doc, term) counts
+    * with map-side partials, then a per-doc collect of the count
+    * multiset — bounded by per-document DISTINCT tokens, not corpus
+    * size. */
+  def tokenEntropy(df: DataFrame, idCol: String, text: Column)
+      : DataFrame = {
+    val counts = df.select(col(idCol),
+        explode(tokenize(text)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(col("c").cast("double"))).as("cs"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(
+          (log(col("n_tokens")) -
+            aggregate(col("cs"), lit(0.0d),
+              (acc, c) => acc + c * log(c)) / col("n_tokens"))
+            / log(lit(2.0d)),
+          6).as("entropy_bits"))
+  }
+
   /** Standard text normalization for a pretraining corpus: lowercase →
     * Unicode NFC canonical composition ([[graft.plans.NfcExpr]]) →
     * collapse space runs → trim. Scan-level; byte-certified against

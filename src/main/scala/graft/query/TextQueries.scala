@@ -577,7 +577,64 @@ object TextQueries {
       |WHERE rn <= k
       |ORDER BY 1, doc_id""".stripMargin
 
+  /** Capped vocabulary build + integer token encoding
+    * ([[TextAnalysis.vocabEncode]], V = 4096, OOV → 0): the corpus
+    * frequency table feeds a sort-limit vocabulary; a 1-in-97 sample
+    * of documents is emitted in encoded (doc_id, pos, token_id) row
+    * form — vocabulary counts come from the FULL corpus, only the
+    * emitted encoding is sampled, which is what bounds the gate's
+    * output without weakening what it certifies. */
+  def vocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, encoded) = TextAnalysis.vocabEncode(
+      docs(s, dir), "doc_id", col("text"), maxVocab = 4096)
+    encoded.filter(col("doc_id") % 97 === 0)
+      .orderBy("doc_id", "pos")
+  }
+
+  val vocabEncodeSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY 1),
+      |v AS (SELECT term,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS BIGINT)
+      |      AS token_id
+      |  FROM cnt ORDER BY c DESC, term ASC LIMIT 4096)
+      |SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,
+      |  COALESCE(v.token_id, 0) AS token_id
+      |FROM tok t LEFT JOIN v USING (term)
+      |WHERE t.doc_id % 97 = 0
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** Token-entropy quality screen ([[TextAnalysis.tokenEntropy]]):
+    * per-doc Shannon entropy in bits from exact integer counts, the
+    * float part a sorted deterministic fold rounded to 6 dp. The
+    * oracle replays the identical fold with DuckDB's list_reduce
+    * (0.0-prepended — DuckDB seeds the fold with the raw first
+    * element, Spark's `aggregate` with the explicit zero). */
+  def entropyQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(docs(s, dir), "doc_id", col("text"))
+      .orderBy("doc_id")
+
+  val entropyQualitySql: String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |g AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct,
+      |    list_sort(list(CAST(c AS DOUBLE))) AS cs
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  round((ln(n_tokens)
+      |      - list_reduce(list_prepend(CAST(0 AS DOUBLE), cs),
+      |          (a, x) -> a + x * ln(x)) / n_tokens)
+      |    / ln(2), 6) AS entropy_bits
+      |FROM g ORDER BY doc_id""".stripMargin
+
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_vocab_encode" -> (vocabEncode _, vocabEncodeSql),
+    "q_entropy_quality" -> (entropyQuality _, entropyQualitySql),
     "q_snapshot_diff" -> (snapshotDiff _, snapshotDiffSql),
     "q_temperature_resample" -> (temperatureResample _, temperatureResampleSql),
     "q_sample_weighted" -> (sampleWeighted _, sampleWeightedSql),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, Dedup, FuzzyJoin, PageRank, Skyline, Sssp, Triangles, ZOrder}
+import graft.operators.{Bfs, Dedup, FuzzyJoin, Hits, KCore, LabelProp, PageRank, Skyline, Sssp, Triangles, ZOrder}
 import graft.plans.ZOrderOps
 import graft.sources.Tables
 
@@ -596,6 +596,179 @@ object WarehouseQueries {
       |WHERE d.ad > 3 * md.mad
       |ORDER BY event_id""".stripMargin
 
+  /** Per-group winsorization at EXACT discrete p05/p95 — the robust
+    * alternative to dropping outliers: clip, don't delete. The
+    * percentile positions are pure integer arithmetic
+    * (`ceil(n/20) = (n+19) div 20`, `ceil(19n/20) = (19n+19) div 20`
+    * over the row_number of the group-sorted values), so the chosen
+    * bounds are EXISTING data values — no interpolation, no float in
+    * the gate; sums are decimal-exact. Shape: one window pass per
+    * group (rank + count), a group-count-sized bounds aggregate
+    * broadcast back, one clipped re-aggregate. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, dir, "lineitem").select(col("l_returnflag"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val w = Window.partitionBy("l_returnflag").orderBy("price")
+    val ranked = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    val bounds = ranked.groupBy("l_returnflag").agg(
+      max(when(col("rn") === expr("(n + 19) div 20"), col("price")))
+        .as("lo"),
+      max(when(col("rn") === expr("(19 * n + 19) div 20"), col("price")))
+        .as("hi"))
+    base.join(broadcast(bounds), "l_returnflag")
+      .select(col("l_returnflag"), col("lo"), col("hi"),
+        least(greatest(col("price"), col("lo")), col("hi")).as("clip"),
+        (col("price") < col("lo")).cast("long").as("is_lo"),
+        (col("price") > col("hi")).cast("long").as("is_hi"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        // decimal-exact internally; DOUBLE on the wire (exact at these
+        // magnitudes, and both engines land on the same float64 — the
+        // skyline precedent)
+        max(col("lo")).cast("double").as("lo"),
+        max(col("hi")).cast("double").as("hi"),
+        sum(col("clip")).cast("double").as("sum_clipped"),
+        sum(col("is_lo")).as("n_clipped_lo"),
+        sum(col("is_hi")).as("n_clipped_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  val winsorizeSql: String =
+    """WITH base AS (SELECT l_returnflag,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price FROM lineitem),
+      |ranked AS (SELECT l_returnflag, price,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY price)
+      |      AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM base),
+      |bounds AS (SELECT l_returnflag,
+      |    MAX(CASE WHEN rn = (n + 19) // 20 THEN price END) AS lo,
+      |    MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN price END) AS hi
+      |  FROM ranked GROUP BY 1)
+      |SELECT b.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(o.lo) AS DOUBLE) AS lo, CAST(MAX(o.hi) AS DOUBLE) AS hi,
+      |  -- CASE, not least/greatest: DuckDB's least() promotes
+      |  -- DECIMAL operands to DOUBLE, which would float the sum
+      |  CAST(SUM(CASE WHEN b.price < o.lo THEN o.lo
+      |           WHEN b.price > o.hi THEN o.hi
+      |           ELSE b.price END) AS DOUBLE) AS sum_clipped,
+      |  CAST(SUM(CASE WHEN b.price < o.lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_lo,
+      |  CAST(SUM(CASE WHEN b.price > o.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_hi
+      |FROM base b JOIN bounds o USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Deterministic label-propagation communities
+    * ([[graft.operators.LabelProp.run]]) — 3 synchronous rounds over
+    * the undirected every=11 graph, most-frequent-neighbor-label
+    * updates with smallest-label tie-break (randomized tie-break is
+    * what makes textbook LPA irreproducible; pinning it makes the run
+    * hash-certifiable). The oracle unrolls the same 3 rounds as CTEs
+    * with the identical window tie-break. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val e = eventEdges(s, dir, every = 11)
+    LabelProp.run(e, rounds = 3).orderBy("node")
+  }
+
+  val graphLabelPropSql: String = {
+    def round(i: Int): String =
+      s"""v$i AS (SELECT u.t AS node, l.label, COUNT(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON l.node = u.s GROUP BY 1, 2),
+         |w$i AS (SELECT node, label FROM (
+         |    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label ASC) AS rn FROM v$i)
+         |  WHERE rn = 1),
+         |l$i AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN w$i w ON w.node = l.node)"""
+        .stripMargin
+    s"""WITH raw AS (SELECT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % 11 = 0),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |und AS (SELECT src AS s, dst AS t FROM e
+       |  UNION SELECT dst, src FROM e),
+       |l0 AS (SELECT DISTINCT s AS node, s AS label FROM und),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
+
+  /** Integer-scaled HITS hubs/authorities
+    * ([[graft.operators.Hits.run]], 2 iterations, max-entry rescale at
+    * scale 10^6) over the directed every=3 graph. The max-rescale
+    * replaces the L2 norm precisely because integer division is
+    * summation-order-independent — what lets the unrolled-CTE oracle
+    * certify a shuffled distributed run value-for-value. */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val e = eventEdges(s, dir, every = 3).distinct()
+    Hits.run(e, iters = 2).orderBy("node")
+  }
+
+  val graphHitsSql: String = {
+    val sc = 1000000L
+    def iter(i: Int): String =
+      s"""ar$i AS (SELECT e.dst AS node, SUM(h${i - 1}.hub) AS raw
+         |  FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1),
+         |a$i AS (SELECT n.node,
+         |    (COALESCE(ar$i.raw, 0) * $sc) // (SELECT MAX(raw) FROM ar$i)
+         |      AS auth
+         |  FROM nodes n LEFT JOIN ar$i USING (node)),
+         |hr$i AS (SELECT e.src AS node, SUM(a$i.auth) AS raw
+         |  FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1),
+         |h$i AS (SELECT n.node,
+         |    (COALESCE(hr$i.raw, 0) * $sc) // (SELECT MAX(raw) FROM hr$i)
+         |      AS hub
+         |  FROM nodes n LEFT JOIN hr$i USING (node))""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % 3 = 0),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST($sc AS BIGINT) AS hub FROM nodes),
+       |${iter(1)},
+       |${iter(2)}
+       |SELECT h2.node, CAST(h2.hub AS BIGINT) AS hub,
+       |  CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth
+       |FROM h2 LEFT JOIN a2 ON a2.node = h2.node
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** Fixed-round 5-core peeling ([[graft.operators.KCore.peel]], 6
+    * synchronous rounds) over the undirected every=3 graph — the
+    * dense-subgraph screen. Output: survivors with their degree inside
+    * the surviving subgraph. The oracle unrolls the identical 6
+    * degree-filter rounds; both sides run the FIXED round count, so
+    * the gate certifies the synchronous peel semantics exactly even
+    * where 6 rounds is or isn't the fixpoint. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val e = eventEdges(s, dir, every = 3)
+    KCore.peel(e, k = 5, rounds = 6).orderBy("node")
+  }
+
+  val graphKcoreSql: String = {
+    def round(i: Int): String =
+      s"""d$i AS (SELECT u.s AS node, COUNT(*) AS d FROM und u
+         |  JOIN n${i - 1} x ON u.s = x.node
+         |  JOIN n${i - 1} y ON u.t = y.node GROUP BY 1),
+         |n$i AS (SELECT node FROM d$i WHERE d >= 5)""".stripMargin
+    s"""WITH raw AS (SELECT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % 3 = 0),
+       |e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |und AS (SELECT src AS s, dst AS t FROM e
+       |  UNION SELECT dst, src FROM e),
+       |n0 AS (SELECT DISTINCT s AS node FROM und),
+       |${(1 to 6).map(round).mkString(",\n")},
+       |df AS (SELECT u.s AS node, COUNT(*) AS core_deg FROM und u
+       |  JOIN n6 x ON u.s = x.node
+       |  JOIN n6 y ON u.t = y.node GROUP BY 1)
+       |SELECT node, core_deg FROM df ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
     "q_skyline3" -> (skyline3Customers _, skyline3CustomersSql),
@@ -612,5 +785,9 @@ object WarehouseQueries {
     "q_ewma_decay" -> (ewmaDecay _, ewmaDecaySql),
     "q_mad_outliers" -> (madOutliers _, madOutliersSql),
     "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql),
+    "q_graph_label_prop" -> (graphLabelProp _, graphLabelPropSql),
+    "q_graph_hits" -> (graphHits _, graphHitsSql),
+    "q_graph_kcore" -> (graphKcore _, graphKcoreSql),
+    "q_winsorize" -> (winsorize _, winsorizeSql),
     "q_cdc_apply" -> (cdcApply _, cdcApplySql))
 }
