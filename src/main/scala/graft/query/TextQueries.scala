@@ -2,7 +2,7 @@ package graft.query
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, HeavyHitters, Sampling, Similarity, TextAnalysis}
+import graft.operators.{BpeTrain, Dedup, HeavyHitters, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 import DedupQueries.{benchSplit, fivegramShinglesSql}
@@ -632,7 +632,69 @@ object TextQueries {
       |    / ln(2), 6) AS entropy_bits
       |FROM g ORDER BY doc_id""".stripMargin
 
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextAnalysis.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** BPE merge-table training ([[graft.operators.BpeTrain.train]],
+    * 8 rounds): the learned merge table (round, pair, merged, count),
+    * exact and deterministic (ties toward the smaller pair). The
+    * oracle unrolls the same 8 count→argmax→rewrite rounds as
+    * MATERIALIZED CTEs (DuckDB inlines plain CTEs, which would
+    * re-expand the round chain exponentially). */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    BpeTrain.train(wordCounts(s, dir), merges = 8)._1.orderBy("round")
+
+  /** The segmented vocabulary after those 8 merges — certifying the
+    * merge APPLICATION path (leftmost non-overlapping rewrite),
+    * word-for-word, alongside q_bpe_merges' table. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    BpeTrain.train(wordCounts(s, dir), merges = 8)._2.orderBy("word")
+
+  private def bpeRoundCte(r: Int): String =
+    s"""p$r AS MATERIALIZED (SELECT l[i] || ' ' || l[i+1] AS pair,
+       |    SUM(cnt) AS c
+       |  FROM (SELECT string_split(seq, ' ') AS l, cnt,
+       |        unnest(range(1, len(string_split(seq, ' ')))) AS i
+       |      FROM s${r - 1})
+       |  GROUP BY 1),
+       |t$r AS MATERIALIZED (SELECT pair, c FROM p$r
+       |  ORDER BY c DESC, pair ASC LIMIT 1),
+       |s$r AS MATERIALIZED (SELECT word,
+       |    replace(seq, (SELECT pair FROM t$r),
+       |      (SELECT replace(pair, ' ', '') FROM t$r)) AS seq, cnt
+       |  FROM s${r - 1})""".stripMargin
+
+  private val bpeBaseCte: String =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM w
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word,
+       |    list_aggregate(string_split(word, ''), 'string_agg', ' ')
+       |      AS seq, cnt FROM wc),
+       |${(1 to 8).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+
+  val bpeMergesSql: String = {
+    val finals = (1 to 8).map(r =>
+      s"""SELECT $r AS round, pair, replace(pair, ' ', '') AS merged,
+         |  CAST(c AS BIGINT) AS cnt FROM t$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$bpeBaseCte
+       |SELECT * FROM (
+       |$finals
+       |) ORDER BY round""".stripMargin
+  }
+
+  val bpeVocabSql: String =
+    s"""$bpeBaseCte
+       |SELECT word, seq AS encoding, CAST(cnt AS BIGINT) AS cnt
+       |FROM s8 ORDER BY word""".stripMargin
+
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_bpe_merges" -> (bpeMerges _, bpeMergesSql),
+    "q_bpe_vocab" -> (bpeVocab _, bpeVocabSql),
     "q_vocab_encode" -> (vocabEncode _, vocabEncodeSql),
     "q_entropy_quality" -> (entropyQuality _, entropyQualitySql),
     "q_snapshot_diff" -> (snapshotDiff _, snapshotDiffSql),
