@@ -281,6 +281,44 @@ object DomainQueries {
       |FROM d, m WHERE day >= cutoff
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming sessionization as explicit keyed state
+    * ([[graft.streaming.SessionStream.sessionize]] —
+    * flatMapGroupsWithState + event-time timeout), replayed one
+    * event-time day per micro-batch over a bounded user slice and
+    * flushed by sentinel watermark advance. The oracle is the BATCH
+    * gaps-and-islands sessionization — the gate certifies that the
+    * stateful streaming path lands on exactly the relational
+    * semantics, closed sessions and timeout-flushed tails alike. */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.SessionStream
+    val gapUs = 30L * 60 * 1000000L
+    val evs = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("us"), col("event_id"))
+      .collect()
+      .map(r => SessionStream.SessEvent(r.getLong(0), r.getLong(1),
+        r.getLong(2)))
+      .toSeq
+    SessionStream.replayDaily(s, evs, gapUs)
+      .orderBy("user_id", "start_us")
+  }
+
+  val streamSessionizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |  FROM events WHERE user_id < 100),
+      |g AS (SELECT user_id, us, event_id,
+      |    CASE WHEN us - lag(us) OVER w > CAST(30 AS BIGINT) * 60 * 1000000
+      |         OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS f
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us,
+      |    SUM(f) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
   // As-of join: latest order (by date) per customer at or before each
   // event's timestamp — oracle is DuckDB's native ASOF JOIN.
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
@@ -365,6 +403,7 @@ object DomainQueries {
     "q_asof_latest_order" -> (asofLatestOrder _, asofLatestOrderSql),
     "q_asof_wide" -> (asofWide _, asofWideSql),
     "q_stream_replay_dedup" -> (streamReplayDedup _, streamReplayDedupSql),
+    "q_stream_sessionize" -> (streamSessionize _, streamSessionizeSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),
