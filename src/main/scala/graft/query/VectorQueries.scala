@@ -431,8 +431,50 @@ object VectorQueries {
       |        / (COALESCE(ra + 60, 1) * COALESCE(rb + 60, 1)), 9) AS rrf
       |FROM j ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Greedy k-center diverse exemplars
+    * ([[graft.operators.KCenter.greedy]], k = 6) over the full
+    * embedding table — smallest-id seed, farthest-point iteration,
+    * smaller-id tie-break. The oracle unrolls the same six
+    * pick→update rounds as MATERIALIZED CTEs; squared distances are
+    * the `(dvv + dcc) − 2·dot` shape whose fold is bit-equal between
+    * graft_dot and list_dot_product, so the gate compares RAW doubles,
+    * no rounding. */
+  def diverseKcenter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.KCenter.greedy(embs(s, dir), "vec_id", "embedding",
+      k = 6).orderBy("round")
+
+  val diverseKcenterSql: String = {
+    def round(r: Int): String =
+      s"""t$r AS MATERIALIZED (SELECT id, v, dvv, d FROM m${r - 1}
+         |  ORDER BY d DESC, id LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT m.id, m.v, m.dvv,
+         |    least(m.d, (m.dvv + t.dvv) - 2 * list_dot_product(m.v, t.v))
+         |      AS d
+         |  FROM m${r - 1} m, t$r t)""".stripMargin
+    val finals = (1 to 5).map(r =>
+      s"SELECT $r AS round, id AS center_id, d AS dist FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+       |    CAST(embedding AS DOUBLE[]) AS v,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST(embedding AS DOUBLE[])) AS dvv
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT id, v, dvv FROM e ORDER BY id LIMIT 1),
+       |m0 AS MATERIALIZED (SELECT e.id, e.v, e.dvv,
+       |    (e.dvv + c.dvv) - 2 * list_dot_product(e.v, c.v) AS d
+       |  FROM e, c0 c),
+       |${(1 to 5).map(round).mkString(",\n")}
+       |SELECT * FROM (
+       |SELECT 0 AS round, id AS center_id, CAST(0 AS DOUBLE) AS dist
+       |FROM c0
+       |UNION ALL
+       |$finals
+       |) ORDER BY round""".stripMargin
+  }
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q_diverse_kcenter" -> (diverseKcenter _, diverseKcenterSql),
       "q_hybrid_rrf" -> (hybridRrf _, hybridRrfSql),
       "q_sim_bruteforce" -> (simBruteForce _, simBruteForceSql),
       "q_sim_lsh" -> (simLsh _, simLshSql),
