@@ -692,7 +692,45 @@ object TextQueries {
        |SELECT word, seq AS encoding, CAST(cnt AS BIGINT) AS cnt
        |FROM s8 ORDER BY word""".stripMargin
 
+  /** Corpus-level BPE tokenization with the learned merges: the
+    * segmented vocabulary (word → subword sequence) broadcast-joins
+    * the token stream — the corpus is ENCODED WITHOUT BEING SHUFFLED,
+    * which is the whole point of training the table on the
+    * vocabulary first. A 1-in-97 document sample is emitted as
+    * (doc_id, word_pos, sub_pos, symbol) rows; the oracle re-derives
+    * the same segmentation from its own unrolled training chain and
+    * unnests it identically. */
+  def bpeEncodeDocs(s: SparkSession, dir: String): DataFrame = {
+    val vocab = BpeTrain.train(wordCounts(s, dir), merges = 8)._2
+      .select(col("word"), split(col("encoding"), " ").as("subs"))
+    docs(s, dir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokenize(col("text")))
+          .as(Seq("wp0", "word")))
+      .join(broadcast(vocab), "word")
+      .select(col("doc_id"), (col("wp0") + 1).cast("long").as("word_pos"),
+        posexplode(col("subs")).as(Seq("sp0", "symbol")))
+      .select(col("doc_id"), col("word_pos"),
+        (col("sp0") + 1).cast("long").as("sub_pos"), col("symbol"))
+      .orderBy("doc_id", "word_pos", "sub_pos")
+  }
+
+  val bpeEncodeDocsSql: String =
+    s"""$bpeBaseCte,
+       |tok AS (SELECT doc_id,
+       |    generate_subscripts(string_split(text, ' '), 1) AS word_pos,
+       |    unnest(string_split(text, ' ')) AS word
+       |  FROM documents WHERE doc_id % 97 = 0)
+       |SELECT t.doc_id, CAST(t.word_pos AS BIGINT) AS word_pos,
+       |  CAST(generate_subscripts(string_split(v.seq, ' '), 1) AS BIGINT)
+       |    AS sub_pos,
+       |  unnest(string_split(v.seq, ' ')) AS symbol
+       |FROM tok t JOIN s8 v USING (word)
+       |ORDER BY doc_id, word_pos, sub_pos""".stripMargin
+
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_bpe_encode_docs" -> (bpeEncodeDocs _, bpeEncodeDocsSql),
     "q_bpe_merges" -> (bpeMerges _, bpeMergesSql),
     "q_bpe_vocab" -> (bpeVocab _, bpeVocabSql),
     "q_vocab_encode" -> (vocabEncode _, vocabEncodeSql),

@@ -59,7 +59,18 @@ object ScaleBench {
     // (fixed user<50 slice — replica key offsets leave the slice at
     // base size); q_graph_bfs (the %1000-node modulus densifies the
     // fixed node set, same as the pagerank/components exclusion)
-    "q_mad_outliers")
+    "q_mad_outliers",
+    // round 9 (cont.): full-scan additions. q_winsorize scans
+    // lineitem; q_entropy_quality / q_vocab_encode / q_bpe_merges scan
+    // documents (disjoint replica vocabularies keep counts per-replica
+    // linear; the vocab/BPE tables grow x k but stay
+    // vocabulary-sized); q_diverse_kcenter is k passes over the
+    // replicated embeddings. Excluded for fixture reasons:
+    // q_graph_label_prop / q_graph_hits / q_graph_kcore (%1000-node
+    // densification, as above); q_stream_sessionize (bounded
+    // user<100 replay slice)
+    "q_winsorize", "q_entropy_quality", "q_vocab_encode",
+    "q_bpe_merges", "q_diverse_kcenter")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
