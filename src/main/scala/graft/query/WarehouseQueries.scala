@@ -600,24 +600,28 @@ object WarehouseQueries {
     * alternative to dropping outliers: clip, don't delete. The
     * percentile positions are pure integer arithmetic
     * (`ceil(n/20) = (n+19) div 20`, `ceil(19n/20) = (19n+19) div 20`
-    * over the row_number of the group-sorted values), so the chosen
-    * bounds are EXISTING data values — no interpolation, no float in
-    * the gate; sums are decimal-exact. Shape: one window pass per
-    * group (rank + count), a group-count-sized bounds aggregate
-    * broadcast back, one clipped re-aggregate. */
+    * as rationals 1/20 and 19/20), so the chosen bounds are EXISTING
+    * data values — no interpolation, no float in the gate; sums are
+    * decimal-exact. Bounds come from the distributed two-pass
+    * selection ([[graft.operators.OrderStats.discQuantiles]]) — NOT a
+    * `Window.partitionBy(l_returnflag)`, which would funnel each of
+    * the three giant groups through one task; the oracle states the
+    * same k-th-element semantics in window form, which DuckDB can
+    * afford at oracle scale. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = t(s, dir, "lineitem").select(col("l_returnflag"),
       col("l_extendedprice").cast("decimal(18,2)").as("price"))
-    val w = Window.partitionBy("l_returnflag").orderBy("price")
-    val ranked = base
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-    val bounds = ranked.groupBy("l_returnflag").agg(
-      max(when(col("rn") === expr("(n + 19) div 20"), col("price")))
-        .as("lo"),
-      max(when(col("rn") === expr("(19 * n + 19) div 20"), col("price")))
-        .as("hi"))
+    val bounds = graft.operators.OrderStats
+      .discQuantiles(base, "l_returnflag", "price",
+        Seq((1L, 20L), (19L, 20L)))
+      .groupBy(col("group").as("l_returnflag"))
+      .agg(
+        // doubles are exact for DECIMAL(18,2) at these magnitudes;
+        // cast back so the clip stays decimal
+        max(when(col("num") === 1, col("value")))
+          .cast("decimal(18,2)").as("lo"),
+        max(when(col("num") === 19, col("value")))
+          .cast("decimal(18,2)").as("hi"))
     base.join(broadcast(bounds), "l_returnflag")
       .select(col("l_returnflag"), col("lo"), col("hi"),
         least(greatest(col("price"), col("lo")), col("hi")).as("clip"),
