@@ -773,7 +773,81 @@ object WarehouseQueries {
        |SELECT node, core_deg FROM df ORDER BY node""".stripMargin
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "what follows what" behavioural model (funnel
+    * generalization; also the bigram LM shape on event streams).
+    * Counts are exact; probabilities are exact-integer ratios emitted
+    * at 6 dp. One lead-window pass per user (hash-partitioned on
+    * user_id — millions of small groups, the shape where windows DO
+    * scale) + one count aggregate. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = Tables.loadEventsTs(s, dir)
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead("from_type", 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p",
+        round(col("n").cast("double") / col("row_total"), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH p AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+      |  round(CAST(n AS DOUBLE)
+      |    / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** Entity resolution end-to-end: deletion-neighborhood blocking →
+    * exact edit-distance verify ([[FuzzyJoin.levJoin]] as a self-join)
+    * → connected components ([[Dedup.nearDupClusters]]) → canonical
+    * entity id (min member). The record-linkage pipeline composed
+    * from the engine's own parts — blocking keys bound the candidate
+    * set, the pointer-jumping components run on verified pairs only.
+    * The oracle is definitional: quadratic levenshtein ≤ 1 pairs,
+    * recursive-CTE transitive closure. */
+  def entityResolution(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+    val left = c.select(col("c_custkey").as("id_a"),
+      col("c_name").as("name_a"))
+    val right = c.select(col("c_custkey").as("id_b"),
+      col("c_name").as("name_b"))
+    val pairs = FuzzyJoin.levJoin(left, "id_a", "name_a",
+        right, "id_b", "name_b", k = 1)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    Dedup.nearDupClusters(pairs).orderBy("id")
+  }
+
+  val entityResolutionSql: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |e AS (SELECT a.id AS a, b.id AS b FROM c a JOIN c b
+      |  ON a.id < b.id AND levenshtein(a.name, b.name) <= 1),
+      |und AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+      |reach AS (SELECT s, t FROM und
+      |  UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      |n AS (SELECT DISTINCT s AS node FROM und)
+      |SELECT n.node AS id, least(n.node, MIN(r.t)) AS cluster
+      |FROM n JOIN reach r ON r.s = n.node
+      |GROUP BY n.node ORDER BY id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_event_transitions" -> (eventTransitions _, eventTransitionsSql),
+    "q_entity_resolution" -> (entityResolution _, entityResolutionSql),
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
     "q_skyline3" -> (skyline3Customers _, skyline3CustomersSql),
     "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
