@@ -60,6 +60,51 @@ object Drift {
           / (col("n_a") * col("n_b")).cast("double")).as("ks"))
   }
 
+  /** Population stability index over FIXED-WIDTH buckets — the
+    * standard "did the score distribution move" screen between a
+    * reference slice A and a comparison slice B. Fixed-width buckets
+    * (not quantile deciles) keep the binning a pure function of the
+    * value, so both engines bucket identically; +1 Laplace smoothing
+    * makes empty buckets well-defined without an epsilon fudge.
+    *
+    * Per bucket: `term = (pA − pB)·ln(pA/pB)` with
+    * `pX = (cX + 1)/(nX + buckets)` — emitted as INTEGER MICRO-UNITS
+    * (`round(term·10^6)`), so the PSI total is an exact integer sum
+    * (a float Σ over buckets would be summation-order-dependent; ten
+    * rounded doubles are not, integers always are). One bucketed
+    * count aggregate + a buckets-sized spine join; nothing shuffles
+    * but the (bucket, slice) counts. */
+  def psiFixedBuckets(df: DataFrame, value: Column, inA: Column,
+                      bucketWidth: Double, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, >= 2 buckets")
+    val spark = df.sparkSession
+    val counts = df
+      .select(least(floor(value / bucketWidth), lit(nBuckets - 1))
+          .cast("long").as("bucket"),
+        inA.cast("long").as("__a"))
+      .groupBy("bucket")
+      .agg(sum("__a").as("c_a"), (count(lit(1)) - sum("__a")).as("c_b"))
+    val spine = spark.range(nBuckets).select(col("id").as("bucket"))
+    val full = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val allW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val k = lit(nBuckets.toDouble)
+    val withTotals = full
+      .withColumn("n_a", sum("c_a").over(allW))
+      .withColumn("n_b", sum("c_b").over(allW))
+    val pA = (col("c_a") + lit(1.0)) / (col("n_a") + k)
+    val pB = (col("c_b") + lit(1.0)) / (col("n_b") + k)
+    withTotals
+      .withColumn("term_micro",
+        round((pA - pB) * log(pA / pB) * lit(1000000.0), 0).cast("long"))
+      .withColumn("psi_micro", sum("term_micro").over(allW))
+      .select("bucket", "c_a", "c_b", "n_a", "n_b", "term_micro",
+        "psi_micro")
+  }
+
   /** Token-level rate-drift screen: explode `tokens`, count per
     * (token, slice), and rank tokens by the exact scaled rate
     * difference `|cnt_a·nB - cnt_b·nA|` (the cross-multiplied form of

@@ -408,7 +408,46 @@ object QualityQueries {
       |ORDER BY ABS(cnt_a * n_b - cnt_b * n_a) DESC, token ASC
       |LIMIT 40""".stripMargin
 
+  /** PSI drift screen ([[graft.operators.Drift.psiFixedBuckets]]):
+    * event `value` distribution of purchases vs everything else, ten
+    * fixed 50-wide buckets, +1 Laplace smoothing, per-bucket terms in
+    * integer micro-units so the PSI total is an exact integer sum.
+    * The oracle replays the identical bucket/smooth/ln/round chain. */
+  def driftPsi(s: SparkSession, dir: String): DataFrame =
+    Drift.psiFixedBuckets(
+        graft.sources.Tables.load(s, dir, "events"),
+        col("value"), col("event_type") === "purchase",
+        bucketWidth = 50.0, nBuckets = 10)
+      .orderBy("bucket")
+
+  val driftPsiSql: String =
+    """WITH c AS (SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9)
+      |      AS bucket,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS c_b
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT r.range AS bucket, COALESCE(c.c_a, 0) AS c_a,
+      |    COALESCE(c.c_b, 0) AS c_b
+      |  FROM range(10) r LEFT JOIN c ON c.bucket = r.range),
+      |t AS (SELECT bucket, c_a, c_b,
+      |    CAST(SUM(c_a) OVER () AS BIGINT) AS n_a,
+      |    CAST(SUM(c_b) OVER () AS BIGINT) AS n_b
+      |  FROM f),
+      |m AS (SELECT bucket, c_a, c_b, n_a, n_b,
+      |    CAST(round(((c_a + 1.0) / (n_a + 10.0)
+      |                 - (c_b + 1.0) / (n_b + 10.0))
+      |      * ln(((c_a + 1.0) / (n_a + 10.0))
+      |           / ((c_b + 1.0) / (n_b + 10.0)))
+      |      * 1000000.0, 0) AS BIGINT) AS term_micro
+      |  FROM t)
+      |SELECT bucket, c_a, c_b, n_a, n_b, term_micro,
+      |  CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
+      |FROM m ORDER BY bucket""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_drift_psi" -> (driftPsi _, driftPsiSql),
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
     "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql),
