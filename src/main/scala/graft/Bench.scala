@@ -67,12 +67,19 @@ object Bench {
     // headline (steady-state), but the max/spread carries the pay-once
     // costs (codegen compile, staging, index build) and quantifies
     // contention per query — bench_full.json records the whole spread.
+    // Local-iteration filter (mirrors Verify's VERIFY_ONLY): when
+    // BENCH_ONLY=q_a,q_b is set, bench_full.json is NOT overwritten —
+    // a subset total must never masquerade as the fleet number.
+    val only = sys.env.get("BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val two = Seq(timeOnce(fn), timeOnce(fn))
-        val runs = if (two.min < 5.0) two :+ timeOnce(fn) else two
-        name -> runs
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val two = Seq(timeOnce(fn), timeOnce(fn))
+          val runs = if (two.min < 5.0) two :+ timeOnce(fn) else two
+          name -> runs
+        }
     val best = results.map { case (name, runs) =>
       val ok = runs.filter(_.isFinite)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -94,8 +101,9 @@ object Bench {
       else f""""$k":{"min":${ok.min}%.4f,"max":${ok.max}%.4f,"runs":$runsJson}"""
     }.mkString(s"""{"metric":"total","value":$total,"unit":"sec",$health,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // inline map: slowest first, ms precision, hard char budget
     val parts = best.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }

@@ -55,13 +55,20 @@ object Hits {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
+    // edges/nodes are re-read by every half-iteration's checkpointed
+    // job — persist unconditionally (unlike the rank-frame cadence,
+    // this pays for itself from iteration 1)
     val doPersist = iters >= checkpointInterval
-    val eP = if (doPersist) e.persist(StorageLevel.MEMORY_AND_DISK) else e
-    val nodesP = if (doPersist) nodes.persist(StorageLevel.MEMORY_AND_DISK)
-                 else nodes
+    val eP = e.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesP = nodes.persist(StorageLevel.MEMORY_AND_DISK)
 
     val rawLim = Long.MaxValue / scale
-    def rescaled(raw: DataFrame, out: String): DataFrame = {
+    def rescaled(raw0: DataFrame, out: String): DataFrame = {
+      // eager checkpoint BEFORE the scalar max: the max is an action,
+      // and without the cut it re-executes the entire iteration prefix
+      // (and the final plan would re-execute it again) — the
+      // quadratic-re-evaluation trap of normalized iteration
+      val raw = raw0.localCheckpoint(true)
       // one-row scalar: the max of a node-set-bounded aggregate —
       // the documented bounded-collect pattern (cf. Skew/Dedup params)
       val row = raw.agg(max(col("raw")).as("m")).first()
@@ -106,7 +113,8 @@ object Hits {
     val out = hub.join(auth, Seq("node"), "left")
       .select(col("node"), col("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
-    if (doPersist) { eP.unpersist(); nodesP.unpersist() }
+      .localCheckpoint(true)
+    eP.unpersist(); nodesP.unpersist()
     out
   }
 }

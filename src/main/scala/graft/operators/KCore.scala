@@ -46,9 +46,7 @@ object KCore {
     val und = e.union(e.select(col("dst"), col("src")))
       .toDF("s", "t").distinct()
 
-    val doPersist = rounds >= checkpointInterval
-    val undP = if (doPersist) und.persist(StorageLevel.MEMORY_AND_DISK)
-               else und
+    val undP = und.persist(StorageLevel.MEMORY_AND_DISK)
 
     def degrees(alive: DataFrame): DataFrame =
       undP.join(alive.withColumnRenamed("node", "s"), Seq("s"), "left_semi")
@@ -56,21 +54,26 @@ object KCore {
         .groupBy(col("s").as("node"))
         .agg(count(lit(1)).as("core_deg"))
 
+    // each round references the previous survivor set TWICE (both
+    // semi-joins) — without a lazy persist per round the final plan
+    // forks the whole prefix at every level and early rounds
+    // re-execute 2^rounds times. persist() is lazy (no job per round;
+    // the scheduler materializes each frame once inside the single
+    // final action); the eager checkpoint cadence additionally
+    // truncates lineage on deep runs.
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var alive = undP.select(col("s").as("node")).distinct()
-    var prevCkpt: DataFrame = null
     for (i <- 1 to rounds) {
       alive = degrees(alive)
         .filter(col("core_deg") >= k)
         .select("node")
-      if (doPersist && i % checkpointInterval == 0) {
-        val ckpt = alive.localCheckpoint(eager = true)
-        if (prevCkpt != null) prevCkpt.unpersist()
-        prevCkpt = ckpt
-        alive = ckpt
-      }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += alive
+      if (i % checkpointInterval == 0) alive = alive.localCheckpoint(true)
     }
-    val out = degrees(alive)
-    if (doPersist) undP.unpersist()
+    val out = degrees(alive).localCheckpoint(true)
+    kept.foreach(_.unpersist())
+    undP.unpersist()
     out
   }
 }

@@ -53,14 +53,16 @@ object LabelProp {
       .toDF("s", "t").distinct()
     val nodes = und.select(col("s").as("node")).distinct()
 
-    val doPersist = rounds >= checkpointInterval
-    val undP = if (doPersist) und.persist(StorageLevel.MEMORY_AND_DISK)
-               else und
-    val nodesP = if (doPersist) nodes.persist(StorageLevel.MEMORY_AND_DISK)
-                 else nodes
+    val undP = und.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodesP = nodes.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // each round references the previous labelling TWICE (the vote
+    // join and the isolated-node carryover) — a lazy persist per round
+    // keeps the final single-action plan from forking the whole
+    // prefix at every level (2^rounds re-execution); the eager
+    // checkpoint cadence additionally truncates lineage on deep runs
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var labels = nodesP.withColumn("label", col("node"))
-    var prevCkpt: DataFrame = null
     val pick = Window.partitionBy("node")
       .orderBy(col("c").desc, col("label").asc)
     for (i <- 1 to rounds) {
@@ -76,14 +78,13 @@ object LabelProp {
         .join(winner, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
-      if (doPersist && (i % checkpointInterval == 0 || i == rounds)) {
-        val ckpt = labels.localCheckpoint(eager = true)
-        if (prevCkpt != null) prevCkpt.unpersist()
-        prevCkpt = ckpt
-        labels = ckpt
-      }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      kept += labels
+      if (i % checkpointInterval == 0) labels = labels.localCheckpoint(true)
     }
-    if (doPersist) { undP.unpersist(); nodesP.unpersist() }
-    labels
+    val out = labels.localCheckpoint(true)
+    kept.foreach(_.unpersist())
+    undP.unpersist(); nodesP.unpersist()
+    out
   }
 }

@@ -150,7 +150,22 @@ object ExplainDump {
         "scan; tercile cut on the bounded quantized-key frame)" ->
         graft.query.QualityQueries.lmQuality(spark, sfDir),
       "leak-free split (cluster-rep equi-join, scan-level coin labeling)" ->
-        graft.query.QualityQueries.splitLeakFree(spark, sfDir))
+        graft.query.QualityQueries.splitLeakFree(spark, sfDir),
+      "q_winsorize (OrderStats bounds broadcast back over the scan — no " +
+        "per-category window)" ->
+        graft.query.WarehouseQueries.winsorize(spark, sfDir),
+      "q_event_transitions (per-user lead window: millions of small " +
+        "groups, then a tiny matrix)" ->
+        graft.query.WarehouseQueries.eventTransitions(spark, sfDir),
+      "q_vocab_encode (sort-limit capped vocab, broadcast encode join — " +
+        "the corpus is never shuffled)" ->
+        graft.query.TextQueries.vocabEncode(spark, sfDir),
+      "q_entropy_quality (one token-count shuffle, per-doc bounded " +
+        "collect + sorted fold)" ->
+        graft.query.TextQueries.entropyQuality(spark, sfDir),
+      "q_graph_label_prop (per-round: labels join + vote count + " +
+        "per-node window pick)" ->
+        graft.query.WarehouseQueries.graphLabelProp(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every
