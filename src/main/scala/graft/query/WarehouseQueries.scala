@@ -845,7 +845,96 @@ object WarehouseQueries {
       |FROM n JOIN reach r ON r.s = n.node
       |GROUP BY n.node ORDER BY id""".stripMargin
 
+  /** Global rank transform ([[graft.operators.GlobalRank]]): every
+    * lineitem ranked by price with a (orderkey, linenumber) tiebreak —
+    * the scalable zipWithIndex shape (range repartition + driver-side
+    * partition-offset prefix sum), NOT `row_number() OVER (ORDER BY
+    * …)`, which moves the table to one task. The oracle IS that
+    * window form, which DuckDB can afford at oracle scale; a 1-in-997
+    * key sample bounds the emitted rows without weakening what the
+    * ranking certifies (any wrong global offset shifts every rank
+    * after it). */
+  def rankTransform(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    graft.operators.GlobalRank.withRowNumber(li,
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        "rank")
+      .filter((col("l_orderkey") * 31 + col("l_linenumber")) % 997 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("price").cast("double").as("price"), col("rank"))
+      .orderBy("rank")
+  }
+
+  val rankTransformSql: String =
+    """WITH r AS (SELECT l_orderkey,
+      |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)),
+      |        l_orderkey, l_linenumber) AS BIGINT) AS rank
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, CAST(price AS DOUBLE) AS price,
+      |  rank
+      |FROM r WHERE (l_orderkey * 31 + l_linenumber) % 997 = 0
+      |ORDER BY rank""".stripMargin
+
+  /** Data-quality expectation report — the referential/nullability/
+    * range/uniqueness screens a warehouse runs before publishing a
+    * table, as one unioned count frame. Each check is a bounded
+    * aggregate (anti-joins for orphans, a dup-surplus sum for key
+    * uniqueness); the synthetic lineitem's duplicate (l_orderkey,
+    * l_linenumber) pairs (TESTDATA.md) make the uniqueness row
+    * legitimately non-zero. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    def one(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check_name"), col("n"))
+    one("lineitem_dup_lineid",
+        li.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n")))
+      .unionAll(one("lineitem_nonpositive_qty",
+        li.filter(col("l_quantity") <= 0).agg(count(lit(1)).as("n"))))
+      .unionAll(one("lineitem_orphans",
+        li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .unionAll(one("orders_null_date",
+        o.filter(col("o_orderdate").isNull).agg(count(lit(1)).as("n"))))
+      .unionAll(one("orders_orphans",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))))
+      .orderBy("check_name")
+  }
+
+  val dqChecksSql: String =
+    """SELECT * FROM (
+      |SELECT 'lineitem_dup_lineid' AS check_name,
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n FROM (
+      |    SELECT COUNT(*) AS c FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_nonpositive_qty',
+      |  CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_quantity <= 0
+      |UNION ALL
+      |SELECT 'lineitem_orphans', CAST(COUNT(*) AS BIGINT)
+      |FROM lineitem l WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'orders_null_date', CAST(COUNT(*) AS BIGINT)
+      |FROM orders WHERE o_orderdate IS NULL
+      |UNION ALL
+      |SELECT 'orders_orphans', CAST(COUNT(*) AS BIGINT)
+      |FROM orders o WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |) ORDER BY check_name""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_rank_transform" -> (rankTransform _, rankTransformSql),
+    "q_dq_checks" -> (dqChecks _, dqChecksSql),
     "q_event_transitions" -> (eventTransitions _, eventTransitionsSql),
     "q_entity_resolution" -> (entityResolution _, entityResolutionSql),
     "q_skyline" -> (skylineCustomers _, skylineCustomersSql),
