@@ -472,8 +472,45 @@ object VectorQueries {
        |) ORDER BY round""".stripMargin
   }
 
+  /** Dominant principal direction by integer power iteration
+    * ([[graft.operators.PowerIteration.dominantDirection]], 3
+    * matvecs): the Gram matrix from ONE corpus scan via
+    * map-side-combined d² cells, then d²-frame-only iterations. The
+    * oracle quantizes, builds G, and unrolls the same three
+    * sign-magnitude-rescaled matvecs — pure integers end to end. */
+  def pcaPower(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PowerIteration.dominantDirection(
+      embs(s, dir), "embedding", dims = 64, iters = 3)
+
+  val pcaPowerSql: String = {
+    val (qs, vs, d) = (64L, 10000L, 64)
+    def iter(t: Int): String =
+      s"""r$t AS MATERIALIZED (SELECT g.i AS comp,
+         |    SUM(g.c * v.v) AS raw
+         |  FROM g JOIN v${t - 1} v ON v.j = g.j GROUP BY 1),
+         |v$t AS MATERIALIZED (SELECT comp AS j,
+         |    CAST(sign(raw) AS BIGINT)
+         |      * ((abs(raw) * $vs) // (SELECT MAX(ABS(raw)) FROM r$t))
+         |      AS v
+         |  FROM r$t)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * $qs) AS BIGINT)) AS q
+       |  FROM embeddings WHERE len(embedding) = $d),
+       |g AS MATERIALIZED (SELECT ri.range AS i, rj.range AS j,
+       |    CAST(SUM(q[ri.range] * q[rj.range]) AS BIGINT) AS c
+       |  FROM e, range(1, ${d + 1}) ri, range(1, ${d + 1}) rj
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT r.range AS j, CAST($vs AS BIGINT) AS v
+       |  FROM range(1, ${d + 1}) r),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT j AS i, CAST(v AS BIGINT) AS v FROM v3 ORDER BY i"""
+      .stripMargin
+  }
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
+      "q_pca_power" -> (pcaPower _, pcaPowerSql),
       "q_diverse_kcenter" -> (diverseKcenter _, diverseKcenterSql),
       "q_hybrid_rrf" -> (hybridRrf _, hybridRrfSql),
       "q_sim_bruteforce" -> (simBruteForce _, simBruteForceSql),
