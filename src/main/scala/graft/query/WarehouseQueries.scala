@@ -880,6 +880,55 @@ object WarehouseQueries {
       |FROM r WHERE (l_orderkey * 31 + l_linenumber) % 997 = 0
       |ORDER BY rank""".stripMargin
 
+  /** Equi-depth (equal-frequency) histogram of lineitem prices —
+    * the zone-map/statistics primitive, reusing the OrderStats
+    * two-pass selection for the eight exact k/8 boundaries (each an
+    * EXISTING value at position ceil(k·n/8)) and assigning buckets
+    * with a scan-level 8-way CASE built from the collected boundary
+    * row (bounded scalar, 8 values): `bucket = min k with v ≤ b_k`.
+    * One selection pass + one map-side-combined count — no window
+    * over the fact table. */
+  def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem").select(lit("all").as("g"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val bounds = graft.operators.OrderStats
+      .discQuantiles(base, "g", "price", (1L to 8L).map(k => (k, 8L)))
+      .select(col("num").cast("int").as("k"), col("value"))
+      .collect().sortBy(_.getInt(0))
+    val bucket = bounds.init.foldRight(lit(bounds.last.getInt(0))) {
+      case (r, acc) =>
+        when(col("price") <= lit(r.getDouble(1))
+          .cast("decimal(18,2)"), r.getInt(0)).otherwise(acc)
+    }
+    base.select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .join(s.createDataFrame(bounds.map(r =>
+          (r.getInt(0), r.getDouble(1))).toSeq).toDF("bucket", "hi"),
+        "bucket")
+      .select(col("bucket").cast("long").as("bucket"), col("hi"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  val histogramEquidepthSql: String =
+    """WITH r AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    ROW_NUMBER() OVER (ORDER BY CAST(l_extendedprice
+      |      AS DECIMAL(18,2))) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM lineitem),
+      |b AS (SELECT k, MAX(price) AS hi FROM (
+      |    SELECT rn, price, u.k FROM r,
+      |      (SELECT r2.range + 1 AS k FROM range(8) r2) u
+      |    WHERE rn = (u.k * n + 7) // 8)
+      |  GROUP BY 1),
+      |a AS (SELECT price,
+      |    (SELECT MIN(k) FROM b WHERE price <= b.hi) AS bucket
+      |  FROM r)
+      |SELECT CAST(a.bucket AS BIGINT) AS bucket,
+      |  CAST(b.hi AS DOUBLE) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM a JOIN b ON b.k = a.bucket
+      |GROUP BY 1, 2 ORDER BY bucket""".stripMargin
+
   /** Data-quality expectation report — the referential/nullability/
     * range/uniqueness screens a warehouse runs before publishing a
     * table, as one unioned count frame. Each check is a bounded
@@ -934,6 +983,7 @@ object WarehouseQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_rank_transform" -> (rankTransform _, rankTransformSql),
+    "q_histogram_equidepth" -> (histogramEquidepth _, histogramEquidepthSql),
     "q_dq_checks" -> (dqChecks _, dqChecksSql),
     "q_event_transitions" -> (eventTransitions _, eventTransitionsSql),
     "q_entity_resolution" -> (entityResolution _, entityResolutionSql),
