@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.query.{CoreQueries, DedupQueries, DomainQueries, MediaQueries,
-  QualityQueries, TextQueries, VectorQueries, WarehouseQueries}
+  QualityQueries, TextQueries, TpchQueries, VectorQueries,
+  WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +13,7 @@ object SparkEntry {
     CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle ++
       DedupQueries.withOracle ++
       MediaQueries.all ++ VectorQueries.all ++ QualityQueries.all ++
-      WarehouseQueries.all
+      WarehouseQueries.all ++ TpchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline: quality + repetition gates
