@@ -61,21 +61,32 @@ object Hits {
     val doPersist = iters >= checkpointInterval
     val eP = e.persist(StorageLevel.MEMORY_AND_DISK)
     val nodesP = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    // with >= 1 edge both raw frames are non-empty every iteration, so
+    // the per-row guards below can actually fire; an empty graph would
+    // otherwise degenerate to a silent empty result
+    require(!eP.isEmpty,
+      "hits: the graph has no edges — scores are all zero and the " +
+        "max-rescale is undefined")
 
     val rawLim = Long.MaxValue / scale
     def rescaled(raw0: DataFrame, out: String): DataFrame = {
-      // eager checkpoint BEFORE the scalar max: the max is an action,
-      // and without the cut it re-executes the entire iteration prefix
-      // (and the final plan would re-execute it again) — the
-      // quadratic-re-evaluation trap of normalized iteration
+      // eager checkpoint: the raw frame is consumed by both the max
+      // aggregate and the rescale join — without the cut the final
+      // plan re-executes the entire iteration prefix per consumer
+      // (the quadratic-re-evaluation trap of normalized iteration)
       val raw = raw0.localCheckpoint(true)
-      // one-row scalar: the max of a node-set-bounded aggregate —
-      // the documented bounded-collect pattern (cf. Skew/Dedup params)
-      val row = raw.agg(max(col("raw")).as("m")).first()
-      require(!row.isNullAt(0) && row.getLong(0) > 0L,
-        "hits: the graph has no edges feeding this side — scores are " +
-          "all zero and the max-rescale is undefined")
-      val m = row.getLong(0)
+      // the max travels as a broadcast 1-row frame INSIDE the lazy
+      // plan — a driver-side first() here would cost one extra job
+      // per half-iteration; the zero/edgeless guard and the overflow
+      // headroom check ride the same expression as inline
+      // assert_trues (the PageRank discipline), zero extra jobs
+      val maxF = raw.agg(max(col("raw")).as("__m"))
+      val mGuard = coalesce(
+        assert_true(col("__m").isNotNull && col("__m") > 0L,
+          lit("hits: the graph has no edges feeding this side — " +
+            "scores are all zero and the max-rescale is undefined"))
+          .cast("long"),
+        lit(0L))
       val guard = coalesce(
         assert_true(coalesce(col("raw"), lit(0L)) <= lit(rawLim),
           lit(s"hits overflow headroom: a summed score exceeded " +
@@ -83,10 +94,11 @@ object Hits {
           .cast("long"),
         lit(0L))
       nodesP.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(maxF))
         .select(col("node"),
-          // guard first (left-to-right), then exact integer rescale
-          (guard + expr(s"(coalesce(raw, 0L) * $scale) div $m"))
-            .as(out))
+          // guards first (left-to-right), then exact integer rescale
+          (mGuard + guard +
+            expr(s"(coalesce(raw, 0L) * $scale) div __m")).as(out))
     }
 
     var hub = nodesP.withColumn("hub", lit(scale))
