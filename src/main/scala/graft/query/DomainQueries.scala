@@ -319,6 +319,28 @@ object DomainQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** Watermarked hourly windowed aggregation through the REAL stream
+    * ([[graft.streaming.WindowedStream]]): append-mode emissions
+    * (each window exactly once, on watermark close) must equal the
+    * batch hourly GROUP BY — the canonical structured-streaming
+    * operator under the full hash gate. */
+  def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.WindowedStream
+    val evs = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 300)
+      .select(col("us"), col("event_id"))
+      .collect()
+      .map(r => WindowedStream.Ev(r.getLong(0), r.getLong(1))).toSeq
+    WindowedStream.replayHourly(s, evs).orderBy("hour_us")
+  }
+
+  val streamHourlySql: String =
+    """SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT)
+      |    AS hour_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events WHERE user_id < 300
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // As-of join: latest order (by date) per customer at or before each
   // event's timestamp — oracle is DuckDB's native ASOF JOIN.
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
@@ -404,6 +426,7 @@ object DomainQueries {
     "q_asof_wide" -> (asofWide _, asofWideSql),
     "q_stream_replay_dedup" -> (streamReplayDedup _, streamReplayDedupSql),
     "q_stream_sessionize" -> (streamSessionize _, streamSessionizeSql),
+    "q_stream_hourly" -> (streamHourly _, streamHourlySql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),
