@@ -341,6 +341,37 @@ object DomainQueries {
       |FROM events WHERE user_id < 300
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Watermarked stream-stream interval join
+    * ([[graft.streaming.StreamJoin]]): purchases attributed to views
+    * within 2 hours per user, two real watermarked streams advanced
+    * in event-time lockstep — append emissions must equal the plain
+    * batch interval join row-for-row. */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    def side(tpe: String) = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 150 && col("event_type") === tpe)
+      .select(col("user_id"), col("us"), col("event_id"))
+      .collect()
+      .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    StreamJoin.replay(s, side("view"), side("purchase"),
+        windowUs = 2L * 3600L * 1000000L)
+      .orderBy("user_id", "v_event", "p_event")
+  }
+
+  val streamJoinSql: String =
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS v_us,
+      |    event_id AS v_event FROM events
+      |  WHERE user_id < 150 AND event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS p_us,
+      |    event_id AS p_event FROM events
+      |  WHERE user_id < 150 AND event_type = 'purchase')
+      |SELECT v.user_id, v.v_event, p.p_event, v.v_us, p.p_us
+      |FROM v JOIN p ON p.user_id = v.user_id
+      |  AND p.p_us >= v.v_us
+      |  AND p.p_us <= v.v_us + 7200000000
+      |ORDER BY v.user_id, v_event, p_event""".stripMargin
+
   // As-of join: latest order (by date) per customer at or before each
   // event's timestamp — oracle is DuckDB's native ASOF JOIN.
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
@@ -427,6 +458,7 @@ object DomainQueries {
     "q_stream_replay_dedup" -> (streamReplayDedup _, streamReplayDedupSql),
     "q_stream_sessionize" -> (streamSessionize _, streamSessionizeSql),
     "q_stream_hourly" -> (streamHourly _, streamHourlySql),
+    "q_stream_join" -> (streamJoin _, streamJoinSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),
