@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.query.{CoreQueries, DedupQueries, DomainQueries, MediaQueries,
+import graft.query.{CoreQueries, DedupQueries, DomainQueries, EventQueries, MediaQueries,
   QualityQueries, TextQueries, TpchQueries, VectorQueries,
   WarehouseQueries}
 
@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle ++
       DedupQueries.withOracle ++
       MediaQueries.all ++ VectorQueries.all ++ QualityQueries.all ++
-      WarehouseQueries.all ++ TpchQueries.all
+      WarehouseQueries.all ++ TpchQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline: quality + repetition gates

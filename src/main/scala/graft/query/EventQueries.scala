@@ -1,0 +1,278 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-stream/time-series analytics split out of CoreQueries
+  * (round-9 module-size refactor, no behavior change): time-bucketed
+  * aggregation, sessionization (gaps-and-islands and the built-in
+  * session_window form), funnels, cohort retention, and per-user grid
+  * resampling (forward-fill + integer-lerp interpolation). Every
+  * entry keeps its full rows+schema+hash DuckDB oracle. */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with scan-derived `ets`/`us` columns — see
+    * [[Tables.loadEventsTs]]. */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEventsTs(s, dir)
+
+  /** Exact, order-independent sum of a double column, as double. */
+  private def dsum(c: String): Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  // Time-bucketed aggregation (tumbling-window batch analog, §2.9).
+  // Timestamp rendered as string to make the hash representation-stable.
+  // (events.ts arrives as long nanos — see nanosAsLong in GraftSession.)
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("ts_t", col("ets"))
+      .groupBy(
+        date_format(date_trunc("hour", col("ts_t")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum("value").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val eventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Batch sessionization of the event stream: 30-minute inactivity
+    * gap per user ([[QueryOps.sessionize]]). The gap compare runs on
+    * raw epoch NANOS (events.ts reads as long under nanosAsLong;
+    * DuckDB recomputes with epoch_ns) — integer-exact on both
+    * engines. */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame =
+    QueryOps.sessionize(t(s, dir, "events"),
+        col("user_id"), col("ts"), 30L * 60 * 1000000000L)
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id")
+
+  val sessionizeEventsSql: String =
+    """WITH g AS (SELECT event_id, user_id, ts,
+      |  CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+      |         > CAST(30 AS BIGINT) * 60 * 1000000000
+      |       OR lag(epoch_ns(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS f
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      |SELECT event_id, user_id,
+      |  CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      |FROM g ORDER BY event_id""".stripMargin
+
+  /** Strict view→click→purchase funnel ([[QueryOps.funnel]]) on
+    * epoch-MICROS (integer `div`, not double division — raw nanos
+    * would diverge from DuckDB, whose timestamps truncate to µs). */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame =
+    QueryOps.funnel(ev(s, dir), col("user_id"),
+        col("us"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy("entity")
+
+  val funnelStepsSql: String =
+    """WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+      |            FROM events WHERE event_type = 'view' GROUP BY 1),
+      |u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |       FROM events e JOIN u1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+      |       GROUP BY 1),
+      |u3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |       FROM events e JOIN u2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+      |       GROUP BY 1)
+      |SELECT u1.user_id AS entity, u1.t1, u2.t2, u3.t3,
+      |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+      |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS depth
+      |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+      |ORDER BY entity""".stripMargin
+
+  /** Day-N cohort retention: users bucketed by first-seen day, counted
+    * per (cohort, day offset) — two entity-keyed aggregates and one
+    * entity join, no global windows. */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val d = ev(s, dir).select(col("user_id"), to_date(col("ets")).as("day"))
+    val firstDay = d.groupBy("user_id").agg(min("day").as("cohort"))
+    d.join(firstDay, Seq("user_id"))
+      .select(
+        // ISO string, not DATE: date objects round-trip differently
+        // through the two engines' result layers
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_n"),
+        col("user_id"))
+      .groupBy("cohort", "day_n")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "day_n")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH d AS (SELECT user_id,
+      |             CAST(date_trunc('day', ts) AS DATE) AS day
+      |           FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1)
+      |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+      |  datediff('day', f.cohort, d.day) AS day_n,
+      |  count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Spark's built-in `session_window` aggregation (the engine-native
+    * form of sessionize): per (user, 30-min-gap session) bounds and
+    * event counts, emitted as epoch-µs. A session's end is
+    * last-event + gap and the window is end-EXCLUSIVE, so an event
+    * landing exactly on the end starts a NEW session — the oracle
+    * flags on `gap >=`, not `>` (sessionize's tie rule differs). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.loadEventsTs(s, dir)
+      .select(col("user_id"), col("ets"))
+      .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("s_start"),
+        unix_micros(col("session_window.end")).as("s_end"),
+        col("n_events"))
+      .orderBy("user_id", "s_start")
+
+  val sessionWindowsSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |g AS (SELECT user_id, us,
+      |  CASE WHEN lag(us) OVER w IS NULL
+      |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0
+      |  END AS f
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |s AS (SELECT user_id, us, sum(f) OVER (PARTITION BY user_id
+      |        ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, min(us) AS s_start,
+      |  max(us) + 1800000000 AS s_end, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start""".stripMargin
+
+  // Time-series resample: per-user hourly grid from the user's first to
+  // last event hour (sequence+explode — the grid is generated
+  // executor-side, rows scale with user-span, not input), gap hours get
+  // cnt=0, and the last-seen event value forward-fills across gaps
+  // (last(ignoreNulls) over an unbounded-preceding row frame). The
+  // in-hour representative value is deterministic: the event with the
+  // greatest (ts, event_id). Bounded to user_id < 50 to keep the output
+  // verify-sized at every SF; the plan is user-count-agnostic.
+  // Scale: one shuffle on user_id for the grid bounds, one window sort
+  // per user — both partition-parallel; no driver-side grid.
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    val evs = ev(s, dir).filter(col("user_id") < 50)
+    QueryOps.resampleFfill(evs, col("user_id"),
+        col("us"), col("event_id"), col("value"),
+        stepUs = 3600000000L)
+      .select(col("key").as("user_id"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("cnt"), col("filled_value"))
+      .orderBy("user_id", "hour")
+  }
+
+  val resampleFfillSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+      |  FROM events WHERE user_id < 50),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, hour_us
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM ev),
+      |per_hour AS (
+      |  SELECT user_id, hour_us, count(*) AS cnt,
+      |    max(CASE WHEN rn = 1 THEN value END) AS hour_value
+      |  FROM ranked GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000)) AS hour_us
+      |  FROM ev GROUP BY user_id),
+      |filled AS (
+      |  SELECT g.user_id, g.hour_us, p.cnt, p.hour_value,
+      |    last_value(p.hour_value IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |  FROM grid g LEFT JOIN per_hour p
+      |    ON g.user_id = p.user_id AND g.hour_us = p.hour_us)
+      |SELECT user_id,
+      |  strftime(make_timestamp(hour_us), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(cnt, 0) AS cnt, filled_value
+      |FROM filled ORDER BY user_id, hour""".stripMargin
+
+  /** Linear-interpolation gap fill ([[QueryOps.resampleInterp]]) on
+    * the same per-user hourly grid as q_resample_ffill, with the
+    * integer observation `event_id % 100`: gap hours get the exact
+    * scaled lerp between the surrounding observed hours, computed
+    * entirely in integer arithmetic (S = 10^6, bucket-index
+    * distances, sign branched so truncating and flooring division
+    * agree on the non-negative quotient) — every value
+    * hash-certifiable. */
+  def resampleInterp(s: SparkSession, dir: String): DataFrame = {
+    val evs = ev(s, dir).filter(col("user_id") < 50)
+    QueryOps.resampleInterp(evs, col("user_id"),
+        col("us"), col("event_id"), col("event_id") % 100,
+        stepUs = 3600000000L)
+      .select(col("key").as("user_id"),
+        date_format(timestamp_micros(col("bucket_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("cnt"), col("interp_scaled"))
+      .orderBy("user_id", "hour")
+  }
+
+  val resampleInterpSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_id % 100 AS v, epoch_us(ts) AS us,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+      |  FROM events WHERE user_id < 50),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, hour_us
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM ev),
+      |per_hour AS (
+      |  SELECT user_id, hour_us, count(*) AS cnt,
+      |    max(CASE WHEN rn = 1 THEN v END) AS hv
+      |  FROM ranked GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(hour_us), max(hour_us), 3600000000))
+      |      AS hour_us
+      |  FROM ev GROUP BY user_id),
+      |nbr AS (
+      |  SELECT g.user_id, g.hour_us, p.cnt, p.hv,
+      |    last_value(p.hv IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN p.hv IS NOT NULL THEN g.hour_us END
+      |        IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |    first_value(p.hv IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN p.hv IS NOT NULL THEN g.hour_us END
+      |        IGNORE NULLS) OVER (
+      |      PARTITION BY g.user_id ORDER BY g.hour_us
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      |  FROM grid g LEFT JOIN per_hour p
+      |    ON g.user_id = p.user_id AND g.hour_us = p.hour_us)
+      |SELECT user_id,
+      |  strftime(make_timestamp(hour_us), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  COALESCE(cnt, 0) AS cnt,
+      |  CAST(CASE WHEN hv IS NOT NULL THEN hv * 1000000
+      |    ELSE pv * 1000000
+      |      + (CASE WHEN nv >= pv THEN 1 ELSE -1 END)
+      |      * ((ABS(nv - pv) * 1000000 * ((hour_us - pb) // 3600000000))
+      |         // ((nb - pb) // 3600000000)) END AS BIGINT) AS interp_scaled
+      |FROM nbr ORDER BY user_id, hour""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
+    "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
+    "q_funnel" -> (funnelSteps _, funnelStepsSql),
+    "q_retention" -> (retentionCohorts _, retentionCohortsSql),
+    "q_session_window" -> (sessionWindows _, sessionWindowsSql),
+    "q_resample_ffill" -> (resampleFfill _, resampleFfillSql),
+    "q_resample_interp" -> (resampleInterp _, resampleInterpSql))
+}

@@ -130,7 +130,7 @@ object Probe {
         case TimestampType    => col("ts")
         case TimestampNTZType => col("ts").cast(TimestampType)
       }
-      def current() = graft.query.CoreQueries.sessionWindows(spark, dir).count()
+      def current() = graft.query.EventQueries.sessionWindows(spark, dir).count()
       def rawDirect() = raw
         .select(col("user_id"), tsCol.as("ets"))
         .groupBy(col("user_id"), session_window(col("ets"), "30 minutes"))
@@ -163,7 +163,7 @@ object Probe {
       println(f"[probe] sesswin ALT current  min=${cur.min}%.3f runs=${cur.map(t => f"$t%.3f").mkString(",")}")
       println(f"[probe] sesswin ALT rawdirect min=${rd.min}%.3f runs=${rd.map(t => f"$t%.3f").mkString(",")}")
       m3("scanonly", scanOnly _)
-      graft.query.CoreQueries.sessionWindows(spark, dir).explain("formatted")
+      graft.query.EventQueries.sessionWindows(spark, dir).explain("formatted")
       spark.stop(); return
     }
     if (only.contains("scaledemo")) {
