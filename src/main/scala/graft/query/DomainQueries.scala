@@ -372,6 +372,42 @@ object DomainQueries {
       |  AND p.p_us <= v.v_us + 7200000000
       |ORDER BY v.user_id, v_event, p_event""".stripMargin
 
+  /** The LEFT-OUTER face of the stream-stream join: unmatched views
+    * emit exactly once, null-padded, when the watermark passes their
+    * match horizon — append mode's subtlest emission rule, pinned to
+    * the batch left join. Null columns surface as -1 sentinels so the
+    * hash gate compares concrete values. */
+  def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    def side(tpe: String) = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 150 && col("event_type") === tpe)
+      .select(col("user_id"), col("us"), col("event_id"))
+      .collect()
+      .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    StreamJoin.replay(s, side("view"), side("purchase"),
+        windowUs = 2L * 3600L * 1000000L, joinType = "left_outer")
+      .select(col("user_id"), col("v_event"),
+        coalesce(col("p_event"), lit(-1L)).as("p_event"),
+        col("v_us"), coalesce(col("p_us"), lit(-1L)).as("p_us"))
+      .orderBy("user_id", "v_event", "p_event")
+  }
+
+  val streamJoinOuterSql: String =
+    """WITH v AS (SELECT user_id, epoch_us(ts) AS v_us,
+      |    event_id AS v_event FROM events
+      |  WHERE user_id < 150 AND event_type = 'view'),
+      |p AS (SELECT user_id, epoch_us(ts) AS p_us,
+      |    event_id AS p_event FROM events
+      |  WHERE user_id < 150 AND event_type = 'purchase')
+      |SELECT v.user_id, v.v_event,
+      |  COALESCE(p.p_event, -1) AS p_event, v.v_us,
+      |  COALESCE(p.p_us, -1) AS p_us
+      |FROM v LEFT JOIN p ON p.user_id = v.user_id
+      |  AND p.p_us >= v.v_us
+      |  AND p.p_us <= v.v_us + 7200000000
+      |ORDER BY v.user_id, v_event, p_event""".stripMargin
+
   // As-of join: latest order (by date) per customer at or before each
   // event's timestamp — oracle is DuckDB's native ASOF JOIN.
   def asofLatestOrder(s: SparkSession, dir: String): DataFrame = {
@@ -459,6 +495,7 @@ object DomainQueries {
     "q_stream_sessionize" -> (streamSessionize _, streamSessionizeSql),
     "q_stream_hourly" -> (streamHourly _, streamHourlySql),
     "q_stream_join" -> (streamJoin _, streamJoinSql),
+    "q_stream_join_outer" -> (streamJoinOuter _, streamJoinOuterSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),

@@ -24,11 +24,16 @@ object StreamJoin {
 
   final case class Ev(user_id: Long, us: Long, event_id: Long)
 
-  /** views ⋈ purchases within `windowUs` after the view, per user. */
+  /** views ⋈ purchases within `windowUs` after the view, per user.
+    * `joinType` "inner" or "left_outer": the outer form additionally
+    * emits each unmatched view exactly once, null-padded, when the
+    * watermark passes its match horizon — the subtlest append-mode
+    * emission rule there is, certified by q_stream_join_outer. */
   def viewPurchase(views: org.apache.spark.sql.Dataset[Ev],
                    purchases: org.apache.spark.sql.Dataset[Ev],
                    windowUs: Long,
-                   watermarkDelay: String = "0 seconds"): DataFrame = {
+                   watermarkDelay: String = "0 seconds",
+                   joinType: String = "inner"): DataFrame = {
     val v = views
       .withColumn("v_time", timestamp_micros(col("us")))
       .withWatermark("v_time", watermarkDelay)
@@ -43,7 +48,8 @@ object StreamJoin {
       col("v_user") === col("p_user") &&
         col("p_time") >= col("v_time") &&
         col("p_time") <= col("v_time") +
-          expr(s"interval ${windowUs / 1000000L} seconds"))
+          expr(s"interval ${windowUs / 1000000L} seconds"),
+      joinType)
       .select(col("v_user").as("user_id"), col("v_event"),
         col("p_event"), col("v_us"), col("p_us"))
   }
@@ -53,7 +59,7 @@ object StreamJoin {
     * lockstep arrival order that makes streaming == batch exact),
     * then sentinel-flushing both watermarks. */
   def replay(spark: SparkSession, views: Seq[Ev], purchases: Seq[Ev],
-             windowUs: Long): DataFrame = {
+             windowUs: Long, joinType: String = "inner"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
@@ -69,7 +75,8 @@ object StreamJoin {
     val weekUs = 7L * 86400000000L
     val maxUs = (views ++ purchases).map(_.us).max
     try {
-      val q = viewPurchase(memV.toDS(), memP.toDS(), windowUs)
+      val q = viewPurchase(memV.toDS(), memP.toDS(), windowUs,
+          joinType = joinType)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
       try {

@@ -51,4 +51,15 @@ class StreamJoinSpec extends SparkTestBase {
     assert(run(vs, ps) == reference(vs, ps))
     assert(run(vs, ps).isEmpty)
   }
+
+  test("left outer: unmatched views emit once, null-padded, at horizon") {
+    val b = DAY
+    val vs = Seq(Ev(1, b, 10), Ev(1, b + 5 * HOUR, 11))
+    val ps = Seq(Ev(1, b + HOUR, 100)) // matches view 10 only
+    val got = StreamJoin.replay(spark, vs, ps, W, joinType = "left_outer")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 100L), (1L, 11L, -1L)))
+  }
 }
