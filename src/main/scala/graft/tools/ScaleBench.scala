@@ -70,7 +70,22 @@ object ScaleBench {
     // densification, as above); q_stream_sessionize (bounded
     // user<100 replay slice)
     "q_winsorize", "q_entropy_quality", "q_vocab_encode",
-    "q_bpe_merges", "q_diverse_kcenter")
+    "q_bpe_merges", "q_diverse_kcenter",
+    // round 9 (cont. 2): q_tpch_* are full fact joins against
+    // replicated dims' offset keys (1:1 per replica); q_rank_transform
+    // is the two-pass global selection over lineitem (the %997 sample
+    // lands on different rows per replica — emission volume scales,
+    // work stays two passes); q_event_transitions windows over
+    // offset user ids (more small groups, same per-group size);
+    // q_histogram_equidepth / q_dq_checks / q_drift_psi / q_pca_power
+    // are full-scan + bounded-side-table shapes. Excluded for fixture
+    // reasons: q_entity_resolution (replicated customer names repeat
+    // across replicas, so the TRUE match set grows quadratically —
+    // the q_fuzzy_join exclusion); q_stream_join* / q_stream_hourly /
+    // q_stream_sessionize (bounded replay slices)
+    "q_tpch_q3", "q_tpch_q5", "q_rank_transform",
+    "q_event_transitions", "q_histogram_equidepth", "q_dq_checks",
+    "q_drift_psi", "q_pca_power")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
