@@ -42,6 +42,10 @@ object Bfs {
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
     var frontier = settled
+    // checkpoints still referenced by the lazy settled union chain —
+    // freed the moment a cadence/final checkpoint materializes past
+    // them (leaking them would pin one cached copy per round)
+    val pending = scala.collection.mutable.ArrayBuffer[DataFrame](settled)
     var h = 1
     var done = maxHops == 0
     while (!done) {
@@ -54,15 +58,24 @@ object Bfs {
         .join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
         .localCheckpoint(true)
+      pending += next
       // the settled union chain (checkpointed waves) still accretes
       // one node per round — collapse it on cadence
       settled = settled.union(next)
-      if (h % checkpointInterval == 0) settled = settled.localCheckpoint(true)
+      if (h % checkpointInterval == 0) {
+        settled = settled.localCheckpoint(true)
+        // frontier (= next) stays live for the coming round
+        pending.filter(_ ne next).foreach(_.unpersist())
+        pending.clear()
+        pending += next
+        pending += settled
+      }
       frontier = next
       done = h == maxHops || frontier.isEmpty
       h += 1
     }
     val out = settled.localCheckpoint(true)
+    pending.foreach(_.unpersist())
     e.unpersist()
     out
   }

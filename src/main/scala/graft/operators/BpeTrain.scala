@@ -32,6 +32,25 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** Internal sequence encoding: every symbol travels WRAPPED as
+    * `SOHsymbolSTX`, so a merge rewrite can only ever match
+    * WHOLE adjacent symbols. A space-joined encoding rewritten with
+    * plain `replace` looks right but is wrong: once multi-char
+    * symbols exist, the pattern `"a b"` also matches the SUFFIX of a
+    * symbol ending in `a` (e.g. `"xa b"`), merging symbols the pair
+    * count never saw (review r9 finding). The wrappers make a
+    * cross-boundary match impossible — `SOH` occurs only at
+    * symbol starts, `STX` only at ends — while keeping the
+    * rewrite a plain leftmost non-overlapping `replace` both engines
+    * share. Adjacent same-pair runs still merge greedily
+    * (`^a$^a$^a$` + pattern `^a$^a$` → `^aa$^a$`). */
+  private val SOH = "\u0001"
+  private val STX = "\u0002"
+  private[graft] def wrapPair(pair: String): String =
+    SOH + pair.replace(" ", STX + SOH) + STX
+  private[graft] def wrapMerged(pair: String): String =
+    SOH + pair.replace(" ", "") + STX
+
   /** @param words  (word: string, cnt: long) — distinct words with
     *               corpus frequencies (the caller's one corpus pass)
     * @param merges fixed merge-round count (an unrolled-CTE oracle
@@ -48,14 +67,22 @@ object BpeTrain {
         // char-split via filter(:: <> '') — engine split() dialects
         // disagree on zero-width trailing matches; dropping empties is
         // dialect-proof
-        expr("concat_ws(' ', filter(split(word, ''), x -> x <> ''))")
+        expr("concat_ws('', transform(filter(split(word, ''), " +
+          "x -> x <> ''), c -> concat(chr(1), c, chr(2))))")
           .as("seq"),
         col("cnt").cast("long").as("cnt"))
       .localCheckpoint(true)
+    // display form: boundaries back to spaces, outer wrappers stripped
+    def display(seq: org.apache.spark.sql.Column) = {
+      val spaced = call_function("replace", seq, lit(STX + SOH), lit(" "))
+      substring_index(substring_index(spaced, STX, 1), SOH, -1)
+    }
     val picked = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to merges) {
       val top = seqs
-        .select(expr("split(seq, ' ')").as("l"), col("cnt"))
+        .select(split(
+            expr("substring(seq, 2, length(seq) - 2)"),
+            STX + SOH, -1).as("l"), col("cnt"))
         .select(explode(expr(
             "transform(slice(l, 1, greatest(size(l) - 1, 0)), " +
               "(x, i) -> concat(x, ' ', l[i + 1]))")).as("pair"),
@@ -67,16 +94,19 @@ object BpeTrain {
         s"bpe: no adjacent pairs left after ${r - 1} merges — every " +
           "word is a single symbol; lower `merges`")
       val pair = top(0).getString(0)
-      val merged = pair.replace(" ", "")
-      picked += ((r, pair, merged, top(0).getLong(1)))
+      picked += ((r, pair, pair.replace(" ", ""), top(0).getLong(1)))
       // lit()s, not SQL-string splicing: no escaping surface
+      val prev = seqs
       seqs = seqs.withColumn("seq",
-          call_function("replace", col("seq"), lit(pair), lit(merged)))
+          call_function("replace", col("seq"),
+            lit(wrapPair(pair)), lit(wrapMerged(pair))))
         .localCheckpoint(true)
+      prev.unpersist() // superseded eager checkpoint: free its blocks
     }
     val mergeTable = spark.createDataFrame(picked.result())
       .toDF("round", "pair", "merged", "cnt")
-    (mergeTable, seqs.select(col("word"), col("seq").as("encoding"),
-      col("cnt")))
+    (mergeTable,
+      seqs.select(col("word"), display(col("seq")).as("encoding"),
+        col("cnt")))
   }
 }

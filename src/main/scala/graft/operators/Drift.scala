@@ -79,7 +79,12 @@ object Drift {
     require(bucketWidth > 0 && nBuckets >= 2, "need width > 0, >= 2 buckets")
     val spark = df.sparkSession
     val counts = df
-      .select(least(floor(value / bucketWidth), lit(nBuckets - 1))
+      // clamp BOTH ends: an unclamped negative value would land in
+      // bucket -1 and silently vanish through the spine join (while
+      // out-of-range-high values clamp into the top bucket) — the
+      // distribution must never truncate asymmetrically
+      .select(greatest(least(floor(value / bucketWidth),
+          lit(nBuckets - 1)), lit(0L))
           .cast("long").as("bucket"),
         inA.cast("long").as("__a"))
       .groupBy("bucket")

@@ -52,13 +52,26 @@ object KCenter {
         lit(2.0) * Similarity.dot(col("v"), typedlit(vecOf(c)))
       df.withColumn("d", merge.fold(nd)(prev => least(col(prev), nd)))
     }
-    frame = withDistTo(frame, seed, None).localCheckpoint(true)
+    // picked ids leave the candidate frame: without the exclusion,
+    // duplicate points (d = 0 everywhere once k exceeds the distinct
+    // count) would re-pick the seed forever instead of the remaining
+    // distinct exemplars (review r9 finding)
+    frame = withDistTo(frame.filter(col("id") =!= seed.getLong(0)),
+      seed, None).localCheckpoint(true)
     for (r <- 1 until k) {
-      val top = frame.orderBy(desc("d"), asc("id"))
-        .limit(1).select("id", "v", "dvv", "d").collect()(0)
+      val rows = frame.orderBy(desc("d"), asc("id"))
+        .limit(1).select("id", "v", "dvv", "d").collect()
+      require(rows.nonEmpty,
+        s"k-center: k=$k exceeds the number of distinct ids " +
+          s"(ran out after ${picked.result().size} picks)")
+      val top = rows(0)
       picked += ((r, top.getLong(0), top.getDouble(3)))
-      frame = withDistTo(frame, top, Some("d")).localCheckpoint(true)
+      val prev = frame
+      frame = withDistTo(frame.filter(col("id") =!= top.getLong(0)),
+        top, Some("d")).localCheckpoint(true)
+      prev.unpersist() // superseded eager checkpoint: free its blocks
     }
+    frame.unpersist() // the result is the driver-built pick table
     spark.createDataFrame(picked.result())
       .toDF("round", "center_id", "dist")
   }

@@ -52,11 +52,15 @@ object Sssp {
       .localCheckpoint(true)
     var h = 1
     while (h <= maxHops) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
+      val prev = dist
+      dist = dist.join(e, dist("node") === e("src"))
         .select(e("dst").as("node"), (col("dist") + e("w")).as("dist"))
-      dist = dist.union(relaxed)
+        .union(dist)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
+      // the new EAGER checkpoint no longer references the old one —
+      // free its blocks instead of leaking one cached copy per round
+      prev.unpersist()
       h += 1
     }
     e.unpersist()

@@ -421,7 +421,8 @@ object QualityQueries {
       .orderBy("bucket")
 
   val driftPsiSql: String =
-    """WITH c AS (SELECT least(CAST(floor(value / 50.0) AS BIGINT), 9)
+    """WITH c AS (SELECT
+      |    greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9), 0)
       |      AS bucket,
       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |      AS BIGINT) AS c_a,

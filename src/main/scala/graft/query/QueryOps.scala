@@ -250,13 +250,27 @@ object QueryOps {
       .withColumn("__nv", first(col("__bv"), ignoreNulls = true).over(wNext))
       .withColumn("__nb", first(when(col("__bv").isNotNull, col("bucket_us")),
         ignoreNulls = true).over(wNext))
-      .withColumn("interp_scaled",
-        when(col("__bv").isNotNull, col("__bv") * scale)
+      .withColumn("interp_scaled", {
+        // inline overflow headroom on the ACTUAL lerp numerator
+        // operands (the PageRank/Hits discipline): |Δv|·scale·gapIdx
+        // would wrap a Long silently under non-ANSI mode
+        val guard = coalesce(
+          assert_true(col("__bv").isNotNull ||
+              abs(col("__nv") - col("__pv")) <=
+                lit(Long.MaxValue) / lit(scale) /
+                  greatest(expr(s"(bucket_us - __pb) div ${stepUs}L"),
+                    lit(1L)),
+            lit("resampleInterp overflow headroom: |next - prev| * " +
+              s"scale * gap exceeds Long.Max at scale=$scale; lower " +
+              "`scale` or pre-scale the metric")).cast("long"),
+          lit(0L))
+        guard + when(col("__bv").isNotNull, col("__bv") * scale)
           .otherwise(col("__pv") * scale +
             when(col("__nv") >= col("__pv"), lit(1L)).otherwise(lit(-1L)) *
               expr(s"""(abs(__nv - __pv) * ${scale}L *
                        ((bucket_us - __pb) div ${stepUs}L))
-                      div ((__nb - __pb) div ${stepUs}L)""")))
+                      div ((__nb - __pb) div ${stepUs}L)"""))
+      })
       .select(col("key"), col("bucket_us"),
         coalesce(col("cnt"), lit(0L)).as("cnt"), col("interp_scaled"))
   }

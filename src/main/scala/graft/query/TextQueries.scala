@@ -652,18 +652,30 @@ object TextQueries {
   def bpeVocab(s: SparkSession, dir: String): DataFrame =
     BpeTrain.train(wordCounts(s, dir), merges = 8)._2.orderBy("word")
 
+  // Wrapped symbol encoding (chr(1) symbol chr(2)), mirroring
+  // BpeTrain.SOH/STX: the rewrite can only match WHOLE adjacent
+  // symbols — a space-joined replace would also match the suffix of a
+  // multi-char symbol (review r9 finding; see BpeTrain scaladoc).
   private def bpeRoundCte(r: Int): String =
     s"""p$r AS MATERIALIZED (SELECT l[i] || ' ' || l[i+1] AS pair,
        |    SUM(cnt) AS c
-       |  FROM (SELECT string_split(seq, ' ') AS l, cnt,
-       |        unnest(range(1, len(string_split(seq, ' ')))) AS i
+       |  FROM (SELECT
+       |        string_split(substring(seq, 2, length(seq) - 2),
+       |          chr(2) || chr(1)) AS l, cnt,
+       |        unnest(range(1, len(string_split(
+       |          substring(seq, 2, length(seq) - 2),
+       |          chr(2) || chr(1))))) AS i
        |      FROM s${r - 1})
        |  GROUP BY 1),
        |t$r AS MATERIALIZED (SELECT pair, c FROM p$r
        |  ORDER BY c DESC, pair ASC LIMIT 1),
        |s$r AS MATERIALIZED (SELECT word,
-       |    replace(seq, (SELECT pair FROM t$r),
-       |      (SELECT replace(pair, ' ', '') FROM t$r)) AS seq, cnt
+       |    replace(seq,
+       |      (SELECT concat(chr(1),
+       |         replace(pair, ' ', chr(2) || chr(1)), chr(2))
+       |       FROM t$r),
+       |      (SELECT concat(chr(1), replace(pair, ' ', ''), chr(2))
+       |       FROM t$r)) AS seq, cnt
        |  FROM s${r - 1})""".stripMargin
 
   private val bpeBaseCte: String =
@@ -672,9 +684,15 @@ object TextQueries {
        |wc AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM w
        |  GROUP BY 1),
        |s0 AS MATERIALIZED (SELECT word,
-       |    list_aggregate(string_split(word, ''), 'string_agg', ' ')
+       |    list_aggregate(list_transform(string_split(word, ''),
+       |      c -> chr(1) || c || chr(2)), 'string_agg', '')
        |      AS seq, cnt FROM wc),
-       |${(1 to 8).map(bpeRoundCte).mkString(",\n")}""".stripMargin
+       |${(1 to 8).map(bpeRoundCte).mkString(",\n")},
+       |sdisp AS MATERIALIZED (SELECT word,
+       |    substring(replace(seq, chr(2) || chr(1), ' '), 2,
+       |      length(replace(seq, chr(2) || chr(1), ' ')) - 2)
+       |      AS seq, cnt
+       |  FROM s8)""".stripMargin
 
   val bpeMergesSql: String = {
     val finals = (1 to 8).map(r =>
@@ -690,7 +708,7 @@ object TextQueries {
   val bpeVocabSql: String =
     s"""$bpeBaseCte
        |SELECT word, seq AS encoding, CAST(cnt AS BIGINT) AS cnt
-       |FROM s8 ORDER BY word""".stripMargin
+       |FROM sdisp ORDER BY word""".stripMargin
 
   /** Corpus-level BPE tokenization with the learned merges: the
     * segmented vocabulary (word → subword sequence) broadcast-joins
@@ -726,7 +744,7 @@ object TextQueries {
        |  CAST(generate_subscripts(string_split(v.seq, ' '), 1) AS BIGINT)
        |    AS sub_pos,
        |  unnest(string_split(v.seq, ' ')) AS symbol
-       |FROM tok t JOIN s8 v USING (word)
+       |FROM tok t JOIN sdisp v USING (word)
        |ORDER BY doc_id, word_pos, sub_pos""".stripMargin
 
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(

@@ -450,7 +450,8 @@ object VectorQueries {
          |m$r AS MATERIALIZED (SELECT m.id, m.v, m.dvv,
          |    least(m.d, (m.dvv + t.dvv) - 2 * list_dot_product(m.v, t.v))
          |      AS d
-         |  FROM m${r - 1} m, t$r t)""".stripMargin
+         |  FROM m${r - 1} m, t$r t
+         |  WHERE m.id <> t.id)""".stripMargin
     val finals = (1 to 5).map(r =>
       s"SELECT $r AS round, id AS center_id, d AS dist FROM t$r")
       .mkString("\nUNION ALL\n")
@@ -462,7 +463,7 @@ object VectorQueries {
        |c0 AS MATERIALIZED (SELECT id, v, dvv FROM e ORDER BY id LIMIT 1),
        |m0 AS MATERIALIZED (SELECT e.id, e.v, e.dvv,
        |    (e.dvv + c.dvv) - 2 * list_dot_product(e.v, c.v) AS d
-       |  FROM e, c0 c),
+       |  FROM e, c0 c WHERE e.id <> c.id),
        |${(1 to 5).map(round).mkString(",\n")}
        |SELECT * FROM (
        |SELECT 0 AS round, id AS center_id, CAST(0 AS DOUBLE) AS dist

@@ -47,8 +47,10 @@ object StreamJoin {
     v.join(p,
       col("v_user") === col("p_user") &&
         col("p_time") >= col("v_time") &&
+        // microsecond interval — a seconds-denominated literal would
+        // silently truncate sub-second windows (review r9 finding)
         col("p_time") <= col("v_time") +
-          expr(s"interval ${windowUs / 1000000L} seconds"),
+          expr(s"interval $windowUs microseconds"),
       joinType)
       .select(col("v_user").as("user_id"), col("v_event"),
         col("p_event"), col("v_us"), col("p_us"))

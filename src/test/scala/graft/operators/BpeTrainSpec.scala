@@ -5,26 +5,37 @@ import graft.SparkTestBase
 class BpeTrainSpec extends SparkTestBase {
   import spark.implicits._
 
-  /** Single-threaded BPE reference mirroring the operator: count
-    * adjacent pairs weighted by word count, merge argmax (count desc,
-    * pair asc), rewrite leftmost-non-overlapping. */
+  /** Single-threaded SYMBOL-LEVEL BPE reference: sequences are token
+    * VECTORS, merges rewrite whole adjacent symbols greedily left to
+    * right — deliberately a different representation from the
+    * operator's wrapped-string rewrite, so cross-boundary substring
+    * bugs (a pattern matching the SUFFIX of a multi-char symbol)
+    * cannot be shared between implementation and reference. */
   private def reference(words: Seq[(String, Long)], merges: Int)
       : (Seq[(Int, String, String, Long)], Map[String, String]) = {
-    var seqs = words.map { case (w, c) => (w, w.toSeq.mkString(" "), c) }
+    var seqs = words.map { case (w, c) => (w, w.map(_.toString).toVector, c) }
+    def mergeOnce(t: Vector[String], a: String, b: String)
+        : Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.result()
+    }
     val table = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to merges) {
-      val counts = seqs.flatMap { case (_, s, c) =>
-        val t = s.split(" ")
+      val counts = seqs.flatMap { case (_, t, c) =>
         t.zip(t.drop(1)).map(p => (s"${p._1} ${p._2}", c))
       }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       val (pair, c) = counts.toSeq.minBy { case (p, n) => (-n, p) }
-      val merged = pair.replace(" ", "")
-      table += ((r, pair, merged, c))
-      seqs = seqs.map { case (w, s, n) =>
-        (w, s.replace(pair, merged), n) // String.replace = leftmost
-      }
+      val Array(a, b) = pair.split(" ", 2)
+      table += ((r, pair, a + b, c))
+      seqs = seqs.map { case (w, t, n) => (w, mergeOnce(t, a, b), n) }
     }
-    (table.result(), seqs.map(t => t._1 -> t._2).toMap)
+    (table.result(), seqs.map(t => t._1 -> t._2.mkString(" ")).toMap)
   }
 
   private def run(words: Seq[(String, Long)], merges: Int) = {
@@ -70,6 +81,21 @@ class BpeTrainSpec extends SparkTestBase {
     val (refT, refV) = reference(words, 6)
     assert(gotT == refT)
     assert(gotV == refV)
+  }
+
+  test("a merge pair never matches ACROSS symbol boundaries") {
+    // round 1 merges (x,a) -> "xa", so "xab" becomes [xa, b]; round 2
+    // merges (a,b) — a naive substring rewrite of the space-joined
+    // form would then corrupt "xa b" into one symbol "xab" (the 'a'
+    // belongs to symbol "xa"); whole-symbol BPE must leave [xa, b]
+    val words = Seq(("xa", 50L), ("ab", 40L), ("xab", 1L))
+    val (gotT, gotV) = run(words, 2)
+    val (refT, refV) = reference(words, 2)
+    assert(gotT == refT)
+    assert(gotV == refV)
+    assert(gotT.map(_._2) == Seq("x a", "a b"))
+    assert(gotV("xab") == "xa b", "the 'a b' merge must not reach " +
+      "inside the already-merged 'xa' symbol")
   }
 
   test("running out of pairs is a clear error, not a silent no-op") {

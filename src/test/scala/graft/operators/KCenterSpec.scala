@@ -15,7 +15,8 @@ class KCenterSpec extends SparkTestBase {
     val dvv = vecs.map { case (id, v) => id -> dot(v, v) }.toMap
     val byId = vecs.toMap
     val seed = vecs.map(_._1).min
-    var d = vecs.map { case (id, v) =>
+    // picked ids leave the candidate set (operator semantics)
+    var d = vecs.filter(_._1 != seed).map { case (id, v) =>
       id -> ((dvv(id) + dvv(seed)) - 2.0 * dot(v, byId(seed)))
     }.toMap
     val out = Seq.newBuilder[(Int, Long, Double)]
@@ -23,7 +24,7 @@ class KCenterSpec extends SparkTestBase {
     for (r <- 1 until k) {
       val (cid, cd) = d.toSeq.minBy { case (id, dd) => (-dd, id) }
       out += ((r, cid, cd))
-      d = d.map { case (id, dd) =>
+      d = (d - cid).map { case (id, dd) =>
         id -> math.min(dd,
           (dvv(id) + dvv(cid)) - 2.0 * dot(byId(id), byId(cid)))
       }
@@ -61,12 +62,21 @@ class KCenterSpec extends SparkTestBase {
     assert(got == reference(vecs, 7)) // == on raw doubles, no epsilon
   }
 
-  test("duplicate points never beat distinct ones; ties go to lower id") {
+  test("duplicates: picked ids never repeat; zero-distance dups still fill k") {
     val vecs = Seq[(Long, Seq[Float])](
       (1L, Seq(0f)), (2L, Seq(0f)), (3L, Seq(9f)), (4L, Seq(9f)))
-    val got = run(vecs, 3)
-    assert(got == reference(vecs, 3))
+    val got = run(vecs, 4)
+    assert(got == reference(vecs, 4))
+    assert(got.map(_._2).distinct.size == 4, "all picks distinct")
     assert(got(1)._2 == 3L, "farthest distinct point first, lower id")
-    assert(got(2)._3 == 0.0, "third pick is a zero-distance duplicate")
+    assert(got.drop(2).forall(_._3 == 0.0),
+      "remaining picks are zero-distance duplicates")
+  }
+
+  test("k beyond the distinct-id count fails loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq((1L, Seq(0f)), (2L, Seq(1f))), 3)
+    }
+    assert(ex.getMessage.contains("exceeds the number of distinct ids"))
   }
 }
