@@ -341,6 +341,58 @@ object DomainQueries {
       |FROM events WHERE user_id < 300
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Last-touch attribution as a BATCH composition: each purchase
+    * attributed to the user's latest view at-or-before it
+    * ([[QueryOps.asofJoin]] — the composed union + running-last
+    * window), nulled past the 2-hour lookback. The windowed
+    * stream-stream join (q_stream_join) answers "all pairs inside the
+    * window"; this answers the marketing question "which single view
+    * gets the credit" — same machinery family, different semantics,
+    * both oracle-pinned (DuckDB native ASOF LEFT JOIN here). Views
+    * pre-aggregate per (user, ts) so the as-of right side is unique
+    * per instant — tie order inside one timestamp is not defined by
+    * either engine's asof. */
+  def attributionLastTouch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEventsTs(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ets").as("p_ts"),
+        col("us").as("p_us"), col("event_id").as("p_event"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ets").as("v_ts"))
+      .agg(max(col("event_id")).as("v_event"),
+        max(col("us")).as("v_us"))
+    QueryOps.asofJoin(purchases, views, Seq("user_id"),
+        "p_ts", "v_ts", Seq("v_event", "v_us"))
+      .select(col("user_id"), col("p_event"), col("p_us"),
+        when(col("v_us").isNotNull &&
+            col("p_us") - col("v_us") <= 7200000000L, col("v_event"))
+          .otherwise(lit(-1L)).as("attributed_view"),
+        when(col("v_us").isNotNull &&
+            col("p_us") - col("v_us") <= 7200000000L,
+            col("p_us") - col("v_us"))
+          .otherwise(lit(-1L)).as("lag_us"))
+      .orderBy("user_id", "p_event")
+  }
+
+  val attributionLastTouchSql: String =
+    """WITH p AS (SELECT user_id, ts AS p_ts, epoch_us(ts) AS p_us,
+      |    event_id AS p_event FROM events
+      |  WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts AS v_ts,
+      |    CAST(MAX(event_id) AS BIGINT) AS v_event,
+      |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS v_us
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.user_id, p.p_event, p.p_us,
+      |  CASE WHEN v.v_us IS NOT NULL
+      |         AND p.p_us - v.v_us <= 7200000000
+      |       THEN v.v_event ELSE -1 END AS attributed_view,
+      |  CASE WHEN v.v_us IS NOT NULL
+      |         AND p.p_us - v.v_us <= 7200000000
+      |       THEN p.p_us - v.v_us ELSE -1 END AS lag_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+      |ORDER BY p.user_id, p.p_event""".stripMargin
+
   /** Watermarked stream-stream interval join
     * ([[graft.streaming.StreamJoin]]): purchases attributed to views
     * within 2 hours per user, two real watermarked streams advanced
@@ -496,6 +548,8 @@ object DomainQueries {
     "q_stream_hourly" -> (streamHourly _, streamHourlySql),
     "q_stream_join" -> (streamJoin _, streamJoinSql),
     "q_stream_join_outer" -> (streamJoinOuter _, streamJoinOuterSql),
+    "q_attribution_lasttouch" ->
+      (attributionLastTouch _, attributionLastTouchSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),
