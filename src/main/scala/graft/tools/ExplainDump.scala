@@ -165,7 +165,13 @@ object ExplainDump {
         graft.query.TextQueries.entropyQuality(spark, sfDir),
       "q_graph_label_prop (per-round: labels join + vote count + " +
         "per-node window pick)" ->
-        graft.query.WarehouseQueries.graphLabelProp(spark, sfDir))
+        graft.query.WarehouseQueries.graphLabelProp(spark, sfDir),
+      "q_tpch_q5 (five-way join: all dims broadcast, one orderkey " +
+        "shuffle, nation-sized aggregate)" ->
+        graft.query.TpchQueries.q5LocalSupplierVolume(spark, sfDir),
+      "q_attribution_lasttouch (composed as-of: union + running-last " +
+        "window, no custom exec)" ->
+        graft.query.DomainQueries.attributionLastTouch(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every
