@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the other
+  * classic record-linkage candidate generator: sort all records by a
+  * blocking key and pair every record with its `w` successors in rank
+  * order. Complements the deletion-neighborhood blocking of
+  * [[FuzzyJoin]]: FastSS is complete for a fixed edit radius but keys
+  * on the matched string itself; sorted-neighborhood is radius-
+  * agnostic (any comparator runs on the candidates) at the price of
+  * missing pairs whose keys sort far apart — which is why its gate
+  * pins the BLOCKING semantics exactly, not an approximation of the
+  * quadratic join.
+  *
+  * Scale shape: the global rank comes from [[GlobalRank]] (range
+  * repartition + partition-offset prefix sums — no single-task sort),
+  * and the windowed pairing is an EQUI-join on rank blocks of width
+  * `w`: a pair within `w` ranks lies in the same or adjacent blocks,
+  * so the left side emits one key and the right side two — candidate
+  * volume is `O(n·w)` by construction, never quadratic, and the
+  * shuffle carries (id, rank, key) rows only.
+  */
+object SortedNeighborhood {
+
+  /** @param df     input
+    * @param idCol  row id column (must make (key, id) unique)
+    * @param keyCol blocking-key column
+    * @param w      neighborhood width in rank positions (≥ 1)
+    * @return (id_a, key_a, id_b, key_b) — every pair whose ranks in
+    *         (key, id) order differ by at most `w`, lower rank on the
+    *         `a` side */
+  def pairs(df: DataFrame, idCol: String, keyCol: String,
+            w: Int): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val ranked = GlobalRank.withRowNumber(
+        df.select(col(idCol).as("__id"), col(keyCol).as("__key")),
+        Seq(col("__key"), col("__id")), "__rn")
+      .withColumn("__blk", expr(s"__rn div ${w}L"))
+    val left = ranked.select(col("__id").as("id_a"),
+      col("__key").as("key_a"), col("__rn").as("__ra"),
+      col("__blk").as("__jblk"))
+    // the right side answers from its own and the PRECEDING block —
+    // together they cover every lower-ranked row within w
+    val right = ranked.select(col("__id").as("id_b"),
+        col("__key").as("key_b"), col("__rn").as("__rb"),
+        explode(array(col("__blk"), col("__blk") - 1)).as("__jblk"))
+    left.join(right, "__jblk")
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= w)
+      .select("id_a", "key_a", "id_b", "key_b")
+      .distinct() // a pair can surface via both block keys
+  }
+}

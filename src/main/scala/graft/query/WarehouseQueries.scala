@@ -981,7 +981,45 @@ object WarehouseQueries {
       |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
       |) ORDER BY check_name""".stripMargin
 
+  /** Entity resolution under SORTED-NEIGHBORHOOD blocking
+    * ([[graft.operators.SortedNeighborhood.pairs]], w = 5) — the
+    * other classic candidate generator, deliberately gated on its OWN
+    * semantics: the oracle ranks with the same (name, id) order and
+    * bands by the same width, so the row set certifies exactly what
+    * the O(n·w) blocking finds (including what it legitimately
+    * misses vs q_entity_resolution's complete deletion-key blocking —
+    * same fixture, different clusters, both pinned). */
+  def entityResolutionSnb(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    val pairs = graft.operators.SortedNeighborhood
+      .pairs(c, "cid", "c_name", w = 5)
+      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    Dedup.nearDupClusters(pairs).orderBy("id")
+  }
+
+  val entityResolutionSnbSql: String =
+    """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |r AS (SELECT id, name,
+      |    ROW_NUMBER() OVER (ORDER BY name, id) AS rn FROM c),
+      |e AS (SELECT least(a.id, b.id) AS a, greatest(a.id, b.id) AS b
+      |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 5
+      |    AND levenshtein(a.name, b.name) <= 1),
+      |und AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+      |reach AS (SELECT s, t FROM und
+      |  UNION SELECT r2.s, u.t FROM reach r2 JOIN und u ON r2.t = u.s),
+      |n AS (SELECT DISTINCT s AS node FROM und)
+      |SELECT n.node AS id, least(n.node, MIN(r3.t)) AS cluster
+      |FROM n JOIN reach r3 ON r3.s = n.node
+      |GROUP BY n.node ORDER BY id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_entity_resolution_snb" ->
+      (entityResolutionSnb _, entityResolutionSnbSql),
     "q_rank_transform" -> (rankTransform _, rankTransformSql),
     "q_histogram_equidepth" -> (histogramEquidepth _, histogramEquidepthSql),
     "q_dq_checks" -> (dqChecks _, dqChecksSql),
