@@ -69,12 +69,18 @@ object Hits {
         "max-rescale is undefined")
 
     val rawLim = Long.MaxValue / scale
+    // every half-iteration's raw checkpoint is tracked here and freed
+    // once a LATER eager checkpoint has materialized past it (the
+    // Bfs/Sssp pending-buffer discipline, ADVICE r9) — otherwise two
+    // node-sized cached frames per iteration pin until GC
+    val pendingRaw = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     def rescaled(raw0: DataFrame, out: String): DataFrame = {
       // eager checkpoint: the raw frame is consumed by both the max
       // aggregate and the rescale join — without the cut the final
       // plan re-executes the entire iteration prefix per consumer
       // (the quadratic-re-evaluation trap of normalized iteration)
       val raw = raw0.localCheckpoint(true)
+      pendingRaw += raw
       // the max travels as a broadcast 1-row frame INSIDE the lazy
       // plan — a driver-side first() here would cost one extra job
       // per half-iteration; the zero/edgeless guard and the overflow
@@ -120,12 +126,21 @@ object Hits {
         if (prevCkpt != null) prevCkpt.unpersist()
         prevCkpt = ckpt
         hub = ckpt
+        // the eager hub checkpoint has materialized past every earlier
+        // raw checkpoint; only the current iteration's pair (aRaw,
+        // still referenced by `auth` until the final join, and hRaw)
+        // must outlive it
+        val keep = pendingRaw.takeRight(2)
+        pendingRaw.dropRight(2).foreach(_.unpersist())
+        pendingRaw.clear(); pendingRaw ++= keep
       }
     }
     val out = hub.join(auth, Seq("node"), "left")
       .select(col("node"), col("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
       .localCheckpoint(true)
+    pendingRaw.foreach(_.unpersist())
+    if (prevCkpt != null) prevCkpt.unpersist()
     eP.unpersist(); nodesP.unpersist()
     out
   }

@@ -69,7 +69,10 @@ object KCore {
         .select("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
       kept += alive
-      if (i % checkpointInterval == 0) alive = alive.localCheckpoint(true)
+      if (i % checkpointInterval == 0) {
+        alive = alive.localCheckpoint(true)
+        kept += alive // cadence checkpoints are freed at the end too
+      }
     }
     val out = degrees(alive).localCheckpoint(true)
     kept.foreach(_.unpersist())

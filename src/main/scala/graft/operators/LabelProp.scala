@@ -80,7 +80,10 @@ object LabelProp {
           coalesce(col("new_label"), col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       kept += labels
-      if (i % checkpointInterval == 0) labels = labels.localCheckpoint(true)
+      if (i % checkpointInterval == 0) {
+        labels = labels.localCheckpoint(true)
+        kept += labels // cadence checkpoints are freed at the end too
+      }
     }
     val out = labels.localCheckpoint(true)
     kept.foreach(_.unpersist())

@@ -40,29 +40,70 @@ object OrderStats {
     *                 disagree with an integer-arithmetic oracle:
     *                 0.05 · 20 = 1.0000000000000002 in binary, so
     *                 `ceil` lands on 2, not 1.
+    * @param maxGroupsPerPartition loud upper bound on the per-task
+    *                 group cardinality. The driver-side locator frame
+    *                 is (partitions × groups-per-partition) rows; this
+    *                 operator's contract is LOW-cardinality groups (a
+    *                 handful of categories over arbitrarily many
+    *                 rows). A per-USER quantile at 100 TB would
+    *                 otherwise collect millions of rows to the driver
+    *                 silently — that shape belongs to a per-key window
+    *                 (`percentile` over `Window.partitionBy(user)`:
+    *                 millions of SMALL groups is exactly where windows
+    *                 scale), not to two-pass global selection.
     * @return (group, num, den, value) — one row per group×fraction */
   def discQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                    fracs: Seq[(Long, Long)]): DataFrame = {
+                    fracs: Seq[(Long, Long)],
+                    maxGroupsPerPartition: Int = 10000): DataFrame = {
     require(fracs.nonEmpty && fracs.forall {
         case (num, den) => num > 0 && den > 0 && num <= den
       }, "fracs must be rationals in (0, 1]")
+    require(maxGroupsPerPartition >= 1,
+      "maxGroupsPerPartition must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // a null (or a value whose double cast yields null) would
+    // otherwise surface as an opaque encoder error at job runtime —
+    // and, worse, nulls sort first, so one could be SELECTED as a
+    // quantile value. Fail loudly at the scan instead (the
+    // Hits/Skyline convention), riding the existing expression —
+    // no extra job.
+    val vc = col(valueCol).cast("double")
+    val vGuarded = coalesce(
+      assert_true(vc.isNotNull,
+        lit(s"OrderStats.discQuantiles: null in `$valueCol` (or a " +
+          "value that does not cast to double) — filter or repair " +
+          "nulls upstream; a null would sort first and could be " +
+          "selected as a quantile value")).cast("double"),
+      lit(0.0)) + vc
     val sorted = df
-      .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
+      .select(col(groupCol).cast("string").as("g"), vGuarded.as("v"))
       .repartitionByRange(parts, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .as[(String, Double)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // pass 1: (partition, group) counts — partitions×groups rows
+    // pass 1: (partition, group) counts — partitions×groups rows.
+    // The per-task cardinality bound keeps the collected frame ≤
+    // partitions × maxGroupsPerPartition BEFORE anything reaches the
+    // driver (range partitioning clusters groups, so a
+    // high-cardinality input trips this on every task, loudly).
+    val maxG = maxGroupsPerPartition
     val counts: Array[(Int, String, Long)] = sorted
       .mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+        it.foreach { case (g, _) =>
+          m.update(g, m.getOrElse(g, 0L) + 1L)
+          require(m.size <= maxG,
+            s"OrderStats.discQuantiles: more than $maxG distinct " +
+              "groups in one partition — this operator is for " +
+              "low-cardinality groups over big data; for per-entity " +
+              "quantiles (many small groups) use a percentile over " +
+              "Window.partitionBy(entity), which scales there, or " +
+              "raise maxGroupsPerPartition deliberately")
+        }
         m.iterator.map { case (g, c) => (pid, g, c) }
       }.collect()
 

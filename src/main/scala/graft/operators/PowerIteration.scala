@@ -72,11 +72,17 @@ object PowerIteration {
 
     var v = spark.range(1, dims + 1)
       .select(col("id").as("j"), lit(vscale).as("v"))
+    // each raw checkpoint is freed once the NEXT one has eagerly
+    // materialized past it (the new raw's job consumed the old v, which
+    // was the only reference) — the pending-buffer discipline, ADVICE r9
+    var prevRaw: DataFrame = null
     for (_ <- 1 to iters) {
       val raw = cells.join(v, "j")
         .groupBy(col("i").as("comp"))
         .agg(sum(col("c") * col("v")).as("raw"))
         .localCheckpoint(true) // scalar max below must not re-derive
+      if (prevRaw != null) prevRaw.unpersist()
+      prevRaw = raw
       val m = raw.agg(max(abs(col("raw")))).first().getLong(0)
       require(m > 0L, "power iteration collapsed to the zero vector")
       v = raw.select(col("comp").as("j"),
@@ -84,6 +90,13 @@ object PowerIteration {
         (signum(col("raw")).cast("long") *
           expr(s"(abs(raw) * $vscale) div $m")).as("v"))
     }
-    v.select(col("j").as("i"), col("v")).orderBy("i")
+    // the output is checkpointed so the last raw frame and the Gram
+    // cells can be released before returning (nothing downstream
+    // re-derives them)
+    val out = v.select(col("j").as("i"), col("v")).orderBy("i")
+      .localCheckpoint(true)
+    if (prevRaw != null) prevRaw.unpersist()
+    cells.unpersist()
+    out
   }
 }

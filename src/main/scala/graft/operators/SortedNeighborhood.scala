@@ -24,18 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object SortedNeighborhood {
 
-  /** @param df     input
-    * @param idCol  row id column (must make (key, id) unique)
-    * @param keyCol blocking-key column
-    * @param w      neighborhood width in rank positions (≥ 1)
+  /** String-column convenience form of [[pairsBy]]. */
+  def pairs(df: DataFrame, idCol: String, keyCol: String,
+            w: Int): DataFrame =
+    pairsBy(df, col(idCol), col(keyCol), w)
+
+  /** @param df    input
+    * @param idCol row id column (must make (key, id) unique)
+    * @param key   blocking-key EXPRESSION — any deterministic Column
+    *              (raw field, normalized/phonetic derivation, …); the
+    *              sort order of this expression defines the
+    *              neighborhood
+    * @param w     neighborhood width in rank positions (≥ 1)
     * @return (id_a, key_a, id_b, key_b) — every pair whose ranks in
     *         (key, id) order differ by at most `w`, lower rank on the
     *         `a` side */
-  def pairs(df: DataFrame, idCol: String, keyCol: String,
-            w: Int): DataFrame = {
+  def pairsBy(df: DataFrame, idCol: Column, key: Column,
+              w: Int): DataFrame = {
     require(w >= 1, "w must be >= 1")
     val ranked = GlobalRank.withRowNumber(
-        df.select(col(idCol).as("__id"), col(keyCol).as("__key")),
+        df.select(idCol.as("__id"), key.as("__key")),
         Seq(col("__key"), col("__id")), "__rn")
       .withColumn("__blk", expr(s"__rn div ${w}L"))
     val left = ranked.select(col("__id").as("id_a"),
@@ -50,6 +58,10 @@ object SortedNeighborhood {
       .filter(col("__rb") > col("__ra") &&
         col("__rb") - col("__ra") <= w)
       .select("id_a", "key_a", "id_b", "key_b")
-      .distinct() // a pair can surface via both block keys
+    // no trailing distinct: a right row explodes to blocks __blk and
+    // __blk−1, and a left row at block b_a matches exactly one of them
+    // (b_b = b_a or b_a+1), so with the unique-(key, id) precondition
+    // every pair surfaces exactly once — a dedup here would add a full
+    // shuffle over the O(n·w) candidate stream for nothing (ADVICE r9)
   }
 }

@@ -284,8 +284,10 @@ object DomainQueries {
   /** Streaming sessionization as explicit keyed state
     * ([[graft.streaming.SessionStream.sessionize]] —
     * flatMapGroupsWithState + event-time timeout), replayed one
-    * event-time day per micro-batch over a bounded user slice and
-    * flushed by sentinel watermark advance. The oracle is the BATCH
+    * event-time WEEK per micro-batch over a bounded user slice and
+    * flushed by sentinel watermark advance (cross-batch event-time
+    * order is the certified invariant; the batch width only sets the
+    * micro-batch count). The oracle is the BATCH
     * gaps-and-islands sessionization — the gate certifies that the
     * stateful streaming path lands on exactly the relational
     * semantics, closed sessions and timeout-flushed tails alike. */
@@ -295,11 +297,15 @@ object DomainQueries {
     val evs = Tables.loadEventsTs(s, dir)
       .filter(col("user_id") < 100)
       .select(col("user_id"), col("us"), col("event_id"))
+      // certification harness, NOT the production entry: the bounded
+      // (user_id < 100) slice is collected only to stage MemoryStream
+      // micro-batches; production code feeds a real streaming Dataset
+      // straight into SessionStream.sessionize
       .collect()
       .map(r => SessionStream.SessEvent(r.getLong(0), r.getLong(1),
         r.getLong(2)))
       .toSeq
-    SessionStream.replayDaily(s, evs, gapUs)
+    SessionStream.replayWeekly(s, evs, gapUs)
       .orderBy("user_id", "start_us")
   }
 
@@ -329,6 +335,10 @@ object DomainQueries {
     val evs = Tables.loadEventsTs(s, dir)
       .filter(col("user_id") < 300)
       .select(col("us"), col("event_id"))
+      // certification harness, NOT the production entry: the bounded
+      // slice is collected only to stage MemoryStream micro-batches;
+      // production code runs WindowedStream's aggregation over a real
+      // readStream source
       .collect()
       .map(r => WindowedStream.Ev(r.getLong(0), r.getLong(1))).toSeq
     WindowedStream.replayHourly(s, evs).orderBy("hour_us")
@@ -403,6 +413,10 @@ object DomainQueries {
     def side(tpe: String) = Tables.loadEventsTs(s, dir)
       .filter(col("user_id") < 150 && col("event_type") === tpe)
       .select(col("user_id"), col("us"), col("event_id"))
+      // certification harness, NOT the production entry: the bounded
+      // (user_id < 150) slice is collected only to stage the two
+      // MemoryStreams in event-time lockstep; production code joins
+      // two real streaming Datasets via StreamJoin.viewPurchase
       .collect()
       .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
@@ -434,6 +448,10 @@ object DomainQueries {
     def side(tpe: String) = Tables.loadEventsTs(s, dir)
       .filter(col("user_id") < 150 && col("event_type") === tpe)
       .select(col("user_id"), col("us"), col("event_id"))
+      // certification harness, NOT the production entry: the bounded
+      // (user_id < 150) slice is collected only to stage the two
+      // MemoryStreams in event-time lockstep; production code joins
+      // two real streaming Datasets via StreamJoin.viewPurchase
       .collect()
       .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq

@@ -251,18 +251,31 @@ object QueryOps {
       .withColumn("__nb", first(when(col("__bv").isNotNull, col("bucket_us")),
         ignoreNulls = true).over(wNext))
       .withColumn("interp_scaled", {
-        // inline overflow headroom on the ACTUAL lerp numerator
-        // operands (the PageRank/Hits discipline): |Δv|·scale·gapIdx
-        // would wrap a Long silently under non-ANSI mode
+        // inline overflow headroom on the ACTUAL lerp operands (the
+        // PageRank/Hits discipline): |Δv|·scale·gapIdx AND the bare
+        // __bv·scale / __pv·scale terms would wrap a Long silently
+        // under non-ANSI mode. The limit is EXACT integer arithmetic
+        // end to end — Scala-side Long.MaxValue/scale, then integer
+        // `div` by the gap (Column `/` is double division, whose
+        // rounding slop could admit a wrapping operand; ADVICE r9).
+        // |nv − pv| is itself wrap-safe given the per-operand bounds
+        // whenever scale ≥ 2 (|pv|,|nv| ≤ Long.Max/scale ⇒ the
+        // difference fits); scale = 1 makes the scaled terms no-ops
+        // anyway.
+        val scaleLim = Long.MaxValue / scale
         val guard = coalesce(
-          assert_true(col("__bv").isNotNull ||
-              abs(col("__nv") - col("__pv")) <=
-                lit(Long.MaxValue) / lit(scale) /
-                  greatest(expr(s"(bucket_us - __pb) div ${stepUs}L"),
-                    lit(1L)),
-            lit("resampleInterp overflow headroom: |next - prev| * " +
-              s"scale * gap exceeds Long.Max at scale=$scale; lower " +
-              "`scale` or pre-scale the metric")).cast("long"),
+          assert_true(
+            abs(coalesce(col("__bv"), lit(0L))) <= lit(scaleLim) &&
+              abs(coalesce(col("__pv"), lit(0L))) <= lit(scaleLim) &&
+              abs(coalesce(col("__nv"), lit(0L))) <= lit(scaleLim) &&
+              (col("__bv").isNotNull ||
+                abs(col("__nv") - col("__pv")) <=
+                  expr(s"${scaleLim}L div " +
+                    s"greatest((bucket_us - __pb) div ${stepUs}L, 1L)")),
+            lit("resampleInterp overflow headroom: an observed value " +
+              s"or |next - prev| * gap exceeds Long.Max/scale at " +
+              s"scale=$scale; lower `scale` or pre-scale the metric"))
+            .cast("long"),
           lit(0L))
         guard + when(col("__bv").isNotNull, col("__bv") * scale)
           .otherwise(col("__pv") * scale +

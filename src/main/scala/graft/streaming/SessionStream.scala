@@ -110,7 +110,7 @@ object SessionStream {
     * open sessions. Collecting through the driver is the documented
     * replay-harness boundary ([[StreamingIngest.replayDailyDedup]]),
     * not a production path. */
-  def replayDaily(spark: SparkSession, events: Seq[SessEvent],
+  def replayWeekly(spark: SparkSession, events: Seq[SessEvent],
                   gapUs: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

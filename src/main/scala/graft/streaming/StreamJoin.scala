@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * join window, never by stream length. The replay harness (two
   * driver-fed MemoryStreams advanced in event-time lockstep, weekly
   * batches, sentinel flush) is the documented verification boundary,
-  * as in [[SessionStream.replayDaily]].
+  * as in [[SessionStream.replayWeekly]].
   */
 object StreamJoin {
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * evicted the moment the watermark closes it; the stream never holds
   * history. The replay harness (driver-fed MemoryStream, weekly
   * batches, far-future sentinel flush) is the documented
-  * verification boundary, same as [[SessionStream.replayDaily]].
+  * verification boundary, same as [[SessionStream.replayWeekly]].
   */
 object WindowedStream {
 

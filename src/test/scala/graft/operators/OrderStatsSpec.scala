@@ -57,4 +57,43 @@ class OrderStatsSpec extends SparkTestBase {
     assert(run(rows, Seq((1L, 2L), (11L, 20L))) ==
       Set(("d", 1L, 2L, 1.0), ("d", 11L, 20L, 2.0)))
   }
+
+  test("a null value fails loudly, naming the operator and column") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      OrderStats.discQuantiles(df, "g", "v", Seq((1L, 2L))).collect()
+    }
+    assert(e.getMessage.contains("OrderStats.discQuantiles") &&
+      e.getMessage.contains("null in `v`"))
+  }
+
+  test("a non-castable string value fails loudly (ANSI cast), not silently") {
+    // under ANSI mode the cast itself raises CAST_INVALID_INPUT before
+    // the null guard can run — either way the failure is loud, which is
+    // the contract; a null INPUT (previous test) reaches our guard
+    val df = Seq(("a", "1.5"), ("a", "not-a-number")).toDF("g", "v")
+    val e = intercept[Exception] {
+      OrderStats.discQuantiles(df, "g", "v", Seq((1L, 1L))).collect()
+    }
+    assert(e.getMessage.contains("OrderStats.discQuantiles") ||
+      e.getMessage.contains("CAST_INVALID_INPUT"))
+  }
+
+  test("high-cardinality groups trip the driver-frame bound loudly") {
+    // one group per row: the per-user-quantile anti-shape — must fail
+    // with the message naming the window alternative, BEFORE a
+    // partitions x groups frame reaches the driver
+    val df = (1 to 500).map(i => (s"user_$i", i.toDouble)).toDF("g", "v")
+    val e = intercept[Exception] {
+      OrderStats.discQuantiles(df, "g", "v", Seq((1L, 2L)),
+        maxGroupsPerPartition = 100).collect()
+    }
+    assert(e.getMessage.contains("distinct") &&
+      e.getMessage.contains("Window.partitionBy"))
+    // and the same data passes when the bound is raised deliberately
+    val ok = OrderStats.discQuantiles(df, "g", "v", Seq((1L, 1L)),
+      maxGroupsPerPartition = 1000).count()
+    assert(ok == 500L)
+  }
 }

@@ -51,7 +51,7 @@ class SessionStreamSpec extends SparkTestBase {
       // user 3: duplicate timestamps inside one session
       SessEvent(3, b + day + 100 * MIN, 8),
       SessEvent(3, b + day + 100 * MIN, 9))
-    val got = SessionStream.replayDaily(spark, evs, gap)
+    val got = SessionStream.replayWeekly(spark, evs, gap)
       .collect().map(r => SessionOut(r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).toSet
     assert(got == reference(evs))
@@ -63,7 +63,7 @@ class SessionStreamSpec extends SparkTestBase {
     val b = 86400000000L
     val evs = Seq(SessEvent(7, b + 20 * MIN, 2), SessEvent(7, b, 1),
       SessEvent(7, b + 90 * MIN, 3))
-    val got = SessionStream.replayDaily(spark, evs, gap)
+    val got = SessionStream.replayWeekly(spark, evs, gap)
       .collect().map(r => SessionOut(r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3))).toSet
     assert(got == Set(SessionOut(7, b, b + 20 * MIN, 2),
