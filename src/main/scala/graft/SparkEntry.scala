@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.query.{CoreQueries, DedupQueries, DomainQueries, EventQueries, MediaQueries,
-  QualityQueries, TextQueries, TpchQueries, VectorQueries,
-  WarehouseQueries}
+import graft.query.{CoreQueries, DedupQueries, DomainQueries, EventQueries, GraphQueries,
+  MediaDedupQueries, MediaQueries, QualityQueries, TextQueries, TpchQueries,
+  VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,8 +12,10 @@ object SparkEntry {
       : Map[String, ((SparkSession, String) => DataFrame, String)] =
     CoreQueries.all ++ DomainQueries.all ++ TextQueries.withOracle ++
       DedupQueries.withOracle ++
-      MediaQueries.all ++ VectorQueries.all ++ QualityQueries.all ++
-      WarehouseQueries.all ++ TpchQueries.all ++ EventQueries.all
+      MediaQueries.all ++ MediaDedupQueries.all ++ VectorQueries.all ++
+      QualityQueries.all ++
+      WarehouseQueries.all ++ GraphQueries.all ++ TpchQueries.all ++
+      EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline: quality + repetition gates

@@ -114,13 +114,13 @@ object ExplainDump {
         "cross product)" ->
         graft.query.WarehouseQueries.fuzzyJoinNames(spark, sfDir),
       "q_pagerank (three iterative joins, broadcast rank/deg sides)" ->
-        graft.query.WarehouseQueries.pageRankEvents(spark, sfDir),
+        graft.query.GraphQueries.pageRankEvents(spark, sfDir),
       "q_collocations (two count shuffles + TakeOrdered, no global sort)" ->
         graft.query.QualityQueries.collocations(spark, sfDir),
       "q_cdc_apply (one row_number window per key partition)" ->
         graft.query.WarehouseQueries.cdcApply(spark, sfDir),
       "q_graph_triangles (oriented wedge join, equi-joins only)" ->
-        graft.query.WarehouseQueries.graphTriangles(spark, sfDir),
+        graft.query.GraphQueries.graphTriangles(spark, sfDir),
       "ivf-pq top-k (codes through the cell join, bounded exact re-rank)" -> {
         import org.apache.spark.sql.functions.col
         graft.operators.Similarity.ivfPqTopK(
@@ -165,7 +165,7 @@ object ExplainDump {
         graft.query.TextQueries.entropyQuality(spark, sfDir),
       "q_graph_label_prop (per-round: labels join + vote count + " +
         "per-node window pick)" ->
-        graft.query.WarehouseQueries.graphLabelProp(spark, sfDir),
+        graft.query.GraphQueries.graphLabelProp(spark, sfDir),
       "q_tpch_q5 (five-way join: all dims broadcast, one orderkey " +
         "shuffle, nation-sized aggregate)" ->
         graft.query.TpchQueries.q5LocalSupplierVolume(spark, sfDir),

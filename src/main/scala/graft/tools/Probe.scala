@@ -106,9 +106,9 @@ object Probe {
       // q_pagerank fixed-cost check after the doPersist gating
       for (r <- 1 to 4) {
         val t0 = System.nanoTime()
-        val n = graft.query.WarehouseQueries.graphBfs(spark, dir).count()
+        val n = graft.query.GraphQueries.graphBfs(spark, dir).count()
         val t1 = System.nanoTime()
-        val m = graft.query.WarehouseQueries.pageRankEvents(spark, dir).count()
+        val m = graft.query.GraphQueries.pageRankEvents(spark, dir).count()
         val t2 = System.nanoTime()
         println(f"[probe] r$r bfs rows=$n ${(t1 - t0) / 1e9}%.2f s | " +
           f"pagerank rows=$m ${(t2 - t1) / 1e9}%.2f s")
