@@ -45,4 +45,18 @@ class SortedNeighborhoodSpec extends SparkTestBase {
     for (w <- Seq(2, 5, 9))
       assert(run(rows, w) == reference(rows, w), s"w=$w")
   }
+
+  test("pairsBy with a derived key equals pairs on the pre-derived input") {
+    import org.apache.spark.sql.functions.{lower, regexp_replace}
+    // messy keys whose normalized forms REORDER relative to the raw
+    // sort (case and punctuation differ): the neighborhood must follow
+    // the expression, not the stored column
+    val rows = Seq(1L -> "B-2", 2L -> "a#9", 3L -> "A 1", 4L -> "b.0")
+    val norm = rows.map { case (id, k) =>
+      id -> k.replaceAll("[^A-Za-z0-9]", "").toLowerCase }
+    val viaExpr = SortedNeighborhood.pairsBy(rows.toDF("id", "k"),
+        col("id"), lower(regexp_replace(col("k"), "[^A-Za-z0-9]", "")), 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaExpr == reference(norm, 1) && viaExpr != reference(rows, 1))
+  }
 }
