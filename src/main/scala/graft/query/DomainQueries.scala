@@ -410,14 +410,18 @@ object DomainQueries {
     * batch interval join row-for-row. */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamJoin
-    def side(tpe: String) = Tables.loadEventsTs(s, dir)
-      .filter(col("user_id") < 150 && col("event_type") === tpe)
-      .select(col("user_id"), col("us"), col("event_id"))
-      // certification harness, NOT the production entry: the bounded
-      // (user_id < 150) slice is collected only to stage the two
-      // MemoryStreams in event-time lockstep; production code joins
-      // two real streaming Datasets via StreamJoin.viewPurchase
+    // certification harness, NOT the production entry: the bounded
+    // (user_id < 150) slice is collected only to stage the two
+    // MemoryStreams in event-time lockstep (ONE scan for both sides);
+    // production code joins two real streaming Datasets via
+    // StreamJoin.viewPurchase
+    val rows = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 150 &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("event_type"))
       .collect()
+    def side(tpe: String) = rows.filter(_.getString(3) == tpe)
       .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
     StreamJoin.replay(s, side("view"), side("purchase"),
@@ -445,14 +449,18 @@ object DomainQueries {
     * hash gate compares concrete values. */
   def streamJoinOuter(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StreamJoin
-    def side(tpe: String) = Tables.loadEventsTs(s, dir)
-      .filter(col("user_id") < 150 && col("event_type") === tpe)
-      .select(col("user_id"), col("us"), col("event_id"))
-      // certification harness, NOT the production entry: the bounded
-      // (user_id < 150) slice is collected only to stage the two
-      // MemoryStreams in event-time lockstep; production code joins
-      // two real streaming Datasets via StreamJoin.viewPurchase
+    // certification harness, NOT the production entry: the bounded
+    // (user_id < 150) slice is collected only to stage the two
+    // MemoryStreams in event-time lockstep (ONE scan for both sides);
+    // production code joins two real streaming Datasets via
+    // StreamJoin.viewPurchase
+    val rows = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 150 &&
+        col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("event_type"))
       .collect()
+    def side(tpe: String) = rows.filter(_.getString(3) == tpe)
       .map(r => StreamJoin.Ev(r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
     StreamJoin.replay(s, side("view"), side("purchase"),
