@@ -377,31 +377,96 @@ object TextAnalysis {
   def lmBigrams(text: Column): Column =
     regexp_extract_all(lmNormalize(text), lit("(?=(..))"), lit(1))
 
-  /** Train the bit-cost bigram LM over a corpus: one explode +
-    * groupBy — the shuffle carries at most 1444 rows per map
-    * partition (partial aggregation over the bounded alphabet), so
-    * training cost is one corpus scan regardless of size. The
-    * unpartitioned total-count window runs over the <=1444-row count
-    * frame, not the corpus. Returns (bigram, cnt, bits). */
-  def trainBitCostLm(df: DataFrame, text: Column): DataFrame =
-    df.select(explode(lmBigrams(text)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+  /** Train the bit-cost bigram LM over a corpus in ONE scan with no
+    * explode: each task accumulates a dense long[1444] of bigram
+    * counts ([[graft.plans.LmOps.accumulateBigrams]] — the same
+    * native symbol walk the scorer uses) and emits at most 1444
+    * (idx, cnt) rows, so the shuffle carries alphabet-bounded rows
+    * per partition and the per-bigram work is an array increment, not
+    * a 2-char string allocation + hash-agg probe (the explode form is
+    * kept as [[trainBitCostLmExploded]], spec-certified identical).
+    * The unpartitioned total-count window runs over the <=1444-row
+    * count frame, not the corpus. Returns (bigram, cnt, bits). */
+  def trainBitCostLm(df: DataFrame, text: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(text.cast("string").as("t")).as[String]
+      .mapPartitions { it =>
+        val acc = new Array[Long](
+          graft.plans.LmOps.Alphabet * graft.plans.LmOps.Alphabet)
+        it.foreach { t =>
+          if (t != null) graft.plans.LmOps.accumulateBigrams(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), acc)
+        }
+        acc.iterator.zipWithIndex
+          .filter(_._1 > 0L)
+          .map { case (c, idx) => (idx, c) }
+      }
+      .toDF("__idx", "cnt")
+      .groupBy("__idx").agg(sum("cnt").as("cnt"))
+    // idx -> 2-char key, pure expression over the <=1444-row frame
+    val syms = "abcdefghijklmnopqrstuvwxyz0123456789 _"
+    val key = expr(s"concat(substr('$syms', __idx div 38 + 1, 1), " +
+      s"substr('$syms', __idx % 38 + 1, 1))")
+    counts
       .withColumn("__total", sum("cnt").over())
       // bits = floor(log2(total / cnt)), integer-exactly: the floor of
       // log2 of a rational t/c equals bitlength(t div c) - 1 (for any
       // integer m, m <= t/c iff m <= t div c)
       .withColumn("bits",
         (length(bin(expr("__total div cnt"))) - 1).cast("long"))
+      .select(key.as("bigram"), col("cnt"), col("bits"))
+  }
+
+  /** The explode + hash-aggregate trainer the per-partition
+    * accumulator replaced — kept as the independent implementation
+    * the spec certifies [[trainBitCostLm]] against. */
+  def trainBitCostLmExploded(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(lmBigrams(text)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("__total", sum("cnt").over())
+      .withColumn("bits",
+        (length(bin(expr("__total div cnt"))) - 1).cast("long"))
       .drop("__total")
 
   /** Score each document against a trained LM: total coded bits and
-    * bigram count. The LM broadcasts (bounded at 1444 rows); the only
-    * corpus-scale shuffle is the per-doc partial-agg groupBy. Bigrams
-    * the LM never saw (cross-corpus scoring — train on a clean corpus,
-    * score a crawl) cost one bit more than the rarest seen bigram;
-    * docs with no bigrams survive with (bits, n_bigrams) = (0, 0). */
+    * bigram count. Bigrams the LM never saw (cross-corpus scoring —
+    * train on a clean corpus, score a crawl) cost one bit more than
+    * the rarest seen bigram; docs with no bigrams survive with
+    * (bits, n_bigrams) = (0, 0).
+    *
+    * The hot path is the native one-pass
+    * [[graft.plans.LmOps.bigramCosts graft_bigram_costs]] expression:
+    * the ≤1444-row model folds into a dense long[] cost table carried
+    * as a plan reference, so normalize → bigram → cost → per-doc sum
+    * all happen per ROW inside whole-stage codegen — no explode row
+    * per bigram, no broadcast join, no re-aggregation shuffle
+    * (verdict r9 item 5; certified identical to the composed form by
+    * [[lmScoreBitsExploded]] in TextAnalysisSpec and by the
+    * q_lm_quality oracles). */
   def lmScoreBits(df: DataFrame, idCol: String, text: Column,
                   lm: DataFrame): DataFrame = {
+    // bounded collect: the <=1444-row model becomes the cost table
+    val rows = lm.select("bigram", "bits").collect()
+    val fallback = rows.foldLeft(0L)((m, r) => math.max(m, r.getLong(1))) + 1
+    val table = Array.fill(
+      graft.plans.LmOps.Alphabet * graft.plans.LmOps.Alphabet)(fallback)
+    rows.foreach(r =>
+      table(graft.plans.LmOps.bigramIndex(r.getString(0))) = r.getLong(1))
+    df.select(col(idCol),
+        graft.plans.GraftExtensions.nativeFn("graft_bigram_costs", text,
+          lit(table)).as("__s"))
+      // null text scores as a no-bigram doc, matching explode_outer
+      .select(col(idCol),
+        coalesce(col("__s.bits"), lit(0L)).as("bits"),
+        coalesce(col("__s.n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** The composed (explode + broadcast-join + re-aggregate) scorer the
+    * native expression replaced — kept as the independent
+    * implementation the spec certifies [[lmScoreBits]] against. */
+  def lmScoreBitsExploded(df: DataFrame, idCol: String, text: Column,
+                          lm: DataFrame): DataFrame = {
     // bounded collect: one aggregate row off the <=1444-row model
     val fallback = lm.agg(coalesce(max("bits"), lit(0L))).collect()(0)
       .getLong(0) + 1

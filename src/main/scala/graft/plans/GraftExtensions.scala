@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite the registered `is_valid_domain` Scala UDF
   * into the codegen'd native expression — ad-hoc SQL written against
@@ -48,6 +48,15 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal INT argument, got $other")
   }
+
+  private def litLongArray(e: Expression, fn: String): Array[Long] =
+    e match {
+      case l @ Literal(_, ArrayType(LongType, _)) =>
+        l.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util
+          .ArrayData].toLongArray()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal ARRAY<BIGINT> argument, got $other")
+    }
 
   private def litStr(e: Expression, fn: String): String = e match {
     case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
@@ -102,6 +111,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_del_hashes"), DeletionHashesExpr.info,
       (es: Seq[Expression]) => DeletionHashesExpr(es(0),
         litInt(es(1), "graft_del_hashes"))),
+    (FunctionIdentifier("graft_bigram_costs"), BigramCostsExpr.info,
+      (es: Seq[Expression]) => BigramCostsExpr(es(0),
+        litLongArray(es(1), "graft_bigram_costs"))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable

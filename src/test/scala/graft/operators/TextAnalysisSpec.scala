@@ -150,6 +150,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got == Map(1L -> ((2L, 2L)), 2L -> ((3L, 1L))))
   }
 
+  test("native graft_bigram_costs equals the exploded scorer on messy text") {
+    // covers: mixed case, digits, every whitespace fold, punctuation,
+    // non-ASCII (routes the slow lowercase path), an empty doc, a
+    // 1-char doc, a null doc, and unseen bigrams vs the tiny LM
+    val docs = Seq(
+      (1L, "AbC\t9,x\n!"), (2L, "the quick brown fox 42"),
+      (3L, "Élève Über straße"), (4L, ""),
+      (5L, "q"), (6L, null: String), (7L, "  \r\f  "),
+      (8L, "ZZZZ unseen pairs 999")).toDF("doc_id", "t")
+    val lm = TextAnalysis.trainBitCostLm(
+      Seq("the quick", "a b c 42", "mixed_Case 9!").toDF("t"), col("t"))
+    def collectScores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val native = collectScores(
+      TextAnalysis.lmScoreBits(docs, "doc_id", col("t"), lm))
+    val exploded = collectScores(
+      TextAnalysis.lmScoreBitsExploded(docs, "doc_id", col("t"), lm))
+    assert(native == exploded)
+    assert(native(4L) == ((0L, 0L)) && native(6L) == ((0L, 0L)))
+  }
+
+  test("accumulator trainer equals the exploded trainer on messy docs") {
+    val corpus = Seq("AbC\t9,x\n!", "the quick brown fox 42",
+      "Élève Über straße", "", "q", null: String, "  \r\f  ",
+      "zz zz zz 999").toDF("t")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val native = asMap(TextAnalysis.trainBitCostLm(corpus, col("t")))
+    val exploded = asMap(
+      TextAnalysis.trainBitCostLmExploded(corpus, col("t")))
+    assert(native == exploded && native.nonEmpty)
+    // the expression-side key derivation matches LmOps' inverse map
+    native.keys.foreach { k =>
+      assert(graft.plans.LmOps.bigramKey(
+        graft.plans.LmOps.bigramIndex(k)) == k)
+    }
+  }
+
   test("bitRateBuckets cuts exact terciles; boundary keys share a bucket") {
     // 9 docs with strictly increasing rates -> 3/3/3
     val scored = (1L to 9L).map(i => (i, i, 1L))
