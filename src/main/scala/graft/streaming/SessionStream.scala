@@ -119,8 +119,15 @@ object SessionStream {
     val mem = MemoryStream[SessEvent]
     val name = s"graft_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val partsKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevParts = spark.conf.get(partsKey)
+    val prevNoData = spark.conf.get(noDataKey, "true")
     spark.conf.set(partsKey, "4")
+    // flat per-micro-batch overhead dominates the replay (PERF.md
+    // round 10); the two-sentinel tail guarantees every watermark
+    // advance a following DATA batch to fire timeouts under, so the
+    // automatic no-data batches only double the count — off, restored
+    spark.conf.set(noDataKey, "false")
     try {
       val q = sessionize(mem.toDS(), gapUs)
         .toDF()
@@ -144,7 +151,10 @@ object SessionStream {
         mem.addData(Seq(SessEvent(-1L, flushUs + 2L * dayUs, 1L)))
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set(partsKey, prevParts)
+    } finally {
+      spark.conf.set(partsKey, prevParts)
+      spark.conf.set(noDataKey, prevNoData)
+    }
     spark.table(name).filter(col("user_id") >= 0)
   }
 }

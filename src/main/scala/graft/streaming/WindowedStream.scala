@@ -43,8 +43,16 @@ object WindowedStream {
     val mem = MemoryStream[Ev]
     val name = s"graft_hourly_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val partsKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevParts = spark.conf.get(partsKey)
+    val prevNoData = spark.conf.get(noDataKey, "true")
     spark.conf.set(partsKey, "4")
+    // per-micro-batch cost is flat overhead (PERF.md round 10), and
+    // every watermark advance here is followed by another DATA batch
+    // (the two-sentinel tail guarantees the final one), so the
+    // watermark-advance no-data batch after each data batch only
+    // doubles the batch count — off for the replay, restored after
+    spark.conf.set(noDataKey, "false")
     val maxUs = events.map(_.us).max
     val flushUs = maxUs + 4L * 86400000000L
     try {
@@ -65,7 +73,10 @@ object WindowedStream {
         mem.addData(Seq(Ev(flushUs + 86400000000L, -2L)))
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set(partsKey, prevParts)
+    } finally {
+      spark.conf.set(partsKey, prevParts)
+      spark.conf.set(noDataKey, prevNoData)
+    }
     // a real window STARTS at or before the last real event; the
     // sentinel windows start hours later (flushUs is not hour-aligned,
     // so `< flushUs` would leak the truncated sentinel window start)

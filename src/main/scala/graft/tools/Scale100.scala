@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+
+/** 100× scale leg for the round-9 operator families (verdict r10 item
+  * 1): every "scale-safe" grade in the r9 audit rested on 10× evidence
+  * plus plan reading — this buys the measurement at two decades.
+  *
+  * {{{ sbt "runMain graft.tools.Scale100 [sfDir] [k] [outDir]" }}}
+  * Knobs: SCALE100_RUNS=N (min-of-N, default 2),
+  * SCALE100_SKIP_BUILD=1 (reuse an existing outDir build).
+  *
+  * Fixture discipline — replicas must scale the TRUE workload
+  * linearly, so each family gets the replication that preserves its
+  * per-replica semantics (the ScaleBench recipe, extended to the two
+  * families that r9's 10× sweep had to exclude for fixture reasons):
+  *
+  *  - lineitem / documents: the standard offset-key / prefixed-token
+  *    replicas ([[ScaleBench.buildScaled]] recipe) — feeds the
+  *    OrderStats two-pass selection (q_winsorize,
+  *    q_histogram_equidepth), GlobalRank (q_rank_transform), and the
+  *    BPE broadcast-vocab encode (q_bpe_encode_docs).
+  *  - graph: the driver queries derive edges by `node % 1000`, so fact
+  *    replicas DENSIFY a fixed 1000-node set (triangle/community math
+  *    grows superlinearly by graph theory, not plan defect — the r9
+  *    exclusion). Here replicas offset BOTH endpoints by i*1000:
+  *    100 disjoint copies of the base graph — node count and edge
+  *    count scale exactly ×k, per-replica structure identical, so the
+  *    checkpoint-cadence iteration cost is the only variable.
+  *  - entity resolution: raw name replicas repeat identical names, so
+  *    the TRUE match set grows quadratically across replicas (the r9
+  *    exclusion). Here names get a per-replica 4-char repetition-code
+  *    prefix c1c1c2c2 — any two distinct codes are Hamming ≥ 2, and
+  *    equal-length strings at Levenshtein 1 must be Hamming 1, so NO
+  *    cross-replica pair can pass the lev ≤ 1 verify: the true match
+  *    set is exactly k × the per-replica set. Blocking-key explosion
+  *    (deletion-neighborhood and sorted-neighborhood both) is measured
+  *    against a genuinely linear ground truth.
+  */
+object Scale100 {
+
+  /** Per-replica 4-char repetition code: (c1, c2) ∈ 10×10 symbols,
+    * emitted c1c1c2c2 — pairwise Hamming ≥ 2 ⇒ pairwise lev ≥ 2. */
+  private def code(i: Int): String = {
+    val a = ('a' + i / 10).toChar
+    val b = ('a' + i % 10).toChar
+    s"$a$a$b$b"
+  }
+
+  def build(spark: SparkSession, sfDir: String, k: Int,
+            outDir: String): Unit = {
+    def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
+    def rep(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(i => f(df, i)).reduce(_ unionAll _)
+
+    ScaleBench.buildScaledDocs(spark, sfDir, k, outDir)
+    rep(read("lineitem")) { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + i * 1000000000L)
+      }.repartition(64).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+
+    // disjoint graph replicas at the two sparsities the gates use
+    def edges(every: Int): DataFrame = read("events")
+      .filter(col("event_id") % every === 0)
+      .select((col("user_id") % 1000).as("src"),
+        ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
+    for (every <- Seq(3, 11)) {
+      rep(edges(every)) { (df, i) =>
+          df.select((col("src") + i * 1000L).as("src"),
+            (col("dst") + i * 1000L).as("dst"))
+        }.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/edges$every.parquet")
+    }
+
+    rep(read("customer").filter(col("c_custkey") % 5 === 0)) { (df, i) =>
+        df.select((col("c_custkey") + i * 100000000L).as("cid"),
+          concat(lit(code(i) + "_"), col("c_name")).as("c_name"))
+      }.repartition(16).write.mode("overwrite")
+      .parquet(s"$outDir/er_customers.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.drop(1).headOption.map(_.toInt).getOrElse(100)
+    val outDir = args.drop(2).headOption.getOrElse("/tmp/graft_sf100")
+    val runs = sys.env.get("SCALE100_RUNS").map(_.toInt).getOrElse(2)
+    val skipBuild = sys.env.get("SCALE100_SKIP_BUILD").contains("1")
+    val spark = GraftSession.getOrCreate("graft-scale100")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    if (!skipBuild) build(spark, sfDir, k, outDir)
+    println(f"[scale100] built ${k}x fixtures under $outDir in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.read.parquet(s"$outDir/lineitem.parquet").count() // warm scans
+
+    def time(f: => Long): (Long, Double) = (1 to runs).map { _ =>
+      val s0 = System.nanoTime()
+      val n = f
+      (n, (System.nanoTime() - s0) / 1e9)
+    }.minBy(_._2)
+
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Double)]
+    def record(name: String, base: Double, scaled: Double): Unit = {
+      val r = scaled / base
+      out += ((name, base, scaled, r))
+      println(f"[scale100] $name%-26s base=$base%7.2fs ${k}x=$scaled%8.2fs" +
+        f" ratio=$r%6.1f per_unit=${r / k}%5.2f (linear=$k)")
+    }
+
+    // --- OrderStats / GlobalRank / BPE via the driver queries ---
+    val qs = graft.SparkEntry.queries
+    for (q <- Seq("q_winsorize", "q_histogram_equidepth",
+        "q_rank_transform", "q_bpe_encode_docs")) {
+      val fn = qs(q)
+      record(q, time(fn(spark, sfDir).count())._2,
+        time(fn(spark, outDir).count())._2)
+    }
+
+    // --- graph iteration at 100x nodes (disjoint replicas) ---
+    def baseEdges(every: Int): DataFrame = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .filter(col("event_id") % every === 0)
+      .select((col("user_id") % 1000).as("src"),
+        ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
+    def scaledEdges(every: Int): DataFrame =
+      spark.read.parquet(s"$outDir/edges$every.parquet")
+    record("graph_label_prop",
+      time(graft.operators.LabelProp.run(baseEdges(11), 3).count())._2,
+      time(graft.operators.LabelProp.run(scaledEdges(11), 3).count())._2)
+    record("graph_hits",
+      time(graft.operators.Hits.run(baseEdges(3).distinct(), 2).count())._2,
+      time(graft.operators.Hits.run(scaledEdges(3).distinct(), 2).count())._2)
+    record("graph_kcore",
+      time(graft.operators.KCore.peel(baseEdges(3), 5, 6).count())._2,
+      time(graft.operators.KCore.peel(scaledEdges(3), 5, 6).count())._2)
+
+    // --- entity resolution at a linearly-scaled true match set ---
+    def erDelKey(c: DataFrame): Long = {
+      val left = c.select(col("cid").as("id_a"), col("c_name").as("name_a"))
+      val right = c.select(col("cid").as("id_b"), col("c_name").as("name_b"))
+      val pairs = graft.operators.FuzzyJoin.levJoin(left, "id_a", "name_a",
+          right, "id_b", "name_b", k = 1)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      graft.operators.Dedup.nearDupClusters(pairs).count()
+    }
+    def erSnb(c: DataFrame): Long = {
+      val pairs = graft.operators.SortedNeighborhood
+        .pairs(c, "cid", "c_name", w = 5)
+        .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      graft.operators.Dedup.nearDupClusters(pairs).count()
+    }
+    val erBase = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    val erScaled = spark.read.parquet(s"$outDir/er_customers.parquet")
+    val (bn, bt) = time(erDelKey(erBase))
+    val (sn, st) = time(erDelKey(erScaled))
+    println(s"[scale100] er_delkey clusters: base=$bn scaled=$sn " +
+      s"(linear check: ${sn == k * bn})")
+    record("entity_resolution", bt, st)
+    val (bn2, bt2) = time(erSnb(erBase))
+    val (sn2, st2) = time(erSnb(erScaled))
+    println(s"[scale100] er_snb clusters: base=$bn2 scaled=$sn2")
+    record("entity_resolution_snb", bt2, st2)
+
+    val json = out.map { case (n, b, s, r) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"per_unit":${r / k}%.3f}"""
+    }.mkString(
+      s"""{"metric":"scale_curve_100","k":$k,"queries":{""", ",", "}}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("scale_bench_100.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[scale100] wrote scale_bench_100.json (${out.size} rows)")
+    spark.stop()
+  }
+}
