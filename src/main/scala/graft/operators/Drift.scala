@@ -137,4 +137,71 @@ object Drift {
       .limit(topK)
       .select("token", "cnt_a", "cnt_b", "diff_num")
   }
+
+  /** ROLLING population-stability monitoring: PSI of each period's
+    * value distribution against a leading-baseline distribution (the
+    * first `baselineDays` periods) — the production drift DASHBOARD
+    * shape ("alert when any day drifts from launch week"), vs
+    * [[psiFixedBuckets]]' one-shot two-sample comparison.
+    *
+    * Scale shape: ONE corpus scan produces the (period, bucket)
+    * count frame (map-side combined, ≤ periods×buckets rows); the
+    * baseline is an ≤ nBuckets-row aggregate of that frame,
+    * broadcast back over it — per-period PSI terms are computed on
+    * the bounded frame, never by re-scanning the corpus per period.
+    * The smoothing, micro-rounding, and both-ends bucket clamp are
+    * exactly [[psiFixedBuckets]]' (same certified arithmetic).
+    *
+    * @param period  grouping column (e.g. `to_date(ts)`), any
+    *                orderable type
+    * @param baselineDays number of LOWEST period values forming the
+    *                baseline (boundary found on the bounded count
+    *                frame, not the corpus)
+    * @return (period, n_period, psi_micro) — one row per period,
+    *         including the baseline periods themselves (whose drift
+    *         against the pooled baseline is near zero) */
+  def rollingPsi(df: DataFrame, value: Column, period: Column,
+                 baselineDays: Int, bucketWidth: Double,
+                 nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0 && nBuckets >= 2 && baselineDays >= 1,
+      "need width > 0, >= 2 buckets, >= 1 baseline period")
+    val spark = df.sparkSession
+    val counts = df
+      .select(period.as("period"),
+        greatest(least(floor(value / bucketWidth), lit(nBuckets - 1)),
+          lit(0L)).cast("long").as("bucket"))
+      .groupBy("period", "bucket").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // baseline cutoff: the baselineDays-th distinct period, found on
+    // the bounded frame (periods×buckets rows)
+    val cutoff = counts.select(col("period")).distinct()
+      .orderBy("period").limit(baselineDays)
+      .agg(max("period").as("cut"))
+    val baseline = counts.join(broadcast(cutoff),
+        col("period") <= col("cut"), "left_semi")
+      .groupBy("bucket").agg(sum("c").as("c_b"))
+    val spine = counts.select("period").distinct()
+      .crossJoin(spark.range(nBuckets).select(col("id").as("bucket")))
+    val k = lit(nBuckets.toDouble)
+    val full = spine
+      .join(counts, Seq("period", "bucket"), "left")
+      .join(broadcast(baseline), Seq("bucket"), "left")
+      .select(col("period"), col("bucket"),
+        coalesce(col("c"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val wP = Window.partitionBy("period")
+    val withTotals = full
+      .withColumn("n_a", sum("c_a").over(wP))
+      .withColumn("n_b", sum("c_b").over(wP))
+    val pA = (col("c_a") + lit(1.0)) / (col("n_a") + k)
+    val pB = (col("c_b") + lit(1.0)) / (col("n_b") + k)
+    val out = withTotals
+      .withColumn("term_micro",
+        round((pA - pB) * log(pA / pB) * lit(1000000.0), 0).cast("long"))
+      .groupBy("period")
+      .agg(max("n_a").as("n_period"), sum("term_micro").as("psi_micro"))
+    val materialized = out.localCheckpoint(true)
+    counts.unpersist()
+    materialized
+  }
 }

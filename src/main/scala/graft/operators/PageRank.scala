@@ -54,14 +54,46 @@ object PageRank {
     * @param checkpointInterval eager-localCheckpoint cadence in
     *              iterations (lineage truncation; ≥ 1) */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
-          checkpointInterval: Int = 5): DataFrame = {
+          checkpointInterval: Int = 5): DataFrame =
+    core(edges, None, iters, scale, checkpointInterval)
+
+  /** PERSONALIZED PageRank: the teleport mass lands only on
+    * `sources` (a (node: long) frame) instead of uniformly — the
+    * "relevance to this seed set" ranking (seed-expansion, related-
+    * item graphs). Identical integer recurrence, except
+    * `base_v = (15·scale)/100 · [v ∈ S]` and ranks start at
+    * `scale · [v ∈ S]` — a pure function of (graph, S, iters), so the
+    * unrolled-CTE oracle certifies it exactly like the uniform form.
+    * Sources not present in the graph are ignored (they have no
+    * edges to carry mass anyway). */
+  def runPersonalized(edges: DataFrame, sources: DataFrame, iters: Int,
+                      scale: Long = 1000000000000L,
+                      checkpointInterval: Int = 5): DataFrame =
+    core(edges, Some(sources), iters, scale, checkpointInterval)
+
+  private def core(edges: DataFrame, sourcesOpt: Option[DataFrame],
+                   iters: Int, scale: Long,
+                   checkpointInterval: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(scale >= 1L, "scale must be >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    if (iters == 0) return nodes.withColumn("rank", lit(scale))
+    // teleport membership rides the node frame as a boolean column
+    // (broadcastable source set; uniform PageRank is the always-true
+    // degenerate case, which folds back to the original constants)
+    val nodes = sourcesOpt match {
+      case None => nodes0.withColumn("__src", lit(true))
+      case Some(srcDf) => nodes0
+        .join(broadcast(srcDf.select(col("node").cast("long"))
+            .distinct().withColumn("__m", lit(1))),
+          Seq("node"), "left")
+        .withColumn("__src", col("__m").isNotNull).drop("__m")
+    }
+    def initRank = when(col("__src"), lit(scale)).otherwise(lit(0L))
+    if (iters == 0)
+      return nodes.select(col("node"), initRank.as("rank"))
 
     // The persistence machinery (caches + checkpoint cadence) pays for
     // itself when the loop is long enough to take a checkpoint; below
@@ -88,7 +120,7 @@ object PageRank {
         .cast("long"),
       lit(0L))
 
-    var ranks = nodesP.withColumn("rank", lit(scale))
+    var ranks = nodesP.select(col("node"), initRank.as("rank"))
     var prevCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = eP
@@ -104,7 +136,8 @@ object PageRank {
           // guard is the LEFT operand: addition evaluates left-to-
           // right, so the assert fires (clear message) before the
           // multiply can wrap (non-ANSI) or throw raw (ANSI)
-          (base + sGuard + expr("(85 * coalesce(s, 0L)) div 100"))
+          (when(col("__src"), base).otherwise(lit(0L)) + sGuard +
+            expr("(85 * coalesce(s, 0L)) div 100"))
             .as("rank"))
       if (doPersist && (i % checkpointInterval == 0 || i == iters)) {
         val ckpt = ranks.localCheckpoint(eager = true)
@@ -118,6 +151,6 @@ object PageRank {
       // inputs can be dropped without recompute risk.
       eP.unpersist(); nodesP.unpersist(); deg.unpersist()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 }

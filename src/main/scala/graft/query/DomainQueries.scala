@@ -566,6 +566,49 @@ object DomainQueries {
       |  ON e.user_id = r.custkey AND e.ts >= r.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+
+  /** Streaming CDC/LWW upsert ([[graft.streaming.CdcStream]]):
+    * the batch MERGE gate (q_cdc_apply) re-certified through REAL
+    * keyed streaming state — change events replayed in event-time
+    * micro-batches through mapGroupsWithState, final per-key state
+    * must equal the batch last-writer-wins window over the union,
+    * tombstones dropped. Bounded slice (user_id < 400) sizes the
+    * harness, not the operator. */
+  def streamCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CdcStream
+    // certification harness, NOT the production entry: the bounded
+    // slice is collected only to stage MemoryStream micro-batches;
+    // production code feeds a real change stream into CdcStream.upsert
+    val changes = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 400)
+      .select(col("user_id"), col("us"), col("event_id"),
+        when(col("event_type") === "signup", lit("I"))
+          .when(col("event_type") === "error", lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("value"))
+      .collect()
+      .map(r => CdcStream.Chg(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .toSeq
+    CdcStream.replay(s, changes)
+      .filter(col("last_op") =!= "D")
+      .select(col("user_id"), col("last_op"), col("last_us"),
+        col("last_value"))
+      .orderBy("user_id")
+  }
+
+  val streamCdcSql: String =
+    """WITH ops AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CASE event_type WHEN 'signup' THEN 'I'
+      |                    WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+      |    value
+      |  FROM events WHERE user_id < 400),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM ops)
+      |SELECT user_id, op AS last_op, us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_asof_latest_order" -> (asofLatestOrder _, asofLatestOrderSql),
     "q_asof_wide" -> (asofWide _, asofWideSql),
@@ -574,6 +617,7 @@ object DomainQueries {
     "q_stream_hourly" -> (streamHourly _, streamHourlySql),
     "q_stream_join" -> (streamJoin _, streamJoinSql),
     "q_stream_join_outer" -> (streamJoinOuter _, streamJoinOuterSql),
+    "q_stream_cdc" -> (streamCdc _, streamCdcSql),
     "q_attribution_lasttouch" ->
       (attributionLastTouch _, attributionLastTouchSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),

@@ -59,6 +59,49 @@ object GraphQueries {
        |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
   }
 
+
+  /** PERSONALIZED PageRank ([[PageRank.runPersonalized]]): the same
+    * three unrolled iterations with teleport mass restricted to seed
+    * nodes {0..4} — relevance-to-seed-set ranking. The oracle carries
+    * the seed indicator through the identical CTE unroll (`base` and
+    * `r0` zero off-seed), so the gate pins the personalized recurrence
+    * exactly, including the off-seed nodes whose rank is pure
+    * propagated mass. */
+  def pageRankPersonalized(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select((col("user_id") % 1000).as("src"),
+        ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
+      .distinct()
+    val sources = s.range(5).select(col("id").as("node"))
+    PageRank.runPersonalized(e, sources, iters = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy("node")
+  }
+
+  val pageRankPersonalizedSql: String = {
+    val scale = 1000000000000L
+    val base = 15L * scale / 100L
+    def round(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, SUM(r${i - 1}.pr // deg.d) AS s
+         |  FROM e JOIN deg USING (src) JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST(CASE WHEN n.node <= 4 THEN $base ELSE 0 END
+         |      + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN c$i USING (node))""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst FROM events),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+       |r0 AS (SELECT node,
+       |    CAST(CASE WHEN node <= 4 THEN $scale ELSE 0 END AS BIGINT)
+       |      AS pr FROM nodes),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, pr FROM r3 ORDER BY node""".stripMargin
+  }
+
   // ---- general graph analytics on a derived deterministic graph ----
 
   /** The same modular-arithmetic edge derivation both engines can
@@ -293,6 +336,8 @@ object GraphQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_pagerank" -> (pageRankEvents _, pageRankEventsSql),
+    "q_pagerank_personalized" ->
+      (pageRankPersonalized _, pageRankPersonalizedSql),
     "q_graph_components" -> (graphComponents _, graphComponentsSql),
     "q_graph_bfs" -> (graphBfs _, graphBfsSql),
     "q_graph_sssp" -> (graphSssp _, graphSsspSql),

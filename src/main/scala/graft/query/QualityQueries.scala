@@ -447,8 +447,56 @@ object QualityQueries {
       |  CAST(SUM(term_micro) OVER () AS BIGINT) AS psi_micro
       |FROM m ORDER BY bucket""".stripMargin
 
+  /** ROLLING drift dashboard ([[Drift.rollingPsi]]): PSI of each
+    * day's event-value distribution against the pooled first-week
+    * baseline — one corpus scan to a (day, bucket) frame, baseline
+    * broadcast back over it, per-day terms on the bounded frame.
+    * Smoothing/rounding arithmetic is q_drift_psi's, already
+    * certified; this gate adds the per-period composition. */
+  def driftRollingPsi(s: SparkSession, dir: String): DataFrame =
+    Drift.rollingPsi(graft.sources.Tables.loadEventsTs(s, dir),
+        col("value"), date_format(col("ets"), "yyyy-MM-dd"),
+        baselineDays = 7, bucketWidth = 50.0, nBuckets = 10)
+      .select(col("period"), col("n_period"), col("psi_micro"))
+      .orderBy("period")
+
+  val driftRollingPsiSql: String =
+    """WITH c AS (SELECT
+      |    strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+      |      AS period,
+      |    greatest(least(CAST(floor(value / 50.0) AS BIGINT), 9), 0)
+      |      AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cut AS (SELECT max(period) AS cut FROM
+      |  (SELECT DISTINCT period FROM c ORDER BY period LIMIT 7)),
+      |b AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS c_b
+      |  FROM c, cut WHERE period <= cut GROUP BY 1),
+      |spine AS (SELECT DISTINCT c.period, r.range AS bucket
+      |  FROM c, range(10) r),
+      |f AS (SELECT s.period, s.bucket, COALESCE(c.c, 0) AS c_a,
+      |    COALESCE(b.c_b, 0) AS c_b
+      |  FROM spine s
+      |  LEFT JOIN c ON c.period = s.period AND c.bucket = s.bucket
+      |  LEFT JOIN b ON b.bucket = s.bucket),
+      |t AS (SELECT period, c_a, c_b,
+      |    CAST(SUM(c_a) OVER (PARTITION BY period) AS BIGINT) AS n_a,
+      |    CAST(SUM(c_b) OVER (PARTITION BY period) AS BIGINT) AS n_b
+      |  FROM f),
+      |m AS (SELECT period, n_a,
+      |    CAST(round(((c_a + 1.0) / (n_a + 10.0)
+      |                 - (c_b + 1.0) / (n_b + 10.0))
+      |      * ln(((c_a + 1.0) / (n_a + 10.0))
+      |           / ((c_b + 1.0) / (n_b + 10.0)))
+      |      * 1000000.0, 0) AS BIGINT) AS term_micro
+      |  FROM t)
+      |SELECT period, CAST(MAX(n_a) AS BIGINT) AS n_period,
+      |  CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+      |FROM m GROUP BY period ORDER BY period""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_drift_psi" -> (driftPsi _, driftPsiSql),
+    "q_drift_rolling_psi" -> (driftRollingPsi _, driftRollingPsiSql),
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
     "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql),

@@ -91,4 +91,26 @@ class PageRankSpec extends SparkTestBase {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("personalized: all-node seeds equal uniform; off-seed mass propagates") {
+    val edges = Seq[(Long, Long)]((1, 2), (2, 3), (3, 1), (4, 5))
+    val df = edges.toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val uniform = PageRank.run(df, 3).as[(Long, Long)].collect().toMap
+    val allSeeded = PageRank.runPersonalized(df, allNodes, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(allSeeded == uniform)
+    // seed {1}: the 4->5 component gets no teleport and no path from
+    // the seed — both its ranks collapse to zero propagated mass
+    val seeded = PageRank.runPersonalized(df, Seq(1L).toDF("node"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(seeded(4L) == 0L && seeded(5L) == 0L)
+    // the seed's cycle keeps positive rank, seed highest
+    assert(seeded(1L) > 0L && seeded(2L) > 0L &&
+      seeded(1L) >= seeded(2L))
+    // a source absent from the graph is ignored
+    val ghost = PageRank.runPersonalized(df,
+      Seq(1L, 99L).toDF("node"), 3).as[(Long, Long)].collect().toMap
+    assert(ghost == seeded)
+  }
 }
