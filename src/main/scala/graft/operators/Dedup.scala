@@ -758,4 +758,60 @@ object Dedup {
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** ASYMMETRIC containment screen — "document A is mostly inside
+    * document B" (|grams(A) ∩ grams(B)| / |grams(A)|), the
+    * quote/excerpt/superset-page relation that symmetric Jaccard
+    * misses by construction (a 50-word quote inside a 5000-word page
+    * has Jaccard ≈ 0.01 but containment ≈ 1.0) — the RefinedWeb-style
+    * inclusion dedup signal.
+    *
+    * Scale shape — an inverted gram index, never all-pairs: explode
+    * to (id, gram), CAP each gram's document frequency at `maxGramDf`
+    * (grams above the cap are dropped from BOTH the intersection and
+    * the denominators — a defined part of the screen, like winnowing's
+    * density bound, and what bounds per-gram candidate fan-out at
+    * maxGramDf² — corpus-wide stop-grams would otherwise pair
+    * everything with everything), self-join on the gram key
+    * (shuffle-hash on identical exchanges → the index pipeline
+    * computes once), and count shared grams per pair in the same
+    * aggregation that dedups. Containments are EXACT integer micros
+    * (`shared·10^6 div |capped grams|`) — hash-certifiable, no float
+    * slop.
+    *
+    * @return (id_a, id_b, shared, contain_a_micro, contain_b_micro)
+    *         for pairs (id_a < id_b) where either direction reaches
+    *         `minContainMicro`; documents whose capped gram set is
+    *         empty cannot appear */
+  def containmentPairs(df: DataFrame, idCol: String, text: Column,
+                       k: Int, minContainMicro: Long,
+                       maxGramDf: Long): DataFrame = {
+    require(minContainMicro >= 0 && minContainMicro <= 1000000L,
+      "minContainMicro is a micro-fraction in [0, 1e6]")
+    require(maxGramDf >= 1, "maxGramDf must be >= 1")
+    val grams = df.select(col(idCol).as("id"),
+      explode(shingles(text, k)).as("gram"))
+    val keptGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDf)
+      .select("gram")
+    // both joins key on gram: the groupBy above already shuffled on
+    // it, so the semi-join and the pair join reuse that partitioning
+    val kept = grams.join(keptGrams, Seq("gram"), "left_semi")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("__sz"))
+    kept.as("a").hint("shuffle_hash")
+      .join(kept.as("b").hint("shuffle_hash"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("__sz").as("__sa")),
+        "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("__sz").as("__sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        expr("shared * 1000000L div __sa").as("contain_a_micro"),
+        expr("shared * 1000000L div __sb").as("contain_b_micro"))
+      .filter(greatest(col("contain_a_micro"),
+        col("contain_b_micro")) >= minContainMicro)
+  }
 }

@@ -521,10 +521,47 @@ object DedupQueries {
        |         / len(list_distinct(a.sh || b.sh)) END >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+
+  /** Asymmetric containment screen ([[Dedup.containmentPairs]]):
+    * inclusion pairs ("A mostly inside B") that symmetric Jaccard
+    * misses — inverted unigram index with a document-frequency cap
+    * (stop-grams above df 30 leave both the intersections and the
+    * denominators; the cap is screen semantics, replicated by the
+    * oracle), exact integer micro containments, either direction
+    * ≥ 0.6. The oracle recomputes the capped index closed-form. */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir).filter(col("doc_id") < 60),
+        "doc_id", col("text"), k = 1, minContainMicro = 600000L,
+        maxGramDf = 30L)
+      .orderBy("id_a", "id_b")
+
+  val containmentPairsSql: String =
+    """WITH g0 AS (SELECT doc_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS gram
+      |  FROM documents WHERE doc_id < 60),
+      |dfc AS (SELECT gram FROM g0 GROUP BY gram HAVING COUNT(*) <= 30),
+      |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN dfc USING (gram)),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+      |  FROM g GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b, p.shared,
+      |  CAST(p.shared * 1000000 // sa.sz AS BIGINT) AS contain_a_micro,
+      |  CAST(p.shared * 1000000 // sb.sz AS BIGINT) AS contain_b_micro
+      |FROM p
+      |JOIN sz sa ON sa.doc_id = p.id_a
+      |JOIN sz sb ON sb.doc_id = p.id_b
+      |WHERE greatest(p.shared * 1000000 // sa.sz,
+      |               p.shared * 1000000 // sb.sz) >= 600000
+      |ORDER BY id_a, id_b""".stripMargin
+
   lazy val withOracle: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_dedup_exact" -> (dedupExact _, dedupExactSql),
     "q_jaccard_join_exact" -> (jaccardJoinExact _, jaccardJoinExactSql),
     "q_ngram_jaccard" -> (ngramJaccardPairs _, ngramJaccardPairsSql),
+    "q_containment" -> (containmentPairs _, containmentPairsSql),
     "q_dedup_minhash" -> (dedupMinhash _, dedupMinhashSql),
     "q_dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
     "q_dedup_simhash_agree" -> (dedupSimhashAgree _, dedupSimhashAgreeSql),

@@ -313,4 +313,34 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(1L -> 1L))
   }
+
+  test("containment: quote-in-page pairs surface; Jaccard would miss them") {
+    import org.apache.spark.sql.functions.col
+    // doc 1: a long "page"; doc 2: a 4-token "quote" fully inside it;
+    // doc 3: unrelated; doc 4: shares only the stop-gram "the"
+    val page = (1 to 40).map(i => s"w$i").mkString(" ") + " the"
+    val docs = Seq(
+      (1L, page),
+      (2L, "w5 w6 w7 w8"),
+      (3L, "x1 x2 x3 the"),
+      (4L, "the")).toDF("doc_id", "text")
+    // cap df at 2: "the" (df 3) leaves the index entirely
+    val got = Dedup.containmentPairs(docs, "doc_id", col("text"),
+        k = 1, minContainMicro = 900000L, maxGramDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // quote (4 distinct grams) fully contained: contain_b = 1e6 — the
+    // asymmetric signal; the page's denominator is its CAPPED gram
+    // count (40 — "the" left the index, per the documented semantics)
+    assert(got.toSeq == Seq((1L, 2L, 4L, 4L * 1000000L / 40L, 1000000L)))
+    // symmetric Jaccard on the same pair is far below any dedup
+    // threshold — the case this operator exists for
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", col("text"), k = 1)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .collect()(0).getDouble(2)
+    assert(j < 0.11)
+    // doc 4's only gram is capped away: it pairs with nothing, and no
+    // stop-gram-only pair (1,3)/(1,4)/(3,4) appears
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
