@@ -146,8 +146,9 @@ object ExplainDump {
         graft.operators.Dedup.crossSignatureNearDupsMih(
           d, d.filter(col("id") % 10 === 0), 8, Seq("kind"))
       },
-      "lm quality buckets (alphabet-bounded LM broadcast back over the " +
-        "scan; tercile cut on the bounded quantized-key frame)" ->
+      "lm quality buckets (NATIVE graft_bigram_costs: one codegen'd " +
+        "scan pass, no explode/join/re-agg; trainer emits <=1444 rows " +
+        "per task; tercile cut on the bounded quantized-key frame)" ->
         graft.query.QualityQueries.lmQuality(spark, sfDir),
       "leak-free split (cluster-rep equi-join, scan-level coin labeling)" ->
         graft.query.QualityQueries.splitLeakFree(spark, sfDir),
@@ -171,7 +172,19 @@ object ExplainDump {
         graft.query.TpchQueries.q5LocalSupplierVolume(spark, sfDir),
       "q_attribution_lasttouch (composed as-of: union + running-last " +
         "window, no custom exec)" ->
-        graft.query.DomainQueries.attributionLastTouch(spark, sfDir))
+        graft.query.DomainQueries.attributionLastTouch(spark, sfDir),
+      "q_containment (df-capped inverted gram index, shuffle-hash pair " +
+        "join with exchange reuse — never all-pairs)" ->
+        graft.query.DedupQueries.containmentPairs(spark, sfDir),
+      "q_drift_rolling_psi (one scan to a (period, bucket) frame, " +
+        "baseline broadcast back over the bounded frame)" ->
+        graft.query.QualityQueries.driftRollingPsi(spark, sfDir),
+      "q_pagerank_personalized (seed flag rides the node frame; same " +
+        "iterative-join shape as uniform)" ->
+        graft.query.GraphQueries.pageRankPersonalized(spark, sfDir),
+      "q_entity_resolution_snb_norm (normalized-key GlobalRank blocking " +
+        "+ rank-block equi-join, no trailing dedup shuffle)" ->
+        graft.query.WarehouseQueries.entityResolutionSnbNorm(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every

@@ -85,7 +85,13 @@ object ScaleBench {
     // q_stream_sessionize (bounded replay slices)
     "q_tpch_q3", "q_tpch_q5", "q_rank_transform",
     "q_event_transitions", "q_histogram_equidepth", "q_dq_checks",
-    "q_drift_psi", "q_pca_power")
+    "q_drift_psi", "q_pca_power",
+    // round 10: full-events-scan rolling drift (one pass to a
+    // (period, bucket) frame). Excluded for fixture reasons:
+    // q_containment (doc_id < 60 verification slice);
+    // q_pagerank_personalized (%1000-node densification, as uniform);
+    // q_stream_cdc (bounded replay slice)
+    "q_drift_rolling_psi")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
