@@ -509,6 +509,69 @@ object VectorQueries {
       .stripMargin
   }
 
+
+  /** Deterministic DBSCAN over the embedding corpus
+    * ([[graft.operators.DensityCluster.dbscanCosine]]): eps-neighbor =
+    * cosine ≥ 0.40, minPts 3, border points joining the SMALLEST core
+    * cluster (the determinism pin textbook DBSCAN lacks). 0.40 is
+    * where this corpus develops genuine density structure (59 pairs,
+    * 16 cores, borders AND noise at 500 vectors — at 0.45 everything
+    * is noise and the gate would certify nothing); the vec_id < 500
+    * bound fixes the verification corpus across SFs (the q_sim_*
+    * convention — ScaleBench carries the scale evidence), and 48
+    * tables × 3 hyperplanes make LSH recall certain at the bound
+    * (per-pair miss ≤ 0.749^48 ≈ 1e-6 at the threshold angle, so the
+    * candidate set EQUALS the exact eps graph and the oracle can be
+    * closed-form). The oracle recomputes the quadratic eps graph,
+    * core set, recursive-closure components, and min-cluster border
+    * assignment. */
+  def dbscanEmbeddings(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DensityCluster.dbscanCosine(
+        embs(s, dir).filter(col("vec_id") < 500),
+        "vec_id", "embedding", threshold = 0.40, minPts = 3,
+        numPlanes = 3, tables = 48)
+      .orderBy("id")
+
+  val dbscanEmbeddingsSql: String =
+    """WITH RECURSIVE e AS (SELECT vec_id,
+      |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id < 500),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.v, b.v) /
+      |    (sqrt(list_dot_product(a.v, a.v))
+      |     * sqrt(list_dot_product(b.v, b.v))) >= 0.40),
+      |und AS (SELECT id_a AS id, id_b AS nb FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p),
+      |deg AS (SELECT id, COUNT(*) AS n FROM und GROUP BY 1),
+      |roles AS (SELECT e.vec_id AS id,
+      |    COALESCE(deg.n, 0) + 1 >= 3 AS is_core
+      |  FROM e LEFT JOIN deg ON deg.id = e.vec_id),
+      |ce AS (SELECT p.id_a AS s, p.id_b AS t FROM p
+      |  JOIN roles ra ON ra.id = p.id_a AND ra.is_core
+      |  JOIN roles rb ON rb.id = p.id_b AND rb.is_core),
+      |u2 AS (SELECT s, t FROM ce UNION SELECT t, s FROM ce),
+      |reach AS (SELECT s, t FROM u2
+      |  UNION SELECT r.s, u.t FROM reach r JOIN u2 u ON r.t = u.s),
+      |comp AS (SELECT n.s AS id, least(n.s, MIN(r.t)) AS cluster
+      |  FROM (SELECT DISTINCT s FROM u2) n
+      |  JOIN reach r ON r.s = n.s GROUP BY n.s),
+      |cc AS (SELECT roles.id, COALESCE(comp.cluster, roles.id) AS cluster
+      |  FROM roles LEFT JOIN comp USING (id) WHERE roles.is_core),
+      |bc AS (SELECT u.id, MIN(cc.cluster) AS cluster
+      |  FROM und u JOIN cc ON cc.id = u.nb
+      |  JOIN roles r2 ON r2.id = u.id AND NOT r2.is_core
+      |  GROUP BY u.id)
+      |SELECT r.id AS id,
+      |  CASE WHEN r.is_core THEN 'core'
+      |       WHEN bc.id IS NOT NULL THEN 'border'
+      |       ELSE 'noise' END AS role,
+      |  CAST(COALESCE(cc.cluster, bc.cluster, -1) AS BIGINT) AS cluster
+      |FROM roles r
+      |LEFT JOIN cc ON cc.id = r.id
+      |LEFT JOIN bc ON bc.id = r.id
+      |ORDER BY r.id""".stripMargin
+
   lazy val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     Map(
       "q_pca_power" -> (pcaPower _, pcaPowerSql),
@@ -523,5 +586,6 @@ object VectorQueries {
       "q_sim_ivf_recall" -> (simIvfRecall _, recallGateSql),
       "q_sim_pq_recall" -> (simPqRecall _, recallGateSql),
       "q_dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
+      "q_dbscan_embeddings" -> (dbscanEmbeddings _, dbscanEmbeddingsSql),
       "q_dedup_embedding_probe" -> (dedupEmbeddingProbe _, dedupEmbeddingProbeSql))
 }
