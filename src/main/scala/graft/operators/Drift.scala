@@ -204,4 +204,64 @@ object Drift {
     counts.unpersist()
     materialized
   }
+
+  /** One-sided CUSUM change-point screen (Page 1954) per key over
+    * period totals, in EXACT integer arithmetic — the sequential
+    * mean-shift detector that complements [[rollingPsi]]'s
+    * distribution drift: PSI asks "does today's SHAPE differ from the
+    * baseline", CUSUM asks "has the LEVEL been persistently above it"
+    * (small sustained shifts accumulate; one outlier day decays).
+    *
+    * All quantities are scaled by `baselineDays` so the baseline MEAN
+    * never becomes a rounded float: with `T_p` = Σ floor(value) over
+    * period `p` and `B` = Σ T_p over the first `baselineDays` periods
+    * (per key),
+    *
+    *   S_p = max(0, S_{p-1} + D·T_p − B − D·slack),  S_0 = 0
+    *
+    * where D = baselineDays — i.e. the cumulative excess of D·T over
+    * the exact baseline total, drained by `slack` per period. The
+    * recursion's max(0, ·) clamp makes it NON-associative: no window
+    * function expresses it, so it runs as a per-key sorted scan
+    * ([[graft.query.QueryOps.ewmaScan]]'s contract: keys are
+    * entity-sized, periods per key are bounded), and the oracle
+    * replays the identical integer sequence as a recursive CTE.
+    *
+    * Output: (key, period, total, s_scaled, alarm) — `s_scaled` is
+    * S_p (D× the conventional CUSUM), `alarm` = S_p > D·threshold.
+    * Scale shape: one map-side-combined aggregate to the (key,
+    * period) frame; the scan runs on that bounded frame, never the
+    * corpus. */
+  def cusumDaily(df: DataFrame, value: Column, period: Column,
+                 key: Column, baselineDays: Int, slack: Long,
+                 threshold: Long): DataFrame = {
+    require(baselineDays >= 1, "baselineDays must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df
+      .select(key.cast("string").as("key"), period.as("period"),
+        floor(value).cast("long").as("__v"))
+      .groupBy("key", "period").agg(sum("__v").as("total"))
+    val d = baselineDays.toLong
+    val w = Window.partitionBy("key").orderBy("period")
+    val withBase = totals
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__base",
+        sum(when(col("__rn") <= d, col("total"))).over(
+          Window.partitionBy("key")))
+    withBase
+      .select(col("key"), col("period").cast("string").as("period"),
+        col("total"), col("__rn"), col("__base"))
+      .as[(String, String, Long, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toSeq.sortBy(_._2)
+        var s = 0L
+        rows.iterator.map { case (_, period, total, _, base) =>
+          s = math.max(0L, s + d * total - base - d * slack)
+          (k, period, total, s, s > d * threshold)
+        }
+      }
+      .toDF("key", "period", "total", "s_scaled", "alarm")
+  }
 }

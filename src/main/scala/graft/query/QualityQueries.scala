@@ -494,9 +494,51 @@ object QualityQueries {
       |  CAST(SUM(term_micro) AS BIGINT) AS psi_micro
       |FROM m GROUP BY period ORDER BY period""".stripMargin
 
+
+  /** Sequential mean-shift detection ([[Drift.cusumDaily]]): one-sided
+    * CUSUM of each event type's daily value total against its exact
+    * first-week baseline, slack 200/day, alarm at cumulative excess
+    * 1500 — the level-shift monitor beside q_drift_rolling_psi's
+    * shape monitor. The max(0,·)-clamped recursion is non-associative
+    * (no window function), so the oracle replays the identical
+    * integer sequence as a recursive CTE over day row_numbers. */
+  def driftCusum(s: SparkSession, dir: String): DataFrame =
+    Drift.cusumDaily(graft.sources.Tables.loadEventsTs(s, dir),
+        col("value"), date_format(col("ets"), "yyyy-MM-dd"),
+        col("event_type"), baselineDays = 7, slack = 200L,
+        threshold = 1500L)
+      .orderBy("key", "period")
+
+  val driftCusumSql: String =
+    """WITH RECURSIVE t AS (SELECT event_type AS key,
+      |    strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+      |      AS period,
+      |    CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT key, period, total,
+      |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY period) AS rn
+      |  FROM t),
+      |b AS (SELECT key,
+      |    CAST(SUM(CASE WHEN rn <= 7 THEN total END) AS BIGINT) AS base
+      |  FROM r GROUP BY 1),
+      |c AS (SELECT r.key, r.period, r.total, r.rn,
+      |    greatest(CAST(0 AS BIGINT),
+      |      7 * r.total - b.base - 7 * 200) AS s
+      |  FROM r JOIN b USING (key) WHERE r.rn = 1
+      |  UNION ALL
+      |  SELECT r.key, r.period, r.total, r.rn,
+      |    greatest(CAST(0 AS BIGINT),
+      |      c.s + 7 * r.total - b.base - 7 * 200)
+      |  FROM c JOIN r ON r.key = c.key AND r.rn = c.rn + 1
+      |  JOIN b ON b.key = r.key)
+      |SELECT key, period, total, CAST(s AS BIGINT) AS s_scaled,
+      |  s > 7 * 1500 AS alarm
+      |FROM c ORDER BY key, period""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_drift_psi" -> (driftPsi _, driftPsiSql),
     "q_drift_rolling_psi" -> (driftRollingPsi _, driftRollingPsiSql),
+    "q_drift_cusum" -> (driftCusum _, driftCusumSql),
     "q_lm_quality" -> (lmQuality _, lmQualitySql),
     "q_lm_quality_cross" -> (lmQualityCross _, lmQualityCrossSql),
     "q_split_leakfree" -> (splitLeakFree _, splitLeakFreeSql),

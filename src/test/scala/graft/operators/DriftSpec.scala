@@ -62,4 +62,38 @@ class DriftSpec extends SparkTestBase {
     // order by |diff| desc, token asc: d(3), then a(2) before b(2)
     assert(out.map(_._1) == Seq("d", "a"))
   }
+
+  test("cusumDaily: sustained shift alarms, on-baseline days do not") {
+    // key a, 3 baseline periods of total 10 (base = 30, D = 3),
+    // slack 1: on-baseline days accumulate nothing; a +10/day shift
+    // builds 27 per day; a low day drains but persistence holds
+    val rows = Seq(
+      ("a", "d01", 10.0), ("a", "d02", 10.0), ("a", "d03", 10.0),
+      ("a", "d04", 11.0), ("a", "d05", 11.0),
+      ("a", "d06", 20.0), ("a", "d07", 20.0), ("a", "d08", 20.0),
+      ("a", "d09", 5.0),
+      // key b stays flat throughout: never alarms
+      ("b", "d01", 7.0), ("b", "d02", 7.0), ("b", "d03", 7.0),
+      ("b", "d04", 7.0), ("b", "d05", 7.0))
+      .toDF("k", "p", "v")
+    val got = Drift.cusumDaily(rows, col("v"), col("p"), col("k"),
+        baselineDays = 3, slack = 1L, threshold = 20L)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // baseline days: s = max(0, 3*10 - 30 - 3) = 0
+    for (d <- Seq("d01", "d02", "d03"))
+      assert(got(("a", d)) == ((0L, false)), d)
+    // +1 days: 3*11 - 33 = 0 still
+    assert(got(("a", "d04")) == ((0L, false)))
+    assert(got(("a", "d05")) == ((0L, false)))
+    // shift: +27 per day; alarm once s > 3*20 = 60
+    assert(got(("a", "d06")) == ((27L, false)))
+    assert(got(("a", "d07")) == ((54L, false)))
+    assert(got(("a", "d08")) == ((81L, true)))
+    // drain day: 81 + 15 - 33 = 63 — still above the line
+    assert(got(("a", "d09")) == ((63L, true)))
+    // flat key: identically zero
+    assert(got.keys.filter(_._1 == "b")
+      .forall(k => got(k) == ((0L, false))))
+  }
 }
