@@ -62,7 +62,7 @@ object DensityCluster {
       .join(coreClusters.select(col("id").as("nb"),
         col("cluster")), "nb")
       .groupBy("id").agg(min("cluster").as("cluster"))
-    roles
+    val out = roles
       .join(coreClusters.withColumnRenamed("cluster", "__cc"),
         Seq("id"), "left")
       .join(borderClusters.withColumnRenamed("cluster", "__bc"),
@@ -72,5 +72,10 @@ object DensityCluster {
           .when(col("__bc").isNotNull, lit("border"))
           .otherwise(lit("noise")).as("role"),
         coalesce(col("__cc"), col("__bc"), lit(-1L)).as("cluster"))
+      // node-sized output, eagerly materialized so the intermediate
+      // checkpoints can be freed (the Hits pending-buffer discipline)
+      .localCheckpoint(true)
+    pairs.unpersist(); roles.unpersist()
+    out
   }
 }

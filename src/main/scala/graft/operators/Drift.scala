@@ -255,7 +255,10 @@ object Drift {
       .as[(String, String, Long, Int, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
-        val rows = it.toSeq.sortBy(_._2)
+        // scan in __rn order — the TYPED period order the baseline
+        // window used; sorting the cast strings would mis-order any
+        // non-string period (e.g. integer periods 1,10,11,…,2)
+        val rows = it.toSeq.sortBy(_._4)
         var s = 0L
         rows.iterator.map { case (_, period, total, _, base) =>
           s = math.max(0L, s + d * total - base - d * slack)

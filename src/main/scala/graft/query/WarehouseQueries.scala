@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, Dedup, FuzzyJoin, Hits, KCore, LabelProp, PageRank, Skyline, Sssp, Triangles, ZOrder}
+import graft.operators.{Dedup, FuzzyJoin, Skyline, ZOrder}
 import graft.plans.ZOrderOps
 import graft.sources.Tables
 

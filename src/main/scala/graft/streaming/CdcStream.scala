@@ -19,8 +19,8 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * Semantics, certified by q_stream_cdc: per key, the change with the
   * greatest (us, event_id) wins regardless of op; a winning D is a
   * tombstone (the key leaves the final table). Changes arriving in
-  * any order WITHIN a batch fold identically (the handler takes the
-  * ordered maximum); cross-batch, state carries so a later batch's
+  * any order WITHIN a batch fold identically (the handler is a pure
+  * running maximum); cross-batch, state carries so a later batch's
   * change supersedes an earlier batch's state iff its (us, event_id)
   * is greater — byte-identical to the batch window over the union.
   *
@@ -40,13 +40,15 @@ object CdcStream {
   final case class Upsert(user_id: Long, last_op: String, last_us: Long,
                           last_event: Long, last_value: Double)
 
-  /** LWW fold, factored out for direct unit testing: the incoming
-    * batch is reduced in (us, event_id) order against the carried
-    * state; the greatest change wins. */
+  /** LWW fold, factored out for direct unit testing: a pure running
+    * maximum over (us, event_id) against the carried state — the
+    * result is identical for ANY iteration order (each change is kept
+    * only when strictly greater than everything seen), so the batch
+    * needs no sort (review r10 finding). */
   private[streaming] def fold(cur: Option[KeyState],
                               batch: Seq[Chg]): KeyState = {
     var st = cur.orNull
-    for (c <- batch.sortBy(x => (x.us, x.event_id))) {
+    for (c <- batch) {
       if (st == null || c.us > st.us ||
           (c.us == st.us && c.event_id > st.event_id))
         st = KeyState(c.op, c.us, c.event_id, c.value)
@@ -67,7 +69,8 @@ object CdcStream {
 
   /** Replay a bounded change set through the real stateful stream in
     * event-time batches (span/`batches` slots — cross-batch event-time
-    * order is what the gate certifies; within a batch the fold sorts),
+    * order is what the gate certifies; within a batch the fold is
+    * order-indifferent),
     * then reduce the per-batch emissions to the FINAL state per key:
     * a key's successive emissions carry its cumulative (us, event_id)
     * maximum, so the final state is the emission with the greatest

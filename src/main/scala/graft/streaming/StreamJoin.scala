@@ -85,6 +85,8 @@ object StreamJoin {
       spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
     require(views.nonEmpty && purchases.nonEmpty,
       "replay needs events on both sides")
+    require(batches >= 3,
+      "replay needs >= 3 micro-batches to certify cross-batch ordering")
     val memV = MemoryStream[Ev]
     val memP = MemoryStream[Ev]
     val name = s"graft_sjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -92,16 +94,16 @@ object StreamJoin {
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevParts = spark.conf.get(partsKey)
     val prevNoData = spark.conf.get(noDataKey, "true")
-    // 2 partitions keep the join genuinely shuffled while bounding the
-    // per-batch state-store lifecycle; no-data batches off — see the
-    // scaladoc (flushes ride the guaranteed next data batch)
-    spark.conf.set(partsKey, "2")
-    spark.conf.set(noDataKey, "false")
-    require(batches >= 3,
-      "replay needs >= 3 micro-batches to certify cross-batch ordering")
     val minUs = math.min(views.map(_.us).min, purchases.map(_.us).min)
     val maxUs = math.max(views.map(_.us).max, purchases.map(_.us).max)
     val batchUs = math.max(1L, (maxUs - minUs) / batches + 1L)
+    // 2 partitions keep the join genuinely shuffled while bounding the
+    // per-batch state-store lifecycle; no-data batches off — see the
+    // scaladoc (flushes ride the guaranteed next data batch). Set
+    // AFTER every precondition, so a throwing require cannot leak the
+    // overrides past the restoring finally (review r10 finding)
+    spark.conf.set(partsKey, "2")
+    spark.conf.set(noDataKey, "false")
     try {
       val q = viewPurchase(memV.toDS(), memP.toDS(), windowUs,
           joinType = joinType)

@@ -96,4 +96,20 @@ class DriftSpec extends SparkTestBase {
     assert(got.keys.filter(_._1 == "b")
       .forall(k => got(k) == ((0L, false))))
   }
+
+  test("cusumDaily scans in TYPED period order, not string order") {
+    // integer periods 1..12: string order would visit 1,10,11,12,2,…
+    // and mis-accumulate; typed order must see the shift on days
+    // 10-12 AFTER the flat days 1-9 (review r10 finding)
+    val rows = ((1 to 9).map(d => ("k", d, 10.0)) ++
+      (10 to 12).map(d => ("k", d, 30.0))).toDF("k", "p", "v")
+    val got = Drift.cusumDaily(rows, col("v"), col("p"), col("k"),
+        baselineDays = 3, slack = 0L, threshold = 25L)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._2 -> r._4).toMap
+    // base = 30 (days 1..3 in TYPED order); days 1..9: 3*10-30 = 0;
+    // days 10..12: +60 each -> 60, 120, 180
+    for (d <- 1 to 9) assert(got(d.toString) == 0L, s"day $d")
+    assert(got("10") == 60L && got("11") == 120L && got("12") == 180L)
+  }
 }
