@@ -660,6 +660,65 @@ object Dedup {
     clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as("drop_id"))
 
+  /** INCREMENTAL clustering maintenance: fold a batch of new pairs
+    * into an existing `(id, cluster)` labelling WITHOUT re-running
+    * components over the historical edge set — the daily-ingest shape
+    * (yesterday's 100 TB clustering is persisted; today's batch adds
+    * edges). New edges can only MERGE existing clusters (and attach
+    * new ids), so it suffices to run components over the new pairs
+    * REWRITTEN to cluster representatives: the rep graph has one node
+    * per TOUCHED cluster, not per historical row — work scales with
+    * the batch, never the corpus.
+    *
+    * Exactness (spec'd equal to a full recompute over the union):
+    * labels are component minima, a rep IS its cluster's minimum
+    * member, so the merged component's rep-level minimum equals the
+    * member-level minimum; untouched clusters keep their labels
+    * byte-for-byte.
+    *
+    * @param oldLabels (id, cluster) from a prior [[nearDupClusters]]
+    *                  run (or this method — it composes)
+    * @param newPairs  (idA < idB) new candidate pairs; endpoints
+    *                  absent from `oldLabels` are new singleton nodes
+    * @return (id, cluster) over old ids ∪ new-pair endpoints */
+  def nearDupClustersIncremental(oldLabels: DataFrame,
+                                 newPairs: DataFrame,
+                                 idA: String = "id_a",
+                                 idB: String = "id_b"): DataFrame = {
+    val old = oldLabels.select(col("id"), col("cluster"))
+      .localCheckpoint(true) // read by both rewrite joins + the remap
+    def rep(side: String) =
+      old.select(col("id").as(side), col("cluster").as(s"__r$side"))
+    // rewrite endpoints to reps (absent endpoint = its own rep), keep
+    // only edges that actually connect two DIFFERENT reps
+    val repEdges = newPairs.select(col(idA).as("a"), col(idB).as("b"))
+      .join(rep("a"), Seq("a"), "left")
+      .join(rep("b"), Seq("b"), "left")
+      .select(coalesce(col("__ra"), col("a")).as("ra"),
+        coalesce(col("__rb"), col("b")).as("rb"))
+      .filter(col("ra") =!= col("rb"))
+      .select(least(col("ra"), col("rb")).as("id_a"),
+        greatest(col("ra"), col("rb")).as("id_b"))
+      .distinct()
+    // components over the rep graph only — batch-sized, not corpus-
+    // sized; relabel maps each touched rep to its merged minimum
+    val relabel = nearDupClusters(repEdges)
+      .select(col("id").as("__rep"), col("cluster").as("__new"))
+    val oldRemapped = old
+      .join(relabel, old("cluster") === col("__rep"), "left")
+      .select(old("id"),
+        coalesce(col("__new"), old("cluster")).as("cluster"))
+    // new-pair endpoints unknown to the old labelling
+    val newIds = newPairs.select(col(idA).as("id"))
+      .union(newPairs.select(col(idB).as("id"))).distinct()
+      .join(old.select("id"), Seq("id"), "left_anti")
+    val newLabeled = newIds
+      .join(relabel, newIds("id") === col("__rep"), "left")
+      .select(newIds("id"), coalesce(col("__new"), newIds("id"))
+        .as("cluster"))
+    oldRemapped.unionByName(newLabeled)
+  }
+
   /** Per-doc contamination hits against a benchmark/eval corpus: the
     * number of distinct word k-shingles a training document shares
     * with ANY benchmark document — the standard pre-training

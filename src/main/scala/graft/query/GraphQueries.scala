@@ -148,6 +148,42 @@ object GraphQueries {
        |FROM n JOIN reach r ON r.s = n.node
        |GROUP BY n.node ORDER BY id""".stripMargin
 
+
+  /** INCREMENTAL component maintenance
+    * ([[Dedup.nearDupClustersIncremental]]): yesterday's clustering
+    * (the every=599 graph, as q_graph_components) persisted, today's
+    * batch (the every=601 graph) folded in by rewriting the new edges
+    * to cluster representatives — components re-run over the
+    * BATCH-sized rep graph only, never the historical edge set. The
+    * oracle recomputes the full transitive closure over the UNION of
+    * both edge sets, so the gate certifies that the incremental path
+    * lands on exactly the full-recompute labels (merges, attachments,
+    * and untouched clusters alike). */
+  def graphComponentsInc(s: SparkSession, dir: String): DataFrame = {
+    def pairsAt(every: Int) = eventEdges(s, dir, every)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"))
+      .distinct()
+    val oldLabels = Dedup.nearDupClusters(pairsAt(599))
+    Dedup.nearDupClustersIncremental(oldLabels, pairsAt(601))
+      .orderBy("id")
+  }
+
+  val graphComponentsIncSql: String =
+    s"""WITH RECURSIVE raw AS (SELECT user_id % 1000 AS src,
+       |    (user_id * 31 + event_id * 17) % 1000 AS dst
+       |  FROM events WHERE event_id % 599 = 0 OR event_id % 601 = 0),
+       |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM raw WHERE src <> dst),
+       |und AS (SELECT a AS s, b AS t FROM e UNION SELECT b, a FROM e),
+       |reach AS (SELECT s, t FROM und
+       |  UNION SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+       |n AS (SELECT DISTINCT s AS node FROM und)
+       |SELECT n.node AS id, least(n.node, MIN(r.t)) AS cluster
+       |FROM n JOIN reach r ON r.s = n.node
+       |GROUP BY n.node ORDER BY id""".stripMargin
+
   /** Per-vertex triangle counts under degree-ranked orientation
     * ([[Triangles.perNode]] — the √m wedge bound that survives
     * celebrity vertices); the oracle enumerates canonical `x<y<z`
@@ -339,6 +375,8 @@ object GraphQueries {
     "q_pagerank_personalized" ->
       (pageRankPersonalized _, pageRankPersonalizedSql),
     "q_graph_components" -> (graphComponents _, graphComponentsSql),
+    "q_graph_components_inc" ->
+      (graphComponentsInc _, graphComponentsIncSql),
     "q_graph_bfs" -> (graphBfs _, graphBfsSql),
     "q_graph_sssp" -> (graphSssp _, graphSsspSql),
     "q_graph_triangles" -> (graphTriangles _, graphTrianglesSql),

@@ -343,4 +343,39 @@ class DedupSpec extends SparkTestBase {
     // stop-gram-only pair (1,3)/(1,4)/(3,4) appears
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("incremental clustering equals a full recompute over the union") {
+    import org.apache.spark.sql.functions.col
+    def pairsDf(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(31)
+    // random graph over 80 nodes, edges split old/new — new edges
+    // merge clusters, attach brand-new nodes, and include no-op
+    // duplicates inside existing clusters
+    val all = (0 until 120).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(100).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val (oldE, newE) = all.splitAt(70)
+    val oldLabels = Dedup.nearDupClusters(pairsDf(oldE))
+    val inc = labels(Dedup.nearDupClustersIncremental(
+      oldLabels, pairsDf(newE)))
+    val full = labels(Dedup.nearDupClusters(pairsDf(all)))
+    // the full recompute only covers pair endpoints; incremental also
+    // carries old ids forward — compare on the full run's domain, and
+    // every extra incremental id must keep its old label
+    assert(full.keySet.subsetOf(inc.keySet))
+    assert(full.forall { case (id, c) => inc(id) == c })
+    val oldMap = labels(oldLabels)
+    assert((inc.keySet -- full.keySet).forall(id => inc(id) == oldMap(id)))
+    // and it composes: a second increment over the already-incremental
+    // labels equals the three-way full recompute
+    val extra = Seq((0L, 99L), (150L, 151L))
+    val inc2 = labels(Dedup.nearDupClustersIncremental(
+      Dedup.nearDupClustersIncremental(oldLabels, pairsDf(newE)),
+      pairsDf(extra)))
+    val full2 = labels(Dedup.nearDupClusters(pairsDf(all ++ extra)))
+    assert(full2.forall { case (id, c) => inc2(id) == c })
+  }
 }
