@@ -79,6 +79,19 @@ object Scale100 {
           concat(lit(code(i) + "_"), col("c_name")).as("c_name"))
       }.repartition(16).write.mode("overwrite")
       .parquet(s"$outDir/er_customers.parquet")
+
+    // embeddings: the ScaleBench sign-pattern recipe (cosine is
+    // scale-invariant; per-replica sign flips keep within-replica
+    // geometry exact and push cross-replica cosines near zero)
+    rep(read("embeddings")) { (df, i) =>
+        val signs = typedlit((1 to 64).map(dd =>
+          if (graft.plans.VectorOps.planeComponent(7000 + i, dd) > 0) 1.0f
+          else -1.0f))
+        df.withColumn("vec_id", col("vec_id") + i * 10000000L)
+          .withColumn("embedding",
+            zip_with(col("embedding"), signs, (x, sgn) => x * sgn))
+      }.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,6 +115,9 @@ object Scale100 {
       (n, (System.nanoTime() - s0) / 1e9)
     }.minBy(_._2)
 
+    val only = sys.env.get("SCALE100_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def on(name: String): Boolean = only.forall(_.contains(name))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Double, Double)]
     def record(name: String, base: Double, scaled: Double): Unit = {
@@ -114,7 +130,7 @@ object Scale100 {
     // --- OrderStats / GlobalRank / BPE via the driver queries ---
     val qs = graft.SparkEntry.queries
     for (q <- Seq("q_winsorize", "q_histogram_equidepth",
-        "q_rank_transform", "q_bpe_encode_docs")) {
+        "q_rank_transform", "q_bpe_encode_docs") if on(q)) {
       val fn = qs(q)
       record(q, time(fn(spark, sfDir).count())._2,
         time(fn(spark, outDir).count())._2)
@@ -128,13 +144,13 @@ object Scale100 {
         ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
     def scaledEdges(every: Int): DataFrame =
       spark.read.parquet(s"$outDir/edges$every.parquet")
-    record("graph_label_prop",
+    if (on("graph_label_prop")) record("graph_label_prop",
       time(graft.operators.LabelProp.run(baseEdges(11), 3).count())._2,
       time(graft.operators.LabelProp.run(scaledEdges(11), 3).count())._2)
-    record("graph_hits",
+    if (on("graph_hits")) record("graph_hits",
       time(graft.operators.Hits.run(baseEdges(3).distinct(), 2).count())._2,
       time(graft.operators.Hits.run(scaledEdges(3).distinct(), 2).count())._2)
-    record("graph_kcore",
+    if (on("graph_kcore")) record("graph_kcore",
       time(graft.operators.KCore.peel(baseEdges(3), 5, 6).count())._2,
       time(graft.operators.KCore.peel(scaledEdges(3), 5, 6).count())._2)
 
@@ -161,15 +177,67 @@ object Scale100 {
       .filter(col("c_custkey") % 5 === 0)
       .select(col("c_custkey").as("cid"), col("c_name"))
     val erScaled = spark.read.parquet(s"$outDir/er_customers.parquet")
-    val (bn, bt) = time(erDelKey(erBase))
-    val (sn, st) = time(erDelKey(erScaled))
-    println(s"[scale100] er_delkey clusters: base=$bn scaled=$sn " +
-      s"(linear check: ${sn == k * bn})")
-    record("entity_resolution", bt, st)
-    val (bn2, bt2) = time(erSnb(erBase))
-    val (sn2, st2) = time(erSnb(erScaled))
-    println(s"[scale100] er_snb clusters: base=$bn2 scaled=$sn2")
-    record("entity_resolution_snb", bt2, st2)
+    if (on("entity_resolution")) {
+      val (bn, bt) = time(erDelKey(erBase))
+      val (sn, st) = time(erDelKey(erScaled))
+      println(s"[scale100] er_delkey clusters: base=$bn scaled=$sn " +
+        s"(linear check: ${sn == k * bn})")
+      record("entity_resolution", bt, st)
+    }
+    if (on("entity_resolution_snb")) {
+      val (bn2, bt2) = time(erSnb(erBase))
+      val (sn2, st2) = time(erSnb(erScaled))
+      println(s"[scale100] er_snb clusters: base=$bn2 scaled=$sn2")
+      record("entity_resolution_snb", bt2, st2)
+    }
+
+    // --- round-10 operators: containment, DBSCAN, incremental CC ---
+    // containment: disjoint replica vocabularies -> zero cross-replica
+    // gram sharing -> candidates linear by construction
+    def containment(dir: String): Long =
+      graft.operators.Dedup.containmentPairs(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", col("text"), k = 1, minContainMicro = 600000L,
+        maxGramDf = 30L).count()
+    if (on("containment")) record("containment",
+      time(containment(sfDir))._2, time(containment(outDir))._2)
+    // DBSCAN in the PRODUCTION LSH regime: threshold 0.9, 8 tables,
+    // 1 probe, and PLANES TRACKING log2(n) — 12 at the 5k base, 19 at
+    // 500k — so per-table buckets stay ~corpus-sparse at both scales
+    // (the r6 lesson, measured the hard way: holding 12 planes at
+    // 100x multiplies candidates ~100x by bucket math and exhausted
+    // this box's spill space)
+    def dbscan(dir: String, planes: Int): Long =
+      graft.operators.DensityCluster.dbscanCosine(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", threshold = 0.9, minPts = 2,
+        numPlanes = planes, tables = 8, probes = 1).count()
+    if (on("dbscan_prodcfg")) record("dbscan_prodcfg",
+      time(dbscan(sfDir, 12))._2, time(dbscan(outDir, 19))._2)
+    // incremental components: at 100x, fold a 99-edge bridge batch
+    // (merging all replicas) into the persisted labelling — the
+    // incremental path must cost ~the BATCH, the full recompute the
+    // corpus; both measured on the same 100x graph
+    locally {
+      import spark.implicits._
+      val big = spark.read.parquet(s"$outDir/edges11.parquet")
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("id_a"),
+          greatest(col("src"), col("dst")).as("id_b"))
+        .distinct()
+      val oldLabels = graft.operators.Dedup.nearDupClusters(big)
+        .localCheckpoint(true)
+      val bridge = (0 until k - 1)
+        .map(i => (i * 1000L, (i + 1) * 1000L)).toDF("id_a", "id_b")
+      val (_, tFull) = time(graft.operators.Dedup.nearDupClusters(
+        big.unionByName(bridge)).count())
+      val (_, tInc) = time(graft.operators.Dedup
+        .nearDupClustersIncremental(oldLabels, bridge).count())
+      out += (("cc_full_recompute_100x", tFull, tFull, 1.0))
+      out += (("cc_incremental_100x", tInc, tInc, tInc / tFull))
+      println(f"[scale100] cc at ${k}x: full=$tFull%.2fs " +
+        f"incremental=$tInc%.2fs speedup=${tFull / tInc}%.1fx")
+    }
 
     val json = out.map { case (n, b, s, r) =>
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"per_unit":${r / k}%.3f}"""
