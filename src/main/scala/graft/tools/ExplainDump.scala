@@ -184,7 +184,10 @@ object ExplainDump {
         graft.query.GraphQueries.pageRankPersonalized(spark, sfDir),
       "q_entity_resolution_snb_norm (normalized-key GlobalRank blocking " +
         "+ rank-block equi-join, no trailing dedup shuffle)" ->
-        graft.query.WarehouseQueries.entityResolutionSnbNorm(spark, sfDir))
+        graft.query.WarehouseQueries.entityResolutionSnbNorm(spark, sfDir),
+      "q_graph_components_inc (new edges rewritten to cluster reps — " +
+        "components over the batch-sized rep graph, history untouched)" ->
+        graft.query.GraphQueries.graphComponentsInc(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every
