@@ -716,7 +716,12 @@ object Dedup {
       .join(relabel, newIds("id") === col("__rep"), "left")
       .select(newIds("id"), coalesce(col("__new"), newIds("id"))
         .as("cluster"))
-    oldRemapped.unionByName(newLabeled)
+    // materialized so the corpus-sized `old` checkpoint can be freed
+    // before returning (ADVICE r10 — a lazy return would pin it until
+    // GC, the leak class the cadence-checkpoint operators retired)
+    val out = oldRemapped.unionByName(newLabeled).localCheckpoint(true)
+    old.unpersist()
+    out
   }
 
   /** Per-doc contamination hits against a benchmark/eval corpus: the

@@ -113,7 +113,10 @@ object GraftExtensions {
         litInt(es(1), "graft_del_hashes"))),
     (FunctionIdentifier("graft_bigram_costs"), BigramCostsExpr.info,
       (es: Seq[Expression]) => BigramCostsExpr(es(0),
-        litLongArray(es(1), "graft_bigram_costs"))),
+        // immutable wrap → two registrations of the same table build
+        // expressions that canonicalize EQUAL (ADVICE r10)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          litLongArray(es(1), "graft_bigram_costs")))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable

@@ -151,12 +151,20 @@ object LmOps {
 
 /** `graft_bigram_costs(text, costs)` — (bits, n_bigrams) of `text`
   * under a dense 1444-entry bigram cost table (costs must be a
-  * foldable ARRAY<BIGINT> literal of length 38*38). */
-case class BigramCostsExpr(child: Expression, table: Array[Long])
+  * foldable ARRAY<BIGINT> literal of length 38*38). The table is held
+  * as an immutable IndexedSeq, NOT an Array: case-class equality over
+  * an array is reference-based, which would defeat plan
+  * canonicalization (subexpression elimination, exchange reuse)
+  * whenever the cost table is rebuilt (ADVICE r10). */
+case class BigramCostsExpr(child: Expression, table: IndexedSeq[Long])
     extends Expression {
 
   require(table.length == LmOps.Alphabet * LmOps.Alphabet,
     s"cost table must have ${LmOps.Alphabet * LmOps.Alphabet} entries")
+
+  // the eval/codegen hot path reads a primitive array; derived once,
+  // never part of equality
+  @transient private lazy val tableArr: Array[Long] = table.toArray
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = child.nullable
@@ -175,12 +183,12 @@ case class BigramCostsExpr(child: Expression, table: Array[Long])
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else LmOps.bigramCosts(v.asInstanceOf[UTF8String], table)
+    else LmOps.bigramCosts(v.asInstanceOf[UTF8String], tableArr)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode = {
-    val tableRef = ctx.addReferenceObj("lmCostTable", table, "long[]")
+    val tableRef = ctx.addReferenceObj("lmCostTable", tableArr, "long[]")
     val c = child.genCode(ctx)
     ev.copy(code = code"""
         ${c.code}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** STREAMING last-writer-wins upsert — the T4/CDC MERGE primitive
   * ([[graft.query.WarehouseQueries.cdcApply]]) as keyed streaming
@@ -26,10 +26,13 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *
   * Scale shape: state is ONE row per live key — the upsert table
   * itself, hash-partitioned across executors, bounded by key
-  * cardinality, never by change-stream length. A retention-windowed
-  * deployment evicts via event-time timeout exactly as
-  * [[SessionStream]] does; the certification replay is bounded and
-  * needs no eviction.
+  * cardinality, never by change-stream length. For unbounded key
+  * universes, [[upsertRetention]] bounds state by a retention window:
+  * a key whose newest change falls `retentionUs` behind the watermark
+  * is EVICTED via event-time timeout (certified by
+  * q_stream_cdc_retention against the batch LWW oracle restricted to
+  * the retention window, and by the state-shrink spec). [[upsert]]
+  * (NoTimeout) remains the full-history variant for bounded key sets.
   */
 object CdcStream {
 
@@ -39,6 +42,11 @@ object CdcStream {
                             value: Double)
   final case class Upsert(user_id: Long, last_op: String, last_us: Long,
                           last_event: Long, last_value: Double)
+
+  /** Reserved `last_op` marker emitted when a key's state is evicted
+    * by the retention timeout — distinct from the I/U/D op alphabet so
+    * the final-state reduction can drop evicted keys. */
+  val EvictedOp = "evicted"
 
   /** LWW fold, factored out for direct unit testing: a pure running
     * maximum over (us, event_id) against the carried state — the
@@ -67,6 +75,64 @@ object CdcStream {
       }
   }
 
+  /** RETENTION-WINDOWED upsert: identical LWW fold, but each key's
+    * state carries an event-time timeout at `newest change +
+    * retentionUs`; when the watermark passes it the key is evicted
+    * (state removed, one `EvictedOp` marker row emitted so downstream
+    * reductions can observe the eviction). State is therefore bounded
+    * by the RECENTLY-ACTIVE key set — the watermark, not the key
+    * universe, bounds memory, exactly the [[SessionStream]] design.
+    *
+    * Documented late-data behavior (spec-certified, not assumed):
+    * Spark's stateful-operator late-record filter drops input rows at
+    * or behind the current watermark BEFORE they reach the handler, so
+    * a change arriving after its key was evicted — necessarily more
+    * than `retentionUs` behind the watermark — is DROPPED, never
+    * resurrected (the retention spec drives exactly this case and
+    * asserts the key stays absent from state and emissions). Under
+    * event-time-ordered arrival (the certified replay) nothing is
+    * late, which is what makes the batch oracle exact; deployments
+    * needing late tolerance widen `watermarkDelay`, which delays
+    * eviction by the same bound. */
+  def upsertRetention(changes: Dataset[Chg], retentionUs: Long,
+                      watermarkDelay: String = "0 seconds")
+      : Dataset[Upsert] = {
+    import changes.sparkSession.implicits._
+    require(retentionUs > 0, "retentionUs must be > 0")
+    changes
+      .withColumn("event_time", timestamp_micros(col("us")))
+      .withWatermark("event_time", watermarkDelay)
+      // typed view on the SAME plan — a .map would break the
+      // event-time watermark lineage the timeout needs
+      .as[(Long, Long, Long, String, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyState, Upsert](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(
+              Upsert(key, EvictedOp, st.us, st.event_id, st.value))
+          } else {
+            val st = fold(state.getOption,
+              rows.map(t => Chg(t._1, t._2, t._3, t._4, t._5)).toSeq)
+            state.update(st)
+            // ms ceiling: micros truncate toward earlier, which would
+            // fire the timeout a hair before us + retention (the
+            // SessionStream rounding rule). The late-record filter
+            // guarantees surviving input is ahead of the watermark, so
+            // the computed timestamp is always in the future; the
+            // clamp is pure defense for nonzero watermarkDelay edges
+            // (Spark rejects a timestamp behind the watermark).
+            state.setTimeoutTimestamp(math.max(
+              (st.us + retentionUs) / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.single(Upsert(key, st.op, st.us, st.event_id, st.value))
+          }
+      }
+  }
+
   /** Replay a bounded change set through the real stateful stream in
     * event-time batches (span/`batches` slots — cross-batch event-time
     * order is what the gate certifies; within a batch the fold is
@@ -79,7 +145,36 @@ object CdcStream {
     * batch re-emits changed keys); no-data micro-batches off — the
     * flat-overhead lesson, PERF.md round 10. */
   def replay(spark: SparkSession, changes: Seq[Chg],
-             batches: Int = 4): DataFrame = {
+             batches: Int = 4): DataFrame =
+    replayWith(spark, changes, batches, sentinelFlushUs = None,
+      upsert(_))
+
+  /** Retention replay: same event-time-ordered batching, through
+    * [[upsertRetention]], with TWO trailing sentinel batches (key −1
+    * at `flushUs`, then past it) — the first advances the watermark to
+    * `flushUs`, the second is a DATA batch evaluated under that
+    * watermark so every due timeout fires inside processAllAvailable
+    * deterministically (the SessionStream two-sentinel rule). The
+    * final table therefore contains exactly the keys whose LWW winner
+    * satisfies `winner.us + retentionUs >= flushUs` — the batch-
+    * expressible retention window the oracle pins. Eviction marker
+    * rows outrank the state row they evict in the reduction (same
+    * (us, event_id), marker wins the tie) and are then dropped. */
+  def replayRetention(spark: SparkSession, changes: Seq[Chg],
+                      retentionUs: Long, flushUs: Long,
+                      batches: Int = 4): DataFrame = {
+    require(changes.nonEmpty, "replay needs at least one change")
+    require(flushUs > changes.map(_.us).max,
+      "flushUs must lie beyond every change so the sentinel only " +
+        "advances the watermark")
+    replayWith(spark, changes, batches, sentinelFlushUs = Some(flushUs),
+      upsertRetention(_, retentionUs))
+  }
+
+  private def replayWith(spark: SparkSession, changes: Seq[Chg],
+                         batches: Int, sentinelFlushUs: Option[Long],
+                         stream: Dataset[Chg] => Dataset[Upsert])
+      : DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
@@ -99,7 +194,7 @@ object CdcStream {
     val maxUs = changes.map(_.us).max
     val batchUs = math.max(1L, (maxUs - minUs) / batches + 1L)
     try {
-      val q = upsert(mem.toDS()).toDF()
+      val q = stream(mem.toDS()).toDF()
         .writeStream.format("memory").queryName(name)
         .outputMode("update").start()
       try {
@@ -108,17 +203,39 @@ object CdcStream {
             mem.addData(slot)
             q.processAllAvailable()
           }
+        sentinelFlushUs.foreach { flushUs =>
+          // sentinel 1 advances the watermark to flushUs; sentinel 2 is
+          // the data batch under that watermark that fires the timeouts
+          mem.addData(Seq(Chg(-1L, flushUs, 0L, "U", 0.0)))
+          q.processAllAvailable()
+          mem.addData(Seq(Chg(-1L, flushUs + 1000000L, 1L, "U", 0.0)))
+          q.processAllAvailable()
+        }
       } finally q.stop()
     } finally {
       spark.conf.set(partsKey, prevParts)
       spark.conf.set(noDataKey, prevNoData)
     }
+    // an eviction marker carries its victim's (us, event_id) — the
+    // boolean tie-break ranks it above the state row it evicts; a key
+    // RE-ACTIVATED by an on-time change after eviction emits with a
+    // strictly greater us and outranks the marker
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
-      .orderBy(desc("last_us"), desc("last_event"))
-    spark.table(name)
+      .orderBy(desc("last_us"), desc("last_event"),
+        (col("last_op") === EvictedOp).desc)
+    val reduced = spark.table(name)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    val out = (if (sentinelFlushUs.isEmpty) reduced
+               else reduced.filter(col("user_id") >= 0 &&
+                 col("last_op") =!= EvictedOp))
+      // materialized so the memory sink's accumulated emissions can be
+      // unregistered before returning (ADVICE r10: replays leaked one
+      // uniquely-named sink table per certification run)
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -57,9 +57,15 @@ class PowerIterationSpec extends SparkTestBase {
   }
 
   test("an all-zero corpus fails loudly, not with wrapped garbage") {
-    val ex = intercept[IllegalArgumentException] {
+    // the guard is an inline assert_true riding the lazy plan (one job
+    // per iteration, no driver scalar fetch), so it surfaces as a
+    // Spark execution error carrying the guard message
+    val ex = intercept[Exception] {
       run(Seq(Seq(0f, 0f)), 2, 1)
     }
-    assert(ex.getMessage.contains("zero vector"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("zero vector")), messages(ex))
   }
 }

@@ -18,6 +18,90 @@ class CdcStreamSpec extends SparkTestBase {
       KeyState("D", 300, 2, 0.0))
   }
 
+  test("retention: event-time timeout evicts idle keys (state read back " +
+      "per batch SHRINKS), late changes are dropped, on-time changes " +
+      "re-activate evicted keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val day = 86400000000L
+    def d(n: Long) = n * day
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey, "true")
+    spark.conf.set(noDataKey, "false")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ret")
+    val mem = MemoryStream[Chg]
+    val name = "graft_cdc_retention_spec"
+    val q = CdcStream.upsertRetention(mem.toDS(), retentionUs = 3L * day)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").start()
+    try {
+      Seq(
+        Seq(Chg(1, d(1), 1, "I", 1.0), Chg(2, d(1) + 1000000L, 2, "I", 2.0),
+          Chg(3, d(1) + 2000000L, 3, "I", 3.0)), // b0: 3 keys live
+        Seq(Chg(3, d(10), 4, "U", 3.5)),         // b1: refresh 3; wm→d10
+        Seq(Chg(99, d(11), 5, "U", 0.0)),        // b2: under wm d10 → evict 1,2
+        Seq(Chg(5, d(2), 6, "U", 9.0)),          // b3: LATE → dropped, no state
+        Seq(Chg(99, d(14), 7, "U", 0.0),
+          Chg(1, d(14) + 1000000L, 8, "U", 10.0)), // b4: on-time re-activation
+        Seq(Chg(99, d(15), 9, "U", 0.0))         // b5: under wm d14 → evict 3
+      ).foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      // the ACTUAL committed state per micro-batch, read back through
+      // the state data source — not a progress metric (those proved
+      // unreliable for this operator); eviction must SHRINK the store
+      def stateKeys(b: Int): Seq[Long] = spark.read.format("statestore")
+        .option("path", ckpt.toString).option("batchId", b).load()
+        .select("key.*").collect().map(_.getLong(0)).toSeq.sorted
+      assert(stateKeys(0) == Seq(1L, 2L, 3L))
+      assert(stateKeys(1) == Seq(1L, 2L, 3L))
+      assert(stateKeys(2) == Seq(3L, 99L)) // idle keys 1,2 evicted
+      assert(stateKeys(3) == Seq(3L, 99L)) // late key 5 never entered state
+      assert(stateKeys(4) == Seq(1L, 3L, 99L)) // on-time change re-activates 1
+      assert(stateKeys(5) == Seq(1L, 99L)) // key 3 evicted once past d13
+      val em = spark.table(name)
+        .as[(Long, String, Long, Long, Double)].collect().toSeq
+      // eviction markers carry the evicted state (LWW winner at eviction)
+      assert(em.contains((1L, CdcStream.EvictedOp, d(1), 1L, 1.0)))
+      assert(em.contains((2L, CdcStream.EvictedOp, d(1) + 1000000L, 2L, 2.0)))
+      assert(em.contains((3L, CdcStream.EvictedOp, d(10), 4L, 3.5)))
+      // the late change produced NO emission at all
+      assert(!em.exists(_._1 == 5L))
+      // re-activation emitted fresh state that outranks key 1's marker
+      assert(em.contains((1L, "U", d(14) + 1000000L, 8L, 10.0)))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.conf.set(noDataKey, prevNoData)
+      spark.catalog.dropTempView(name)
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    }
+  }
+
+  test("replayRetention: final table equals the batch LWW window " +
+      "restricted to the retention horizon") {
+    val spark2 = spark
+    import spark2.implicits._
+    val day = 86400000000L
+    val changes = Seq(
+      Chg(1, 1L * day, 1, "I", 1.0),  // idle since day 1 → evicted
+      Chg(2, 1L * day, 2, "I", 2.0),
+      Chg(2, 20L * day, 3, "U", 2.5), // refreshed day 20 → live
+      Chg(3, 19L * day, 4, "D", 0.0), // live but tombstoned → absent
+      Chg(4, 21L * day, 5, "U", 4.0)) // live
+    val out = CdcStream.replayRetention(spark, changes,
+        retentionUs = 5L * day, flushUs = 22L * day, batches = 3)
+      .filter(org.apache.spark.sql.functions.col("last_op") =!= "D")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._5))).toMap
+    assert(out == Map(
+      2L -> (("U", 20L * day, 2.5)),
+      4L -> (("U", 21L * day, 4.0))))
+  }
+
   test("replay: cross-batch state carry equals the batch LWW window") {
     val spark2 = spark
     import spark2.implicits._
