@@ -28,7 +28,33 @@ import org.apache.spark.sql.functions._
   */
 object DensityCluster {
 
-  /** @return (id, role 'core'|'border'|'noise', cluster; −1 for noise) */
+  /** [[dbscanCosine]] with the LSH geometry SIZED BY [[LshPlan]] from
+    * the observed corpus size instead of caller-fixed constants — the
+    * safe-by-construction entry (r10 verdict item 2: fixed planes at a
+    * grown corpus is the measured spill-exhaustion mode). One count
+    * job sizes `planes = planesFor(n, targetBucket)` and
+    * `tables = tablesFor(threshold, planes, maxMissProb)`; at the
+    * q_dbscan_embeddings gate's slice (n = 500, threshold 0.40,
+    * targetBucket 64, 1e-6) this computes exactly the (3, 48) the gate
+    * previously hard-coded, so the oracle is byte-identical. */
+  def dbscanCosineAuto(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, minPts: Int, dims: Int = 64,
+                       probes: Int = 0, targetBucket: Long = 64L,
+                       maxMissProb: Double = 1e-6): DataFrame = {
+    val n = df.select(idCol).count()
+    val planes = LshPlan.planesFor(n, targetBucket)
+    LshPlan.requireFit(planes, n, maxExpectedBucket = 4L * targetBucket)
+    dbscanCosine(df, idCol, vecCol, threshold, minPts,
+      numPlanes = planes,
+      tables = LshPlan.tablesFor(threshold, planes, maxMissProb),
+      dims = dims, probes = probes)
+  }
+
+  /** @return (id, role 'core'|'border'|'noise', cluster; −1 for noise)
+    * @note callers fixing `numPlanes` at scale must size it against
+    *       the corpus ([[LshPlan.planesFor]]/[[LshPlan.requireFit]], or
+    *       use [[dbscanCosineAuto]]) — occupancy grows with n while a
+    *       fixed plane count stands still. */
   def dbscanCosine(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, minPts: Int,
                    numPlanes: Int, tables: Int,

@@ -518,18 +518,21 @@ object VectorQueries {
     * 16 cores, borders AND noise at 500 vectors — at 0.45 everything
     * is noise and the gate would certify nothing); the vec_id < 500
     * bound fixes the verification corpus across SFs (the q_sim_*
-    * convention — ScaleBench carries the scale evidence), and 48
-    * tables × 3 hyperplanes make LSH recall certain at the bound
+    * convention — ScaleBench carries the scale evidence), and the LSH
+    * geometry comes from [[graft.operators.LshPlan]] (r10 verdict
+    * item 2): planesFor(500, 64) = 3 and tablesFor(0.40, 3, 1e-6) = 48
+    * — the planner derives exactly the 48 tables × 3 hyperplanes this
+    * gate previously hard-coded, with recall certain at the bound
     * (per-pair miss ≤ 0.749^48 ≈ 1e-6 at the threshold angle, so the
     * candidate set EQUALS the exact eps graph and the oracle can be
-    * closed-form). The oracle recomputes the quadratic eps graph,
-    * core set, recursive-closure components, and min-cluster border
-    * assignment. */
+    * closed-form; LshPlanSpec pins these values). The oracle
+    * recomputes the quadratic eps graph, core set, recursive-closure
+    * components, and min-cluster border assignment. */
   def dbscanEmbeddings(s: SparkSession, dir: String): DataFrame =
-    graft.operators.DensityCluster.dbscanCosine(
+    graft.operators.DensityCluster.dbscanCosineAuto(
         embs(s, dir).filter(col("vec_id") < 500),
         "vec_id", "embedding", threshold = 0.40, minPts = 3,
-        numPlanes = 3, tables = 48)
+        targetBucket = 64L, maxMissProb = 1e-6)
       .orderBy("id")
 
   val dbscanEmbeddingsSql: String =

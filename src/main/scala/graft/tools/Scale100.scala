@@ -202,18 +202,22 @@ object Scale100 {
     if (on("containment")) record("containment",
       time(containment(sfDir))._2, time(containment(outDir))._2)
     // DBSCAN in the PRODUCTION LSH regime: threshold 0.9, 8 tables,
-    // 1 probe, and PLANES TRACKING log2(n) — 12 at the 5k base, 19 at
-    // 500k — so per-table buckets stay ~corpus-sparse at both scales
-    // (the r6 lesson, measured the hard way: holding 12 planes at
-    // 100x multiplies candidates ~100x by bucket math and exhausted
-    // this box's spill space)
-    def dbscan(dir: String, planes: Int): Long =
+    // 1 probe, and PLANES FROM THE PLANNER (LshPlan encodes the r10
+    // lesson: planesFor(n, 1) = round(log2 n) → 12 at the 5k base, 19
+    // at 500k — per-table buckets stay ~corpus-sparse at both scales;
+    // holding 12 planes at 100x multiplies candidates ~100x by bucket
+    // math and exhausted this box's spill space, which requireFit now
+    // rejects up front)
+    def dbscan(dir: String): Long = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val planes = graft.operators.LshPlan.planesFor(emb.count(), 1L)
+      graft.operators.LshPlan.requireFit(planes, emb.count())
       graft.operators.DensityCluster.dbscanCosine(
-        spark.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", threshold = 0.9, minPts = 2,
+        emb, "vec_id", "embedding", threshold = 0.9, minPts = 2,
         numPlanes = planes, tables = 8, probes = 1).count()
+    }
     if (on("dbscan_prodcfg")) record("dbscan_prodcfg",
-      time(dbscan(sfDir, 12))._2, time(dbscan(outDir, 19))._2)
+      time(dbscan(sfDir))._2, time(dbscan(outDir))._2)
     // incremental components: at 100x, fold a 99-edge bridge batch
     // (merging all replicas) into the persisted labelling — the
     // incremental path must cost ~the BATCH, the full recompute the

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure math — no Spark session needed. Pins the planner to the two
+  * configurations the engine already certifies (the q_dbscan gate's
+  * recall-certain geometry and Scale100's production log2(n) legs) and
+  * generalizes the gate's 0.749^48 ≈ 1e-6 recall argument. */
+class LshPlanSpec extends AnyFunSuite {
+
+  test("planner reproduces the q_dbscan gate geometry (3 planes, " +
+      "48 tables) and its recall bound") {
+    assert(LshPlan.planesFor(500, 64) == 3)
+    assert(LshPlan.tablesFor(0.40, 3, 1e-6) == 48)
+    assert(LshPlan.missProb(0.40, 3, 48) <= 1e-6)
+    // the documented closed form: per-table miss ≈ 0.749 at the
+    // threshold angle (VectorQueries' 0.749^48 argument)
+    val perTableMiss = 1.0 - math.pow(LshPlan.collideProb(0.40), 3)
+    assert(math.abs(perTableMiss - 0.749) < 0.001)
+  }
+
+  test("planes track log2(n): Scale100's production-regime values") {
+    assert(LshPlan.planesFor(5000, 1) == 12)
+    assert(LshPlan.planesFor(500000, 1) == 19)
+    val ps = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(LshPlan.planesFor(_, 64))
+    assert(ps == ps.sorted && ps.distinct == ps, "strictly monotone in n")
+  }
+
+  test("requireFit rejects the measured spill-exhaustion configuration " +
+      "and passes the planner-sized ones") {
+    // the r10 100x leg: 12 planes held fixed while the corpus grew to
+    // 500k rows — expected occupancy 122/bucket, candidates ~100x linear
+    val ex = intercept[IllegalArgumentException] {
+      LshPlan.requireFit(12, 500000L, maxExpectedBucket = 64)
+    }
+    assert(ex.getMessage.contains("under-planed"))
+    assert(ex.getMessage.contains("planesFor"))
+    LshPlan.requireFit(19, 500000L, maxExpectedBucket = 64)
+    LshPlan.requireFit(3, 500L, maxExpectedBucket = 256)
+  }
+
+  test("recall bound holds at computed planes across thresholds and " +
+      "corpus sizes") {
+    for (th <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(500L, 50000L, 5000000L)) {
+      val planes = LshPlan.planesFor(n, 64)
+      val tables = LshPlan.tablesFor(th, planes, 1e-6)
+      assert(LshPlan.missProb(th, planes, tables) <= 1e-6,
+        s"threshold=$th n=$n planes=$planes tables=$tables")
+    }
+  }
+}
