@@ -684,7 +684,8 @@ object Dedup {
   def nearDupClustersIncremental(oldLabels: DataFrame,
                                  newPairs: DataFrame,
                                  idA: String = "id_a",
-                                 idB: String = "id_b"): DataFrame = {
+                                 idB: String = "id_b",
+                                 materialize: Boolean = true): DataFrame = {
     val old = oldLabels.select(col("id"), col("cluster"))
       .localCheckpoint(true) // read by both rewrite joins + the remap
     def rep(side: String) =
@@ -716,12 +717,16 @@ object Dedup {
       .join(relabel, newIds("id") === col("__rep"), "left")
       .select(newIds("id"), coalesce(col("__new"), newIds("id"))
         .as("cluster"))
-    // materialized so the corpus-sized `old` checkpoint can be freed
-    // before returning (ADVICE r10 — a lazy return would pin it until
-    // GC, the leak class the cadence-checkpoint operators retired)
-    val out = oldRemapped.unionByName(newLabeled).localCheckpoint(true)
-    old.unpersist()
-    out
+    val assembled = oldRemapped.unionByName(newLabeled)
+    if (!materialize) assembled // plan-inspection path (ExplainDump):
+    else {                      // `old` stays pinned by the lazy plan
+      // materialized so the corpus-sized `old` checkpoint can be freed
+      // before returning (ADVICE r10 — a lazy return would pin it until
+      // GC, the leak class the cadence-checkpoint operators retired)
+      val out = assembled.localCheckpoint(true)
+      old.unpersist()
+      out
+    }
   }
 
   /** Per-doc contamination hits against a benchmark/eval corpus: the
@@ -836,7 +841,19 @@ object Dedup {
     * the denominators — a defined part of the screen, like winnowing's
     * density bound, and what bounds per-gram candidate fan-out at
     * maxGramDf² — corpus-wide stop-grams would otherwise pair
-    * everything with everything), self-join on the gram key
+    * everything with everything), self-join on the gram key.
+    *
+    * RECALL LOSS OF THE CAP, stated so no caller rediscovers it at
+    * scale (the no-silent-caps rule the skew-capped fuzzy join also
+    * follows): a pair whose overlap is carried ONLY by grams with
+    * df > maxGramDf is NOT emitted at any threshold — by design, since
+    * such overlap is corpus-common boilerplate, not inclusion signal
+    * (DedupSpec pins a concrete dropped-by-cap pair). For pairs that
+    * DO surface, capped grams are excluded from numerator and
+    * denominator alike, so a reported containment is exact over the
+    * sub-maxGramDf vocabulary rather than an underestimate over the
+    * full one. Raising `maxGramDf` trades candidate fan-out
+    * (maxGramDf² pairs per gram) for cap recall, monotonically.
     * (shuffle-hash on identical exchanges → the index pipeline
     * computes once), and count shared grams per pair in the same
     * aggregation that dedups. Containments are EXACT integer micros

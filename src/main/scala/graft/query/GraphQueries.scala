@@ -106,7 +106,7 @@ object GraphQueries {
 
   /** The same modular-arithmetic edge derivation both engines can
     * rebuild, at a chosen sparsity (`every`-th event). */
-  private def eventEdges(s: SparkSession, dir: String, every: Int)
+  private[graft] def eventEdges(s: SparkSession, dir: String, every: Int)
       : DataFrame =
     t(s, dir, "events")
       .filter(col("event_id") % every === 0)

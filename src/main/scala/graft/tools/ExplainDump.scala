@@ -186,8 +186,46 @@ object ExplainDump {
         "+ rank-block equi-join, no trailing dedup shuffle)" ->
         graft.query.WarehouseQueries.entityResolutionSnbNorm(spark, sfDir),
       "q_graph_components_inc (new edges rewritten to cluster reps — " +
-        "components over the batch-sized rep graph, history untouched)" ->
-        graft.query.GraphQueries.graphComponentsInc(spark, sfDir))
+        "components over the batch-sized rep graph, history untouched; " +
+        "materialize=false exposes the rewrite/remap plan the gate's " +
+        "eager checkpoint would hide)" -> {
+        import org.apache.spark.sql.functions.{col, least, greatest}
+        def pairsAt(every: Int) =
+          graft.query.GraphQueries.eventEdges(spark, sfDir, every)
+            .filter(col("src") =!= col("dst"))
+            .select(least(col("src"), col("dst")).as("id_a"),
+              greatest(col("src"), col("dst")).as("id_b"))
+            .distinct()
+        graft.operators.Dedup.nearDupClustersIncremental(
+          graft.operators.Dedup.nearDupClusters(pairsAt(599)),
+          pairsAt(601), materialize = false)
+      },
+      "q_drift_cusum (one agg shuffle to the bounded (key, period) " +
+        "frame, per-key baseline window, typed-order FlatMapGroups " +
+        "recurrence — the corpus is scanned once)" ->
+        graft.query.QualityQueries.driftCusum(spark, sfDir),
+      "q_dbscan_embeddings eps graph (LSH hyperplane bucket join — " +
+        "candidates bucket-confined, planner-sized planes/tables, " +
+        "never n^2)" -> {
+        import org.apache.spark.sql.functions.col
+        graft.operators.Dedup.embeddingNearDups(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") < 500),
+          "vec_id", "embedding", threshold = 0.40,
+          numPlanes = graft.operators.LshPlan.planesFor(500, 64),
+          tables = graft.operators.LshPlan.tablesFor(0.40,
+            graft.operators.LshPlan.planesFor(500, 64)))
+      },
+      "q_dbscan_embeddings assembly (degree count, core-core " +
+        "semi-joins into components, min-cluster border pick over the " +
+        "checkpointed eps graph; materialize=false exposes the plan)" -> {
+        import org.apache.spark.sql.functions.col
+        graft.operators.DensityCluster.dbscanCosine(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") < 500),
+          "vec_id", "embedding", threshold = 0.40, minPts = 3,
+          numPlanes = 3, tables = 48, materialize = false)
+      })
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every
@@ -198,11 +236,52 @@ object ExplainDump {
         org.apache.spark.sql.execution.FormattedMode)}\n```\n"
     }.mkString("\n")
 
+    // STREAMING plans: a streaming source cannot go through toRdd, so
+    // the REAL micro-batch physical plan is captured from a live query
+    // (StreamingQuery.explain after a processed batch) — the
+    // FlatMapGroupsWithStateExec / EventTimeWatermarkExec / state-store
+    // shape evidence for the q_stream_cdc* gates.
+    def streamingCdcPlan(title: String, retentionUs: Option[Long])
+        : String = {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.CdcStream
+      implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val mem = MemoryStream[CdcStream.Chg]
+      val ds = retentionUs match {
+        case Some(r) => CdcStream.upsertRetention(mem.toDS(), r)
+        case None    => CdcStream.upsert(mem.toDS())
+      }
+      val name =
+        s"graft_explain_cdc_${if (retentionUs.isDefined) "ret" else "plain"}"
+      val q = ds.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        mem.addData(Seq(CdcStream.Chg(1L, 86400000000L, 1L, "I", 1.0)))
+        q.processAllAvailable()
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        }
+        s"## $title\n\n```\n${bos.toString("UTF-8")}\n```\n"
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+    val streamBody =
+      streamingCdcPlan("q_stream_cdc (mapGroupsWithState LWW upsert — " +
+        "one FlatMapGroupsWithState state operator keyed on user_id, " +
+        "update mode, state = one row per live key)", None) + "\n" +
+      streamingCdcPlan("q_stream_cdc_retention (same state operator " +
+        "fed by EventTimeWatermark — the EventTimeTimeout eviction " +
+        "path; state bounded by the retention window)",
+        Some(5L * 86400000000L))
+
     Files.writeString(Paths.get(out),
       "# EXPLAINS — formatted physical plans for headline queries\n\n" +
         s"Generated by `graft.tools.ExplainDump` on `$sfDir` " +
         "(queries executed first — AQE final plans, isFinalPlan=true " +
-        "where adaptive).\n\n" + body)
+        "where adaptive; streaming entries show the executed " +
+        "micro-batch plan).\n\n" + body + "\n" + streamBody)
     spark.stop()
   }
 }

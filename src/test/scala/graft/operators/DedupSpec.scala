@@ -342,6 +342,20 @@ class DedupSpec extends SparkTestBase {
     // doc 4's only gram is capped away: it pairs with nothing, and no
     // stop-gram-only pair (1,3)/(1,4)/(3,4) appears
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    // the documented cap recall loss, pinned explicitly: doc 4 ("the")
+    // is FULLY contained in doc 3 ("x1 x2 x3 the") — true containment
+    // 1.0 — but their only shared gram has df 3 > maxGramDf 2, so the
+    // pair is absent even with the threshold at zero (overlap carried
+    // ONLY by capped grams is dropped by design)
+    val atZero = Dedup.containmentPairs(docs, "doc_id", col("text"),
+        k = 1, minContainMicro = 0L, maxGramDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!atZero.contains((3L, 4L)))
+    // ...and raising the cap restores it (recall is monotone in the cap)
+    val atCap3 = Dedup.containmentPairs(docs, "doc_id", col("text"),
+        k = 1, minContainMicro = 900000L, maxGramDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(atCap3.contains((3L, 4L)))
   }
 
   test("incremental clustering equals a full recompute over the union") {
