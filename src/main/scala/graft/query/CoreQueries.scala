@@ -787,12 +787,36 @@ object CoreQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Column profiling ([[graft.operators.Profile.columns]]): per-column
+    * rows / nulls / exact distincts / min-max over orders — one
+    * single-column pruned scan + 1-row aggregate per column, no
+    * row-wise Expand. Long and string columns only: min/max render
+    * through a string cast, which is exact for both engines on
+    * integers and varchars (doubles would diverge on formatting). */
+  def profileColumns(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columns(t(s, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
+  val profileColumnsSql: String = {
+    def leg(c: String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(leg)
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY column_name")
+  }
+
   /** Spark-only entries (driver rows-only check). */
   val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 
   /** name -> (query, oracleSql) for this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_sql_parity" -> (sqlParity _, sqlParityText),
+    "q_profile_columns" -> (profileColumns _, profileColumnsSql),
     "q_events_sliding" -> (eventsSliding _, eventsSlidingSql),
     "q_cube" -> (cubePricing _, cubePricingSql),
     "q_agg_pricing" -> (aggPricing _, aggPricingSql),

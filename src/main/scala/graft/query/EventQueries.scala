@@ -92,6 +92,39 @@ object EventQueries {
       |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
       |ORDER BY entity""".stripMargin
 
+  /** Conversion-window funnel REPORT
+    * ([[QueryOps.funnelSummary]] — the q_funnel reach-time chaining
+    * plus a 2-day per-step conversion window and the (step, n_users)
+    * report): a step only counts when it lands within 2 days of the
+    * previous step's reach time, which produces genuine attrition at
+    * every SF (view→click→purchase = 15→8→5 / 150→96→58 /
+    * 1500→864→502 at sf0.001/0.01/0.1) where the unwindowed funnel
+    * converts nearly everyone. */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame =
+    QueryOps.funnelSummary(ev(s, dir), col("user_id"), col("us"),
+      col("event_type"), Seq("view", "click", "purchase"),
+      maxGap = Some(2L * 86400000000L))
+
+  val funnelWindowedSql: String =
+    """WITH u1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+      |            FROM events WHERE event_type = 'view' GROUP BY 1),
+      |u2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |       FROM events e JOIN u1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+      |         AND epoch_us(e.ts) <= u1.t1 + 172800000000
+      |       GROUP BY 1),
+      |u3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |       FROM events e JOIN u2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+      |         AND epoch_us(e.ts) <= u2.t2 + 172800000000
+      |       GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step, 'view' AS step_name,
+      |    (SELECT count(*) FROM u1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
+      |ORDER BY step""".stripMargin
+
   /** Day-N cohort retention: users bucketed by first-seen day, counted
     * per (cohort, day offset) — two entity-keyed aggregates and one
     * entity join, no global windows. */
@@ -271,6 +304,7 @@ object EventQueries {
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
     "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
     "q_funnel" -> (funnelSteps _, funnelStepsSql),
+    "q_funnel_windowed" -> (funnelWindowed _, funnelWindowedSql),
     "q_retention" -> (retentionCohorts _, retentionCohortsSql),
     "q_session_window" -> (sessionWindows _, sessionWindowsSql),
     "q_resample_ffill" -> (resampleFfill _, resampleFfillSql),

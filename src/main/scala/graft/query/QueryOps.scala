@@ -61,25 +61,34 @@ object QueryOps {
   /** Strict-sequence funnel: per entity, step i's timestamp is the
     * EARLIEST event of type `steps(i)` strictly after step i-1's
     * timestamp (first-touch chaining, the standard product-analytics
-    * funnel). Returns one row per entity that reached step 1:
-    * (entity, t1..tk, depth), missing steps null.
+    * funnel), and — when `maxGap` is set — within `maxGap` of it (the
+    * conversion-window form: a purchase nine months after the click
+    * does not convert the funnel). Returns one row per entity that
+    * reached step 1: (entity, t1..tk, depth), missing steps null.
     *
     * Shape: k-1 dependent mins, each a join + aggregate keyed on the
     * entity — every shuffle is entity-keyed and k is the (small)
     * funnel length, so the plan is k co-partitioned passes, no
-    * windows over the whole event stream. */
+    * windows over the whole event stream; each step's event slice is
+    * a type-filter pushed to the scan, and the carried frame is one
+    * row per funnel-entered entity, shrinking with depth. */
   def funnel(df: DataFrame, entity: Column, orderCol: Column,
-             etype: Column, steps: Seq[String]): DataFrame = {
+             etype: Column, steps: Seq[String],
+             maxGap: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGap.forall(_ > 0), "maxGap must be > 0 when set")
     val events = df.select(entity.as("entity"), orderCol.as("__ts"),
       etype.as("__e"))
     val first = events.filter(col("__e") === steps.head)
       .groupBy("entity").agg(min(col("__ts")).as("t1"))
     val full = steps.zipWithIndex.tail.foldLeft(first) {
       case (acc, (s, i)) =>
+        val inWindow = maxGap
+          .map(g => col("__ts") <= col(s"t$i") + g)
+          .getOrElse(lit(true))
         val next = events.filter(col("__e") === s)
           .join(acc.select(col("entity"), col(s"t$i")), Seq("entity"))
-          .filter(col("__ts") > col(s"t$i"))
+          .filter(col("__ts") > col(s"t$i") && inWindow)
           .groupBy("entity").agg(min(col("__ts")).as(s"t${i + 1}"))
         acc.join(next, Seq("entity"), "left")
     }
@@ -87,6 +96,25 @@ object QueryOps {
       .map(i => when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L))
       .reduce(_ + _)
     full.withColumn("depth", depth)
+  }
+
+  /** The funnel REPORT: (step, step_name, n_entities reaching that
+    * step) — non-increasing in step by the prefix-chaining above. The
+    * entity frame is bounded (one row per funnel-entered entity), so
+    * the explode-to-steps projection adds k small rows per entity
+    * before one k·steps-row aggregate. */
+  def funnelSummary(df: DataFrame, entity: Column, orderCol: Column,
+                    etype: Column, steps: Seq[String],
+                    maxGap: Option[Long] = None): DataFrame = {
+    val rt = funnel(df, entity, orderCol, etype, steps, maxGap)
+    val stepStructs = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+        (col("depth") >= i + 1).cast("long").as("__r"))
+    }
+    rt.select(explode(array(stepStructs: _*)).as("s"))
+      .groupBy(col("s.step").as("step"), col("s.step_name").as("step_name"))
+      .agg(sum("s.__r").as("n_users"))
+      .orderBy("step")
   }
 
   /** A1/O3: group-count top-k with deterministic tie-break. */

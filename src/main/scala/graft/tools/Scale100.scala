@@ -222,7 +222,7 @@ object Scale100 {
     // (merging all replicas) into the persisted labelling — the
     // incremental path must cost ~the BATCH, the full recompute the
     // corpus; both measured on the same 100x graph
-    locally {
+    if (on("cc_incremental")) {
       import spark.implicits._
       val big = spark.read.parquet(s"$outDir/edges11.parquet")
         .filter(col("src") =!= col("dst"))
@@ -243,14 +243,59 @@ object Scale100 {
         f"incremental=$tInc%.2fs speedup=${tFull / tInc}%.1fx")
     }
 
+    // --- round-11 legs: streaming CDC state vs KEY CARDINALITY, and
+    // the rolling-PSI (period, bucket) frame vs PERIOD COUNT ---
+    // CDC: state is one row per live key, so the scaling variable is
+    // keys, not changes. Each key gets 2 changes; odd keys go idle on
+    // day 2 (evicted by the 5-day retention at the day-21 flush), even
+    // keys refresh on day 20 (live) — the live set is exactly half the
+    // keys, checked at both scales, so eviction is measured doing real
+    // work at 100x keys rather than certifying an empty path.
+    if (on("stream_cdc_keys")) {
+      import graft.streaming.CdcStream
+      val day = 86400000000L
+      def cdcReplay(nKeys: Long): Long = {
+        val changes = (0L until nKeys).flatMap { kk =>
+          Seq(CdcStream.Chg(kk, day + kk % 997, kk, "I", 1.0),
+            CdcStream.Chg(kk, (if (kk % 2 == 0) 20L else 2L) * day +
+              kk % 997, nKeys + kk, "U", 2.0))
+        }
+        CdcStream.replayRetention(spark, changes,
+          retentionUs = 5L * day, flushUs = 21L * day).count()
+      }
+      val baseKeys = 2000L
+      val (bn, bt) = time(cdcReplay(baseKeys))
+      val (sn, st) = time(cdcReplay(baseKeys * k))
+      println(s"[scale100] stream_cdc live keys: base=$bn scaled=$sn " +
+        s"(linear check: ${bn == baseKeys / 2 && sn == baseKeys * k / 2})")
+      record("stream_cdc_keys", bt, st)
+    }
+    // rolling PSI: same corpus scan at both scales (the events table),
+    // period cardinality 30 -> 3000 — isolates the bounded
+    // (period, bucket) frame growth, the piece that scales with
+    // calendar span at 100 TB (the corpus-scan term is constant here
+    // by construction, so per_unit reflects the frame alone)
+    if (on("rolling_psi_periods")) {
+      def psi(mod: Int): Long = graft.operators.Drift.rollingPsi(
+        graft.sources.Tables.loadEventsTs(spark, sfDir),
+        col("value"), col("event_id") % mod,
+        baselineDays = 7, bucketWidth = 50.0, nBuckets = 10).count()
+      record("rolling_psi_periods", time(psi(30))._2, time(psi(3000))._2)
+    }
+
     val json = out.map { case (n, b, s, r) =>
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"per_unit":${r / k}%.3f}"""
     }.mkString(
       s"""{"metric":"scale_curve_100","k":$k,"queries":{""", ",", "}}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("scale_bench_100.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[scale100] wrote scale_bench_100.json (${out.size} rows)")
+    // the Bench BENCH_ONLY rule: a SCALE100_ONLY subset run must never
+    // overwrite the full-sweep artifact with a partial row set
+    if (only.isEmpty) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("scale_bench_100.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[scale100] wrote scale_bench_100.json (${out.size} rows)")
+    } else println(s"[scale100] subset run (${out.size} rows) — " +
+      "scale_bench_100.json NOT overwritten")
     spark.stop()
   }
 }

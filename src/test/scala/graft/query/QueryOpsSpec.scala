@@ -155,6 +155,52 @@ class QueryOpsSpec extends SparkTestBase {
     assert(out(5L) == ((Some(10L), Some(15L), None, 2L)))
   }
 
+  test("windowed funnel: a step beyond maxGap does not convert, and " +
+      "the summary reports non-increasing prefix counts") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 converts fully within the window
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      // user 2: B arrives 100 after A — beyond gap 50, stalls at A;
+      // the later in-window C must NOT count without a reached B
+      (2L, 10L, "A"), (2L, 110L, "B"), (2L, 120L, "C"),
+      // user 3: B in window, C exactly at the boundary (inclusive)
+      (3L, 10L, "A"), (3L, 60L, "B"), (3L, 110L, "C"),
+      // user 4: first A's window misses B, but a second A does not
+      // re-anchor (first-touch): stalls at A
+      (4L, 10L, "A"), (4L, 200L, "A"), (4L, 210L, "B")
+    ).toDF("u", "t", "e")
+    val rt = QueryOps.funnel(events, col("u"), col("t"), col("e"),
+        Seq("A", "B", "C"), maxGap = Some(50L))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("depth")).toMap
+    assert(rt == Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 4L -> 1L))
+    val sm = QueryOps.funnelSummary(events, col("u"), col("t"), col("e"),
+        Seq("A", "B", "C"), maxGap = Some(50L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(sm.toSeq == Seq((1, "A", 4L), (2, "B", 2L), (3, "C", 2L)))
+    // without the window the same events convert users 2 and 4 deeper
+    val un = QueryOps.funnelSummary(events, col("u"), col("t"), col("e"),
+        Seq("A", "B", "C")).collect().map(r => r.getLong(2))
+    assert(un.toSeq == Seq(4L, 4L, 3L))
+  }
+
+  test("column profile: rows, nulls, exact distincts, native-order " +
+      "min/max as strings") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(9L), Some("b")), (Some(10L), None),
+      (Some(9L), Some("a")), (None, Some("a"))
+    ).toDF("num", "s")
+    val out = graft.operators.Profile.columns(df, Seq("num", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4),
+          r.getString(5)))).toMap
+    // min/max computed on the NATIVE type then cast: 9 < 10 numerically
+    // (a lexicographic profile would report max "9")
+    assert(out("num") == ((4L, 1L, 2L, "9", "10")))
+    assert(out("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
   test("resampleFfill fills gaps with cnt=0 and carries the last value") {
     import spark.implicits._
     // key "a": events in buckets 0 and 30 (step 10) -> gaps at 10, 20;
