@@ -649,6 +649,35 @@ object DomainQueries {
       |  AND us + 5 * 86400000000 >= mx + 86400000000
       |ORDER BY user_id""".stripMargin
 
+  /** Stream-static broadcast enrichment
+    * ([[graft.streaming.EnrichStream]]): the event stream left-joins
+    * the customer dimension per micro-batch with NO state store —
+    * certified batching-invariant against the plain batch join (the
+    * stateless face of the streaming matrix; sessionize/CDC cover
+    * keyed state, hourly covers watermark aggregation, stream-stream
+    * covers two-sided join state). */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EnrichStream
+    val events = Tables.loadEventsTs(s, dir)
+      .filter(col("user_id") < 300)
+      .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      .collect()
+      .map(r => EnrichStream.Ev(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .toSeq
+    EnrichStream.replay(s, events, Tables.load(s, dir, "customer"),
+        "c_custkey", Seq("c_mktsegment"))
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |WHERE e.user_id < 300
+      |ORDER BY e.event_id""".stripMargin
+
   val streamCdcSql: String =
     """WITH ops AS (SELECT user_id, epoch_us(ts) AS us, event_id,
       |    CASE event_type WHEN 'signup' THEN 'I'
@@ -672,6 +701,7 @@ object DomainQueries {
     "q_stream_cdc" -> (streamCdc _, streamCdcSql),
     "q_stream_cdc_retention" ->
       (streamCdcRetention _, streamCdcRetentionSql),
+    "q_stream_enrich" -> (streamEnrich _, streamEnrichSql),
     "q_attribution_lasttouch" ->
       (attributionLastTouch _, attributionLastTouchSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),

@@ -204,6 +204,13 @@ object ExplainDump {
         "frame, per-key baseline window, typed-order FlatMapGroups " +
         "recurrence — the corpus is scanned once)" ->
         graft.query.QualityQueries.driftCusum(spark, sfDir),
+      "q_funnel_windowed (per-step type-filtered scans joined to the " +
+        "shrinking per-user frame — all shuffles user-keyed, no " +
+        "stream-wide window)" ->
+        graft.query.EventQueries.funnelWindowed(spark, sfDir),
+      "q_profile_columns (one single-column pruned scan + 1-row " +
+        "aggregate per column, unioned — no row-wise Expand)" ->
+        graft.query.CoreQueries.profileColumns(spark, sfDir),
       "q_dbscan_embeddings eps graph (LSH hyperplane bucket join — " +
         "candidates bucket-confined, planner-sized planes/tables, " +
         "never n^2)" -> {
@@ -267,6 +274,30 @@ object ExplainDump {
         s"## $title\n\n```\n${bos.toString("UTF-8")}\n```\n"
       } finally { q.stop(); spark.catalog.dropTempView(name) }
     }
+    def streamingEnrichPlan(title: String): String = {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EnrichStream
+      implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+        spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+      val mem = MemoryStream[EnrichStream.Ev]
+      val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      val q = EnrichStream.enrich(mem.toDS(), dim, "c_custkey",
+          Seq("c_mktsegment"))
+        .writeStream.format("memory").queryName("graft_explain_enrich")
+        .outputMode("append").start()
+      try {
+        mem.addData(Seq(EnrichStream.Ev(1L, 1L, 86400000000L, 1.0)))
+        q.processAllAvailable()
+        val bos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+          q.explain()
+        }
+        s"## $title\n\n```\n${bos.toString("UTF-8")}\n```\n"
+      } finally {
+        q.stop(); spark.catalog.dropTempView("graft_explain_enrich")
+      }
+    }
     val streamBody =
       streamingCdcPlan("q_stream_cdc (mapGroupsWithState LWW upsert — " +
         "one FlatMapGroupsWithState state operator keyed on user_id, " +
@@ -274,7 +305,10 @@ object ExplainDump {
       streamingCdcPlan("q_stream_cdc_retention (same state operator " +
         "fed by EventTimeWatermark — the EventTimeTimeout eviction " +
         "path; state bounded by the retention window)",
-        Some(5L * 86400000000L))
+        Some(5L * 86400000000L)) + "\n" +
+      streamingEnrichPlan("q_stream_enrich (stream-static broadcast " +
+        "hash join per micro-batch — no state store, no stream-side " +
+        "shuffle; the dim re-plans and re-broadcasts each batch)")
 
     Files.writeString(Paths.get(out),
       "# EXPLAINS — formatted physical plans for headline queries\n\n" +
