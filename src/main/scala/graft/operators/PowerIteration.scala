@@ -24,13 +24,16 @@ import org.apache.spark.sql.functions._
   * so negative components would round differently — on magnitudes
   * the two agree.
   *
-  * Scale shape: the Gram matrix builds as one scan-level nested
-  * `transform` emitting d² cells per row into a map-side-combined
-  * aggregate — the shuffle carries at most d² rows per map partition
-  * regardless of corpus size (the [[graft.operators.TextAnalysis]]
-  * bounded-alphabet trick, here with d² cells). Each iteration is a
-  * join/aggregate over the d²-row Gram frame only; the corpus is
-  * scanned exactly once.
+  * Scale shape: the Gram matrix builds by PER-TASK dense-array
+  * accumulation (the bounded-alphabet trainer pattern the native
+  * bigram LM established, [[graft.plans.LmExpressions]]): each task
+  * folds its rows into one local d²-cell long array and emits exactly
+  * d² partial rows, so the shuffle carries d² rows per task regardless
+  * of corpus size and NO row is ever exploded (the previous
+  * explode-transform form emitted d² rows per INPUT row — 205M
+  * intermediate rows at sf0.1, and the measured bulk of the old 3.2 s
+  * bench entry). Each iteration is a join/aggregate over the d²-row
+  * Gram frame only; the corpus is scanned exactly once.
   *
   * Overflow headroom: the binding product is the rescale step's
   * `|r|·vscale` with `|r| ≤ dims·cellMax·vscale`, so the invariant is
@@ -73,15 +76,32 @@ object PowerIteration {
           s"exceeds Long.Max/(vscale^2*dims) = $cellLim; lower qscale " +
           s"or vscale")).cast("long"),
       lit(0L))
-    // one scan: d^2 (i, j, qi*qj) cells per row, combined map-side
+    // one scan: each task folds its rows into a local d^2 array and
+    // emits d^2 partial cells — the shuffle is d^2 rows per task, no
+    // per-row explode (the LM dense-array-trainer pattern).
+    // Per-partition partials cannot overflow ahead of the final guard:
+    // same-magnitude bound, strictly fewer terms.
     val cells = q
       .filter(size(col("qv")) === dims)
-      .select(explode(expr(
-        """flatten(transform(qv, (x, i) ->
-          |  transform(qv, (y, j) ->
-          |    struct(i + 1 as i, j + 1 as j, x * y as p))))"""
-          .stripMargin)).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.p"))
+      .select(col("qv")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](dims * dims)
+        var any = false
+        for (row <- it) {
+          any = true
+          var i = 0
+          while (i < dims) {
+            val xi = row(i)
+            var j = 0
+            while (j < dims) { acc(i * dims + j) += xi * row(j); j += 1 }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.tabulate(dims * dims)(c =>
+          (c / dims + 1, c % dims + 1, acc(c)))
+      }
+      .toDF("i", "j", "p")
       .groupBy("i", "j").agg(sum("p").as("__c"))
       .select(col("i"), col("j"), (cellGuard + col("__c")).as("c"))
       .localCheckpoint(true)
