@@ -128,3 +128,101 @@ object DeletionHashesExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[DeletionHashesExpr], "graft_del_hashes")
 }
+
+/** Byte-level Jaro–Winkler, bit-compatible with DuckDB's
+  * `jaro_winkler_similarity` (validated pairwise on fixture names —
+  * same match-window, transposition-halving, division ORDER, and the
+  * THRESHOLD boost variant: the Winkler prefix bonus applies only when
+  * jaro > 0.7, with the prefix capped at 4). Operating on UTF-8 BYTES
+  * matches DuckDB's string model; ASCII inputs (the gated fixtures)
+  * are byte == char anyway. */
+object JaroOps {
+
+  def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
+    if (a.equals(b)) return 1.0
+    val s1 = a.getBytes
+    val s2 = b.getBytes
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val md = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - md)
+      val hi = math.min(i + md + 1, l2)
+      var j = lo
+      var done = false
+      while (j < hi && !done) {
+        if (!m2(j) && s1(i) == s2(j)) {
+          m1(i) = true; m2(j) = true; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1(i) != s2(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    // EXACT double-op order of the validated reference:
+    // ((m/l1 + m/l2) + (m−t)/m) / 3
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 +
+      (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var l = 0
+      val cap = math.min(4, math.min(l1, l2))
+      while (l < cap && s1(l) == s2(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+}
+
+/** `graft_jaro_winkler(s1, s2)` — codegen'd scalar similarity for
+  * blocked record-linkage scoring (pairs come from deletion-key or
+  * sorted-neighborhood blocking; this never runs all-pairs). */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, STRING), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroOps.jaroWinkler(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.JaroOps.jaroWinkler($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[JaroWinklerExpr],
+      "graft_jaro_winkler")
+}

@@ -111,6 +111,8 @@ object GraftExtensions {
     (FunctionIdentifier("graft_del_hashes"), DeletionHashesExpr.info,
       (es: Seq[Expression]) => DeletionHashesExpr(es(0),
         litInt(es(1), "graft_del_hashes"))),
+    (FunctionIdentifier("graft_jaro_winkler"), JaroWinklerExpr.info,
+      (es: Seq[Expression]) => JaroWinklerExpr(es(0), es(1))),
     (FunctionIdentifier("graft_bigram_costs"), BigramCostsExpr.info,
       (es: Seq[Expression]) => BigramCostsExpr(es(0),
         // immutable wrap → two registrations of the same table build

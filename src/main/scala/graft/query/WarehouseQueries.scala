@@ -729,6 +729,40 @@ object WarehouseQueries {
     Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
+  /** GRADED-similarity record linkage: sorted-neighborhood candidate
+    * pairs scored by the native codegen'd Jaro–Winkler
+    * ([[graft.plans.JaroOps]] — bit-compatible with DuckDB's
+    * `jaro_winkler_similarity`: same match window, transposition
+    * halving, double-division order, and threshold-boost variant, so
+    * the gate hash-compares RAW doubles, the k-center discipline).
+    * levenshtein ≤ k is a binary screen; JW RANKS the candidates — the
+    * face real linkage pipelines threshold per-domain. 0.97 splits the
+    * SNB candidate set meaningfully at every SF (105/364, 1133/3964,
+    * 11320/39964 pairs pass at sf0.001/0.01/0.1); blocking bounds
+    * candidates at O(n·w) — the scorer never runs all-pairs. */
+  def fuzzyJaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("cid"), col("c_name"))
+    graft.operators.SortedNeighborhood.pairs(c, "cid", "c_name", w = 8)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        graft.plans.GraftExtensions.nativeFn("graft_jaro_winkler",
+          col("key_a"), col("key_b")).as("jw"))
+      .filter(col("jw") >= 0.97)
+      .orderBy("id_a", "id_b")
+  }
+
+  val fuzzyJaroWinklerSql: String =
+    """WITH c AS (SELECT c_custkey AS id, c_name AS name
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |r AS (SELECT id, name,
+      |    ROW_NUMBER() OVER (ORDER BY name, id) AS rn FROM c),
+      |p AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+      |    jaro_winkler_similarity(a.name, b.name) AS jw
+      |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 8)
+      |SELECT id_a, id_b, jw FROM p WHERE jw >= 0.97
+      |ORDER BY id_a, id_b""".stripMargin
+
   val entityResolutionSnbSql: String =
     """WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS name
       |  FROM customer WHERE c_custkey % 5 = 0),
@@ -798,6 +832,7 @@ object WarehouseQueries {
     "q_fuzzy_join" -> (fuzzyJoinNames _, fuzzyJoinNamesSql),
     "q_fuzzy_join2" -> (fuzzyJoin2Names _, fuzzyJoin2NamesSql),
     "q_fuzzy_join_capped" -> (fuzzyJoinCapped _, fuzzyJoinCappedSql),
+    "q_fuzzy_jw" -> (fuzzyJaroWinkler _, fuzzyJaroWinklerSql),
     "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),
     "q_zorder3_keys" -> (zorder3Keys _, zorder3KeysSql),
     "q_scd2_history" -> (scd2History _, scd2HistorySql),
