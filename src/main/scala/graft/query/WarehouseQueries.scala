@@ -729,6 +729,43 @@ object WarehouseQueries {
     Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
+  /** Interval–interval overlap self-join
+    * ([[graft.operators.IntervalJoin]]): order validity windows
+    * `[orderdate, orderdate + orderkey%20 + 1]` in epoch days, pairs
+    * that intersect with their exact overlap length — the bucketed
+    * credit-rule join (each pair found in exactly ONE bucket, no
+    * distinct exchange). Bucket width 16 ≈ the max interval length, so
+    * per-row fan-out ≤ 3 buckets. The %67 slice keeps the oracle's
+    * quadratic form tractable while the operator itself never goes
+    * all-pairs (1 / 221 / 22941 pairs at sf0.001/0.01/0.1). */
+  def intervalJoinOrders(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 67 === 0)
+      .select(col("o_orderkey").as("oid"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("s"),
+        (datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long") + col("o_orderkey") % 20 + 1L).as("e"))
+    graft.operators.IntervalJoin
+      .selfOverlapPairs(iv, "oid", "s", "e", bucketWidth = 16L)
+      .select(col("id_a"), col("id_b"), col("overlap").as("overlap_days"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val intervalJoinOrdersSql: String =
+    """WITH iv AS (SELECT o_orderkey AS oid,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS s,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      + o_orderkey % 20 + 1 AS e
+      |  FROM orders WHERE o_orderkey % 67 = 0)
+      |SELECT a.oid AS id_a, b.oid AS id_b,
+      |  CAST(least(a.e, b.e) - greatest(a.s, b.s) + 1 AS BIGINT)
+      |    AS overlap_days
+      |FROM iv a JOIN iv b ON a.oid < b.oid
+      |  AND greatest(a.s, b.s) <= least(a.e, b.e)
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** GRADED-similarity record linkage: sorted-neighborhood candidate
     * pairs scored by the native codegen'd Jaro–Winkler
     * ([[graft.plans.JaroOps]] — bit-compatible with DuckDB's
@@ -833,6 +870,7 @@ object WarehouseQueries {
     "q_fuzzy_join2" -> (fuzzyJoin2Names _, fuzzyJoin2NamesSql),
     "q_fuzzy_join_capped" -> (fuzzyJoinCapped _, fuzzyJoinCappedSql),
     "q_fuzzy_jw" -> (fuzzyJaroWinkler _, fuzzyJaroWinklerSql),
+    "q_interval_join" -> (intervalJoinOrders _, intervalJoinOrdersSql),
     "q_zorder_keys" -> (zorderKeys _, zorderKeysSql),
     "q_zorder3_keys" -> (zorder3Keys _, zorder3KeysSql),
     "q_scd2_history" -> (scd2History _, scd2HistorySql),
