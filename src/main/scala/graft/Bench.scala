@@ -41,6 +41,17 @@ object Bench {
         if (t < 0) -1.0 else t / 1e9
       case _ => -1.0
     }
+  /** Cumulative (steal, total) jiffies from /proc/stat — HOST-level
+    * CPU steal is invisible to guest loadavg and to process-CPU
+    * accounting, yet makes every timing uniformly slower; recording
+    * the window's steal fraction makes that failure mode
+    * self-identifying too. */
+  private def stealJiffies: (Long, Long) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().split("\\s+").drop(1).map(_.toLong)
+      (if (parts.length > 7) parts(7) else 0L, parts.sum)
+    } catch { case _: Throwable => (0L, 0L) }
   private def loadAvg: String =
     try {
       val s = new String(java.nio.file.Files.readAllBytes(
@@ -68,6 +79,7 @@ object Bench {
     val loadBefore = loadAvg
     val gcBefore = gcMillis
     val cpuBefore = processCpuSec
+    val stealBefore = stealJiffies
     val wall0 = System.nanoTime()
     // A run that THROWS must never become the reported minimum (a
     // fast failure would otherwise look like a good number): failed
@@ -145,12 +157,18 @@ object Bench {
       if (selfCpuRate >= 0 && loadAfterNum >= 0) loadAfterNum - selfCpuRate
       else -1.0
     val allRunsSec = results.flatMap(_._2._1).filter(_.isFinite).sum
+    val stealAfter = stealJiffies
+    val stealPct =
+      if (stealAfter._2 > stealBefore._2)
+        100.0 * (stealAfter._1 - stealBefore._1) /
+          (stealAfter._2 - stealBefore._2)
+      else 0.0
     val warnField =
-      if (externalLoad > 1.0 ||
+      if (externalLoad > 1.0 || stealPct > 2.0 ||
           (allRunsSec > 0 && wallSec > 1.5 * allRunsSec))
-        f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
+        f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
-    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"runs_per_query":"min-of-3 (4 if >2s and spread>1.5)"$warnField$errField"""
+    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"runs_per_query":"min-of-3 (4 if >2s and spread>1.5)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l)) =>
       val ok = runs.filter(_.isFinite)
       val runsJson = runs.map(r => if (r.isFinite) f"$r%.4f" else "-1")

@@ -211,6 +211,13 @@ object ExplainDump {
       "q_profile_columns (one single-column pruned scan + 1-row " +
         "aggregate per column, unioned — no row-wise Expand)" ->
         graft.query.CoreQueries.profileColumns(spark, sfDir),
+      "q_fuzzy_jw (SNB rank-block equi-join, codegen'd " +
+        "graft_jaro_winkler scoring — candidates O(n·w), never " +
+        "all-pairs)" ->
+        graft.query.WarehouseQueries.fuzzyJaroWinkler(spark, sfDir),
+      "q_interval_join (bucket-expanded equi-join + credit-bucket " +
+        "dedup — no distinct exchange, no cross product)" ->
+        graft.query.WarehouseQueries.intervalJoinOrders(spark, sfDir),
       "q_dbscan_embeddings eps graph (LSH hyperplane bucket join — " +
         "candidates bucket-confined, planner-sized planes/tables, " +
         "never n^2)" -> {
