@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
+
+/** Exact audience/segment overlap by bitmap set algebra — the
+  * ClickHouse `groupBitmap` / `bitmapAndCardinality` shape
+  * (reference-adjacent: misc/clickhouse_queries.md's distinct
+  * aggregations are the 1-set special case). "How many users did
+  * segments A and B share?" for every segment pair, computed as
+  * popcounts over bucketed bitsets instead of a count-distinct
+  * self-join.
+  *
+  * Scale shape, in order:
+  *  1. one scan splits `id` into `(bucket = id div 2^16,
+  *     offset = id mod 2^16)` — exact for negative ids too;
+  *  2. `groupBy(segment, bucket)` aggregates `graft_bitmap_agg(offset)`
+  *     — a TypedImperativeAggregate whose partial merge is a bitwise
+  *     OR, so DUPLICATE ids die in the map-side combine and one
+  *     shuffle row is one (segment, bucket, ≤8 KiB blob) no matter
+  *     how many events fed it. A count-distinct formulation ships
+  *     every distinct (segment, id) pair through an Expand + two
+  *     shuffles; at 100 TB the bitmap frame is
+  *     segments × idSpace/65536 rows — for 10^10 ids that is ~150k
+  *     buckets/segment × 8 KiB ≈ 1.2 GiB per segment, spread across
+  *     the cluster;
+  *  3. the pair intersection is a bucket-confined self-join (equi-join
+  *     on `bucket`, `seg_a < seg_b`) summing codegen'd
+  *     `graft_bitmap_and_count` popcounts — never an id-level join;
+  *  4. per-segment sizes fold in as a broadcast (segments are few).
+  *
+  * Output is exact integers end-to-end: `n_common`, `n_a`, `n_b`, and
+  * `jaccard_ppm = (10^6 · n_common) div (n_a + n_b − n_common)` —
+  * parts-per-million kept integral so cross-engine float rounding can
+  * never flip the gate. Pairs with zero overlap are omitted (matching
+  * the inner-join oracle form). */
+object BitmapOps {
+
+  private def native(fn: String, args: Column*): Column =
+    GraftExtensions.nativeFn(fn, args: _*)
+
+  /** Pairwise exact overlap of the distinct `id` sets per `seg`.
+    * Columns: seg_a, seg_b (seg_a < seg_b), n_common, n_a, n_b,
+    * jaccard_ppm. */
+  def segmentOverlap(df: DataFrame, seg: Column, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // bucket = floor(id / 2^16) in EXACT integer arithmetic for the
+    // full long range (a double division is only exact to 2^53):
+    // id − pmod is a multiple of the width, so truncating `div`
+    // equals floor even for negative ids.
+    val maps = df
+      .select(seg.as("seg"), id.cast("long").as("__id"))
+      .select(col("seg"),
+        expr(s"(__id - pmod(__id, $BucketWidth)) div $BucketWidth")
+          .as("bucket"),
+        pmod(col("__id"), lit(BucketWidth)).cast("int").as("off"))
+      .groupBy("seg", "bucket")
+      .agg(native("graft_bitmap_agg", $"off").as("bm"))
+    val sizes = maps.groupBy("seg")
+      .agg(sum(native("graft_bitmap_count", $"bm")).as("n"))
+    val a = maps.select($"seg".as("seg_a"), $"bucket", $"bm".as("bm_a"))
+    val b = maps.select($"seg".as("seg_b"), $"bucket", $"bm".as("bm_b"))
+    a.join(b, Seq("bucket"))
+      .where($"seg_a" < $"seg_b")
+      .groupBy("seg_a", "seg_b")
+      .agg(sum(native("graft_bitmap_and_count", $"bm_a", $"bm_b"))
+        .as("n_common"))
+      .where($"n_common" > 0)
+      .join(broadcast(sizes.select($"seg".as("seg_a"), $"n".as("n_a"))),
+        Seq("seg_a"))
+      .join(broadcast(sizes.select($"seg".as("seg_b"), $"n".as("n_b"))),
+        Seq("seg_b"))
+      .select($"seg_a", $"seg_b", $"n_common", $"n_a", $"n_b",
+        expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+  }
+
+  /** Ids per bitmap bucket — one 8 KiB dense bitset. */
+  val BucketWidth: Int = graft.plans.BitmapCode.Width
+}

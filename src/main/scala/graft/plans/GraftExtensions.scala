@@ -121,6 +121,12 @@ object GraftExtensions {
           litLongArray(es(1), "graft_bigram_costs")))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
+    (FunctionIdentifier("graft_bitmap_agg"), BitmapAggExpr.info,
+      (es: Seq[Expression]) => BitmapAggExpr(es.head)),
+    (FunctionIdentifier("graft_bitmap_and_count"), BitmapAndCountExpr.info,
+      (es: Seq[Expression]) => BitmapAndCountExpr(es(0), es(1))),
+    (FunctionIdentifier("graft_bitmap_count"), BitmapCountExpr.info,
+      (es: Seq[Expression]) => BitmapCountExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions: the sketch aggregate merges executor-side (same
     // machinery the optimizer injects for runtime row filters), and

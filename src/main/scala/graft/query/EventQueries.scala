@@ -300,7 +300,60 @@ object EventQueries {
       |         // ((nb - pb) // 3600000000)) END AS BIGINT) AS interp_scaled
       |FROM nbr ORDER BY user_id, hour""".stripMargin
 
+  /** Exact audience overlap between event-type segments by bitmap
+    * set algebra ([[graft.operators.BitmapOps.segmentOverlap]]) —
+    * distinct users shared by every segment pair, all-integer output
+    * (jaccard in ppm). The bitmap OR-merge dedups map-side; the pair
+    * intersection is a bucket-confined popcount join, never an
+    * id-level self-join. */
+  def segmentOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BitmapOps
+      .segmentOverlap(t(s, dir, "events"), col("event_type"),
+        col("user_id"))
+      .orderBy("seg_a", "seg_b")
+
+  val segmentOverlapSql: String =
+    """WITH d AS (SELECT DISTINCT event_type AS seg, user_id AS id
+      |           FROM events),
+      |     s AS (SELECT seg, count(*) AS n FROM d GROUP BY seg),
+      |     o AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+      |                  count(*) AS n_common
+      |           FROM d a JOIN d b ON a.id = b.id AND a.seg < b.seg
+      |           GROUP BY 1, 2)
+      |SELECT o.seg_a, o.seg_b, o.n_common, sa.n AS n_a, sb.n AS n_b,
+      |       (1000000 * o.n_common) // (sa.n + sb.n - o.n_common)
+      |         AS jaccard_ppm
+      |FROM o JOIN s sa ON sa.seg = o.seg_a
+      |       JOIN s sb ON sb.seg = o.seg_b
+      |ORDER BY seg_a, seg_b""".stripMargin
+
+  /** Sequence-pattern matching ([[QueryOps.sequenceMatch]]): per user,
+    * count views that reach a purchase with NO error (and no other
+    * purchase) in between — `v[^ep]*p` over the per-user event-char
+    * string, a negation no funnel step-chain expresses. Event classes
+    * map to their (unique) first letters: c/e/p/s/v. */
+  def sequenceMatchViews(s: SparkSession, dir: String): DataFrame =
+    QueryOps.sequenceMatch(t(s, dir, "events"), col("user_id"),
+        Seq(col("ts"), col("event_id")),
+        substring(col("event_type"), 1, 1), "v[^ep]*p")
+      .where(col("n_matches") > 0)
+      .select(col("entity").as("user_id"), col("seq_len"),
+        col("n_matches"))
+      .orderBy("user_id")
+
+  val sequenceMatchViewsSql: String =
+    """WITH seq AS (SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |               ORDER BY ts, event_id) AS s
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, length(s) AS seq_len,
+      |       len(regexp_extract_all(s, 'v[^ep]*p')) AS n_matches
+      |FROM seq WHERE len(regexp_extract_all(s, 'v[^ep]*p')) > 0
+      |ORDER BY user_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_segment_overlap" -> (segmentOverlap _, segmentOverlapSql),
+    "q_sequence_match" -> (sequenceMatchViews _, sequenceMatchViewsSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
     "q_sessionize" -> (sessionizeEvents _, sessionizeEventsSql),
     "q_funnel" -> (funnelSteps _, funnelStepsSql),

@@ -370,6 +370,41 @@ object QueryOps {
       .toDF("key", "us", "tie", "v", "ewma")
   }
 
+  /** Sequence-pattern matching over per-entity event streams — the
+    * ClickHouse `sequenceMatch`/`sequenceCount` shape (a
+    * MATCH_RECOGNIZE-lite): encode each entity's time-ordered events
+    * as a character string (one char per event class) and count
+    * NON-OVERLAPPING regex matches over it. Strictly more expressive
+    * than [[funnel]]'s step chaining — negations ("view then purchase
+    * with NO error between") and repetitions fall out of the regex.
+    *
+    * Scale shape: one shuffle to the entity; `collect_list` is a
+    * partial aggregate (per-entity sequences assemble map-side), the
+    * sort/stringify/regex run once per ENTITY, not per event. The
+    * per-entity sequence must fit in an executor row — the same
+    * bounded-group contract as sessionize and the Markov transition
+    * matrix; web-scale callers pre-split the entity key by day.
+    *
+    * Determinism: `orderCols` must be a total order per entity (pass
+    * a unique tiebreak column); the match count of a fixed string is
+    * then engine-independent for the regex subset shared by Java and
+    * RE2 (character classes, `*`/`+`/`?`, alternation — no
+    * backreferences, which RE2 lacks). */
+  def sequenceMatch(df: DataFrame, entity: Column, orderCols: Seq[Column],
+                    eventChar: Column, pattern: String): DataFrame = {
+    require(orderCols.nonEmpty, "sequenceMatch needs an event order")
+    val rows = df.select(entity.as("entity"),
+      struct(orderCols :+ eventChar.as("__c"): _*).as("__s"))
+    rows.groupBy("entity")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("__s"))),
+          x => x.getField("__c")), "").as("seq"))
+      .select(col("entity"),
+        length(col("seq")).cast("long").as("seq_len"),
+        regexp_count(col("seq"), lit(pattern)).cast("long")
+          .as("n_matches"))
+  }
+
   /** A4: running counters — the reference's processedEntries /
     * lookedUpEntries log counters as observable metrics attached to the
     * plan (collected by a QueryExecutionListener or streaming progress,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.plans.BitmapCode
+import org.apache.spark.sql.functions._
+
+/** Bitmap set-algebra kernels + the segment-overlap operator.
+  * The operator is cross-checked against a brute-force
+  * distinct-pairs join on data that exercises every structural edge:
+  * duplicate memberships, ids straddling bucket boundaries, negative
+  * ids, bucket-sparse segments, and zero-overlap pairs (omitted). */
+class BitmapOpsSpec extends SparkTestBase {
+
+  test("toBytes/fromBytes round-trip with trailing-zero trim") {
+    val buf = BitmapCode.emptyBuffer()
+    BitmapCode.set(buf, 0)
+    BitmapCode.set(buf, 9)
+    BitmapCode.set(buf, 200)
+    val bytes = BitmapCode.toBytes(buf)
+    // highest bit is 200 → byte 25 is the last nonzero byte
+    assert(bytes.length === 26)
+    assert(BitmapCode.fromBytes(bytes).toSeq === buf.toSeq)
+    assert(BitmapCode.count(bytes) === 3L)
+    // empty bitmap trims to zero bytes
+    assert(BitmapCode.toBytes(BitmapCode.emptyBuffer()).isEmpty)
+  }
+
+  test("andCount over trimmed bitmaps of different lengths") {
+    val a = BitmapCode.emptyBuffer()
+    val b = BitmapCode.emptyBuffer()
+    Seq(1, 70, 500, 65535).foreach(BitmapCode.set(a, _))
+    Seq(1, 500).foreach(BitmapCode.set(b, _)) // b trims short of 65535
+    val (ba, bb) = (BitmapCode.toBytes(a), BitmapCode.toBytes(b))
+    assert(ba.length > bb.length)
+    assert(BitmapCode.andCount(ba, bb) === 2L)
+    assert(BitmapCode.andCount(bb, ba) === 2L)
+    assert(BitmapCode.andCount(ba, Array.emptyByteArray) === 0L)
+  }
+
+  test("set rejects offsets outside the bucket width") {
+    val buf = BitmapCode.emptyBuffer()
+    intercept[IllegalArgumentException](BitmapCode.set(buf, -1))
+    intercept[IllegalArgumentException](BitmapCode.set(buf, 65536))
+  }
+
+  test("segmentOverlap matches brute-force distinct pairs") {
+    import spark.implicits._
+    // ids straddle the 65,536 bucket boundary, include negatives, and
+    // repeat (duplicate memberships must not inflate counts)
+    val rows = Seq(
+      ("a", 1L), ("a", 1L), ("a", 5L), ("a", 70000L), ("a", -3L),
+      ("b", 1L), ("b", 70000L), ("b", 131073L), ("b", -3L),
+      ("c", 5L), ("c", 131073L),
+      ("d", 999999L) // overlaps nothing → absent from output
+    ).toDF("seg", "id")
+    val got = BitmapOps.segmentOverlap(rows, $"seg", $"id")
+      .orderBy("seg_a", "seg_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+
+    val d = rows.distinct()
+    val brute = d.as("x").join(d.as("y"),
+        $"x.id" === $"y.id" && $"x.seg" < $"y.seg")
+      .groupBy($"x.seg".as("seg_a"), $"y.seg".as("seg_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap === brute)
+    // sizes and exact-integer jaccard: a={1,5,70000,-3} b={1,70000,131073,-3}
+    val ab = got.find(t => t._1 == "a" && t._2 == "b").get
+    assert(ab === ("a", "b", 3L, 4L, 4L, 1000000L * 3 / 5))
+    assert(!got.exists(t => t._1 == "d" || t._2 == "d"))
+  }
+
+  test("graft_bitmap_agg dedups map-side: duplicates don't change the blob") {
+    import spark.implicits._
+    val once = Seq(1, 5, 9).toDF("off")
+    val thrice = Seq(1, 5, 9, 1, 5, 9, 1, 5, 9).toDF("off")
+    def blob(df: org.apache.spark.sql.DataFrame): Seq[Byte] =
+      df.agg(graft.plans.GraftExtensions
+        .nativeFn("graft_bitmap_agg", col("off")))
+        .head().getAs[Array[Byte]](0).toSeq
+    assert(blob(once) === blob(thrice))
+  }
+}

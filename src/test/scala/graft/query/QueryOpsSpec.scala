@@ -184,6 +184,30 @@ class QueryOpsSpec extends SparkTestBase {
     assert(un.toSeq == Seq(4L, 4L, 3L))
   }
 
+  test("sequenceMatch counts non-overlapping regex matches over the " +
+      "time-ordered per-entity event string") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: v c p  → one clean view→purchase ('v[^ep]*p')
+      (1L, 10L, 1L, "v"), (1L, 20L, 2L, "c"), (1L, 30L, 3L, "p"),
+      // user 2: v e p  → error between: no match
+      (2L, 10L, 4L, "v"), (2L, 20L, 5L, "e"), (2L, 30L, 6L, "p"),
+      // user 3: v p v p → two non-overlapping matches
+      (3L, 10L, 7L, "v"), (3L, 20L, 8L, "p"),
+      (3L, 30L, 9L, "v"), (3L, 40L, 10L, "p"),
+      // user 4: ties on t break by the unique id: p before v → no match
+      (4L, 10L, 12L, "v"), (4L, 10L, 11L, "p")
+    ).toDF("u", "t", "id", "c")
+    val out = QueryOps.sequenceMatch(events, col("u"),
+        Seq(col("t"), col("id")), col("c"), "v[^ep]*p")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 1L)))
+    assert(out(2L) == ((3L, 0L)))
+    assert(out(3L) == ((4L, 2L)))
+    assert(out(4L) == ((2L, 0L)))
+  }
+
   test("column profile: rows, nulls, exact distincts, native-order " +
       "min/max as strings") {
     import spark.implicits._
