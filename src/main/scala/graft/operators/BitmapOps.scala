@@ -42,7 +42,15 @@ object BitmapOps {
 
   /** Pairwise exact overlap of the distinct `id` sets per `seg`.
     * Columns: seg_a, seg_b (seg_a < seg_b), n_common, n_a, n_b,
-    * jaccard_ppm. */
+    * jaccard_ppm.
+    *
+    * NULL ids are EXCLUDED up front (explicit `isNotNull` filter): a
+    * bitmap has no slot for "unknown member", and without the filter
+    * NULLs would silently vanish from the bitmaps (skipped by the
+    * aggregate, never equi-joined) while a DISTINCT-self-join oracle
+    * counts NULL as one distinct member per segment in n_a/n_b —
+    * diverging sizes and jaccard_ppm on nullable id columns. The
+    * oracle form therefore carries `WHERE id IS NOT NULL`. */
   def segmentOverlap(df: DataFrame, seg: Column, id: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -52,6 +60,7 @@ object BitmapOps {
     // equals floor even for negative ids.
     val maps = df
       .select(seg.as("seg"), id.cast("long").as("__id"))
+      .where($"__id".isNotNull)
       .select(col("seg"),
         expr(s"(__id - pmod(__id, $BucketWidth)) div $BucketWidth")
           .as("bucket"),

@@ -23,12 +23,14 @@ import org.apache.spark.sql.functions._
   * carries the bucket expansion once and no dedup exchange exists in
   * the plan.
   *
-  * Skew note for 100 TB: a bucket's cost is |left∩bucket|·|right∩
-  * bucket|; calendar-aligned pile-ups (everything overlapping one
-  * popular day) surface as one hot bucket — shrink `bucketWidth` (more
-  * buckets, same credited output) or pre-split hot keys the
-  * salted-join way. AQE's skew-join split applies as-is because the
-  * join is a plain equi-join on `__b`. */
+  * Sizing and skew are a PLANNER, not a footnote ([[IntervalPlan]],
+  * round 12 — the [[LshPlan]] promotion): [[IntervalPlan.bucketWidthFor]]
+  * sizes the width from the interval-length distribution in one
+  * aggregate, and [[IntervalPlan.requireFit]] fails loudly on mean
+  * fan-out or hot-bucket products, distinguishing the
+  * shrink-the-width remedy (wide bucket over disjoint intervals) from
+  * the AQE-skew-split remedy (true pile-up — the join is a plain
+  * equi-join on `__b`, so AQE's split applies as-is). */
 object IntervalJoin {
 
   /** Overlapping pairs between `left` and `right` (closed integer
@@ -72,4 +74,15 @@ object IntervalJoin {
     overlapPairs(df, idCol, sCol, eCol, df, idCol, sCol, eCol,
       bucketWidth)
       .filter(col("id_a") < col("id_b"))
+
+  /** Self-join with the width DERIVED from the observed interval-length
+    * distribution ([[IntervalPlan.bucketWidthFor]], p90 by default) —
+    * the [[DensityCluster.dbscanCosineAuto]] shape: one sizing
+    * aggregate, then the same credit-rule join, whose pair set is
+    * width-invariant, so the derived width can only change the plan's
+    * cost, never its answer. */
+  def selfOverlapPairsAuto(df: DataFrame, idCol: String, sCol: String,
+                           eCol: String): DataFrame =
+    selfOverlapPairs(df, idCol, sCol, eCol,
+      IntervalPlan.bucketWidthFor(df, sCol, eCol))
 }

@@ -64,15 +64,40 @@ object LshPlan {
     * only logarithmically in 1/maxMissProb, but EXPONENTIALLY in
     * planes (each plane divides per-table recall by ~p) — which is why
     * deep-plane production indexes pair with multiprobe instead of
-    * more tables. */
+    * more tables.
+    *
+    * Computed in LOG SPACE: `log(1 − p^planes)` via `log1p(−p^planes)`.
+    * The naive `log(1.0 − p^planes)` rounds the miss probability to
+    * exactly 1.0 once `p^planes < ~1.1e-16` (planes ≈ 54–80 at typical
+    * thresholds), making `log = 0`, the ratio −∞, and `.toInt` saturate
+    * to Int.MinValue — `.max(1)` then returned 1 table, the WORST
+    * possible answer, while claiming the recall bound was met. log1p
+    * keeps the region representable down to `p^planes ≈ 4.9e-324`;
+    * past that (true underflow to 0, per-table recall numerically
+    * zero) the table budget is genuinely unattainable and this fails
+    * LOUDLY, like [[requireFit]]. */
   def tablesFor(threshold: Double, planes: Int,
                 maxMissProb: Double = 1e-6): Int = {
+    require(planes >= 1 && planes < 63, s"planes must be in [1, 62], got $planes")
     require(maxMissProb > 0 && maxMissProb < 1,
       s"maxMissProb must be in (0, 1), got $maxMissProb")
-    val perTableMiss = 1.0 - math.pow(collideProb(threshold), planes)
-    if (perTableMiss <= 0.0) 1
-    else math.ceil(math.log(maxMissProb) / math.log(perTableMiss)).toInt
-      .max(1)
+    val collidePow = math.pow(collideProb(threshold), planes)
+    // per-table miss numerically 0 (collide prob 1): one table recalls
+    // everything — log1p(-1) = -Inf below would divide to 0 anyway
+    if (collidePow >= 1.0) return 1
+    val logMiss = math.log1p(-collidePow)
+    require(logMiss < 0.0,
+      f"LSH table budget unattainable: at threshold $threshold%.3f the " +
+        f"per-table collision probability over $planes planes underflows " +
+        f"to 0 (per-table miss = 1.0), so NO table count reaches " +
+        f"maxMissProb $maxMissProb%g; lower the plane count (planesFor) " +
+        f"or pair deep planes with multiprobe instead of more tables")
+    val tables = math.ceil(math.log(maxMissProb) / logMiss)
+    require(tables <= Int.MaxValue.toDouble,
+      f"LSH table budget unattainable: $tables%.3g tables needed at " +
+        f"$planes planes / threshold $threshold%.3f for maxMissProb " +
+        f"$maxMissProb%g; lower the plane count or accept higher miss")
+    tables.toInt.max(1)
   }
 
   /** Loud guard for FIXED plane counts: fails when the expected

@@ -79,8 +79,12 @@ object PowerIteration {
     // one scan: each task folds its rows into a local d^2 array and
     // emits d^2 partial cells — the shuffle is d^2 rows per task, no
     // per-row explode (the LM dense-array-trainer pattern).
-    // Per-partition partials cannot overflow ahead of the final guard:
-    // same-magnitude bound, strictly fewer terms.
+    // Per-partition partial bound: each term is ≤ qscale², so
+    // |partial| ≤ qscale² · rows-per-partition (~4.1e3 · rows at the
+    // default qscale) — far below Long.Max at any realistic partition
+    // size. Note the final guard does NOT dominate the partials:
+    // off-diagonal cells are signed, so cross-partition cancellation
+    // can leave |total| < |partial|.
     val cells = q
       .filter(size(col("qv")) === dims)
       .select(col("qv")).as[Seq[Long]]
@@ -105,6 +109,16 @@ object PowerIteration {
       .groupBy("i", "j").agg(sum("p").as("__c"))
       .select(col("i"), col("j"), (cellGuard + col("__c")).as("c"))
       .localCheckpoint(true)
+    // degenerate-input guard: with an empty corpus (or every row failing
+    // the size(qv) === dims filter) the Gram frame is empty, every
+    // iteration's crossJoin against the broadcast max produces ZERO rows,
+    // and the collapsed-to-zero assert_true never evaluates — the
+    // function would return a silently empty frame. The checkpoint above
+    // already materialized cells, so this limit(1) probe is driver-cheap.
+    require(cells.limit(1).count() == 1,
+      s"power iteration over a degenerate corpus: no $vecCol rows of " +
+        s"dims = $dims survived the scan (empty input, or every vector " +
+        s"has a different length)")
 
     var v = spark.range(1, dims + 1)
       .select(col("id").as("j"), lit(vscale).as("v"))

@@ -11,18 +11,32 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
 /** Fixed-width bitset kernels shared by the bitmap aggregate and the
   * popcount expressions. A bitmap covers one 65,536-id BUCKET of the
   * key space (the caller splits `id` into `bucket = id div 65536`,
-  * `offset = id mod 65536`), stored as up to 8 KiB of bytes with
-  * trailing zero bytes trimmed — sparse buckets serialize small, and
-  * byte-wise popcount makes the layout endian-free. The OLAP shape
-  * this serves (ClickHouse `groupBitmap`/`bitmapAndCardinality`,
-  * Druid/Pinot segment sketches) is exact distinct-set algebra whose
-  * merge is an idempotent OR: duplicates vanish in the map-side
-  * partial aggregate instead of riding the shuffle the way a
-  * count-distinct Expand does. */
+  * `offset = id mod 65536`). The in-memory aggregation buffer is
+  * always the dense 8 KiB word array (O(1) set/OR); the WIRE format —
+  * both the shuffle serialization of partial buffers and the emitted
+  * blob — is ADAPTIVE, the roaring-bitmap container rule (Chambi et
+  * al. 2016): a bucket with ≤ 4095 set bits encodes as sorted u16
+  * offsets (`1 + 2n` bytes), denser buckets as the trimmed
+  * little-endian bitset (`1 + ⌈maxOff/8⌉` bytes); 4096 is exactly the
+  * break-even where `2n` meets the 8 KiB dense payload. A one-byte
+  * tag (1 = sparse, 0 = dense) disambiguates; the empty set is zero
+  * bytes. At a sparse 10¹⁰-id space this is the difference between
+  * 8 KiB and ~tens of bytes per (segment, bucket) row — mostly-empty
+  * buckets no longer pay the dense frame.
+  *
+  * The OLAP shape this serves (ClickHouse
+  * `groupBitmap`/`bitmapAndCardinality`, Druid/Pinot segment sketches)
+  * is exact distinct-set algebra whose merge is an idempotent OR:
+  * duplicates vanish in the map-side partial aggregate instead of
+  * riding the shuffle the way a count-distinct Expand does. */
 object BitmapCode {
   /** Ids per bucket (2^16 bits = 8 KiB dense). */
   val Width = 65536
   private val Words = Width / 64
+
+  /** Largest popcount encoded as sorted shorts — the roaring
+    * break-even: 4096 values × 2 bytes = the 8 KiB dense payload. */
+  val SparseMax = 4095
 
   def emptyBuffer(): Array[Long] = new Array[Long](Words)
 
@@ -40,48 +54,126 @@ object BitmapCode {
     a
   }
 
-  /** Little-endian bytes, trailing zero bytes trimmed. */
+  /** Adaptive encode: empty → 0 bytes; popcount ≤ [[SparseMax]] →
+    * tag 1 + ascending little-endian u16 offsets; else tag 0 +
+    * little-endian bitset bytes, trailing zero bytes trimmed. */
   def toBytes(buf: Array[Long]): Array[Byte] = {
-    var lastWord = Words - 1
-    while (lastWord >= 0 && buf(lastWord) == 0L) lastWord -= 1
-    if (lastWord < 0) return Array.emptyByteArray
-    var lastByte = (lastWord + 1) * 8 - 1
-    val top = buf(lastWord)
-    var shift = 56
-    while (shift > 0 && (top >>> shift) == 0L) { shift -= 8; lastByte -= 1 }
-    val out = new Array[Byte](lastByte + 1)
-    var i = 0
-    while (i <= lastByte) {
-      out(i) = ((buf(i >>> 3) >>> ((i & 7) * 8)) & 0xff).toByte
-      i += 1
+    var n = 0
+    var w = 0
+    while (w < Words) { n += java.lang.Long.bitCount(buf(w)); w += 1 }
+    if (n == 0) return Array.emptyByteArray
+    if (n <= SparseMax) {
+      val out = new Array[Byte](1 + 2 * n)
+      out(0) = 1
+      var k = 1
+      w = 0
+      while (w < Words) {
+        var bits = buf(w)
+        while (bits != 0L) {
+          val off = w * 64 + java.lang.Long.numberOfTrailingZeros(bits)
+          out(k) = (off & 0xff).toByte
+          out(k + 1) = ((off >>> 8) & 0xff).toByte
+          k += 2
+          bits &= bits - 1
+        }
+        w += 1
+      }
+      out
+    } else {
+      var lastWord = Words - 1
+      while (buf(lastWord) == 0L) lastWord -= 1
+      var lastByte = (lastWord + 1) * 8 - 1
+      val top = buf(lastWord)
+      var shift = 56
+      while (shift > 0 && (top >>> shift) == 0L) { shift -= 8; lastByte -= 1 }
+      val out = new Array[Byte](2 + lastByte)
+      out(0) = 0
+      var i = 0
+      while (i <= lastByte) {
+        out(i + 1) = ((buf(i >>> 3) >>> ((i & 7) * 8)) & 0xff).toByte
+        i += 1
+      }
+      out
     }
-    out
   }
 
   def fromBytes(bytes: Array[Byte]): Array[Long] = {
     val buf = emptyBuffer()
-    var i = 0
-    while (i < bytes.length) {
-      buf(i >>> 3) |= (bytes(i) & 0xffL) << ((i & 7) * 8)
-      i += 1
+    if (bytes.length == 0) return buf
+    if (bytes(0) == 1) {
+      var k = 1
+      while (k + 1 < bytes.length) {
+        val off = (bytes(k) & 0xff) | ((bytes(k + 1) & 0xff) << 8)
+        buf(off >>> 6) |= 1L << (off & 63)
+        k += 2
+      }
+    } else {
+      var i = 1
+      while (i < bytes.length) {
+        buf((i - 1) >>> 3) |= (bytes(i) & 0xffL) << (((i - 1) & 7) * 8)
+        i += 1
+      }
     }
     buf
   }
 
-  /** popcount(a AND b) — byte-wise over the common prefix, so two
-    * trimmed bitmaps of different lengths compare correctly. */
-  def andCount(a: Array[Byte], b: Array[Byte]): Long = {
-    val n = math.min(a.length, b.length)
-    var c = 0L
-    var i = 0
-    while (i < n) { c += java.lang.Integer.bitCount((a(i) & b(i)) & 0xff); i += 1 }
-    c
+  /** Bit test inside a DENSE payload (bytes after the tag). */
+  private def denseHas(a: Array[Byte], off: Int): Boolean = {
+    val byteIdx = 1 + (off >>> 3)
+    byteIdx < a.length && ((a(byteIdx) >> (off & 7)) & 1) != 0
   }
 
-  /** popcount(a) — the bucket's exact distinct count. */
+  private def sparseShort(a: Array[Byte], slot: Int): Int =
+    (a(1 + 2 * slot) & 0xff) | ((a(2 + 2 * slot) & 0xff) << 8)
+
+  /** popcount(a AND b) — dispatches on the tag pair: dense×dense is a
+    * byte-wise AND-popcount over the common payload prefix,
+    * sparse×sparse a two-pointer merge over the sorted offsets,
+    * sparse×dense per-offset bit tests. */
+  def andCount(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.length == 0 || b.length == 0) return 0L
+    val sa = a(0) == 1
+    val sb = b(0) == 1
+    if (sa && sb) {
+      val na = (a.length - 1) / 2
+      val nb = (b.length - 1) / 2
+      var i = 0; var j = 0; var c = 0L
+      while (i < na && j < nb) {
+        val va = sparseShort(a, i)
+        val vb = sparseShort(b, j)
+        if (va == vb) { c += 1; i += 1; j += 1 }
+        else if (va < vb) i += 1
+        else j += 1
+      }
+      c
+    } else if (sa || sb) {
+      val sp = if (sa) a else b
+      val dn = if (sa) b else a
+      val n = (sp.length - 1) / 2
+      var i = 0; var c = 0L
+      while (i < n) {
+        if (denseHas(dn, sparseShort(sp, i))) c += 1
+        i += 1
+      }
+      c
+    } else {
+      val n = math.min(a.length, b.length)
+      var c = 0L
+      var i = 1
+      while (i < n) {
+        c += java.lang.Integer.bitCount((a(i) & b(i)) & 0xff); i += 1
+      }
+      c
+    }
+  }
+
+  /** popcount(a) — the bucket's exact distinct count: O(1) for sparse
+    * blobs (the length IS the count), byte-wise popcount for dense. */
   def count(a: Array[Byte]): Long = {
+    if (a.length == 0) return 0L
+    if (a(0) == 1) return ((a.length - 1) / 2).toLong
     var c = 0L
-    var i = 0
+    var i = 1
     while (i < a.length) { c += java.lang.Integer.bitCount(a(i) & 0xff); i += 1 }
     c
   }

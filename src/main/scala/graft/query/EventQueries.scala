@@ -312,9 +312,13 @@ object EventQueries {
         col("user_id"))
       .orderBy("seg_a", "seg_b")
 
+  // the operator excludes NULL ids by contract (a bitmap has no slot
+  // for "unknown member"), so the oracle form carries the matching
+  // IS NOT NULL — a DISTINCT self-join would otherwise count NULL as
+  // one member per segment (no-op on events: user_id is non-null)
   val segmentOverlapSql: String =
     """WITH d AS (SELECT DISTINCT event_type AS seg, user_id AS id
-      |           FROM events),
+      |           FROM events WHERE user_id IS NOT NULL),
       |     s AS (SELECT seg, count(*) AS n FROM d GROUP BY seg),
       |     o AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
       |                  count(*) AS n_common

@@ -383,7 +383,12 @@ object QueryOps {
     * sort/stringify/regex run once per ENTITY, not per event. The
     * per-entity sequence must fit in an executor row — the same
     * bounded-group contract as sessionize and the Markov transition
-    * matrix; web-scale callers pre-split the entity key by day.
+    * matrix — and that contract is ENFORCED, not documented: an inline
+    * `assert_true` riding the aggregate fails loudly (naming the
+    * pre-split-by-day remedy) when any entity exceeds `maxSeqLen`
+    * events, instead of letting a 10⁸-event hot entity OOM an executor
+    * with no actionable message (the ewmaScan/OrderStats loud-contract
+    * pattern).
     *
     * Determinism: `orderCols` must be a total order per entity (pass
     * a unique tiebreak column); the match count of a fixed string is
@@ -391,16 +396,28 @@ object QueryOps {
     * RE2 (character classes, `*`/`+`/`?`, alternation — no
     * backreferences, which RE2 lacks). */
   def sequenceMatch(df: DataFrame, entity: Column, orderCols: Seq[Column],
-                    eventChar: Column, pattern: String): DataFrame = {
+                    eventChar: Column, pattern: String,
+                    maxSeqLen: Long = 1000000L): DataFrame = {
     require(orderCols.nonEmpty, "sequenceMatch needs an event order")
+    require(maxSeqLen >= 1, "maxSeqLen must be >= 1")
     val rows = df.select(entity.as("entity"),
       struct(orderCols :+ eventChar.as("__c"): _*).as("__s"))
+    // bounded-group contract, enforced in-plan: the guard reads the
+    // already-assembled sequence length (zero extra aggregate) and
+    // names the remedy
+    val lenGuard = coalesce(
+      assert_true(length(col("seq")) <= maxSeqLen,
+        concat(lit("sequenceMatch bounded-group contract: entity "),
+          col("entity").cast("string"),
+          lit(s" has more than $maxSeqLen events; pre-split the entity " +
+            "key (e.g. by day) or raise maxSeqLen"))).cast("long"),
+      lit(0L))
     rows.groupBy("entity")
       .agg(array_join(
         transform(array_sort(collect_list(col("__s"))),
           x => x.getField("__c")), "").as("seq"))
       .select(col("entity"),
-        length(col("seq")).cast("long").as("seq_len"),
+        (lenGuard + length(col("seq")).cast("long")).as("seq_len"),
         regexp_count(col("seq"), lit(pattern)).cast("long")
           .as("n_matches"))
   }

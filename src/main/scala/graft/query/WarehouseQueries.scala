@@ -734,10 +734,14 @@ object WarehouseQueries {
     * `[orderdate, orderdate + orderkey%20 + 1]` in epoch days, pairs
     * that intersect with their exact overlap length — the bucketed
     * credit-rule join (each pair found in exactly ONE bucket, no
-    * distinct exchange). Bucket width 16 ≈ the max interval length, so
-    * per-row fan-out ≤ 3 buckets. The %67 slice keeps the oracle's
-    * quadratic form tractable while the operator itself never goes
-    * all-pairs (1 / 221 / 22941 pairs at sf0.001/0.01/0.1). */
+    * distinct exchange). The bucket width is DERIVED through
+    * [[graft.operators.IntervalPlan.bucketWidthFor]] (p90 of the
+    * observed lengths ≈ 19 here — lengths are o_orderkey%20 + 2), the
+    * round-12 planner promotion: the credit rule makes the pair set
+    * width-invariant, so the sizing aggregate can only shape cost.
+    * The %67 slice keeps the oracle's quadratic form tractable while
+    * the operator itself never goes all-pairs (1 / 221 / 22941 pairs
+    * at sf0.001/0.01/0.1). */
   def intervalJoinOrders(s: SparkSession, dir: String): DataFrame = {
     val iv = t(s, dir, "orders")
       .filter(col("o_orderkey") % 67 === 0)
@@ -747,7 +751,7 @@ object WarehouseQueries {
         (datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
           .cast("long") + col("o_orderkey") % 20 + 1L).as("e"))
     graft.operators.IntervalJoin
-      .selfOverlapPairs(iv, "oid", "s", "e", bucketWidth = 16L)
+      .selfOverlapPairsAuto(iv, "oid", "s", "e")
       .select(col("id_a"), col("id_b"), col("overlap").as("overlap_days"))
       .orderBy("id_a", "id_b")
   }

@@ -93,7 +93,21 @@ object CdcStream {
     * event-time-ordered arrival (the certified replay) nothing is
     * late, which is what makes the batch oracle exact; deployments
     * needing late tolerance widen `watermarkDelay`, which delays
-    * eviction by the same bound. */
+    * eviction by the same bound.
+    *
+    * '''Marker contract (raw-stream consumers).''' The returned stream
+    * interleaves TWO faces in one sink: live upserts (`last_op` ∈ the
+    * input op alphabet, carrying the key's new LWW state) and
+    * eviction markers (`last_op == `[[EvictedOp]], exactly one per
+    * eviction, carrying the key's LAST-COMMITTED state at removal —
+    * the row a downstream tombstone/archival step needs). `"evicted"`
+    * is reserved: inputs must not use it as an op. A consumer of the
+    * raw stream MUST split on the marker ([[upsertsOnly]] /
+    * [[evictionsOnly]], or the equivalent filter) before treating rows
+    * as table state — [[replayRetention]]'s final-state reduction does
+    * exactly this. The faces are disjoint and exhaustive by
+    * construction (the handler emits a marker if-and-only-if the
+    * timeout fired; the face-split spec pins it). */
   def upsertRetention(changes: Dataset[Chg], retentionUs: Long,
                       watermarkDelay: String = "0 seconds")
       : Dataset[Upsert] = {
@@ -116,7 +130,12 @@ object CdcStream {
               Upsert(key, EvictedOp, st.us, st.event_id, st.value))
           } else {
             val st = fold(state.getOption,
-              rows.map(t => Chg(t._1, t._2, t._3, t._4, t._5)).toSeq)
+              rows.map { t =>
+                require(t._4 != EvictedOp,
+                  s"op '$EvictedOp' is reserved for eviction markers " +
+                    "(marker contract) — rename the input op")
+                Chg(t._1, t._2, t._3, t._4, t._5)
+              }.toSeq)
             state.update(st)
             // ms ceiling: micros truncate toward earlier, which would
             // fire the timeout a hair before us + retention (the
@@ -132,6 +151,19 @@ object CdcStream {
           }
       }
   }
+
+  /** Upsert face of a raw [[upsertRetention]] stream: marker rows
+    * removed, every remaining row is a key's new LWW state. Works on
+    * the streaming Dataset (a stateless filter) and on collected
+    * batches alike. */
+  def upsertsOnly(out: Dataset[Upsert]): Dataset[Upsert] =
+    out.filter(_.last_op != EvictedOp)
+
+  /** Eviction face of a raw [[upsertRetention]] stream: exactly one
+    * row per evicted key, `last_op == `[[EvictedOp]], carrying the
+    * last-committed state at removal. */
+  def evictionsOnly(out: Dataset[Upsert]): Dataset[Upsert] =
+    out.filter(_.last_op == EvictedOp)
 
   /** Replay a bounded change set through the real stateful stream in
     * event-time batches (span/`batches` slots — cross-batch event-time

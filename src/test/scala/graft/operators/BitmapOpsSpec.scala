@@ -11,30 +11,63 @@ import org.apache.spark.sql.functions._
   * ids, bucket-sparse segments, and zero-overlap pairs (omitted). */
 class BitmapOpsSpec extends SparkTestBase {
 
-  test("toBytes/fromBytes round-trip with trailing-zero trim") {
+  test("sparse blobs: sorted-shorts encoding, round-trip, O(1) count") {
     val buf = BitmapCode.emptyBuffer()
     BitmapCode.set(buf, 0)
     BitmapCode.set(buf, 9)
     BitmapCode.set(buf, 200)
     val bytes = BitmapCode.toBytes(buf)
-    // highest bit is 200 → byte 25 is the last nonzero byte
-    assert(bytes.length === 26)
+    // 3 set bits << SparseMax → tag 1 + 3 little-endian u16s = 7 bytes
+    // (the dense trimmed form would be 26 — the sparse win)
+    assert(bytes.length === 7)
+    assert(bytes(0) === 1.toByte)
     assert(BitmapCode.fromBytes(bytes).toSeq === buf.toSeq)
     assert(BitmapCode.count(bytes) === 3L)
-    // empty bitmap trims to zero bytes
+    // empty bitmap is zero bytes in either representation
     assert(BitmapCode.toBytes(BitmapCode.emptyBuffer()).isEmpty)
   }
 
-  test("andCount over trimmed bitmaps of different lengths") {
+  test("representation switch at the roaring break-even (SparseMax)") {
+    // exactly SparseMax set bits → still sparse; one more → dense
+    val atMax = BitmapCode.emptyBuffer()
+    (0 until BitmapCode.SparseMax).foreach(i => BitmapCode.set(atMax, i * 2))
+    val sparse = BitmapCode.toBytes(atMax)
+    assert(sparse(0) === 1.toByte)
+    assert(sparse.length === 1 + 2 * BitmapCode.SparseMax)
+    assert(BitmapCode.count(sparse) === BitmapCode.SparseMax.toLong)
+    assert(BitmapCode.fromBytes(sparse).toSeq === atMax.toSeq)
+
+    BitmapCode.set(atMax, BitmapCode.SparseMax * 2) // now SparseMax + 1 bits
+    val dense = BitmapCode.toBytes(atMax)
+    assert(dense(0) === 0.toByte)
+    // dense payload = trimmed bytes up to the highest bit (2·SparseMax)
+    assert(dense.length === 2 + (BitmapCode.SparseMax * 2) / 8)
+    assert(BitmapCode.count(dense) === (BitmapCode.SparseMax + 1).toLong)
+    assert(BitmapCode.fromBytes(dense).toSeq === atMax.toSeq)
+  }
+
+  test("andCount across all representation pairs") {
+    // sparse × sparse (different lengths, one trims short of 65535)
     val a = BitmapCode.emptyBuffer()
     val b = BitmapCode.emptyBuffer()
     Seq(1, 70, 500, 65535).foreach(BitmapCode.set(a, _))
-    Seq(1, 500).foreach(BitmapCode.set(b, _)) // b trims short of 65535
+    Seq(1, 500).foreach(BitmapCode.set(b, _))
     val (ba, bb) = (BitmapCode.toBytes(a), BitmapCode.toBytes(b))
     assert(ba.length > bb.length)
     assert(BitmapCode.andCount(ba, bb) === 2L)
     assert(BitmapCode.andCount(bb, ba) === 2L)
     assert(BitmapCode.andCount(ba, Array.emptyByteArray) === 0L)
+
+    // dense × sparse and dense × dense: dense holds all even offsets
+    // below 2·SparseMax+2 (> SparseMax bits), sparse holds a few probes
+    val d = BitmapCode.emptyBuffer()
+    (0 to BitmapCode.SparseMax).foreach(i => BitmapCode.set(d, i * 2))
+    val bd = BitmapCode.toBytes(d)
+    assert(bd(0) === 0.toByte)
+    // probes: 70, 500 (even, in range → hit); 1, 65535 (odd → miss)
+    assert(BitmapCode.andCount(bd, ba) === 2L)
+    assert(BitmapCode.andCount(ba, bd) === 2L)
+    assert(BitmapCode.andCount(bd, bd) === (BitmapCode.SparseMax + 1).toLong)
   }
 
   test("set rejects offsets outside the bucket width") {
