@@ -51,15 +51,19 @@ object BitmapOps {
     * counts NULL as one distinct member per segment in n_a/n_b —
     * diverging sizes and jaccard_ppm on nullable id columns. The
     * oracle form therefore carries `WHERE id IS NOT NULL`. */
-  def segmentOverlap(df: DataFrame, seg: Column, id: Column): DataFrame = {
+  /** The (seg, bucket, bm) bitmap frame `segmentOverlap` joins —
+    * exposed so measurement harnesses can probe the WIRE cost
+    * (`length(bm)`) of the adaptive sparse/dense encoding directly
+    * (the Scale100 id-space leg and PERF.md's memory row read it).
+    * NULL ids excluded, as documented on [[segmentOverlap]]. */
+  def segmentBitmaps(df: DataFrame, seg: Column, id: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // bucket = floor(id / 2^16) in EXACT integer arithmetic for the
     // full long range (a double division is only exact to 2^53):
     // id − pmod is a multiple of the width, so truncating `div`
     // equals floor even for negative ids.
-    val maps = df
-      .select(seg.as("seg"), id.cast("long").as("__id"))
+    df.select(seg.as("seg"), id.cast("long").as("__id"))
       .where($"__id".isNotNull)
       .select(col("seg"),
         expr(s"(__id - pmod(__id, $BucketWidth)) div $BucketWidth")
@@ -67,6 +71,12 @@ object BitmapOps {
         pmod(col("__id"), lit(BucketWidth)).cast("int").as("off"))
       .groupBy("seg", "bucket")
       .agg(native("graft_bitmap_agg", $"off").as("bm"))
+  }
+
+  def segmentOverlap(df: DataFrame, seg: Column, id: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maps = segmentBitmaps(df, seg, id)
     val sizes = maps.groupBy("seg")
       .agg(sum(native("graft_bitmap_count", $"bm")).as("n"))
     val a = maps.select($"seg".as("seg_a"), $"bucket", $"bm".as("bm_a"))

@@ -80,9 +80,22 @@ object IntervalJoin {
     * the [[DensityCluster.dbscanCosineAuto]] shape: one sizing
     * aggregate, then the same credit-rule join, whose pair set is
     * width-invariant, so the derived width can only change the plan's
-    * cost, never its answer. */
+    * cost, never its answer.
+    *
+    * With `check = true` (the default) sizing goes through
+    * [[IntervalPlan.planSelf]], which also verifies the fan-out and
+    * hot-bucket budgets: sizing alone cannot catch a TRUE pile-up
+    * (everything covering one popular instant lands in that instant's
+    * bucket at any width), so the probe — the self-join collapses it
+    * to two aggregates total, noise next to the join they gate —
+    * fails loudly with the AQE-skew-split remedy instead of leaving
+    * one straggler task to time out at 100 TB. Callers that have
+    * already profiled their distribution pass `check = false`. */
   def selfOverlapPairsAuto(df: DataFrame, idCol: String, sCol: String,
-                           eCol: String): DataFrame =
-    selfOverlapPairs(df, idCol, sCol, eCol,
-      IntervalPlan.bucketWidthFor(df, sCol, eCol))
+                           eCol: String, check: Boolean = true): DataFrame = {
+    val w =
+      if (check) IntervalPlan.planSelf(df, sCol, eCol)
+      else IntervalPlan.bucketWidthFor(df, sCol, eCol)
+    selfOverlapPairs(df, idCol, sCol, eCol, w)
+  }
 }

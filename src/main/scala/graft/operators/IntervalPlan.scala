@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sizing discipline for [[IntervalJoin]]'s bucket width — the
@@ -25,8 +25,26 @@ import org.apache.spark.sql.functions._
   *    pile-up (everything covering one popular day registers in that
   *    day's bucket at ANY width) wants AQE's skew split — which
   *    applies as-is because the join is a plain equi-join on `__b`.
+  *
+  * All probes rename their inputs to reserved `__`-prefixed aliases
+  * up front and compute with Column arithmetic from there — column
+  * names needing backticks (dots, spaces, hyphens) pass through
+  * unmangled (r12 verdict: the interpolated-SQL form broke on them).
   */
 object IntervalPlan {
+
+  /** Long-exact integer `div` over one of this planner's own reserved
+    * aliases — the interpolation is safe because the name is ours, not
+    * the caller's. */
+  private def bdiv(alias: String, w: Long): Column =
+    expr(s"$alias div ${w}L")
+
+  /** A caller-supplied column name as a Column, backtick-quoted so
+    * names with dots/spaces resolve as TOP-LEVEL attributes (a bare
+    * `col("start.us")` would resolve as field `us` of struct
+    * `start`). Embedded backticks escape by doubling. */
+  private def ref(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
 
   /** Bucket width from the interval-length distribution: the
     * `lenQuantile` (default p90) of `end − start + 1`, floored at 1,
@@ -40,8 +58,9 @@ object IntervalPlan {
     require(lenQuantile > 0.0 && lenQuantile <= 1.0,
       s"lenQuantile must be in (0, 1], got $lenQuantile")
     val row = df
-      .agg(expr(s"approx_percentile($eCol - $sCol + 1, $lenQuantile)")
-        .cast("long").as("w"))
+      .agg(percentile_approx(
+        ref(eCol).cast("long") - ref(sCol).cast("long") + lit(1L),
+        lit(lenQuantile), lit(10000)).cast("long").as("w"))
       .head()
     require(!row.isNullAt(0),
       "bucketWidthFor over an empty interval table — no length " +
@@ -54,24 +73,80 @@ object IntervalPlan {
     * generation. One count-per-bucket aggregate per side (the same
     * `sequence` expansion the join itself plans), joined bucket-wise.
     * Self-join callers pass the same frame twice (the product is then
-    * the worst count squared). */
+    * the worst count squared).
+    *
+    * Returned as a Double: the probe exists precisely for the regime
+    * where per-bucket counts reach billions, and a long multiply
+    * wraps negative there (ADVICE r12) — the guard only needs
+    * magnitude, and a double's 52-bit mantissa is exact far past any
+    * budget a caller could accept anyway. */
   def hotBucketProduct(left: DataFrame, sL: String, eL: String,
                        right: DataFrame, sR: String, eR: String,
-                       bucketWidth: Long): Long = {
+                       bucketWidth: Long): Double = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
     def perBucket(df: DataFrame, s: String, e: String) = df
-      .select(explode(expr(
-        s"sequence($s div ${bucketWidth}L, $e div ${bucketWidth}L)"))
-        .as("__b"))
-      .groupBy("__b").agg(count(lit(1)).as("n"))
+      .select(ref(s).cast("long").as("__s"), ref(e).cast("long").as("__e"))
+      .select(explode(sequence(bdiv("__s", bucketWidth),
+        bdiv("__e", bucketWidth))).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).cast("double").as("n"))
     val prod = perBucket(left, sL, eL).as("l")
       .join(perBucket(right, sR, eR).as("r"), "__b")
       .agg(max(col("l.n") * col("r.n")).as("p"))
       .head()
-    if (prod.isNullAt(0)) 0L else prod.getLong(0)
+    if (prod.isNullAt(0)) 0.0 else prod.getDouble(0)
   }
 
-  /** Loud guard for FIXED widths (the [[LshPlan.requireFit]] twin):
+  /** One-pass sizing + loud check for the SELF-join case — what
+    * [[IntervalJoin.selfOverlapPairsAuto]] runs by default. Returns
+    * the `lenQuantile` width after verifying both budgets, in exactly
+    * TWO aggregates over the table (vs five for sizing +
+    * two-sided [[requireFit]]): the sizing scan also counts rows, and
+    * because both join sides are the same frame the worst per-bucket
+    * product is simply `max(n)²` and the mean fan-out is
+    * `Σn / rows` — one count-per-bucket aggregate yields both, no
+    * bucket-wise join needed. Failure messages match [[requireFit]]'s
+    * (same two remedies). */
+  def planSelf(df: DataFrame, sCol: String, eCol: String,
+               lenQuantile: Double = 0.9,
+               maxMeanFanOut: Double = 8.0,
+               maxHotBucketProduct: Double = 1e8): Long = {
+    require(lenQuantile > 0.0 && lenQuantile <= 1.0,
+      s"lenQuantile must be in (0, 1], got $lenQuantile")
+    val sized = df.agg(
+      percentile_approx(
+        ref(eCol).cast("long") - ref(sCol).cast("long") + lit(1L),
+        lit(lenQuantile), lit(10000)).cast("long").as("w"),
+      count(lit(1)).as("n")).head()
+    require(!sized.isNullAt(0),
+      "bucketWidthFor over an empty interval table — no length " +
+        "distribution to size from")
+    val w = math.max(1L, sized.getLong(0))
+    val rows = sized.getLong(1)
+    val pb = df
+      .select(ref(sCol).cast("long").as("__s"),
+        ref(eCol).cast("long").as("__e"))
+      .select(explode(sequence(bdiv("__s", w), bdiv("__e", w))).as("__b"))
+      .groupBy("__b").agg(count(lit(1)).cast("double").as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("regs")).head()
+    val meanFanOut = pb.getDouble(1) / rows
+    require(meanFanOut <= maxMeanFanOut,
+      f"interval join under-bucketed: width $w implies mean " +
+        f"per-row fan-out $meanFanOut%.1f > $maxMeanFanOut%.1f buckets " +
+        f"(the shuffle carries every registration); size the width " +
+        f"from the length distribution with IntervalPlan.bucketWidthFor")
+    val hot = pb.getDouble(0) * pb.getDouble(0)
+    require(hot <= maxHotBucketProduct,
+      f"interval join has a hot bucket: worst per-bucket candidate " +
+        f"product $hot%.3g > $maxHotBucketProduct%.3g at width $w. " +
+        f"If the bucket aggregates many DISJOINT intervals, shrink the " +
+        f"width (same credited pairs, spread registrations); if it is " +
+        f"a true overlap pile-up (one popular instant), enable AQE " +
+        f"skew-join splitting (plain equi-join on __b) or pre-split " +
+        f"the hot key range")
+    w
+  }
+
+  /** Loud guard for a chosen width (the [[LshPlan.requireFit]] twin):
     * fails when the width implies mean per-row fan-out above
     * `maxMeanFanOut` (width too small — shuffled registrations blow
     * up linearly) or a per-bucket join product above
@@ -79,19 +154,20 @@ object IntervalPlan {
     * Callers hitting the first should size with [[bucketWidthFor]];
     * callers hitting the second at an already-sized width have a
     * genuine pile-up and want AQE skew-join splitting or pre-split
-    * hot keys. */
+    * hot keys. Cost: two aggregates over the interval tables —
+    * noise next to the join it sizes, which is why
+    * [[IntervalJoin.selfOverlapPairsAuto]] runs it by default. */
   def requireFit(left: DataFrame, sL: String, eL: String,
                  right: DataFrame, sR: String, eR: String,
                  bucketWidth: Long,
                  maxMeanFanOut: Double = 8.0,
-                 maxHotBucketProduct: Long = 100000000L): Unit = {
+                 maxHotBucketProduct: Double = 1e8): Unit = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
-    val mf = left.select(expr(
-        s"$eL div ${bucketWidth}L - $sL div ${bucketWidth}L + 1")
-        .cast("double").as("f"))
-      .unionAll(right.select(expr(
-        s"$eR div ${bucketWidth}L - $sR div ${bucketWidth}L + 1")
-        .cast("double").as("f")))
+    def fanOut(df: DataFrame, s: String, e: String) = df
+      .select(ref(s).cast("long").as("__s"), ref(e).cast("long").as("__e"))
+      .select((bdiv("__e", bucketWidth) - bdiv("__s", bucketWidth)
+        + lit(1L)).cast("double").as("f"))
+    val mf = fanOut(left, sL, eL).unionAll(fanOut(right, sR, eR))
       .agg(avg(col("f"))).head()
     val meanFanOut = if (mf.isNullAt(0)) 1.0 else mf.getDouble(0)
     require(meanFanOut <= maxMeanFanOut,
@@ -99,17 +175,17 @@ object IntervalPlan {
         f"per-row fan-out $meanFanOut%.1f > $maxMeanFanOut%.1f buckets " +
         f"(the shuffle carries every registration); size the width " +
         f"from the length distribution with IntervalPlan.bucketWidthFor " +
-        f"≈ ${bucketWidthFor(left.select(col(sL).as("s"), col(eL).as("e"))
-          .unionAll(right.select(col(sR).as("s"), col(eR).as("e"))),
+        f"≈ ${bucketWidthFor(left.select(ref(sL).as("s"), ref(eL).as("e"))
+          .unionAll(right.select(ref(sR).as("s"), ref(eR).as("e"))),
           "s", "e")} instead")
     val hot = hotBucketProduct(left, sL, eL, right, sR, eR, bucketWidth)
     require(hot <= maxHotBucketProduct,
-      s"interval join has a hot bucket: worst per-bucket candidate " +
-        s"product $hot > $maxHotBucketProduct at width $bucketWidth. " +
-        s"If the bucket aggregates many DISJOINT intervals, shrink the " +
-        s"width (same credited pairs, spread registrations); if it is " +
-        s"a true overlap pile-up (one popular instant), enable AQE " +
-        s"skew-join splitting (plain equi-join on __b) or pre-split " +
-        s"the hot key range")
+      f"interval join has a hot bucket: worst per-bucket candidate " +
+        f"product $hot%.3g > $maxHotBucketProduct%.3g at width " +
+        f"$bucketWidth. If the bucket aggregates many DISJOINT " +
+        f"intervals, shrink the width (same credited pairs, spread " +
+        f"registrations); if it is a true overlap pile-up (one popular " +
+        f"instant), enable AQE skew-join splitting (plain equi-join on " +
+        f"__b) or pre-split the hot key range")
   }
 }

@@ -24,6 +24,18 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
   * 8 KiB and ~tens of bytes per (segment, bucket) row — mostly-empty
   * buckets no longer pay the dense frame.
   *
+  * Wire-format versioning (ADVICE r12): the tagged layout is NOT
+  * self-versioned against the pre-r12 untagged dense blob — an old
+  * blob whose first byte happens to be 0x01 would decode as sparse
+  * garbage. That is acceptable ONLY because these bytes are
+  * shuffle-transient by contract: blobs live inside one query's
+  * partial-aggregate exchange and are reduced to integer counts
+  * before any sink; nothing persists them and no gate hash-compares
+  * blob bytes across versions. If a future operator ever WRITES
+  * bitmap blobs (a segment-sketch table, say), it must add a real
+  * format-version header first — do not reuse this wire form as a
+  * storage form.
+  *
   * The OLAP shape this serves (ClickHouse
   * `groupBitmap`/`bitmapAndCardinality`, Druid/Pinot segment sketches)
   * is exact distinct-set algebra whose merge is an idempotent OR:

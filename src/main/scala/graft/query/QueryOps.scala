@@ -383,12 +383,19 @@ object QueryOps {
     * sort/stringify/regex run once per ENTITY, not per event. The
     * per-entity sequence must fit in an executor row — the same
     * bounded-group contract as sessionize and the Markov transition
-    * matrix — and that contract is ENFORCED, not documented: an inline
-    * `assert_true` riding the aggregate fails loudly (naming the
-    * pre-split-by-day remedy) when any entity exceeds `maxSeqLen`
-    * events, instead of letting a 10⁸-event hot entity OOM an executor
-    * with no actionable message (the ewmaScan/OrderStats loud-contract
-    * pattern).
+    * matrix — and that contract is a LOUD guard, not a memory shield:
+    * an inline `assert_true` reads the per-entity event COUNT (folded
+    * into the same aggregate, no second pass) and fails with a message
+    * naming the pre-split-by-day remedy when any entity exceeds
+    * `maxSeqLen`. The guard rides EVERY output column, so a caller
+    * projecting only `(entity, n_matches)` cannot prune it away
+    * (ADVICE r12: a guard attached to one column silently vanished
+    * under column pruning). It fires at the aggregate's OUTPUT —
+    * after `collect_list` has assembled the group — so an entity
+    * pathologically beyond executor memory still needs an upstream
+    * pre-split; what the guard buys is an actionable contract failure
+    * on every over-limit entity the buffer survives, instead of a
+    * silent wrong-scale plan.
     *
     * Determinism: `orderCols` must be a total order per entity (pass
     * a unique tiebreak column); the match count of a fixed string is
@@ -402,23 +409,26 @@ object QueryOps {
     require(maxSeqLen >= 1, "maxSeqLen must be >= 1")
     val rows = df.select(entity.as("entity"),
       struct(orderCols :+ eventChar.as("__c"): _*).as("__s"))
-    // bounded-group contract, enforced in-plan: the guard reads the
-    // already-assembled sequence length (zero extra aggregate) and
-    // names the remedy
+    // bounded-group contract: the guard reads the per-entity event
+    // COUNT (a second agg expression in the same pass — count, not
+    // string length, so a multi-char eventChar can't understate it)
+    // and is added (as 0) to EVERY output column, so no projection
+    // can prune it out of the plan
     val lenGuard = coalesce(
-      assert_true(length(col("seq")) <= maxSeqLen,
+      assert_true(col("__n") <= maxSeqLen,
         concat(lit("sequenceMatch bounded-group contract: entity "),
           col("entity").cast("string"),
           lit(s" has more than $maxSeqLen events; pre-split the entity " +
             "key (e.g. by day) or raise maxSeqLen"))).cast("long"),
       lit(0L))
     rows.groupBy("entity")
-      .agg(array_join(
-        transform(array_sort(collect_list(col("__s"))),
-          x => x.getField("__c")), "").as("seq"))
+      .agg(count(lit(1)).as("__n"),
+        array_join(
+          transform(array_sort(collect_list(col("__s"))),
+            x => x.getField("__c")), "").as("seq"))
       .select(col("entity"),
         (lenGuard + length(col("seq")).cast("long")).as("seq_len"),
-        regexp_count(col("seq"), lit(pattern)).cast("long")
+        (lenGuard + regexp_count(col("seq"), lit(pattern)).cast("long"))
           .as("n_matches"))
   }
 

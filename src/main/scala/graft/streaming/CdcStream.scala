@@ -160,8 +160,14 @@ object CdcStream {
     out.filter(_.last_op != EvictedOp)
 
   /** Eviction face of a raw [[upsertRetention]] stream: exactly one
-    * row per evicted key, `last_op == `[[EvictedOp]], carrying the
-    * last-committed state at removal. */
+    * marker row per EVICTION EVENT (`last_op == `[[EvictedOp]]),
+    * carrying the key's last-committed state at removal. NOT unique
+    * per key: a key re-activated by on-time changes after an eviction
+    * re-enters state and can be evicted again, yielding one marker per
+    * eviction over the stream's lifetime — downstream tombstone logic
+    * must dedup by (key, last_us, last_event) if it needs key
+    * uniqueness (the face-split spec drives exactly this re-eviction
+    * case). */
   def evictionsOnly(out: Dataset[Upsert]): Dataset[Upsert] =
     out.filter(_.last_op == EvictedOp)
 

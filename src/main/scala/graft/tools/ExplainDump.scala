@@ -239,7 +239,16 @@ object ExplainDump {
             .filter(col("vec_id") < 500),
           "vec_id", "embedding", threshold = 0.40, minPts = 3,
           numPlanes = 3, tables = 48, materialize = false)
-      })
+      },
+      "q_segment_overlap (bitmap OR-merge: duplicates die in the " +
+        "map-side partial agg, one blob per (seg, bucket) on the " +
+        "shuffle; pair intersection is a bucket-confined popcount " +
+        "join — no id-level self-join, no count-distinct Expand)" ->
+        graft.query.EventQueries.segmentOverlap(spark, sfDir),
+      "q_sequence_match (one shuffle to the entity; collect_list " +
+        "partial agg, sort/regex once per ENTITY; the bounded-group " +
+        "count guard rides every output column, pruning-proof)" ->
+        graft.query.EventQueries.sequenceMatchViews(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every

@@ -61,6 +61,15 @@ object Scale100 {
       }.repartition(64).write.mode("overwrite")
       .parquet(s"$outDir/lineitem.parquet")
 
+    // events: offset keys per replica (the ScaleBench recipe) — feeds
+    // the sequence-match leg, whose scaling variable is ENTITIES
+    // (100x users, per-user sequences identical per replica)
+    rep(read("events")) { (df, i) =>
+        df.withColumn("event_id", col("event_id") + i * 1000000000L)
+          .withColumn("user_id", col("user_id") + i * 100000000L)
+      }.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+
     // disjoint graph replicas at the two sparsities the gates use
     def edges(every: Int): DataFrame = read("events")
       .filter(col("event_id") % every === 0)
@@ -127,13 +136,48 @@ object Scale100 {
         f" ratio=$r%6.1f per_unit=${r / k}%5.2f (linear=$k)")
     }
 
-    // --- OrderStats / GlobalRank / BPE via the driver queries ---
+    // --- OrderStats / GlobalRank / BPE / sequence match via the
+    // driver queries (q_sequence_match scales ENTITIES — 100x users
+    // from the replica offsets, per-entity sequences unchanged, so the
+    // entity shuffle + per-group regex must track the user count) ---
     val qs = graft.SparkEntry.queries
     for (q <- Seq("q_winsorize", "q_histogram_equidepth",
-        "q_rank_transform", "q_bpe_encode_docs") if on(q)) {
+        "q_rank_transform", "q_bpe_encode_docs",
+        "q_sequence_match") if on(q)) {
       val fn = qs(q)
       record(q, time(fn(spark, sfDir).count())._2,
         time(fn(spark, outDir).count())._2)
+    }
+
+    // --- segment overlap scaled by ID SPACE (r12 verdict item 4):
+    // fixed 4M event rows over 5 segments; the id universe grows
+    // 10^6 -> 10^8, multiplying the (seg, bucket) bitmap frame 100x
+    // while the scan term stays constant — and flipping the adaptive
+    // wire format from dense (~35k ids/bucket at 10^6) to sparse
+    // (~520 ids/bucket at 10^8), certifying the r12 encoding's memory
+    // claim at exactly the regime it targets. Wire-size stats feed
+    // PERF.md's sparse-vs-dense memory row. ---
+    if (on("segment_overlap_idspace")) {
+      import graft.operators.BitmapOps
+      def segDf(idSpace: Long): DataFrame = spark.range(4000000L)
+        .select((col("id") % 5).cast("string").as("seg"),
+          pmod(xxhash64(col("id")), lit(idSpace)).as("uid"))
+      def overlap(idSpace: Long): Long = BitmapOps
+        .segmentOverlap(segDf(idSpace), col("seg"), col("uid")).count()
+      for (sp <- Seq(1000000L, 100000000L)) {
+        val r = BitmapOps
+          .segmentBitmaps(segDf(sp), col("seg"), col("uid"))
+          .agg(count(lit(1)).as("rows"), avg(length(col("bm"))).as("avg"),
+            max(length(col("bm"))).as("mx"),
+            sum(length(col("bm"))).as("tot"))
+          .head()
+        println(f"[scale100] segment_overlap wire @ idspace=$sp%9d: " +
+          f"${r.getLong(0)}%6d (seg,bucket) rows, avg blob " +
+          f"${r.getDouble(1)}%8.1f B, max ${r.getInt(2)}%5d B, total " +
+          f"${r.getLong(3) / 1024.0}%9.1f KiB")
+      }
+      record("segment_overlap_idspace",
+        time(overlap(1000000L))._2, time(overlap(100000000L))._2)
     }
 
     // --- graph iteration at 100x nodes (disjoint replicas) ---

@@ -91,7 +91,11 @@ object ScaleBench {
     // q_containment (doc_id < 60 verification slice);
     // q_pagerank_personalized (%1000-node densification, as uniform);
     // q_stream_cdc (bounded replay slice)
-    "q_drift_rolling_psi")
+    "q_drift_rolling_psi",
+    // round 13 (r11 verdict item 7): the two remaining event-stream
+    // gates — both user-keyed full events scans, so replica user
+    // offsets scale the GROUP count linearly at fixed per-group size
+    "q_funnel_windowed", "q_sequence_match")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)

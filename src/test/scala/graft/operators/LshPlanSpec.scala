@@ -40,6 +40,32 @@ class LshPlanSpec extends AnyFunSuite {
     LshPlan.requireFit(3, 500L, maxExpectedBucket = 256)
   }
 
+  test("unattainable table budgets fail LOUDLY, never return 1 table " +
+      "(the log1p saturation fix, ADVICE r11/verdict r12)") {
+    // deep planes at a moderate threshold: per-table miss is
+    // representably < 1 (log1p keeps it finite) but the required table
+    // count overflows Int — the second require fires
+    val exCount = intercept[IllegalArgumentException] {
+      LshPlan.tablesFor(0.0, 62, 1e-6)
+    }
+    assert(exCount.getMessage.contains("unattainable"), exCount.getMessage)
+    // near-orthogonal threshold: collideProb^62 underflows double to
+    // exactly 0, per-table miss rounds to 1.0 — the log1p-domain
+    // require fires instead of dividing to 0 tables
+    val exUnderflow = intercept[IllegalArgumentException] {
+      LshPlan.tablesFor(-0.999999999999, 62, 1e-6)
+    }
+    assert(exUnderflow.getMessage.contains("unattainable"),
+      exUnderflow.getMessage)
+    assert(exUnderflow.getMessage.contains("multiprobe"))
+    // deep planes at high threshold stay REPRESENTABLE and attainable:
+    // a finite, large, correct count (~23k = ln(1e-2)/ln1p(-0.856^55))
+    // rather than a loud failure — pin the magnitude, not the ulp
+    val t55 = LshPlan.tablesFor(0.9, 55, 1e-2)
+    assert(LshPlan.missProb(0.9, 55, t55) <= 1e-2)
+    assert(t55 > 10000 && t55 < 50000, s"t55=$t55")
+  }
+
   test("recall bound holds at computed planes across thresholds and " +
       "corpus sizes") {
     for (th <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(500L, 50000L, 5000000L)) {

@@ -56,6 +56,21 @@ class PowerIterationSpec extends SparkTestBase {
     assert(got == Seq((1L, 10000L), (2L, 0L)))
   }
 
+  test("a degenerate corpus (empty, or no row at the declared dims) " +
+      "fails loudly, not with a silently empty frame") {
+    // the guard's count() is also the lazy checkpoint's materializing
+    // action (one job for guard + checkpoint, verdict r12 item 8)
+    val exEmpty = intercept[IllegalArgumentException] {
+      run(Seq.empty, 2, 1)
+    }
+    assert(exEmpty.getMessage.contains("degenerate"), exEmpty.getMessage)
+    // non-empty input, but EVERY row fails the size(qv) === dims filter
+    val exWidth = intercept[IllegalArgumentException] {
+      run(Seq(Seq(1f, 2f, 3f), Seq(4f)), 2, 1)
+    }
+    assert(exWidth.getMessage.contains("dims = 2"), exWidth.getMessage)
+  }
+
   test("an all-zero corpus fails loudly, not with wrapped garbage") {
     // the guard is an inline assert_true riding the lazy plan (one job
     // per iteration, no driver scalar fetch), so it surfaces as a

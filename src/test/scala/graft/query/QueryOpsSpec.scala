@@ -208,6 +208,38 @@ class QueryOpsSpec extends SparkTestBase {
     assert(out(4L) == ((2L, 0L)))
   }
 
+  test("sequenceMatch bounded-group contract fires loudly above " +
+      "maxSeqLen — even when the caller prunes to (entity, n_matches)") {
+    import spark.implicits._
+    val events = (1L to 5L).map(i => (7L, i * 10L, i, "v"))
+      .toDF("u", "t", "id", "c")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // full projection
+    val exFull = intercept[Exception] {
+      QueryOps.sequenceMatch(events, col("u"), Seq(col("t"), col("id")),
+        col("c"), "v", maxSeqLen = 3L).collect()
+    }
+    assert(messages(exFull).exists(m =>
+      m.contains("pre-split") && m.contains("entity 7")), messages(exFull))
+    // the ADVICE r12 hole: a projection reading ONLY n_matches let
+    // Catalyst prune the seq_len-riding guard away — it must fire here
+    val exPruned = intercept[Exception] {
+      QueryOps.sequenceMatch(events, col("u"), Seq(col("t"), col("id")),
+          col("c"), "v", maxSeqLen = 3L)
+        .select("entity", "n_matches").collect()
+    }
+    assert(messages(exPruned).exists(_.contains("pre-split")),
+      messages(exPruned))
+    // at the limit it passes, and the guard adds nothing to the values
+    val ok = QueryOps.sequenceMatch(events, col("u"),
+        Seq(col("t"), col("id")), col("c"), "v", maxSeqLen = 5L)
+      .collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 5L &&
+      ok(0).getLong(2) == 5L)
+  }
+
   test("column profile: rows, nulls, exact distincts, native-order " +
       "min/max as strings") {
     import spark.implicits._

@@ -81,6 +81,71 @@ class CdcStreamSpec extends SparkTestBase {
     }
   }
 
+  test("face split: raw retention emissions = upserts ⊎ evictions " +
+      "(disjoint, exhaustive); eviction face = one marker per eviction " +
+      "EVENT (re-eviction yields two); reserved op rejected loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val day = 86400000000L
+    def d(n: Long) = n * day
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noDataKey, "true")
+    spark.conf.set(noDataKey, "false")
+    val mem = MemoryStream[Chg]
+    val name = "graft_cdc_face_split_spec"
+    val q = CdcStream.upsertRetention(mem.toDS(), retentionUs = 3L * day)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      Seq(
+        Seq(Chg(1, d(1), 1, "I", 1.0), Chg(2, d(1) + 1L, 2, "I", 2.0)),
+        Seq(Chg(99, d(10), 3, "U", 0.0)), // wm -> d10 after this batch
+        Seq(Chg(99, d(11), 4, "U", 0.0)), // under wm d10: evict 1, 2
+        Seq(Chg(1, d(14), 5, "U", 9.0)),  // re-activates key 1
+        Seq(Chg(99, d(20), 6, "U", 0.0)), // wm -> d20 after this batch
+        Seq(Chg(99, d(21), 7, "U", 0.0))  // under wm d20: evict 1 AGAIN
+      ).foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.stop()
+      val all = spark.table(name).as[CdcStream.Upsert].collect().toSeq
+      val ups = CdcStream.upsertsOnly(spark.table(name)
+        .as[CdcStream.Upsert]).collect().toSeq
+      val evs = CdcStream.evictionsOnly(spark.table(name)
+        .as[CdcStream.Upsert]).collect().toSeq
+      // disjoint and exhaustive: the two faces partition the raw stream
+      assert((ups ++ evs).sortBy(u => (u.user_id, u.last_us, u.last_op))
+        == all.sortBy(u => (u.user_id, u.last_us, u.last_op)))
+      assert(ups.forall(_.last_op != CdcStream.EvictedOp))
+      assert(evs.forall(_.last_op == CdcStream.EvictedOp))
+      // upsert face: exactly the live-state emissions, input ops only
+      assert(ups.map(_.last_op).toSet == Set("I", "U"))
+      assert(ups.size == 7) // 2 inserts + re-activation + 4 key-99 beats
+      // eviction face: one marker per eviction EVENT, carrying the
+      // last-committed state at removal — key 1 evicted TWICE
+      assert(evs.sortBy(u => (u.user_id, u.last_us)) == Seq(
+        CdcStream.Upsert(1, CdcStream.EvictedOp, d(1), 1, 1.0),
+        CdcStream.Upsert(1, CdcStream.EvictedOp, d(14), 5, 9.0),
+        CdcStream.Upsert(2, CdcStream.EvictedOp, d(1) + 1L, 2, 2.0)))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.conf.set(noDataKey, prevNoData)
+      spark.catalog.dropTempView(name)
+    }
+    // the reserved marker op is rejected loudly at the handler
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val ex = intercept[Exception] {
+      CdcStream.replayRetention(spark,
+        Seq(Chg(5, d(1), 1, "evicted", 0.0), Chg(6, d(2), 2, "I", 1.0)),
+        retentionUs = 3L * day, flushUs = d(9)).collect()
+    }
+    assert(messages(ex).exists(_.contains("reserved")), messages(ex))
+  }
+
   test("replayRetention: final table equals the batch LWW window " +
       "restricted to the retention horizon") {
     val spark2 = spark
