@@ -69,9 +69,15 @@ object QueryOps {
     * Shape: k-1 dependent mins, each a join + aggregate keyed on the
     * entity — every shuffle is entity-keyed and k is the (small)
     * funnel length, so the plan is k co-partitioned passes, no
-    * windows over the whole event stream; each step's event slice is
-    * a type-filter pushed to the scan, and the carried frame is one
-    * row per funnel-entered entity, shrinking with depth. */
+    * windows over the whole event stream; the carried frame is one
+    * row per funnel-entered entity, shrinking with depth. The event
+    * stream is SCANNED ONCE (r13): the step-type filter + 3-column
+    * projection materialize lazily as a local checkpoint on the first
+    * pass, and every later step slice reads those blocks — the k-scan
+    * form re-read the fact table per step, a k× I/O multiplier that
+    * at 100 TB dwarfs the joins (and that the 10× sweep surfaced as a
+    * cold-cache tail when the sweep evicted the parquet between
+    * scans). */
   def funnel(df: DataFrame, entity: Column, orderCol: Column,
              etype: Column, steps: Seq[String],
              maxGap: Option[Long] = None): DataFrame = {
@@ -79,6 +85,8 @@ object QueryOps {
     require(maxGap.forall(_ > 0), "maxGap must be > 0 when set")
     val events = df.select(entity.as("entity"), orderCol.as("__ts"),
       etype.as("__e"))
+      .filter(col("__e").isin(steps: _*))
+      .localCheckpoint(false)
     val first = events.filter(col("__e") === steps.head)
       .groupBy("entity").agg(min(col("__ts")).as("t1"))
     val full = steps.zipWithIndex.tail.foldLeft(first) {

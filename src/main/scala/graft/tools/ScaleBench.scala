@@ -38,6 +38,14 @@ object ScaleBench {
     "q_join_outer", "q_window_pplimit", "q_window_lag",
     "q_asof_latest_order", "q_sessionize", "q_events_hourly",
     "q_session_window", "q_retention", "q_funnel",
+    // r13 (r11 verdict item 7): the two remaining event-stream gates,
+    // placed with their family. Sub-second-base caveat (PERF.md round
+    // 13): q_funnel_windowed's RATIO is sweep-context-sensitive (2.1x
+    // focused min-of-4, 3.2-4.0x inside the 44-query sweep — the
+    // sweep warms the base's cache and ages the heap under the 10x
+    // run, same plan both ways); the absolute 10x wall (1.6-2.2 s)
+    // is the stable evidence
+    "q_funnel_windowed", "q_sequence_match",
     "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
     "q_normalize", "q_heavy_hitters", "q_dedup_exact", "q_lm_quality",
     // warehouse family (round 8) — the members whose WORK scales
@@ -91,11 +99,7 @@ object ScaleBench {
     // q_containment (doc_id < 60 verification slice);
     // q_pagerank_personalized (%1000-node densification, as uniform);
     // q_stream_cdc (bounded replay slice)
-    "q_drift_rolling_psi",
-    // round 13 (r11 verdict item 7): the two remaining event-stream
-    // gates — both user-keyed full events scans, so replica user
-    // offsets scale the GROUP count linearly at fixed per-group size
-    "q_funnel_windowed", "q_sequence_match")
+    "q_drift_rolling_psi")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
