@@ -327,6 +327,21 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("codes"), p)
   }
 
+  test("funnel scans the event stream once: every step slice reads " +
+      "the checkpointed 3-column frame, not the parquet again") {
+    // r13: the k-scan form re-read the fact table per step — a k-times
+    // I/O multiplier at 100 TB. One FileScan in the k-step plan pins
+    // the one-scan shape (the checkpoint's LogicalRDD feeds the rest).
+    val df = graft.query.EventQueries.funnelWindowed(spark, dir)
+    // materialize the lazy checkpoint so the executed plan is final
+    df.count()
+    val p = plan(df)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"funnel plans $scans parquet scans:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      "step slices should read the checkpointed frame\n" + p)
+  }
+
   test("co-located bucketed join needs no exchange at all") {
     // the 100 TB co-location tool: both sides bucketed on the join key
     // at write time -> the join reads pre-shuffled data
