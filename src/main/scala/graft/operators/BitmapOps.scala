@@ -96,6 +96,51 @@ object BitmapOps {
           .as("jaccard_ppm"))
   }
 
+  /** Rolling-window EXACT distinct counts — "7-day rolling uniques",
+    * the classic OLAP ask whose naive forms both explode at scale: a
+    * per-window re-aggregation re-reads `window` periods of raw
+    * events per output period (window× the fact I/O), and a
+    * count-distinct over an exploded (period × offsets) frame ships
+    * every (window-period, id) pair through an Expand shuffle. Here
+    * the fact table is touched ONCE ([[segmentBitmaps]] with the
+    * period as the segment: per-(period, bucket) blobs, duplicates
+    * dead map-side), and the window fan-out rides the BOUNDED bitmap
+    * frame — `periods × idSpace/65536` rows of ≤ 8 KiB, each
+    * replicated `window` times into the trailing windows it serves
+    * and union-merged by `graft_bitmap_or_agg` (the OR-of-ORs is the
+    * same idempotent merge, so the second aggregate also combines
+    * map-side). At 10^10 ids × 365 days × window 28 the fanned frame
+    * is ~1.5 TB spread across the cluster — vs 28× a 100 TB scan.
+    *
+    * Output: (period, n_distinct) — distinct `id`s observed in the
+    * TRAILING window `[period − window + 1, period]`, one row per
+    * period PRESENT in the input (gap periods are not emitted,
+    * matching the DISTINCT-periods oracle form). NULL ids excluded as
+    * in [[segmentOverlap]]. `window = 1` degenerates to per-period
+    * distinct counts. */
+  def rollingDistinct(df: DataFrame, period: Column, id: Column,
+                      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val daily = segmentBitmaps(df, period.cast("long"), id)
+      .withColumnRenamed("seg", "p")
+    val present = daily.select($"p".as("period")).distinct()
+    daily
+      // each (p, bucket, bm) serves the trailing windows ending at
+      // p .. p + window - 1; the explode fans BLOBS, not events
+      .withColumn("period", explode(expr(
+        s"sequence(p, p + ${window - 1}L)")))
+      .groupBy("period", "bucket")
+      .agg(native("graft_bitmap_or_agg", $"bm").as("bm"))
+      .groupBy("period")
+      .agg(sum(native("graft_bitmap_count", $"bm")).as("n_distinct"))
+      // emit only observed periods (drops the max(p)+k tail and any
+      // calendar gaps) — a broadcast semi-join on the tiny period set
+      .join(broadcast(present), Seq("period"), "left_semi")
+      .select($"period", $"n_distinct")
+  }
+
   /** Ids per bitmap bucket — one 8 KiB dense bitset. */
   val BucketWidth: Int = graft.plans.BitmapCode.Width
 }

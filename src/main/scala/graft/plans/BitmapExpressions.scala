@@ -129,6 +129,30 @@ object BitmapCode {
     buf
   }
 
+  /** OR a WIRE blob into a dense aggregation buffer — the update path
+    * of `graft_bitmap_or_agg` (bitmap-of-bitmaps merge: re-windowing a
+    * per-period bitmap frame unions blobs, never re-touching raw
+    * events). Sparse blobs set their offsets; dense blobs OR byte-wise
+    * into the words. */
+  def orBytes(buf: Array[Long], blob: Array[Byte]): Array[Long] = {
+    if (blob.length == 0) return buf
+    if (blob(0) == 1) {
+      var k = 1
+      while (k + 1 < blob.length) {
+        val off = (blob(k) & 0xff) | ((blob(k + 1) & 0xff) << 8)
+        buf(off >>> 6) |= 1L << (off & 63)
+        k += 2
+      }
+    } else {
+      var i = 1
+      while (i < blob.length) {
+        buf((i - 1) >>> 3) |= (blob(i) & 0xffL) << (((i - 1) & 7) * 8)
+        i += 1
+      }
+    }
+    buf
+  }
+
   /** Bit test inside a DENSE payload (bytes after the tag). */
   private def denseHas(a: Array[Byte], off: Int): Boolean = {
     val byteIdx = 1 + (off >>> 3)
@@ -243,6 +267,62 @@ case class BitmapAggExpr(
 object BitmapAggExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[BitmapAggExpr], "graft_bitmap_agg")
+}
+
+/** `graft_bitmap_or_agg(blob)` — exact UNION of bitmap blobs: the
+  * second-level aggregate that makes bitmap frames COMPOSABLE.
+  * `graft_bitmap_agg` folds raw offsets into per-group blobs once;
+  * this aggregate then unions those blobs under any coarser or
+  * re-windowed grouping (rolling windows, segment unions, day →
+  * month rollups) without ever re-touching the raw rows — the
+  * OR-of-ORs is the same idempotent merge, so duplicates still die
+  * map-side and a shuffle row stays one (group, ≤8 KiB) blob. */
+case class BitmapOrAggExpr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY bitmap blobs, got " +
+        child.dataType.simpleString)
+
+  override def createAggregationBuffer(): Array[Long] = BitmapCode.emptyBuffer()
+
+  override def update(buf: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) BitmapCode.orBytes(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    BitmapCode.or(a, b)
+
+  override def eval(buf: Array[Long]): Any = BitmapCode.toBytes(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BitmapCode.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    BitmapCode.fromBytes(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bitmap_or_agg"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(
+      newChild: Expression): BitmapOrAggExpr = copy(child = newChild)
+}
+
+object BitmapOrAggExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[BitmapOrAggExpr],
+      "graft_bitmap_or_agg")
 }
 
 /** `graft_bitmap_and_count(a, b)` — exact |A ∩ B| of two bitmap blobs

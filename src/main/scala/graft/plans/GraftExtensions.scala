@@ -123,6 +123,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     (FunctionIdentifier("graft_bitmap_agg"), BitmapAggExpr.info,
       (es: Seq[Expression]) => BitmapAggExpr(es.head)),
+    (FunctionIdentifier("graft_bitmap_or_agg"), BitmapOrAggExpr.info,
+      (es: Seq[Expression]) => BitmapOrAggExpr(es.head)),
     (FunctionIdentifier("graft_bitmap_and_count"), BitmapAndCountExpr.info,
       (es: Seq[Expression]) => BitmapAndCountExpr(es(0), es(1))),
     (FunctionIdentifier("graft_bitmap_count"), BitmapCountExpr.info,

@@ -355,7 +355,33 @@ object EventQueries {
       |FROM seq WHERE len(regexp_extract_all(s, 'v[^ep]*p')) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** Rolling 7-day exact distinct users
+    * ([[graft.operators.BitmapOps.rollingDistinct]]): one event scan
+    * to per-(day, bucket) bitmaps, then the window fan-out rides the
+    * bounded blob frame through the `graft_bitmap_or_agg` union —
+    * never a per-window re-scan, never a count-distinct Expand. Days
+    * as epoch-day longs (the retention gate's derivation). */
+  def rollingDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BitmapOps
+      .rollingDistinct(ev(s, dir),
+        datediff(to_date(col("ets")), lit("1970-01-01")).cast("long"),
+        col("user_id"), window = 7)
+      .orderBy("period")
+
+  val rollingDistinctUsersSql: String =
+    """WITH d AS (SELECT DISTINCT
+      |    datediff('day', DATE '1970-01-01',
+      |             CAST(date_trunc('day', ts) AS DATE)) AS p,
+      |    user_id AS id
+      |  FROM events WHERE user_id IS NOT NULL),
+      |ps AS (SELECT DISTINCT p FROM d)
+      |SELECT ps.p AS period, count(DISTINCT d.id) AS n_distinct
+      |FROM ps JOIN d ON d.p BETWEEN ps.p - 6 AND ps.p
+      |GROUP BY 1 ORDER BY period""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_rolling_distinct" ->
+      (rollingDistinctUsers _, rollingDistinctUsersSql),
     "q_segment_overlap" -> (segmentOverlap _, segmentOverlapSql),
     "q_sequence_match" -> (sequenceMatchViews _, sequenceMatchViewsSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),

@@ -248,7 +248,12 @@ object ExplainDump {
       "q_sequence_match (one shuffle to the entity; collect_list " +
         "partial agg, sort/regex once per ENTITY; the bounded-group " +
         "count guard rides every output column, pruning-proof)" ->
-        graft.query.EventQueries.sequenceMatchViews(spark, sfDir))
+        graft.query.EventQueries.sequenceMatchViews(spark, sfDir),
+      "q_rolling_distinct (one event scan to per-(day, bucket) " +
+        "bitmaps; the 7-day fan-out explodes the BLOB frame, " +
+        "graft_bitmap_or_agg unions map-side, broadcast semi-join " +
+        "trims to observed days — no per-window re-scan, no Expand)" ->
+        graft.query.EventQueries.rollingDistinctUsers(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every

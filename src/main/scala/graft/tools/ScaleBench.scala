@@ -46,6 +46,11 @@ object ScaleBench {
     // run, same plan both ways); the absolute 10x wall (1.6-2.2 s)
     // is the stable evidence
     "q_funnel_windowed", "q_sequence_match",
+    // r13: rolling 7-day distinct via bitmap OR-merge — one event
+    // scan; replica user offsets grow the id space 10x, so the
+    // per-(day, bucket) blob frame (the only thing the window
+    // fan-out touches) grows 10x while days stay fixed
+    "q_rolling_distinct",
     "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
     "q_normalize", "q_heavy_hitters", "q_dedup_exact", "q_lm_quality",
     // warehouse family (round 8) — the members whose WORK scales

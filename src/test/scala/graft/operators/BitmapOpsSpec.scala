@@ -106,6 +106,58 @@ class BitmapOpsSpec extends SparkTestBase {
     assert(!got.exists(t => t._1 == "d" || t._2 == "d"))
   }
 
+  test("orBytes unions every representation pair exactly") {
+    def blobOf(offs: Seq[Int]): Array[Byte] = {
+      val b = BitmapCode.emptyBuffer()
+      offs.foreach(BitmapCode.set(b, _))
+      BitmapCode.toBytes(b)
+    }
+    val sparse = blobOf(Seq(1, 9, 200))
+    val dense = blobOf(0 until 5000) // past SparseMax -> dense
+    val empty = BitmapCode.toBytes(BitmapCode.emptyBuffer())
+    def union(a: Array[Byte], b: Array[Byte]): Long = {
+      val buf = BitmapCode.emptyBuffer()
+      BitmapCode.orBytes(buf, a)
+      BitmapCode.orBytes(buf, b)
+      BitmapCode.count(BitmapCode.toBytes(buf))
+    }
+    assert(union(sparse, sparse) === 3L)
+    assert(union(sparse, dense) === 5000L) // {1,9,200} ⊂ [0,5000)
+    assert(union(dense, blobOf(Seq(6000, 65535))) === 5002L)
+    assert(union(empty, sparse) === 3L && union(empty, empty) === 0L)
+  }
+
+  test("rollingDistinct matches brute-force windowed count(distinct), " +
+      "including gaps, duplicates, bucket-straddling ids, and w=1") {
+    import spark.implicits._
+    // days 10,11,12, GAP, 15 — ids repeat within and across days and
+    // straddle the 65,536 bucket boundary; nulls excluded by contract
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (10L, 1L), (10L, 1L), (10L, 70000L),
+      (11L, 1L), (11L, 2L),
+      (12L, 131073L), (12L, 70000L),
+      (15L, 1L), (15L, null)
+    ).toDF("p", "id")
+    def brute(w: Int): Map[Long, Long] = {
+      val d = rows.filter($"id".isNotNull).distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ps = d.map(_._1).distinct
+      ps.map(p => p ->
+        d.filter(x => x._1 >= p - w + 1 && x._1 <= p).map(_._2)
+          .distinct.length.toLong).toMap
+    }
+    for (w <- Seq(1, 3, 7)) {
+      val got = BitmapOps.rollingDistinct(rows, $"p", $"id", w)
+        .as[(Long, Long)].collect().toMap
+      assert(got === brute(w), s"w=$w")
+    }
+    // the trailing-window semantics, spelled out: at w=3, day 12 sees
+    // days 10..12 = {1, 70000, 2, 131073}; gap day 15 sees only itself
+    val w3 = BitmapOps.rollingDistinct(rows, $"p", $"id", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(w3(12L) === 4L && w3(15L) === 1L)
+  }
+
   test("graft_bitmap_agg dedups map-side: duplicates don't change the blob") {
     import spark.implicits._
     val once = Seq(1, 5, 9).toDF("off")
