@@ -164,7 +164,10 @@ object Scale100 {
           pmod(xxhash64(col("id")), lit(idSpace)).as("uid"))
       def overlap(idSpace: Long): Long = BitmapOps
         .segmentOverlap(segDf(idSpace), col("seg"), col("uid")).count()
-      for (sp <- Seq(1000000L, 100000000L)) {
+      // three decades of id space: dense (10^6), sparse (10^8), and
+      // near-empty buckets (10^9 — ids thinner than one per bucket,
+      // the blob floor where the tag + a few offsets is the whole row)
+      for (sp <- Seq(1000000L, 100000000L, 1000000000L)) {
         val r = BitmapOps
           .segmentBitmaps(segDf(sp), col("seg"), col("uid"))
           .agg(count(lit(1)).as("rows"), avg(length(col("bm"))).as("avg"),
