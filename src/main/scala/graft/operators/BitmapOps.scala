@@ -40,22 +40,18 @@ object BitmapOps {
   private def native(fn: String, args: Column*): Column =
     GraftExtensions.nativeFn(fn, args: _*)
 
-  /** Pairwise exact overlap of the distinct `id` sets per `seg`.
-    * Columns: seg_a, seg_b (seg_a < seg_b), n_common, n_a, n_b,
-    * jaccard_ppm.
+  /** The (seg, bucket, bm) bitmap frame the operators below build on —
+    * also exposed so measurement harnesses can probe the WIRE cost
+    * (`length(bm)`) of the adaptive sparse/dense encoding directly
+    * (the Scale100 id-space leg and PERF.md's memory row read it).
     *
     * NULL ids are EXCLUDED up front (explicit `isNotNull` filter): a
     * bitmap has no slot for "unknown member", and without the filter
     * NULLs would silently vanish from the bitmaps (skipped by the
     * aggregate, never equi-joined) while a DISTINCT-self-join oracle
-    * counts NULL as one distinct member per segment in n_a/n_b —
-    * diverging sizes and jaccard_ppm on nullable id columns. The
-    * oracle form therefore carries `WHERE id IS NOT NULL`. */
-  /** The (seg, bucket, bm) bitmap frame `segmentOverlap` joins —
-    * exposed so measurement harnesses can probe the WIRE cost
-    * (`length(bm)`) of the adaptive sparse/dense encoding directly
-    * (the Scale100 id-space leg and PERF.md's memory row read it).
-    * NULL ids excluded, as documented on [[segmentOverlap]]. */
+    * counts NULL as one distinct member per segment — diverging sizes
+    * and ratios on nullable id columns. Every oracle form over these
+    * operators therefore carries `WHERE id IS NOT NULL`. */
   def segmentBitmaps(df: DataFrame, seg: Column, id: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -73,6 +69,9 @@ object BitmapOps {
       .agg(native("graft_bitmap_agg", $"off").as("bm"))
   }
 
+  /** Pairwise exact overlap of the distinct `id` sets per `seg`.
+    * Columns: seg_a, seg_b (seg_a < seg_b), n_common, n_a, n_b,
+    * jaccard_ppm (integral parts-per-million — cross-engine-stable). */
   def segmentOverlap(df: DataFrame, seg: Column, id: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -125,6 +124,13 @@ object BitmapOps {
     import spark.implicits._
     val daily = segmentBitmaps(df, period.cast("long"), id)
       .withColumnRenamed("seg", "p")
+      // ONE event scan, enforced: both consumers below (the observed-
+      // period set and the window fan-out) read these blocks. Without
+      // the cut, column pruning drops `bm` from the period-set
+      // subtree's aggregate, the two exchanges stop being canonically
+      // equal, ReuseExchange misses, and the events table is scanned
+      // twice (caught by the r13 plan review; PlanSpec pins <= 1 scan)
+      .localCheckpoint(false)
     val present = daily.select($"p".as("period")).distinct()
     daily
       // each (p, bucket, bm) serves the trailing windows ending at

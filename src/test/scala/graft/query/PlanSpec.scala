@@ -342,6 +342,19 @@ class PlanSpec extends SparkTestBase {
       "step slices should read the checkpointed frame\n" + p)
   }
 
+  test("rolling distinct scans events once: the observed-period set " +
+      "and the window fan-out both read the checkpointed blob frame") {
+    // without the cut, column pruning drops bm from the period-set
+    // subtree's aggregate, the exchanges stop being canonically equal,
+    // ReuseExchange misses, and events is scanned twice (r13 review)
+    val df = graft.query.EventQueries.rollingDistinctUsers(spark, dir)
+    df.count() // materialize the lazy checkpoint -> final plan
+    val p = plan(df)
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      "rolling distinct should scan the fact table at most once\n" + p)
+    assert(!p.contains("Expand"), "no count-distinct Expand\n" + p)
+  }
+
   test("co-located bucketed join needs no exchange at all") {
     // the 100 TB co-location tool: both sides bucketed on the join key
     // at write time -> the join reads pre-shuffled data
