@@ -136,14 +136,20 @@ object Scale100 {
         f" ratio=$r%6.1f per_unit=${r / k}%5.2f (linear=$k)")
     }
 
-    // --- OrderStats / GlobalRank / BPE / sequence match via the
-    // driver queries (q_sequence_match scales ENTITIES — 100x users
-    // from the replica offsets, per-entity sequences unchanged, so the
-    // entity shuffle + per-group regex must track the user count) ---
+    // --- OrderStats / GlobalRank / BPE / event operators via the
+    // driver queries. The events-replica legs all scale ENTITIES
+    // (100x users from the replica offsets, per-entity event streams
+    // unchanged): q_sequence_match's entity shuffle + per-group
+    // regex, q_funnel_windowed's one-scan checkpoint + entity-keyed
+    // step joins (its 10x RATIO is sweep-context-noisy at a
+    // sub-second base — this leg is the clean measurement), and
+    // q_rolling_distinct's per-(day, bucket) blob frame (the id
+    // space, and with it the frame, grows 100x at fixed days). ---
     val qs = graft.SparkEntry.queries
     for (q <- Seq("q_winsorize", "q_histogram_equidepth",
         "q_rank_transform", "q_bpe_encode_docs",
-        "q_sequence_match") if on(q)) {
+        "q_sequence_match", "q_funnel_windowed",
+        "q_rolling_distinct") if on(q)) {
       val fn = qs(q)
       record(q, time(fn(spark, sfDir).count())._2,
         time(fn(spark, outDir).count())._2)
