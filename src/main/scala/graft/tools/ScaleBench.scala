@@ -215,10 +215,20 @@ object ScaleBench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$outDir/lineitem.parquet").count()
 
+    // per-row 1-min loadavg at query start (the Bench r11 discipline):
+    // sub-second-base RATIOS are sweep-context-sensitive (PERF.md round
+    // 13 — the sweep warms the base's cache and ages the heap under the
+    // scaled run), so the artifact carries the context a future
+    // adjudication needs instead of leaving it to be re-derived
+    def load1: Double = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").head.toDouble
+    } catch { case _: Throwable => -1.0 }
     val qs = graft.SparkEntry.queries
     val picked = headline.filter(n => only.forall(_.contains(n)))
     val rows = picked.map { name =>
       val fn = qs(name)
+      val l = load1
       def time(dir: String): Double = (1 to runsPer).map { _ =>
         val s = System.nanoTime()
         fn(spark, dir).count()
@@ -228,8 +238,8 @@ object ScaleBench {
       val scaled = time(outDir)
       val ratio = scaled / base
       println(f"[scale-bench] $name%-24s sf0.1=$base%7.2fs " +
-        f"${k}x=$scaled%7.2fs ratio=$ratio%5.1f runs=$runsPer")
-      (name, base, scaled, ratio)
+        f"${k}x=$scaled%7.2fs ratio=$ratio%5.1f runs=$runsPer load1=$l%.1f")
+      (name, base, scaled, ratio, l)
     }
     if (only.isDefined) { // focused probe: stop after the named queries
       spark.stop()
@@ -370,8 +380,8 @@ object ScaleBench {
     println(f"[scale-bench] SUMMARY k=$k queries=${rows.size} " +
       f"median_ratio=${rows.map(_._4).sorted.apply(rows.size / 2)}%.1f " +
       f"worst=${worst._1}:${worst._4}%.1f")
-    val json = (rows.map { case (n, b, s, r) =>
-      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f}"""
+    val json = (rows.map { case (n, b, s, r, l) =>
+      f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"load1":$l%.2f}"""
     } :+ f""""dedup_embedding_prodcfg":{"base":$tb%.3f,"scaled":$tsc%.3f,"ratio":${tsc / tb}%.2f,"base_pairs":$nb,"scaled_pairs":$ns}"""
       :+ f""""multimodal_meta_full":{"base":$mtb%.3f,"scaled":$mtsc%.3f,"ratio":${mtsc / mtb}%.2f,"base_rows":$mnb,"scaled_rows":$mns}"""
       :+ f""""multimodal_features_full":{"base":$ftb%.3f,"scaled":$ftsc%.3f,"ratio":${ftsc / ftb}%.2f,"base_rows":$fnb,"scaled_rows":$fns}"""
