@@ -40,11 +40,12 @@ object ScaleBench {
     "q_session_window", "q_retention", "q_funnel",
     // r13 (r11 verdict item 7): the two remaining event-stream gates,
     // placed with their family. Sub-second-base caveat (PERF.md round
-    // 13): q_funnel_windowed's RATIO is sweep-context-sensitive (2.1x
-    // focused min-of-4, 3.2-4.0x inside the 44-query sweep — the
-    // sweep warms the base's cache and ages the heap under the 10x
-    // run, same plan both ways); the absolute 10x wall (1.6-2.2 s)
-    // is the stable evidence
+    // 13): q_funnel_windowed's RATIO is sweep-context-sensitive
+    // (2.1x focused min-of-4, 2.3-4.0x in-sweep across r13 passes —
+    // the sweep warms the base's cache and ages the heap under the
+    // 10x run, same plan both ways); the stable evidence is the
+    // absolute 10x wall (1.5-2.2 s) and the 100x entity leg
+    // (per-unit 0.04, Scale100); each row's load1 is in the artifact
     "q_funnel_windowed", "q_sequence_match",
     // r13: rolling 7-day distinct via bitmap OR-merge — one event
     // scan; replica user offsets grow the id space 10x, so the
