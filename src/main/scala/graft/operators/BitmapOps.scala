@@ -51,7 +51,18 @@ object BitmapOps {
     * aggregate, never equi-joined) while a DISTINCT-self-join oracle
     * counts NULL as one distinct member per segment — diverging sizes
     * and ratios on nullable id columns. Every oracle form over these
-    * operators therefore carries `WHERE id IS NOT NULL`. */
+    * operators therefore carries `WHERE id IS NOT NULL`.
+    *
+    * NON-CASTABLE ids FAIL LOUDLY (ADVICE r13): `cast('long')` turns a
+    * non-numeric string id into NULL, which the filter above would
+    * then silently drop — a member vanishing from every count with no
+    * signal. A per-row guard (input non-null ⇒ cast non-null) rides
+    * the id expression itself, so a `"user-42"` id fails the job with
+    * the remedy (map ids to integers first — `dense_rank`/`hash` or a
+    * dimension join) instead of under-counting. Under ANSI mode
+    * (Spark 4's default) the cast throws Spark's own CAST_INVALID_INPUT
+    * first — also loud; the guard closes the silent-drop hole in
+    * non-ANSI sessions and carries the graft-specific remedy. */
   def segmentBitmaps(df: DataFrame, seg: Column, id: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -59,7 +70,20 @@ object BitmapOps {
     // full long range (a double division is only exact to 2^53):
     // id − pmod is a multiple of the width, so truncating `div`
     // equals floor even for negative ids.
-    df.select(seg.as("seg"), id.cast("long").as("__id"))
+    //
+    // The cast guard: assert_true yields NULL when the row passes, so
+    // coalesce(guard, cast) IS the cast — riding the only column every
+    // downstream consumer (bucket AND offset) derives from, where no
+    // projection can prune it.
+    df.select(seg.as("seg"),
+        coalesce(
+          assert_true(id.isNull || id.cast("long").isNotNull,
+            concat(lit("segmentBitmaps: id value '"), id.cast("string"),
+              lit("' is not castable to BIGINT — bitmap ids must be " +
+                "integral; map non-numeric ids to integers first " +
+                "(dense_rank over the id dimension, or a surrogate-key " +
+                "join)"))).cast("long"),
+          id.cast("long")).as("__id"))
       .where($"__id".isNotNull)
       .select(col("seg"),
         expr(s"(__id - pmod(__id, $BucketWidth)) div $BucketWidth")

@@ -112,11 +112,18 @@ object IntervalPlan {
                maxHotBucketProduct: Double = 1e8): Long = {
     require(lenQuantile > 0.0 && lenQuantile <= 1.0,
       s"lenQuantile must be in (0, 1], got $lenQuantile")
+    // rows = BOTH-BOUNDS-NON-NULL count, not count(*): a NULL-bound
+    // row produces no bucket registrations (sequence(NULL,·) is NULL,
+    // explode drops it), so dividing Σn by count(*) would understate
+    // the fan-out on heavily-null tables — passing planSelf while
+    // requireFit (whose avg already skips NULL fan-outs) fails the
+    // same width (ADVICE r13).
     val sized = df.agg(
       percentile_approx(
         ref(eCol).cast("long") - ref(sCol).cast("long") + lit(1L),
         lit(lenQuantile), lit(10000)).cast("long").as("w"),
-      count(lit(1)).as("n")).head()
+      count(when(ref(sCol).isNotNull && ref(eCol).isNotNull, 1))
+        .as("n")).head()
     require(!sized.isNullAt(0),
       "bucketWidthFor over an empty interval table — no length " +
         "distribution to size from")

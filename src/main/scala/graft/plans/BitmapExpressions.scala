@@ -109,25 +109,12 @@ object BitmapCode {
     }
   }
 
-  def fromBytes(bytes: Array[Byte]): Array[Long] = {
-    val buf = emptyBuffer()
-    if (bytes.length == 0) return buf
-    if (bytes(0) == 1) {
-      var k = 1
-      while (k + 1 < bytes.length) {
-        val off = (bytes(k) & 0xff) | ((bytes(k + 1) & 0xff) << 8)
-        buf(off >>> 6) |= 1L << (off & 63)
-        k += 2
-      }
-    } else {
-      var i = 1
-      while (i < bytes.length) {
-        buf((i - 1) >>> 3) |= (bytes(i) & 0xffL) << (((i - 1) & 7) * 8)
-        i += 1
-      }
-    }
-    buf
-  }
+  /** Decode a wire blob into a fresh dense buffer. ONE decoder exists
+    * for the tagged wire format — this is [[orBytes]] into an empty
+    * buffer (ADVICE r13: two verbatim decode loops could drift if the
+    * format ever changes; OR-into-empty IS decode). */
+  def fromBytes(bytes: Array[Byte]): Array[Long] =
+    orBytes(emptyBuffer(), bytes)
 
   /** OR a WIRE blob into a dense aggregation buffer — the update path
     * of `graft_bitmap_or_agg` (bitmap-of-bitmaps merge: re-windowing a

@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object QueryOps {
 
+  /** How [[funnel]] materializes the step-filtered event slice it
+    * re-reads once per step (ADVICE r13: the one-scan win must not
+    * silently cost fault tolerance when the slice is fact-table-sized).
+    *
+    *  - [[FunnelScan.LocalCheckpoint]] (default): lazy
+    *    `localCheckpoint` — fastest re-read (executor-local blocks,
+    *    lineage CUT). NOT fault tolerant: losing an executor loses
+    *    blocks the job cannot recompute. Right when the funnel steps
+    *    select a small fraction of the fact table — the common case.
+    *  - [[FunnelScan.DiskPersist]]: `persist(DISK_ONLY)` — same
+    *    executor-local disk footprint, lineage KEPT, so an executor
+    *    loss recomputes the missing slice instead of failing the job.
+    *    Right when `steps` covers most event types at cluster scale
+    *    (the slice ≈ the fact table): at 100 TB an executor loss over
+    *    a multi-hour funnel is an expectation, not an edge case.
+    *  - [[FunnelScan.Rescan]]: no materialization — each step re-scans
+    *    the source (k scans, the pre-r13 shape). The opt-out when the
+    *    slice exceeds what executor disks should hold; the parquet
+    *    scan's pushed `isin(steps)` filter is then the only reuse.
+    *
+    * Rule of thumb: slice ≤ ~10% of the fact table → default; slice
+    * comparable to the fact table → `DiskPersist`; slice larger than
+    * aggregate executor disk → `Rescan`. */
+  sealed trait FunnelScan
+  object FunnelScan {
+    case object LocalCheckpoint extends FunnelScan
+    case object DiskPersist extends FunnelScan
+    case object Rescan extends FunnelScan
+  }
+
   /** W1: CQL `PER PARTITION LIMIT n` — first n clustering-ordered rows
     * per partition key. One shuffle on the partition key; no global
     * sort, no driver materialization. */
@@ -72,21 +102,28 @@ object QueryOps {
     * windows over the whole event stream; the carried frame is one
     * row per funnel-entered entity, shrinking with depth. The event
     * stream is SCANNED ONCE (r13): the step-type filter + 3-column
-    * projection materialize lazily as a local checkpoint on the first
-    * pass, and every later step slice reads those blocks — the k-scan
-    * form re-read the fact table per step, a k× I/O multiplier that
-    * at 100 TB dwarfs the joins (and that the 10× sweep surfaced as a
-    * cold-cache tail when the sweep evicted the parquet between
-    * scans). */
+    * projection materialize on the first pass (per `scan` —
+    * [[FunnelScan]] picks the local-checkpoint / disk-persist /
+    * rescan trade, ADVICE r13), and every later step slice reads
+    * those blocks — the k-scan form re-read the fact table per step,
+    * a k× I/O multiplier that at 100 TB dwarfs the joins (and that
+    * the 10× sweep surfaced as a cold-cache tail when the sweep
+    * evicted the parquet between scans). */
   def funnel(df: DataFrame, entity: Column, orderCol: Column,
              etype: Column, steps: Seq[String],
-             maxGap: Option[Long] = None): DataFrame = {
+             maxGap: Option[Long] = None,
+             scan: FunnelScan = FunnelScan.LocalCheckpoint): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(maxGap.forall(_ > 0), "maxGap must be > 0 when set")
-    val events = df.select(entity.as("entity"), orderCol.as("__ts"),
+    val slice = df.select(entity.as("entity"), orderCol.as("__ts"),
       etype.as("__e"))
       .filter(col("__e").isin(steps: _*))
-      .localCheckpoint(false)
+    val events = scan match {
+      case FunnelScan.LocalCheckpoint => slice.localCheckpoint(false)
+      case FunnelScan.DiskPersist =>
+        slice.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case FunnelScan.Rescan => slice
+    }
     val first = events.filter(col("__e") === steps.head)
       .groupBy("entity").agg(min(col("__ts")).as("t1"))
     val full = steps.zipWithIndex.tail.foldLeft(first) {
@@ -113,8 +150,10 @@ object QueryOps {
     * before one k·steps-row aggregate. */
   def funnelSummary(df: DataFrame, entity: Column, orderCol: Column,
                     etype: Column, steps: Seq[String],
-                    maxGap: Option[Long] = None): DataFrame = {
-    val rt = funnel(df, entity, orderCol, etype, steps, maxGap)
+                    maxGap: Option[Long] = None,
+                    scan: FunnelScan = FunnelScan.LocalCheckpoint)
+      : DataFrame = {
+    val rt = funnel(df, entity, orderCol, etype, steps, maxGap, scan)
     val stepStructs = steps.zipWithIndex.map { case (s, i) =>
       struct(lit(i + 1).as("step"), lit(s).as("step_name"),
         (col("depth") >= i + 1).cast("long").as("__r"))
@@ -395,10 +434,17 @@ object QueryOps {
     * an inline `assert_true` reads the per-entity event COUNT (folded
     * into the same aggregate, no second pass) and fails with a message
     * naming the pre-split-by-day remedy when any entity exceeds
-    * `maxSeqLen`. The guard rides EVERY output column, so a caller
-    * projecting only `(entity, n_matches)` cannot prune it away
-    * (ADVICE r12: a guard attached to one column silently vanished
-    * under column pruning). It fires at the aggregate's OUTPUT —
+    * `maxSeqLen`. The guard rides EVERY output column — `entity`
+    * included, via a non-foldable `when` passthrough (ADVICE r13: the
+    * numeric-column trick left an entity-only projection prunable) —
+    * so no column-level projection can prune it away (ADVICE r12: a
+    * guard attached to one column silently vanished under column
+    * pruning). Residual hole, by construction: a ROWS-ONLY consumer
+    * (`result.count()`) needs only the group keys, so column pruning
+    * legally drops every aggregate expression including the guard's
+    * count — a caller counting matches must read a column (any
+    * column) for the contract to be enforced. It fires at the
+    * aggregate's OUTPUT —
     * after `collect_list` has assembled the group — so an entity
     * pathologically beyond executor memory still needs an upstream
     * pre-split; what the guard buys is an actionable contract failure
@@ -434,7 +480,12 @@ object QueryOps {
         array_join(
           transform(array_sort(collect_list(col("__s"))),
             x => x.getField("__c")), "").as("seq"))
-      .select(col("entity"),
+      .select(
+        // the guard rides entity too: lenGuard >= 0 is runtime-true
+        // (the guard evaluates to 0 or throws) but NON-FOLDABLE, so
+        // SimplifyConditionals cannot drop the branch and an
+        // entity-only projection still evaluates the assert
+        when(lenGuard >= 0, col("entity")).as("entity"),
         (lenGuard + length(col("seq")).cast("long")).as("seq_len"),
         (lenGuard + regexp_count(col("seq"), lit(pattern)).cast("long"))
           .as("n_matches"))

@@ -168,4 +168,41 @@ class BitmapOpsSpec extends SparkTestBase {
         .head().getAs[Array[Byte]](0).toSeq
     assert(blob(once) === blob(thrice))
   }
+
+  test("non-castable ids fail LOUDLY instead of silently vanishing " +
+      "(ADVICE r13) — in non-ANSI sessions via the graft guard; NULL " +
+      "ids still drop per the documented contract") {
+    import spark.implicits._
+    val bad = Seq(("s1", "17"), ("s1", "user-42"), ("s2", "3"))
+      .toDF("seg", "id")
+    // non-ANSI: cast('long') would NULL 'user-42' and the filter would
+    // silently drop it — the guard must convert that into a job failure
+    // naming the remedy
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex = intercept[Exception] {
+        BitmapOps.segmentBitmaps(bad, $"seg", $"id").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(ex).exists(m =>
+        m.contains("user-42") && m.contains("dense_rank")), messages(ex))
+      // numeric strings and NULLs keep the documented behavior: cast
+      // fine / dropped fine
+      val ok = Seq(("s1", Option("17")), ("s1", None), ("s2", Option("3")))
+        .toDF("seg", "id")
+      val n = BitmapOps.segmentBitmaps(ok, $"seg", $"id")
+        .agg(sum(graft.plans.GraftExtensions
+          .nativeFn("graft_bitmap_count", col("bm")))).head().getLong(0)
+      assert(n === 2L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
+    // ANSI (the default): the cast itself is the loud failure
+    if (ansiWas == "true") {
+      intercept[Exception] {
+        BitmapOps.segmentBitmaps(bad, $"seg", $"id").collect()
+      }
+    }
+  }
 }

@@ -102,6 +102,30 @@ class IntervalPlanSpec extends SparkTestBase {
       .columns.contains("overlap"))
   }
 
+  test("planSelf's fan-out denominator counts only rows with BOTH " +
+      "bounds — a heavily-NULL table cannot dilute an under-bucketed " +
+      "width past the guard (ADVICE r13)") {
+    // non-null rows: 19 of length 1 (p90 -> width 1) + 1 of length
+    // 1001 -> ~1020 registrations over 20 real rows = mean ~51.
+    // 1000 NULL-bound rows produce ZERO registrations; the broken
+    // count(*) denominator would see 1020/1020 = 1 and pass.
+    val real = (1L to 19L).map(i => (Some(i * 5000L), Some(i * 5000L))) :+
+      ((Some(0L), Some(1000L)))
+    val nulls = (1L to 1000L).map(_ =>
+      (None: Option[Long], None: Option[Long]))
+    val iv = (real ++ nulls).toDF("s", "e")
+    val ex = intercept[IllegalArgumentException] {
+      IntervalPlan.planSelf(iv, "s", "e")
+    }
+    assert(ex.getMessage.contains("under-bucketed"), ex.getMessage)
+    // the same non-null rows WITHOUT the null padding fail identically
+    // (the nulls changed nothing about the real distribution)
+    val ex2 = intercept[IllegalArgumentException] {
+      IntervalPlan.planSelf(real.toDF("s", "e"), "s", "e")
+    }
+    assert(ex2.getMessage.contains("under-bucketed"), ex2.getMessage)
+  }
+
   test("column names needing backticks pass through the planner " +
       "(Column arithmetic, not interpolated SQL)") {
     val iv = (1L to 40L).map(i => (i, i * 10L, i * 10L + 6L))

@@ -238,6 +238,45 @@ class QueryOpsSpec extends SparkTestBase {
       .collect()
     assert(ok.length == 1 && ok(0).getLong(1) == 5L &&
       ok(0).getLong(2) == 5L)
+    // ADVICE r13: entity did not carry the guard, so an ENTITY-ONLY
+    // projection pruned it — the when-passthrough must fire here too
+    val exEntity = intercept[Exception] {
+      QueryOps.sequenceMatch(events, col("u"), Seq(col("t"), col("id")),
+          col("c"), "v", maxSeqLen = 3L)
+        .select("entity").collect()
+    }
+    assert(messages(exEntity).exists(_.contains("pre-split")),
+      messages(exEntity))
+    // and the passthrough is values-neutral for a passing entity
+    val okEntity = QueryOps.sequenceMatch(events, col("u"),
+        Seq(col("t"), col("id")), col("c"), "v", maxSeqLen = 5L)
+      .select("entity").collect()
+    assert(okEntity.map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("funnel scan modes (local-checkpoint / disk-persist / rescan) " +
+      "agree on results — the ADVICE r13 fault-tolerance knob never " +
+      "changes the answer") {
+    import spark.implicits._
+    import QueryOps.FunnelScan
+    val events = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),
+      (2L, 10L, "A"), (2L, 110L, "B"), (2L, 120L, "C"),
+      (3L, 10L, "A"), (3L, 60L, "B"), (3L, 110L, "C"),
+      (4L, 10L, "A"), (4L, 200L, "A"), (4L, 210L, "B")
+    ).toDF("u", "t", "e")
+    def run(m: QueryOps.FunnelScan) =
+      QueryOps.funnel(events, col("u"), col("t"), col("e"),
+          Seq("A", "B", "C"), maxGap = Some(50L), scan = m)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getAs[Long]("depth")))
+        .sortBy(_._1).toSeq
+    val base = run(FunnelScan.LocalCheckpoint)
+    assert(run(FunnelScan.DiskPersist) == base)
+    assert(run(FunnelScan.Rescan) == base)
+    assert(base.map(t => t._1 -> t._5).toMap ==
+      Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 4L -> 1L))
   }
 
   test("column profile: rows, nulls, exact distincts, native-order " +
