@@ -805,6 +805,108 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Substring-level corpus scrub over OVERLAPPING k-token windows —
+    * the exact-repeated-span recipe of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed as a
+    * shuffle plan instead of a suffix array. [[spanDedup]]'s
+    * NON-overlapping spans miss any repeat that straddles a span
+    * boundary (the published criticism of the C4 recipe); here every
+    * token position opens a k-gram window, so ANY repeated run of
+    * ≥ k tokens — within one document or across documents — is caught
+    * regardless of alignment.
+    *
+    * Semantics: a k-gram occurrence is FLAGGED when it is not the
+    * globally-first occurrence of that gram (keep-first by
+    * (doc_id, position), the same deterministic rule as spanDedup;
+    * within-doc repeats flag their later copies too). Flagged windows
+    * cover token interval [pos, pos+k−1]; per document, overlapping or
+    * CONTIGUOUS flagged intervals coalesce into maximal redaction
+    * spans. Returns one row per input document:
+    * (doc_id, n_tokens, dup_spans, dup_tokens, clean_text) — the
+    * merged-span count, tokens they cover, and the document rebuilt
+    * from uncovered tokens ('' when fully covered; docs shorter than
+    * k tokens pass through untouched).
+    *
+    * Scale shape: the gram stream is one projection + posexplode
+    * (≈ one row per corpus token — the same order a suffix array
+    * costs); keep-first is ONE window shuffle keyed on the gram
+    * (cardinality ≈ corpus size, skew-safe for k ≥ ~5 because natural
+    * k-gram multiplicity is bounded — a pathological single gram
+    * repeated 10⁹ times is exactly the repeat the scrub exists to
+    * remove, and AQE skew handling applies to the sort). Everything
+    * AFTER the flag filter rides the (small) flagged subset: the
+    * island merge is a per-doc window over flagged rows only, and the
+    * rebuild joins the bounded interval list back to the doc frame
+    * (per-doc cost O(tokens × merged-spans) in the rebuild lambda).
+    * The source is scanned TWICE by design — once for the gram stream,
+    * once (2 columns, pruned) for the rebuild side; sharing one scan
+    * would mean materializing the TOKENIZED corpus (larger than the
+    * compressed parquet it came from), the opposite trade from
+    * funnel's 3-column slice. The interval frame joining back is
+    * doc-count-sized: Catalyst broadcasts it at small scale and
+    * falls back to a co-partitioned join when stats say otherwise.
+    * `hashGrams = true` swaps the shuffled gram TEXT (k × avg-token
+    * bytes per row) for an 8-byte xxhash64 — at 100 TB the shuffle
+    * shrinks ~6× for k = 5; collisions (~n²/2⁶⁴) can only over-flag a
+    * window, never corrupt surviving text, which is the right failure
+    * direction for a scrub. The gated query runs the text form so the
+    * DuckDB oracle replays bit-for-bit; DedupSpec pins hash ≡ text on
+    * a collision-free corpus. */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, text: Column,
+                         k: Int = 5, hashGrams: Boolean = false)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val base = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenize(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    // one overlapping k-gram per token position 0 .. n-k
+    val gramAt = (i: Column) => {
+      val g = concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))
+      if (hashGrams) xxhash64(g) else g
+    }
+    val gramArr = when(col("__n") >= k,
+        transform(sequence(lit(0L), col("__n") - k), gramAt))
+      .otherwise(array().cast(
+        if (hashGrams) "array<bigint>" else "array<string>"))
+    val grams = base.select(col("doc_id"),
+      posexplode(gramArr).as(Seq("__p", "__g")))
+    // keep-first: every non-first occurrence of a gram is a flagged
+    // window over tokens [p, p+k-1]
+    val flagged = grams
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g").orderBy("doc_id", "__p")))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"), col("__p").cast("long").as("__s"),
+        (col("__p") + (k - 1)).cast("long").as("__e"))
+    // coalesce overlapping/contiguous windows into maximal spans
+    // (gaps-and-islands per doc over the FLAGGED subset only)
+    val wd = Window.partitionBy("doc_id").orderBy("__s")
+    val prevMax = max(col("__e"))
+      .over(wd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = flagged
+      .withColumn("__new",
+        when(prevMax.isNull || col("__s") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "__isl")
+      .agg(min(col("__s")).as("ms"), max(col("__e")).as("me"))
+    val report = islands.groupBy("doc_id").agg(
+      count(lit(1)).as("dup_spans"),
+      sum(col("me") - col("ms") + 1).as("dup_tokens"),
+      collect_list(struct(col("ms"), col("me"))).as("__iv"))
+    val iv = coalesce(col("__iv"),
+      array().cast("array<struct<ms:bigint,me:bigint>>"))
+    base.join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__n").as("n_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        concat_ws(" ", filter(col("__toks"), (_, i) =>
+          !exists(iv, v =>
+            i.cast("long") >= v.getField("ms") &&
+              i.cast("long") <= v.getField("me")))).as("clean_text"))
+  }
+
   /** Pairwise n-gram Jaccard over a (bounded) candidate set — the
     * brute-force verifier used by specs and small corpora.
     *

@@ -281,6 +281,58 @@ object DedupQueries {
       |  coalesce(reb.clean_text, '') AS clean_text
       |FROM sp LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Substring-level scrub (Lee et al. exact repeated spans):
+    * overlapping 5-token windows, keep-first flagging, contiguous
+    * flagged windows coalesced to maximal redaction spans, document
+    * rebuilt from uncovered tokens. The overlapping-window answer to
+    * [[spanDedup]]'s alignment blindness. Text-form grams so the
+    * oracle replays exactly; hashGrams is the certified-equal scale
+    * path (DedupSpec). */
+  def scrubSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.scrubRepeatedSpans(docs(s, dir), "doc_id", col("text"), k = 5)
+      .orderBy("doc_id")
+
+  val scrubSpansSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+      |           FROM documents),
+      |sp AS (SELECT doc_id, toks, len(toks) AS n,
+      |  CASE WHEN len(toks) >= 5
+      |    THEN [array_to_string(toks[i : i+4], ' ')
+      |          FOR i IN range(1, len(toks)-3)]
+      |    ELSE [] END AS grams FROM t),
+      |ex AS (SELECT doc_id, unnest(range(0, len(grams))) AS pos,
+      |              unnest(grams) AS gram FROM sp),
+      |fl AS (SELECT doc_id, pos,
+      |  row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      |  FROM ex),
+      |f AS (SELECT doc_id, pos AS s, pos + 4 AS e FROM fl WHERE rn > 1),
+      |brk AS (SELECT doc_id, s, e,
+      |  CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      |       THEN 1 ELSE 0 END AS nw FROM f),
+      |isl AS (SELECT doc_id, s, e,
+      |  sum(nw) OVER (PARTITION BY doc_id ORDER BY s
+      |    ROWS UNBOUNDED PRECEDING) AS grp FROM brk),
+      |mg AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+      |       FROM isl GROUP BY 1, 2),
+      |rep AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans,
+      |        CAST(sum(me - ms + 1) AS BIGINT) AS dup_tokens
+      |        FROM mg GROUP BY 1),
+      |pos AS (SELECT doc_id, unnest(range(0, len(toks))) AS p,
+      |               unnest(toks) AS tok FROM sp),
+      |ct AS (SELECT x.doc_id,
+      |         string_agg(x.tok, ' ' ORDER BY x.p) AS clean_text
+      |       FROM pos x
+      |       WHERE NOT EXISTS (SELECT 1 FROM mg m
+      |         WHERE m.doc_id = x.doc_id AND x.p BETWEEN m.ms AND m.me)
+      |       GROUP BY 1)
+      |SELECT sp.doc_id, CAST(sp.n AS BIGINT) AS n_tokens,
+      |  coalesce(rep.dup_spans, 0) AS dup_spans,
+      |  coalesce(rep.dup_tokens, 0) AS dup_tokens,
+      |  coalesce(ct.clean_text, '') AS clean_text
+      |FROM sp LEFT JOIN rep USING (doc_id) LEFT JOIN ct USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // 5-gram shingles mirror of Dedup.shingles(k=5) for the oracle.
   // NOTE: interpolated into stripMargin'd SQL — no line may start
   // with '|' or the outer stripMargin eats it.
@@ -568,6 +620,7 @@ object DedupQueries {
     "q_dedup_clusters" -> (dedupClusters _, dedupClustersSql),
     "q_dedup_apply" -> (dedupApply _, dedupApplySql),
     "q_span_dedup" -> (spanDedup _, spanDedupSql),
+    "q_scrub_spans" -> (scrubSpans _, scrubSpansSql),
     "q_contamination" -> (contamination _, contaminationSql),
     "q_decontaminate" -> (decontaminate _, decontaminateSql),
     "q_decontaminate_simhash" -> (decontaminateSimhash _, decontaminateSimhashSql),

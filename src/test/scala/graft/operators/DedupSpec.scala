@@ -286,6 +286,87 @@ class DedupSpec extends SparkTestBase {
     assert(r(2L) == "")                     // "s t" span seen as doc 1's tail
   }
 
+  test("scrubRepeatedSpans: hand-built cases — boundary-straddling " +
+      "repeats spanDedup misses, within-doc runs coalescing to one " +
+      "maximal span, short docs untouched") {
+    val in = Seq(
+      // doc 1 is globally first: nothing flagged
+      (1L, "a b c d e f g h"),
+      // doc 2 repeats doc 1's tokens c..g (pos 2..6) — a repeat that
+      // straddles ANY fixed 5-token span boundary of doc 2
+      (2L, "x1 x2 c d e f g y1"),
+      // doc 3: three contiguous copies of doc 1's prefix a..e ->
+      // windows [0,4],[5,9],[10,14] coalesce to ONE span [0,14]
+      (3L, "a b c d e a b c d e a b c d e"),
+      // doc 4: shorter than k -> passes through with zero grams
+      (4L, "a b c d"),
+      // doc 5: empty text
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubRepeatedSpans(in, "doc_id", col("text"), k = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+      .toMap
+    assert(r(1L) == ((8L, 0L, 0L, "a b c d e f g h")))
+    assert(r(2L) == ((8L, 1L, 5L, "x1 x2 y1")))
+    assert(r(3L) == ((15L, 1L, 15L, "")))
+    assert(r(4L) == ((4L, 0L, 0L, "a b c d")))
+    assert(r(5L) == ((1L, 0L, 0L, "")))
+    // the C4-style non-overlapping form misses doc 2's repeat entirely
+    // (c..g never aligns with a 5-token span boundary) — the published
+    // gap this operator closes
+    val c4 = Dedup.spanDedup(in.filter(col("doc_id").isin(1L, 2L)),
+        "doc_id", col("text"), w = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(c4(2L) == 2L, "C4 spans keep doc 2 whole — nothing flagged")
+  }
+
+  test("scrubRepeatedSpans matches an exhaustive reference scrub and " +
+      "hashGrams ≡ text grams on a collision-free corpus") {
+    val rnd = new scala.util.Random(61)
+    // small vocabulary forces plenty of genuine 4-gram collisions
+    val corpus = (1L to 40L).map { id =>
+      id -> (0 until (5 + rnd.nextInt(30)))
+        .map(_ => s"t${rnd.nextInt(12)}").mkString(" ")
+    }
+    val k = 4
+    // reference implementation: flag every non-first occurrence,
+    // merge contiguous/overlapping windows, rebuild
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val occ = for {
+      (id, ts) <- toks
+      p <- 0 to ts.length - k
+    } yield (ts.slice(p, p + k).mkString(" "), id, p)
+    val firstOf = occ.groupBy(_._1).map { case (g, os) =>
+      g -> os.map(o => (o._2, o._3)).min
+    }
+    val expect = toks.map { case (id, ts) =>
+      val flags = occ.filter(o => o._2 == id && firstOf(o._1) != (id, o._3))
+        .map(o => (o._3.toLong, (o._3 + k - 1).toLong)).sortBy(_._1)
+      val merged = flags.foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((s0, e0) :: rest), (s, e)) =>
+          if (s <= e0 + 1) (s0, math.max(e0, e)) :: rest
+          else (s, e) :: acc
+        case (Nil, iv) => iv :: Nil
+      }.reverse
+      val covered = merged.map { case (s, e) => e - s + 1 }.sum
+      val clean = ts.zipWithIndex.collect {
+        case (t, i) if !merged.exists(m => i >= m._1 && i <= m._2) => t
+      }.mkString(" ")
+      id -> ((ts.length.toLong, merged.length.toLong, covered, clean))
+    }.toMap
+    val in = corpus.toDF("doc_id", "text")
+    def got(hash: Boolean) =
+      Dedup.scrubRepeatedSpans(in, "doc_id", col("text"), k, hash)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+        .toMap
+    val text = got(hash = false)
+    assert(text == expect)
+    assert(got(hash = true) == expect,
+      "xxhash64 gram keys must scrub identically on a collision-free corpus")
+  }
+
   test("contamination hits count distinct shared k-grams; decontaminate drops hit docs") {
     val bench = Seq((100L, "e1 e2 e3 e4 e5 e6")).toDF("doc_id", "text")
     val corpus = Seq(
