@@ -26,6 +26,24 @@ import org.apache.spark.sql.SparkSession
   * is box noise, not the engine.
   */
 object Bench {
+  /** The forcing action for every timing in this repo: write to the
+    * noop sink, which consumes every output row of every column.
+    *
+    * NOT `count()` (rounds 1-13's action, fixed r14): under a
+    * `count()` Catalyst is free to — and does — rewrite the plan down
+    * to the minimum that preserves cardinality. Two concrete holes
+    * this round caught: a left join whose right side is an aggregate
+    * on the join key is ELIMINATED outright (unique keys + no
+    * referenced columns ⇒ cardinality unchanged — q_scrub_spans
+    * "measured" 0.48 s at 100x data while the real forced run costs
+    * 16.6 s: the entire gram-window shuffle was optimized away), and
+    * every projection expression is pruned (a regex-heavy select
+    * times as a bare scan). The noop sink keeps the measurement an
+    * end-to-end evaluation of the query's declared OUTPUT while still
+    * writing nothing. */
+  def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -88,7 +106,7 @@ object Bench {
     // (value -1), excluded from the total.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => Double.PositiveInfinity }
     }
     // three runs each; a query still slow after three (min > 2 s)

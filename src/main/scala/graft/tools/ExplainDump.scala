@@ -253,7 +253,13 @@ object ExplainDump {
         "bitmaps; the 7-day fan-out explodes the BLOB frame, " +
         "graft_bitmap_or_agg unions map-side, broadcast semi-join " +
         "trims to observed days — no per-window re-scan, no Expand)" ->
-        graft.query.EventQueries.rollingDistinctUsers(spark, sfDir))
+        graft.query.EventQueries.rollingDistinctUsers(spark, sfDir),
+      "q_scrub_spans (overlapping k-gram stream from one pruned scan; " +
+        "keep-first via ONE gram-keyed window shuffle — the " +
+        "suffix-array-equivalent cost term; islands merge on the " +
+        "flagged subset only; doc-keyed report joins back to the " +
+        "second pruned scan for the rebuild)" ->
+        graft.query.DedupQueries.scrubSpans(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every

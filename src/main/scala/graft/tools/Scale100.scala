@@ -144,15 +144,26 @@ object Scale100 {
     // step joins (its 10x RATIO is sweep-context-noisy at a
     // sub-second base — this leg is the clean measurement), and
     // q_rolling_distinct's per-(day, bucket) blob frame (the id
-    // space, and with it the frame, grows 100x at fixed days). ---
+    // space, and with it the frame, grows 100x at fixed days).
+    // q_scrub_spans (r14): the replica-prefixed token vocabularies
+    // share zero cross-replica grams, so the flagged set — and with
+    // it every post-filter stage — is exactly k x the base; the
+    // measured variable is the corpus-token gram-window shuffle, the
+    // operator's suffix-array-equivalent cost term. ---
+    // forcing action: noop-sink write (graft.Bench.force), NOT count()
+    // — a count() lets Catalyst eliminate unique-key left joins and
+    // prune aggregate/projection expressions, so tail-heavy legs
+    // under-measure (r14: q_scrub_spans "cost" 0.48 s at 100x under
+    // count() because the whole gram window was optimized away; the
+    // forced run costs 16.6 s)
     val qs = graft.SparkEntry.queries
     for (q <- Seq("q_winsorize", "q_histogram_equidepth",
         "q_rank_transform", "q_bpe_encode_docs",
         "q_sequence_match", "q_funnel_windowed",
-        "q_rolling_distinct") if on(q)) {
+        "q_rolling_distinct", "q_scrub_spans") if on(q)) {
       val fn = qs(q)
-      record(q, time(fn(spark, sfDir).count())._2,
-        time(fn(spark, outDir).count())._2)
+      record(q, time { graft.Bench.force(fn(spark, sfDir)); 0L }._2,
+        time { graft.Bench.force(fn(spark, outDir)); 0L }._2)
     }
 
     // --- segment overlap scaled by ID SPACE (r12 verdict item 4):
@@ -197,15 +208,24 @@ object Scale100 {
         ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
     def scaledEdges(every: Int): DataFrame =
       spark.read.parquet(s"$outDir/edges$every.parquet")
+    // graph legs force the full per-node output (count() would prune
+    // the final label/score projections — the iterations' internal
+    // checkpoints run either way, but the last round's agg would not)
     if (on("graph_label_prop")) record("graph_label_prop",
-      time(graft.operators.LabelProp.run(baseEdges(11), 3).count())._2,
-      time(graft.operators.LabelProp.run(scaledEdges(11), 3).count())._2)
+      time { graft.Bench.force(
+        graft.operators.LabelProp.run(baseEdges(11), 3)); 0L }._2,
+      time { graft.Bench.force(
+        graft.operators.LabelProp.run(scaledEdges(11), 3)); 0L }._2)
     if (on("graph_hits")) record("graph_hits",
-      time(graft.operators.Hits.run(baseEdges(3).distinct(), 2).count())._2,
-      time(graft.operators.Hits.run(scaledEdges(3).distinct(), 2).count())._2)
+      time { graft.Bench.force(
+        graft.operators.Hits.run(baseEdges(3).distinct(), 2)); 0L }._2,
+      time { graft.Bench.force(
+        graft.operators.Hits.run(scaledEdges(3).distinct(), 2)); 0L }._2)
     if (on("graph_kcore")) record("graph_kcore",
-      time(graft.operators.KCore.peel(baseEdges(3), 5, 6).count())._2,
-      time(graft.operators.KCore.peel(scaledEdges(3), 5, 6).count())._2)
+      time { graft.Bench.force(
+        graft.operators.KCore.peel(baseEdges(3), 5, 6)); 0L }._2,
+      time { graft.Bench.force(
+        graft.operators.KCore.peel(scaledEdges(3), 5, 6)); 0L }._2)
 
     // --- entity resolution at a linearly-scaled true match set ---
     def erDelKey(c: DataFrame): Long = {
@@ -329,10 +349,15 @@ object Scale100 {
     // calendar span at 100 TB (the corpus-scan term is constant here
     // by construction, so per_unit reflects the frame alone)
     if (on("rolling_psi_periods")) {
-      def psi(mod: Int): Long = graft.operators.Drift.rollingPsi(
-        graft.sources.Tables.loadEventsTs(spark, sfDir),
-        col("value"), col("event_id") % mod,
-        baselineDays = 7, bucketWidth = 50.0, nBuckets = 10).count()
+      // force, not count: the per-period PSI sum is exactly the
+      // expression a count() would prune
+      def psi(mod: Int): Long = {
+        graft.Bench.force(graft.operators.Drift.rollingPsi(
+          graft.sources.Tables.loadEventsTs(spark, sfDir),
+          col("value"), col("event_id") % mod,
+          baselineDays = 7, bucketWidth = 50.0, nBuckets = 10))
+        0L
+      }
       record("rolling_psi_periods", time(psi(30))._2, time(psi(3000))._2)
     }
 

@@ -230,9 +230,12 @@ object ScaleBench {
     val rows = picked.map { name =>
       val fn = qs(name)
       val l = load1
+      // noop-sink force, not count() (r14): count() lets Catalyst
+      // eliminate unique-key left joins and prune output expressions,
+      // under-measuring tail-heavy queries — see Bench.force
       def time(dir: String): Double = (1 to runsPer).map { _ =>
         val s = System.nanoTime()
-        fn(spark, dir).count()
+        graft.Bench.force(fn(spark, dir))
         (System.nanoTime() - s) / 1e9
       }.min
       val base = time(sfDir)
