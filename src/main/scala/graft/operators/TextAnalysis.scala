@@ -148,12 +148,29 @@ object TextAnalysis {
     * documents sharing a substring of length ≥ w+k−1 share a full
     * gram window, hence its min, hence a fingerprint. Hashes are md5
     * hex STRINGS (lexicographic min — identical in Spark and DuckDB,
-    * same determinism convention as the sampling coins). One
-    * generator + one per-document window — no cross-document shuffle
-    * beyond the window's own partition-by-doc exchange. */
+    * same determinism convention as the sampling coins).
+    *
+    * Executes as ONE codegen'd pass per document
+    * (`graft_winnow` — monotonic-deque sliding min, value-deduped in
+    * place): a scan-level projection + explode, NO shuffle at all.
+    * The per-position explode + md5 projection + per-doc window +
+    * global distinct it replaces ([[winnowFingerprintsWindowed]],
+    * kept as the parity reference) shuffled one 32-char-keyed row per
+    * CHARACTER of the corpus — 2.8 s of the sf0.1 bench that the r14
+    * count()->force fix made visible, vs ~0.3 s for this form. */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame,
                          idCol: String, text: Column,
-                         k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+                         k: Int, w: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.plans.GraftExtensions.nativeFn("graft_winnow",
+        text, lit(k), lit(w))).as("fp"))
+
+  /** The pre-r14 window-shuffle form of [[winnowFingerprints]] — the
+    * executable spec the native expression is pinned against
+    * (TextAnalysisSpec: equal row sets on random multi-byte corpora). */
+  private[graft] def winnowFingerprintsWindowed(
+      df: org.apache.spark.sql.DataFrame, idCol: String, text: Column,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = length(text)
     val positions = when(n >= k,

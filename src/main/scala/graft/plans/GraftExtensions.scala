@@ -100,6 +100,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_repetition"), RepetitionStatsExpr.info,
       (es: Seq[Expression]) => RepetitionStatsExpr(es(0),
         litInt(es(1), "graft_repetition"))),
+    (FunctionIdentifier("graft_winnow"), WinnowExpr.info,
+      (es: Seq[Expression]) => WinnowExpr(es(0),
+        litInt(es(1), "graft_winnow"), litInt(es(2), "graft_winnow"))),
     (FunctionIdentifier("graft_token_count"), TokenCountExpr.info,
       (es: Seq[Expression]) => TokenCountExpr(es(0), es(1))),
     (FunctionIdentifier("graft_media_meta"), MediaMetaExpr.info,

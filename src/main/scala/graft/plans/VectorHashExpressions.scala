@@ -209,6 +209,84 @@ object VectorOps {
       nGrams.toLong, m.size.toLong, topGram, topCnt)
   }
 
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(d: Array[Byte]): String = {
+    val cs = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      cs(2 * i) = hexDigits((d(i) >> 4) & 0xF)
+      cs(2 * i + 1) = hexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(cs)
+  }
+
+  /** MOSS winnowing fingerprint set of one document — see
+    * [[WinnowExpr]]. md5 per character k-gram, width-w sliding min by
+    * monotonic deque (amortized O(1) per window), window minima
+    * deduped BY VALUE (two positions with identical gram content
+    * yield one fingerprint, matching the frame-level DISTINCT of the
+    * windowed form). Digest byte arrays compare unsigned — identical
+    * ordering to the lowercase-hex strings the oracle compares, since
+    * hex over fixed-length bytes is order-isomorphic. */
+  def winnow(text: org.apache.spark.unsafe.types.UTF8String,
+             k: Int, w: Int): ArrayData = {
+    val n = text.numChars()
+    val m = n - k + 1 // character k-gram count
+    if (m < w) return new GenericArrayData(Array.empty[Any])
+    val md = md5Local.get()
+    // char -> byte offset index, built in ONE pass: per-gram
+    // UTF8String.substring would re-scan from byte 0 every call
+    // (O(n^2) over the document — measured as the dominant cost of
+    // the first native form), while md.update on byte slices of the
+    // one materialized array allocates nothing per gram
+    val bytes = text.getBytes
+    val offs = new Array[Int](n + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < n) {
+      offs(ci) = bi
+      bi += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(n) = bytes.length
+    val hs = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      hs(i) = md.digest()
+      i += 1
+    }
+    val dq = new Array[Int](m) // index deque, values unsigned-increasing
+    var head = 0
+    var tail = 0
+    var lastIdx = -1
+    val seen = new java.util.HashSet[String]
+    val out = new java.util.ArrayList[AnyRef]
+    var t = 0
+    while (t < m) {
+      while (tail > head &&
+          java.util.Arrays.compareUnsigned(hs(dq(tail - 1)), hs(t)) >= 0)
+        tail -= 1
+      dq(tail) = t
+      tail += 1
+      if (dq(head) <= t - w) head += 1
+      if (t >= w - 1 && dq(head) != lastIdx) {
+        // hex + set-probe only when the min POSITION moves (runs of
+        // stable minima are the common case); value-level dedup still
+        // catches identical grams at different positions
+        lastIdx = dq(head)
+        val hex = md5Hex(hs(lastIdx))
+        if (seen.add(hex))
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromString(hex))
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Jaccard over two string arrays in one pass: distinct-common count
     * (array_intersect semantics) over raw sizes —
     * |A∩B| / (|A|+|B|-|A∩B|), 0.0 when both empty. Bit-identical to
@@ -687,6 +765,51 @@ object RepetitionStatsExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[RepetitionStatsExpr],
       "graft_repetition")
+}
+
+/** `graft_winnow(text, k, w)` — the MOSS winnowing fingerprint SET of
+  * one document in one compiled pass: md5 each of the n−k+1
+  * character k-grams, slide a width-w window taking the minimum
+  * (monotonic-deque, O(n) total), return the DISTINCT window minima
+  * as lowercase md5 hex (the same values `md5(substr(text, p, k))`
+  * yields engine-side and in the DuckDB oracle — hex over 16 fixed
+  * bytes is order-isomorphic to the bytes, so byte-compares in the
+  * deque pick exactly the hex-min). Replaces a per-CHARACTER-position
+  * explode + md5 projection + per-doc window shuffle + global
+  * distinct with a scan-level projection: the fingerprint stream
+  * never crosses an exchange (r14 — the count()->force fix surfaced
+  * the window chain as 2.8 s of hidden cost at sf0.1; this form is
+  * the plan that should always have run). Documents shorter than
+  * k+w−1 chars yield an empty set — identical to the windowed form's
+  * full-windows-only filter. */
+case class WinnowExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1 && w >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, k >= 1, w >= 1), got " +
+        s"${child.dataType.catalogString}, k=$k, w=$w")
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.winnow(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowExpr = copy(child = newChild)
+}
+
+object WinnowExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[WinnowExpr], "graft_winnow")
 }
 
 /** `graft_nfc(str)` — Unicode NFC canonical composition as a codegen

@@ -244,4 +244,35 @@ class TextAnalysisSpec extends SparkTestBase {
         "doc_id", col("text"), k = 8, w = 16).count()
     assert(fps == 0)
   }
+
+  test("native graft_winnow equals the window-shuffle form on random " +
+      "multi-byte corpora — every (doc, fp) row, several (k, w)") {
+    val rnd = new scala.util.Random(43)
+    // small alphabet (forces repeated grams and value-dedup) + a
+    // multi-byte character (UTF8String.substring is char-based; a
+    // byte-based slip would shift every md5 after the first é)
+    val alpha = "ab é"
+    val docsSeq = (1L to 60L).map { id =>
+      id -> (0 until 3 + rnd.nextInt(120))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    // boundary lengths: exactly one full window, one short of it
+    val edge = Seq(900L -> "x" * (8 + 16 - 1), 901L -> "x" * (8 + 16 - 2))
+    val df = (docsSeq ++ edge).toDF("doc_id", "text")
+    for ((k, w) <- Seq((8, 16), (3, 4), (1, 1))) {
+      val native = TextAnalysis.winnowFingerprints(
+          df, "doc_id", col("text"), k, w)
+        .as[(Long, String)].collect().toSet
+      val windowed = TextAnalysis.winnowFingerprintsWindowed(
+          df, "doc_id", col("text"), k, w)
+        .as[(Long, String)].collect().toSet
+      assert(native == windowed, s"k=$k w=$w")
+    }
+    // the boundary doc with exactly one full window emits exactly the
+    // dedup of that window = one fp; one char shorter emits none
+    val one = TextAnalysis.winnowFingerprints(
+        edge.toDF("doc_id", "text"), "doc_id", col("text"), 8, 16)
+      .as[(Long, String)].collect()
+    assert(one.map(_._1).toSeq == Seq(900L))
+  }
 }
