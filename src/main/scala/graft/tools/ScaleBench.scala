@@ -53,6 +53,11 @@ object ScaleBench {
     // fan-out touches) grows 10x while days stay fixed
     "q_rolling_distinct",
     "q_bm25", "q_span_dedup", "q_text_quality", "q_top_terms",
+    // r14: the overlapping-window substring scrub (disjoint replica
+    // vocabularies -> flagged set exactly 10x; the gram window is the
+    // measured term) and the native winnow fingerprints (pure
+    // scan-level projection since graft_winnow — linear by shape)
+    "q_scrub_spans", "q_winnow",
     "q_normalize", "q_heavy_hitters", "q_dedup_exact", "q_lm_quality",
     // warehouse family (round 8) — the members whose WORK scales
     // linearly with the input. Excluded for fixture (not plan)
