@@ -28,7 +28,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     oracleBacked.map { case (k, (fn, _)) => k -> fn } ++
-      TextQueries.rowsOnly ++ CoreQueries.rowsOnly
+      TextQueries.rowsOnly ++ CoreQueries.rowsOnly ++
+      EventQueries.rowsOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

@@ -379,6 +379,29 @@ object EventQueries {
       |FROM ps JOIN d ON d.p BETWEEN ps.p - 6 AND ps.p
       |GROUP BY 1 ORDER BY period""".stripMargin
 
+  /** Approximate twin of [[rollingDistinctUsers]] over mergeable HLL
+    * sketch blobs ([[graft.operators.SketchOps.rollingDistinctApprox]])
+    * — the > 10¹⁰-id tier where even the sparse bitmap wire (which
+    * tracks distinct-id COUNT) outgrows executor memory. Rows-only
+    * driver check BY DESIGN: DuckDB has no DataSketches HLL, so no
+    * SQL can replay the register layout; correctness sits on
+    * SketchOpsSpec instead (the union path is EXACTLY invariant to
+    * how raw rows were partitioned into sketches; estimates within
+    * the published error envelope of the exact bitmap twin on
+    * identical input, and within a fraction of it of a direct
+    * single sketch — the documented HIP-vs-composite asymmetry). */
+  def rollingDistinctUsersApprox(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SketchOps
+      .rollingDistinctApprox(ev(s, dir),
+        datediff(to_date(col("ets")), lit("1970-01-01")).cast("long"),
+        col("user_id"), window = 7)
+      .orderBy("period")
+
+  /** Queries with no DuckDB-expressible oracle (rows-only driver
+    * check); the spec suite carries their correctness burden. */
+  val rowsOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_distinct_approx" -> (rollingDistinctUsersApprox _))
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_rolling_distinct" ->
       (rollingDistinctUsers _, rollingDistinctUsersSql),
