@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.plans.GraftExtensions
+
 /** Approximate distinct-count tier over MERGEABLE HLL sketches — the
   * scale continuation of [[BitmapOps]]' exact bitmap algebra.
   *
@@ -12,35 +14,50 @@ import org.apache.spark.sql.functions._
   * blobs per period — past executor memory for a single rolling
   * window. A DataSketches HLL sketch (Spark 4 ships the
   * `hll_sketch_agg` family natively) is ≤ ~2^lgK bytes FLAT — ~4 KiB
-  * at the default lgK = 12 — at relative standard error
-  * ≈ 1.04/√2^lgK (~1.6%). Same composability contract as the bitmap
+  * at the default lgK = 12. Same composability contract as the bitmap
   * frame: the per-period sketch is built from raw events ONCE, and
   * any re-windowing (rolling windows, day → month rollups, segment
-  * unions) unions the BLOBS — union is a per-register max, so the
-  * result is EXACTLY independent of how the raw rows were
-  * partitioned into sketches (SketchOpsSpec pins equality across
-  * partitionings and across finer pre-sketching), and duplicates die
-  * map-side exactly as in the bitmap aggregate.
+  * unions) unions the BLOBS; duplicates die map-side exactly as in
+  * the bitmap aggregate.
   *
-  * One honest asymmetry the spec also pins: a sketch built DIRECTLY
-  * from raw rows estimates via DataSketches' HIP accumulator, which
-  * a union cannot preserve (it falls back to the composite
-  * register-based estimate) — so the blob path can differ from a
-  * direct single sketch by a fraction of the error envelope (~1%
-  * observed). That is the price of mergeability, not a bug: at the
-  * scale this tier targets, re-sketching each window from raw events
-  * (the only way to keep HIP) is exactly the window× re-scan the
-  * operator exists to avoid.
+  * Determinism contract (corrected in round 15 — the round-14 claim
+  * was wrong as implemented): what the union guarantees EXACTLY is
+  * the register/coupon STATE — per-register max and coupon-set union
+  * are associative, commutative, and idempotent, so the merged state
+  * is independent of how raw rows were partitioned into sketches and
+  * of the merge-tree shape. Spark's `hll_sketch_estimate` does NOT
+  * inherit that invariance: it prefers DataSketches' HIP accumulator,
+  * an online estimator whose value depends on the ORDER coupons were
+  * streamed into the union — i.e. on the shuffle. This operator
+  * therefore estimates via `graft_hll_composite`
+  * ([[graft.plans.SketchCode.compositeEstimate]]), a pure function of
+  * the merged state, making every emitted estimate exactly
+  * partition-invariant (SketchOpsSpec pins equality across input
+  * partitionings, across finer pre-sketching, and against a direct
+  * single sketch of the same rows — all three are the same register
+  * state). The price is HIP's accuracy bonus on never-merged
+  * sketches: composite relative standard error is 1.04/√2^lgK
+  * (~1.63% at lgK = 12) vs HIP's 0.836/√2^lgK (~1.31%) — a fraction
+  * of a σ traded for determinism, and the only honest choice when
+  * re-windowing from saved blobs (a union can never keep HIP anyway).
   *
   * Gate note: DuckDB has approx_count_distinct but NOT the
   * DataSketches register layout, so no SQL oracle can replay the
-  * estimates — q_rolling_distinct_approx is a rows-only driver check
-  * by design, and the correctness burden sits on the spec pair
-  * instead: union-associativity is asserted EXACTLY and the estimate
-  * is asserted within the published error envelope of the EXACT twin
-  * ([[BitmapOps.rollingDistinct]]) on the same input. NULL ids are
+  * estimates. The driver-facing query
+  * (`q_rolling_distinct_approx`) therefore emits a DERIVED gateable
+  * fact instead of the raw estimate: `within_envelope`, comparing the
+  * estimate in-plan against the EXACT twin
+  * ([[BitmapOps.rollingDistinct]]) at the 3σ composite envelope; the
+  * oracle replays the deterministic period set with `true`. The
+  * estimates themselves are certified by SketchOpsSpec. NULL ids are
   * excluded, matching the bitmap contract. */
 object SketchOps {
+
+  /** 3σ of the composite estimator at `lgK` — the published
+    * DataSketches HLL relative standard error 1.04/√2^lgK, tripled.
+    * ~4.9% at the default lgK = 12. */
+  def compositeEnvelope3Sigma(lgK: Int): Double =
+    3.0 * 1.04 / math.sqrt((1L << lgK).toDouble)
 
   /** Per-group HLL sketch blobs: (seg, sk BINARY). The one pass over
     * raw events every downstream re-aggregation builds on. */
@@ -53,6 +70,12 @@ object SketchOps {
       .groupBy("seg")
       .agg(hll_sketch_agg($"__id", lit(lgK)).as("sk"))
   }
+
+  /** Deterministic (composite) estimate of a sketch blob column —
+    * see the object scaladoc for why `hll_sketch_estimate` is not
+    * partition-invariant and this is. */
+  def estimate(sk: Column): Column =
+    GraftExtensions.nativeFn("graft_hll_composite", sk)
 
   /** Rolling-window APPROXIMATE distinct counts — the
     * [[BitmapOps.rollingDistinct]] shape with per-period HLL blobs in
@@ -81,8 +104,8 @@ object SketchOps {
       .withColumn("period", explode(expr(
         s"sequence(p, p + ${window - 1}L)")))
       .groupBy("period")
-      .agg(hll_sketch_estimate(
-        hll_union_agg($"sk", lit(false))).as("n_distinct_approx"))
+      .agg(estimate(hll_union_agg($"sk", lit(false)))
+        .as("n_distinct_approx"))
       .join(broadcast(present), Seq("period"), "left_semi")
       .select($"period", $"n_distinct_approx")
   }

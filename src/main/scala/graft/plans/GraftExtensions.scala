@@ -132,6 +132,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => BitmapAndCountExpr(es(0), es(1))),
     (FunctionIdentifier("graft_bitmap_count"), BitmapCountExpr.info,
       (es: Seq[Expression]) => BitmapCountExpr(es.head)),
+    (FunctionIdentifier("graft_hll_composite"), HllCompositeEstimateExpr.info,
+      (es: Seq[Expression]) => HllCompositeEstimateExpr(es.head)),
     // Spark's own runtime-filter bloom pair, surfaced as callable
     // functions: the sketch aggregate merges executor-side (same
     // machinery the optimizer injects for runtime row filters), and
