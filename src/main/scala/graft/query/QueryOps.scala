@@ -33,6 +33,21 @@ object QueryOps {
     * Rule of thumb: slice ≤ ~10% of the fact table → default; slice
     * comparable to the fact table → `DiskPersist`; slice larger than
     * aggregate executor disk → `Rescan`. */
+  /** How [[funnel]] materializes its one-scan event slice.
+    *
+    * Cached-block LIFETIME (ADVICE r14): the returned funnel frame is
+    * lazy, so `funnel` cannot unpersist its own slice — the blocks
+    * must outlive the call. `DiskPersist` blocks (and
+    * `LocalCheckpoint` blocks alike) are released in two ways:
+    * explicitly, by the caller holding the input DataFrame calling
+    * `spark.sharedState.cacheManager`-level cleanup or
+    * `df.unpersist()` on the slice they own; or automatically, by
+    * Spark's ContextCleaner once the result frame (and with it the
+    * slice plan) becomes unreachable and is GC'd — i.e. dropping the
+    * reference after materializing releases the disk asynchronously.
+    * A long-lived handle to an un-materialized DiskPersist funnel
+    * therefore pins executor disk for exactly as long as the caller
+    * keeps it; that is the contract, not a leak. */
   sealed trait FunnelScan
   object FunnelScan {
     case object LocalCheckpoint extends FunnelScan
@@ -484,8 +499,13 @@ object QueryOps {
         // the guard rides entity too: lenGuard >= 0 is runtime-true
         // (the guard evaluates to 0 or throws) but NON-FOLDABLE, so
         // SimplifyConditionals cannot drop the branch and an
-        // entity-only projection still evaluates the assert
-        when(lenGuard >= 0, col("entity")).as("entity"),
+        // entity-only projection still evaluates the assert. The
+        // coalesce keeps the output schema's nullability identical to
+        // the input's (a bare `when` would force entity nullable —
+        // ADVICE r14): value-identical even for a genuine null entity
+        // group, and the assert still evaluates first either way.
+        coalesce(when(lenGuard >= 0, col("entity")), col("entity"))
+          .as("entity"),
         (lenGuard + length(col("seq")).cast("long")).as("seq_len"),
         (lenGuard + regexp_count(col("seq"), lit(pattern)).cast("long"))
           .as("n_matches"))

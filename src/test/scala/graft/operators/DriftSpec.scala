@@ -42,6 +42,25 @@ class DriftSpec extends SparkTestBase {
     assert(r.getLong(3) == 0L)
   }
 
+  test("ksStatistic FAILS LOUDLY past the distinct-value cardinality " +
+      "bound (the continuous-column misuse), and passes at the bound") {
+    val rows = (1 to 50).map(v => (v, v % 2 == 0)).toDF("v", "a")
+    // 50 distinct values, bound 10 -> the in-plan assert fires
+    val e = intercept[Exception] {
+      Drift.ksStatistic(rows, col("v"), col("a"),
+        maxDistinctValues = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("Discretize")),
+      s"expected the pre-bucketing instruction, got: ${msgs(e)}")
+    // exactly at the bound: identical result to the unbounded form
+    val bounded = Drift.ksStatistic(rows, col("v"), col("a"),
+      maxDistinctValues = 50).collect()(0)
+    val free = Drift.ksStatistic(rows, col("v"), col("a")).collect()(0)
+    assert(bounded.toSeq === free.toSeq)
+  }
+
   test("tokenRateDiff ranks by the exact cross-multiplied rate gap") {
     // A: [x x y], B: [x y y y]; nA=3, nB=4.
     // x: 2*4 - 1*3 = 5; y: 1*4 - 3*3 = -5; z absent.

@@ -206,6 +206,12 @@ class QueryOpsSpec extends SparkTestBase {
     assert(out(2L) == ((3L, 0L)))
     assert(out(3L) == ((4L, 2L)))
     assert(out(4L) == ((2L, 0L)))
+    // schema stability (ADVICE r14): the guard-riding projection must
+    // not flip entity to nullable when the input key is non-nullable
+    val schema = QueryOps.sequenceMatch(events, col("u"),
+      Seq(col("t"), col("id")), col("c"), "v[^ep]*p").schema
+    assert(!schema("entity").nullable,
+      "entity must keep the input's non-nullability through the guard")
   }
 
   test("sequenceMatch bounded-group contract fires loudly above " +
