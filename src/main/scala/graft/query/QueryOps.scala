@@ -35,6 +35,26 @@ object QueryOps {
     * aggregate executor disk → `Rescan`. */
   /** How [[funnel]] materializes its one-scan event slice.
     *
+    * Measured crossover (ProbeFunnelModes, forced min-of-2, local[32],
+    * VERDICT r14 #8): on the 10×/100× entity-scaled event fixtures the
+    * funnel leg runs LocalCheckpoint 2.23 s / 2.76 s, DiskPersist
+    * 2.71 s / 2.66 s, Rescan 1.89 s / 2.22 s. Reading the numbers:
+    * with the source parquet page-cached (any local fixture), Rescan's
+    * k−1 re-reads are nearly free and both persist modes pay a net
+    * materialization premium — so the persist modes are INSURANCE
+    * priced at ~0.3–0.8 s per 100× leg, not a local win. The
+    * insurance pays off exactly when a re-read is not cache-priced:
+    * a 100 TB fact table on an object store makes Rescan k−1 extra
+    * full remote scans, which dwarfs one slice write. Between the two
+    * persist modes, DiskPersist's fixed write cost makes it the
+    * slower choice on small slices (2.71 vs 2.23 at 10×) and reaches
+    * parity by 100× (2.66 vs 2.76); choose it over LocalCheckpoint
+    * when the slice itself is fact-table-sized (disk-only blocks, no
+    * executor-memory pressure, lineage kept for fault recovery) —
+    * LocalCheckpoint blocks are memory-first and their lineage is
+    * severed, so a lost executor kills the query instead of
+    * recomputing.
+    *
     * Cached-block LIFETIME (ADVICE r14): the returned funnel frame is
     * lazy, so `funnel` cannot unpersist its own slice — the blocks
     * must outlive the call. `DiskPersist` blocks (and
