@@ -868,17 +868,18 @@ object Dedup {
     val base = df.select(col(idCol).as("doc_id"),
         TextAnalysis.tokenize(text).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))
-    // one overlapping k-gram per token position 0 .. n-k
-    val gramAt = (i: Column) => {
-      val g = concat_ws(" ", slice(col("__toks"), i + 1, lit(k)))
-      if (hashGrams) xxhash64(g) else g
-    }
-    val gramArr = when(col("__n") >= k,
-        transform(sequence(lit(0L), col("__n") - k), gramAt))
-      .otherwise(array().cast(
-        if (hashGrams) "array<bigint>" else "array<string>"))
-    val grams = base.select(col("doc_id"),
-      posexplode(gramArr).as(Seq("__p", "__g")))
+    // one overlapping k-gram per token position 0 .. n-k, built by the
+    // native one-byte-scan expression (graft_token_grams): each gram
+    // is a zero-copy byte-range view of the text, positionally
+    // identical to the concat_ws(slice(tokens)) HOF chain it replaced
+    // (parity-spec'd in VectorHashExpressionsSpec) — this projection
+    // runs TWICE since the r15 keep-first de-skew (agg + probe side),
+    // so its cost is the de-skew premium
+    val gramAt = (g: Column) => if (hashGrams) xxhash64(g) else g
+    val grams = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.plans.GraftExtensions.nativeFn(
+          "graft_token_grams", text, lit(k))).as(Seq("__p", "__g0")))
+      .select(col("doc_id"), col("__p"), gramAt(col("__g0")).as("__g"))
     // keep-first: every non-first occurrence of a gram is a flagged
     // window over tokens [p, p+k-1]. (doc_id, __p) is unique within a
     // gram group, so "strictly greater than the group minimum" is

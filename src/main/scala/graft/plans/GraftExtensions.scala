@@ -86,6 +86,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingles"), ShinglesExpr.info,
       (es: Seq[Expression]) => ShinglesExpr(es(0),
         litInt(es(1), "graft_shingles"))),
+    (FunctionIdentifier("graft_token_grams"), TokenGramsExpr.info,
+      (es: Seq[Expression]) => TokenGramsExpr(es(0),
+        litInt(es(1), "graft_token_grams"))),
     (FunctionIdentifier("graft_split_java"), SplitJavaExpr.info,
       (es: Seq[Expression]) => SplitJavaExpr(es(0),
         litStr(es(1), "graft_split_java"))),

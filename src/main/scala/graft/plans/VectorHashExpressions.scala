@@ -147,6 +147,50 @@ object VectorOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Overlapping word k-grams of a SINGLE-SPACE-tokenized text, one
+    * byte scan — positionally identical to
+    * `transform(sequence(0, n-k), i -> concat_ws(" ", slice(split(
+    * text, " ", -1), i+1, k)))` when n >= k, and the empty array when
+    * n < k (the scrub's `otherwise` branch). Why a byte scan is exact:
+    * with single-space separators, joining k consecutive tokens with
+    * single spaces reproduces the VERBATIM substring of the input
+    * from token i's first byte to token i+k-1's last byte — so each
+    * gram is a zero-copy byte-range view (0x20 never occurs inside a
+    * multi-byte UTF-8 sequence, so the space scan cannot split a
+    * character). The HOF chain allocates a token array plus a
+    * per-gram slice array and concat buffer — O(n·k) allocation that
+    * [[graft.operators.Dedup.scrubRepeatedSpans]] pays TWICE since
+    * its r15 de-skew (agg side + probe side). */
+  def tokenGrams(text: org.apache.spark.unsafe.types.UTF8String,
+                 k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // token start byte offsets; token i ends at starts(i+1)-2
+    var starts = new Array[Int](math.max(8, nb / 4))
+    starts(0) = 0
+    var n = 1
+    var i = 0
+    while (i < nb) {
+      if (bytes(i) == ' ') {
+        if (n == starts.length) starts = java.util.Arrays.copyOf(starts, n * 2)
+        starts(n) = i + 1
+        n += 1
+      }
+      i += 1
+    }
+    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - k + 1)
+    var g = 0
+    while (g <= n - k) {
+      val s = starts(g)
+      val e = if (g + k < n) starts(g + k) - 1 else nb
+      out(g) = org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(bytes, s, e - s)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer) — canonical
     * composition, the standard first step of text normalization;
     * agrees with utf8proc-based engines (DuckDB `nfc_normalize`) on
@@ -655,6 +699,42 @@ case class ShinglesExpr(child: Expression, k: Int)
 object ShinglesExpr {
   val info: ExpressionInfo =
     VectorHashExpressions.info(classOf[ShinglesExpr], "graft_shingles")
+}
+
+/** `graft_token_grams(text, k)` — ALL overlapping word k-grams of a
+  * single-space-tokenized text in positional order (index = token
+  * position), one compiled byte scan; empty array when the text has
+  * fewer than k tokens. Unlike [[ShinglesExpr]] (distinct, set
+  * semantics, for minhash/jaccard), this keeps every occurrence — the
+  * gram STREAM the repeated-span scrub posexplodes. */
+case class TokenGramsExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && k >= 1)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (STRING, literal k >= 1), got " +
+        s"(${child.dataType.simpleString}, $k)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_token_grams"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.tokenGrams(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.tokenGrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TokenGramsExpr = copy(child = newChild)
+}
+
+object TokenGramsExpr {
+  val info: ExpressionInfo =
+    VectorHashExpressions.info(classOf[TokenGramsExpr], "graft_token_grams")
 }
 
 /** `graft_jaccard(a, b)` — set Jaccard of two string arrays in one

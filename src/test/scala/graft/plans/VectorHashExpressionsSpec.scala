@@ -99,6 +99,32 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_token_grams == the positional concat_ws(slice(split)) " +
+      "HOF chain, incl. empty tokens, multi-byte text, and n < k") {
+    val texts = Gen.listOfN(60, Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "日本語", "", "x1"))))
+      .sample.get.map(_.mkString(" ")) ++
+      Seq("", " ", "  ", "a a a a", "x  y", "日本語 a 日本語")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      // the exact chain scrubRepeatedSpans used before r15
+      val toks = split(col("text"), " ", -1)
+      val n = size(toks).cast("long")
+      val hof = when(n >= k, transform(sequence(lit(0L), n - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(
+          call_function("graft_token_grams", col("text"), lit(k))
+            .as("native"),
+          hof.as("hof"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k text='$t'")
+      }
+    }
+  }
+
   test("graft_jaccard == intersect-size column formula, bit for bit") {
     val g = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "dd", "ee", ""))
     val pairs = Gen.listOfN(80, Gen.zip(g, g)).sample.get ++

@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Round close-out gate (VERDICT r14 #3): the end-of-round snapshot
+# commit must not be made unless this script exits 0. It re-derives
+# every round artifact at HEAD so none of them can rot a round behind
+# the code again (EXPLAINS/COVERAGE went stale in r9-r12 and again in
+# r14, each time one round after being fixed by hand).
+#
+# Usage: bash tools/closeout.sh [sfDir]   (default /root/testdata/sf0.01)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+OUT=/tmp/verify_closeout
+
+echo "== 1/4 full test suite (must be green) =="
+sbt -batch test
+
+echo "== 2/4 full Verify + DuckDB oracle compare at $SF =="
+sbt -batch "runMain graft.Verify $SF $OUT"
+python3 tools/check_correctness.py "$SF" "$OUT" /tmp/correctness_closeout.json \
+  | tail -3
+python3 - <<'EOF'
+import json
+r = json.load(open('/tmp/correctness_closeout.json'))
+bad = {k: v for k, v in r.items()
+       if not (v.get('rows_match') and v.get('schema_match')
+               and v.get('hash_match'))}
+assert not bad, f"non-green correctness rows: {sorted(bad)}"
+print(f"correctness: {len(r)}/{len(r)} green")
+EOF
+
+echo "== 3/4 regenerate EXPLAINS.md at HEAD (AQE final plans, sf0.1) =="
+sbt -batch "runMain graft.tools.ExplainDump /root/testdata/sf0.1 EXPLAINS.md"
+grep -qi "CartesianProduct" EXPLAINS.md && {
+  echo "FATAL: cartesian product in a dumped plan"; exit 1; } || true
+
+echo "== 4/4 regenerate COVERAGE.md from the freshest correctness json =="
+python3 tools/gen_coverage.py . /tmp/correctness_closeout.json
+
+echo "closeout: ALL GATES GREEN — safe to snapshot-commit"
