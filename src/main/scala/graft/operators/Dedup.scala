@@ -779,20 +779,37 @@ object Dedup {
     * (fully-deduplicated docs come back with n_kept = 0 and '').
     *
     * Scale shape: span derivation is a projection + explode; the
-    * keep-first rule is one window shuffle on the span text (skew-safe:
-    * span cardinality ~ corpus size) and the rebuild is one per-doc
-    * aggregation. No driver-side data. */
+    * keep-first rule is one `groupBy(span).agg(min(struct(doc, pos)))`
+    * — the kept rows ARE the per-span minima, so keep-first is a pure
+    * map-side-combined aggregate (r15; a hot span — boilerplate
+    * repeated across the corpus — collapses to one row per map task
+    * BEFORE the shuffle, where the previous `row_number` window form
+    * funneled every occurrence into one un-splittable partition, the
+    * scrub's VERDICT r14 #5 pathology). The rebuild is one per-doc
+    * aggregation. No driver-side data. The window form survives
+    * behind `keepFirstViaWindow` for the parity spec. */
   def spanDedup(df: DataFrame, idCol: String, text: Column,
-                w: Int = 10): DataFrame = {
+                w: Int = 10, keepFirstViaWindow: Boolean = false)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"),
       tokenSpans(TextAnalysis.tokenize(text), w).as("__spans"))
     val exploded = base.select(col("doc_id"),
       posexplode(col("__spans")).as(Seq("pos", "span")))
-    val kept = exploded
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("span").orderBy("doc_id", "pos")))
-      .filter(col("__rn") === 1)
+    val kept =
+      if (keepFirstViaWindow)
+        exploded
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("span").orderBy("doc_id", "pos")))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      else
+        // struct comparison is lexicographic by field, matching the
+        // window's orderBy("doc_id", "pos") exactly
+        exploded.groupBy("span")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
+          .select(col("__f.doc_id").as("doc_id"),
+            col("__f.pos").as("pos"), col("span"))
     val rebuilt = kept.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(" ", transform(

@@ -367,6 +367,27 @@ class DedupSpec extends SparkTestBase {
       "xxhash64 gram keys must scrub identically on a collision-free corpus")
   }
 
+  test("spanDedup keep-first forms are identical: per-span min " +
+      "aggregate (default, map-side combined) vs the legacy " +
+      "row_number window, incl. a planted hot span") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (1L to 50L).map { id =>
+      val body = (0 until (3 + rnd.nextInt(20)))
+        .map(_ => s"t${rnd.nextInt(8)}").mkString(" ")
+      // plant one 5-token boilerplate span into most docs
+      id -> (if (id % 3 != 0) s"b1 b2 b3 b4 b5 $body" else body)
+    }.toDF("doc_id", "text")
+    for (w <- Seq(4, 5, 10)) {
+      def run(viaWindow: Boolean) =
+        Dedup.spanDedup(corpus, "doc_id", col("text"), w,
+            keepFirstViaWindow = viaWindow)
+          .collect().map(x => x.getLong(0) ->
+            ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+      assert(run(viaWindow = false) === run(viaWindow = true),
+        s"w=$w: min-agg keep-first must equal the window form")
+    }
+  }
+
   test("scrubRepeatedSpans keep-first forms are identical: the " +
       "AQE-splittable groupBy(min(struct))+join (default) vs the " +
       "legacy row_number window (r14), incl. a planted hot gram") {
