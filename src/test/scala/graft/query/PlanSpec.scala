@@ -183,13 +183,34 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("span dedup has no join blowup: window + per-doc agg only") {
+  test("span dedup has no join blowup, and keep-first is a map-side " +
+      "partial aggregate, NOT a window (r15 de-skew)") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(Dedup.spanDedup(docs, "doc_id", col("text"), w = 10))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    // the de-skew: per-span keep-first pre-aggregates before the
+    // exchange (partial_min of the (doc, pos) struct); a hot span can
+    // no longer single-task the way a Window.partitionBy(span) did
+    assert(p.contains("partial_min(struct(doc_id"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("scrub keep-first is a map-side partial aggregate over the " +
+      "native gram stream (r15 de-skew + graft_token_grams)") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(Dedup.scrubRepeatedSpans(docs, "doc_id", col("text"),
+      k = 5))
+    assert(!p.contains("CartesianProduct"), p)
+    // firsts pre-aggregate before the exchange (the hot-gram collapse)
+    assert(p.contains("partial_min(struct(doc_id"), p)
+    // the gram projection is the one-byte-scan native expression, not
+    // the concat_ws(slice(split)) HOF chain (the rebuild's final
+    // concat_ws over surviving tokens legitimately remains)
+    assert(p.contains("graft_token_grams"), p)
+    assert(!p.contains("slice(split"), p)
   }
 
   test("repetition signals are scan-level: no exchange at all") {
