@@ -254,12 +254,15 @@ object ExplainDump {
         "graft_bitmap_or_agg unions map-side, broadcast semi-join " +
         "trims to observed days — no per-window re-scan, no Expand)" ->
         graft.query.EventQueries.rollingDistinctUsers(spark, sfDir),
-      "q_scrub_spans (overlapping k-gram stream from one pruned scan; " +
-        "keep-first via ONE gram-keyed window shuffle — the " +
-        "suffix-array-equivalent cost term; islands merge on the " +
-        "flagged subset only; doc-keyed report joins back to the " +
-        "second pruned scan for the rebuild)" ->
-        graft.query.DedupQueries.scrubSpans(spark, sfDir))
+      "q_scrub_spans (native graft_token_grams stream; keep-first via " +
+        "map-side-combined min-struct aggregate + repeated-grams-only " +
+        "join-back — AQE-splittable where the r14 gram-keyed window " +
+        "was not; islands merge on the flagged subset only; doc-keyed " +
+        "report joins back to the second pruned scan for the rebuild)" ->
+        graft.query.DedupQueries.scrubSpans(spark, sfDir),
+      "q_span_dedup (keep-first IS the per-span min-struct aggregate " +
+        "— map-side combined, no window, r15 de-skew)" ->
+        graft.query.DedupQueries.spanDedup(spark, sfDir))
 
     val body = headliners.map { case (title, df) =>
       // run THIS QueryExecution to completion so AQE finalizes every
