@@ -762,13 +762,23 @@ object Dedup {
       Seq(idCol), "left_anti")
 
   /** Non-overlapping token spans of width `w` (trailing partial span
-    * kept) — the unit of C4-style span-level corpus dedup. */
+    * kept) — the unit of C4-style span-level corpus dedup. The HOF
+    * reference form, kept for the native-parity spec;
+    * [[spanDedup]] uses the byte-scan native
+    * `graft_token_grams(text, w, stride = w, keepPartial = 1)`. */
   private[graft] def tokenSpans(toks: Column, w: Int): Column =
     when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(transform(
         // ceil(n / w) spans without float math: (n + w - 1) / w
         sequence(lit(0), (size(toks) + (w - 1)).divide(w).cast("int") - 1),
         i => concat_ws(" ", slice(toks, i * w + 1, lit(w)))))
+
+  /** Native form of [[tokenSpans]] straight from the text column —
+    * one byte scan, zero-copy span views (see
+    * [[graft.plans.VectorOps.tokenGrams]]). */
+  private[graft] def tokenSpansNative(text: Column, w: Int): Column =
+    graft.plans.GraftExtensions.nativeFn("graft_token_grams",
+      text, lit(w), lit(w), lit(1))
 
   /** C4-style span-level dedup ACROSS the corpus: split every document
     * into non-overlapping `w`-token spans, keep only the FIRST
@@ -793,7 +803,7 @@ object Dedup {
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"),
-      tokenSpans(TextAnalysis.tokenize(text), w).as("__spans"))
+      tokenSpansNative(text, w).as("__spans"))
     val exploded = base.select(col("doc_id"),
       posexplode(col("__spans")).as(Seq("pos", "span")))
     val kept =

@@ -87,8 +87,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => ShinglesExpr(es(0),
         litInt(es(1), "graft_shingles"))),
     (FunctionIdentifier("graft_token_grams"), TokenGramsExpr.info,
-      (es: Seq[Expression]) => TokenGramsExpr(es(0),
-        litInt(es(1), "graft_token_grams"))),
+      (es: Seq[Expression]) =>
+        if (es.size <= 2)
+          TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"))
+        else TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"),
+          litInt(es(2), "graft_token_grams"),
+          litInt(es(3), "graft_token_grams") != 0)),
     (FunctionIdentifier("graft_split_java"), SplitJavaExpr.info,
       (es: Seq[Expression]) => SplitJavaExpr(es(0),
         litStr(es(1), "graft_split_java"))),

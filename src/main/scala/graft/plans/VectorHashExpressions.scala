@@ -162,7 +162,15 @@ object VectorOps {
     * [[graft.operators.Dedup.scrubRepeatedSpans]] pays TWICE since
     * its r15 de-skew (agg side + probe side). */
   def tokenGrams(text: org.apache.spark.unsafe.types.UTF8String,
-                 k: Int): ArrayData = {
+                 k: Int): ArrayData = tokenGrams(text, k, 1, false)
+
+  /** Generalized form: token-position stride between grams, and
+    * `keepPartial` emits the trailing sub-k-token gram (the C4 span
+    * contract: `stride = k, keepPartial = true` gives exactly
+    * [[graft.operators.Dedup.tokenSpans]]' ceil(n/k) non-overlapping
+    * spans, trailing partial kept). */
+  def tokenGrams(text: org.apache.spark.unsafe.types.UTF8String,
+                 k: Int, stride: Int, keepPartial: Boolean): ArrayData = {
     val bytes = text.getBytes
     val nb = bytes.length
     // token start byte offsets; token i ends at starts(i+1)-2
@@ -178,12 +186,18 @@ object VectorOps {
       }
       i += 1
     }
-    if (n < k) return new GenericArrayData(Array.empty[AnyRef])
-    val out = new Array[AnyRef](n - k + 1)
+    val count =
+      if (keepPartial) (n + stride - 1) / stride
+      else if (n < k) 0
+      else (n - k) / stride + 1
+    if (count == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](count)
     var g = 0
-    while (g <= n - k) {
-      val s = starts(g)
-      val e = if (g + k < n) starts(g + k) - 1 else nb
+    while (g < count) {
+      val first = g * stride
+      val lastEx = math.min(first + k, n) // exclusive token bound
+      val s = starts(first)
+      val e = if (lastEx < n) starts(lastEx) - 1 else nb
       out(g) = org.apache.spark.unsafe.types.UTF8String
         .fromBytes(bytes, s, e - s)
       g += 1
@@ -707,26 +721,29 @@ object ShinglesExpr {
   * fewer than k tokens. Unlike [[ShinglesExpr]] (distinct, set
   * semantics, for minhash/jaccard), this keeps every occurrence — the
   * gram STREAM the repeated-span scrub posexplodes. */
-case class TokenGramsExpr(child: Expression, k: Int)
+case class TokenGramsExpr(child: Expression, k: Int,
+                          stride: Int = 1, keepPartial: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && k >= 1)
+    if (child.dataType == StringType && k >= 1 && stride >= 1)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (STRING, literal k >= 1), got " +
-        s"(${child.dataType.simpleString}, $k)")
+      s"$prettyName expects (STRING, literal k >= 1, stride >= 1), " +
+        s"got (${child.dataType.simpleString}, $k, $stride)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_token_grams"
 
   override protected def nullSafeEval(v: Any): Any =
     VectorOps.tokenGrams(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k, stride, keepPartial)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.tokenGrams($c, $k)")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.tokenGrams($c, $k, $stride, $keepPartial)")
 
   override protected def withNewChildInternal(newChild: Expression)
       : TokenGramsExpr = copy(child = newChild)

@@ -125,6 +125,26 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_token_grams(stride = k, keepPartial) == the HOF " +
+      "tokenSpans C4 span chain, incl. trailing partials and empties") {
+    val texts = Gen.listOfN(60, Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "日本語", "", "x1"))))
+      .sample.get.map(_.mkString(" ")) ++
+      Seq("", " ", "  ", "a a a a", "x  y")
+    val df = texts.toDF("text")
+    for (w <- Seq(1, 2, 3, 10)) {
+      val rows = df.select(
+          Dedup.tokenSpansNative(col("text"), w).as("native"),
+          Dedup.tokenSpans(TextAnalysis.tokenize(col("text")), w)
+            .as("hof"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"w=$w text='$t'")
+      }
+    }
+  }
+
   test("graft_jaccard == intersect-size column formula, bit for bit") {
     val g = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "dd", "ee", ""))
     val pairs = Gen.listOfN(80, Gen.zip(g, g)).sample.get ++
