@@ -412,6 +412,37 @@ object EventQueries {
       .orderBy("period")
   }
 
+  /** Per-segment approximate distinct users over the
+    * [[graft.operators.SketchOps.segmentSketches]] blob tier — the
+    * segment-sketch face of the same derived-fact gate as
+    * [[rollingDistinctUsersApprox]]: `within_envelope` compares the
+    * composite estimate of each segment's HLL blob against the exact
+    * count(DISTINCT) in-plan at the published 3σ composite envelope
+    * (2-count floor for tiny segments); the oracle replays the
+    * deterministic segment set with `true`. Both legs are one
+    * map-side-combined aggregate each over the event scan. */
+  def segmentDistinctApprox(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.operators.SketchOps
+      .segmentSketches(ev(s, dir), col("event_type"), col("user_id"))
+      .select(col("seg"),
+        graft.operators.SketchOps.estimate(col("sk")).as("n_approx"))
+    val exact = ev(s, dir).filter(col("user_id").isNotNull)
+      .groupBy(col("event_type").as("seg"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val tol = graft.operators.SketchOps.compositeEnvelope3Sigma(12)
+    sk.join(exact, Seq("seg"))
+      .select(col("seg"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          greatest(lit(2.0), lit(tol) * col("n_exact")))
+          .as("within_envelope"))
+      .orderBy("seg")
+  }
+
+  val segmentDistinctApproxSql: String =
+    """SELECT event_type AS seg, true AS within_envelope
+      |FROM events WHERE user_id IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val rollingDistinctUsersApproxSql: String =
     """WITH d AS (SELECT DISTINCT
       |    datediff('day', DATE '1970-01-01',
@@ -431,6 +462,8 @@ object EventQueries {
       (rollingDistinctUsers _, rollingDistinctUsersSql),
     "q_rolling_distinct_approx" ->
       (rollingDistinctUsersApprox _, rollingDistinctUsersApproxSql),
+    "q_segment_distinct_approx" ->
+      (segmentDistinctApprox _, segmentDistinctApproxSql),
     "q_segment_overlap" -> (segmentOverlap _, segmentOverlapSql),
     "q_sequence_match" -> (sequenceMatchViews _, sequenceMatchViewsSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
