@@ -29,7 +29,13 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape: each round is one equi-join (labels ⋈ edges, shuffled
   * on the node key) + one count aggregation with map-side partial sums
-  * + one window pick per node — no per-node state on the driver, no
+  * + one per-node argmax — `max(struct(c, -label))`, a map-side-
+  * combined aggregate, NOT a window (r15 skew audit: the previous
+  * `row_number over partitionBy(node)` put all of a node's distinct
+  * neighbor labels in one un-splittable window partition, so a
+  * celebrity node with 10⁸-degree single-tasked; the struct-max
+  * collapses per map task first — the scrub/spanDedup de-skew
+  * pattern). No per-node state on the driver, no
   * collect. The undirected expansion and node set are persisted once
   * for the run; labels are eagerly `localCheckpoint`ed every
   * `checkpointInterval` rounds so the physical plan stays bounded at
@@ -63,17 +69,21 @@ object LabelProp {
     // checkpoint cadence additionally truncates lineage on deep runs
     val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var labels = nodesP.withColumn("label", col("node"))
-    val pick = Window.partitionBy("node")
-      .orderBy(col("c").desc, col("label").asc)
     for (i <- 1 to rounds) {
       val votes = undP
         .join(labels.withColumnRenamed("node", "s"), "s")
         .groupBy(col("t").as("node"), col("label"))
         .agg(count(lit(1)).as("c"))
+      // deterministic argmax (highest count, then SMALLEST label) as
+      // min(struct(-c, label)): struct comparison is lexicographic,
+      // and c >= 1 is a count so its negation is a safe order
+      // reversal (labels themselves are never negated — they are
+      // arbitrary ids). Map-side partial min ⇒ a celebrity node's
+      // label votes collapse before the shuffle (no window partition).
       val winner = votes
-        .withColumn("rn", row_number().over(pick))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label").as("new_label"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("__w"))
+        .select(col("node"), col("__w.label").as("new_label"))
       labels = labels
         .join(winner, Seq("node"), "left")
         .select(col("node"),

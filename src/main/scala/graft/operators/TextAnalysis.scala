@@ -197,23 +197,42 @@ object TextAnalysis {
     * so a second engine reproduces the ranking bit-for-bit).
     *
     * Scale shape: one token-explode shuffle with map-side partial
-    * aggregation into (doc, term) counts, then TWO window passes —
-    * df as `count over (partition by term)` on the tf rows (one row
-    * per (doc, term), so the count IS document frequency) and the
-    * per-doc rank. This replaces the separate df aggregate + equi-join
-    * of the first version: same result, one fewer shuffle of the
-    * (doc, term) stream (3 exchanges, not 4) — measurably the
-    * heaviest chain in the text family at 10x data. */
+    * aggregation into (doc, term) counts, then df as a map-side-
+    * combined `groupBy(term).count` joined back, and ONE window pass
+    * for the per-doc rank (doc-bounded partitions). The r13 revision
+    * computed df as `count over (partition by term)` to save the df
+    * join — one fewer exchange, but a SCALE TRAP this round's skew
+    * audit caught (the scrub/spanDedup pathology, VERDICT r14 #5): a
+    * stopword term's (doc, term) rows are most of the corpus, and a
+    * window partition cannot be split by AQE, so the df pass
+    * single-tasks on exactly the input a term-frequency operator
+    * exists for. The agg re-shuffles the (doc, term) stream once more
+    * but collapses hot terms map-side; the df frame it joins back is
+    * vocabulary-sized (broadcast-able in most corpora, AQE decides).
+    * Window form retained behind `dfViaWindow` for the parity spec. */
   def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
-               text: Column, n: Int): org.apache.spark.sql.DataFrame = {
+               text: Column, n: Int,
+               dfViaWindow: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol).as("doc_id"),
+    val tf0 = df.select(col(idCol).as("doc_id"),
         explode(tokenize(text)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // two consumers in the agg-join form (df aggregate + probe side)
+    // would otherwise each recompute the explode+aggregate subtree —
+    // the funnel/rollingDistinct one-scan lesson
+    val tf = if (dfViaWindow) tf0 else tf0.localCheckpoint(false)
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("tf"), asc("df"), asc("term"))
-    tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy("term")))
+    val withDf =
+      if (dfViaWindow)
+        tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("term")))
+      else
+        // one row per (doc, term) ⇒ the count IS document frequency
+        tf.join(tf.groupBy("term").agg(count(lit(1)).as("df")),
+          Seq("term"))
+    withDf
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
       .select("doc_id", "term", "tf", "df", "rank")

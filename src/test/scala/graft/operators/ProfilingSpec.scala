@@ -52,4 +52,22 @@ class ProfilingSpec extends SparkTestBase {
       .filter(col("doc_id") === 1).collect()(0).getString(1)
     assert(top1 == "xx")
   }
+
+  test("topTerms df forms are identical: map-side agg+join (default, " +
+      "r15 de-skew) vs the term-keyed window, incl. a planted stopword") {
+    val rnd = new scala.util.Random(47)
+    val corpus = (1L to 60L).map { id =>
+      // "the" in every doc — the hot term whose window partition was
+      // the whole corpus in the r13 window form
+      val body = (0 until (3 + rnd.nextInt(12)))
+        .map(_ => s"w${rnd.nextInt(15)}").mkString(" ")
+      id -> s"the $body the"
+    }.toDF("id", "text")
+    def run(viaWindow: Boolean) =
+      TextAnalysis.topTerms(corpus, "id", col("text"), 3,
+          dfViaWindow = viaWindow)
+        .collect().map(r => (r.getLong(0), r.getInt(4)) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(run(viaWindow = false) === run(viaWindow = true))
+  }
 }
