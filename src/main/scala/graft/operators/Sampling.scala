@@ -37,18 +37,92 @@ object Sampling {
   def bernoulli(df: DataFrame, key: Column, rate: Double): DataFrame =
     df.filter(coin(key) <= lit(hexThreshold(rate)))
 
+  /** Column form of [[hexThreshold]] for a rate COLUMN; rates <= 0
+    * select nothing, rates >= 1 select everything. */
+  private def hexThresholdCol(rate: Column): Column =
+    when(rate <= 0.0, lit("/"))
+      .when(rate >= 1.0, lit("ffffffff"))
+      .otherwise(format_string("%08x",
+        (round(rate * 4294967296.0) - 1).cast("long")))
+
   /** Deterministic stratified sample: the `n` rows of each stratum
     * with the smallest md5 coin (id as tie-break) — a uniform-without-
-    * replacement draw per group, same rows every run. One shuffle on
-    * the stratum key. */
+    * replacement draw per group, same rows every run.
+    *
+    * Scale shape (r15 — replaces a full-corpus window shuffle): the
+    * md5 coins are uniform over the id space, so the n-th smallest
+    * coin of an m-row stratum concentrates at n/m. Pass 1 counts each
+    * stratum (map-side combined); pass 2 keeps only rows whose coin
+    * is under the OVERSAMPLED per-stratum cutoff
+    * `(oversample·n + floorDraws)/m` — ≈ `oversample·n + floorDraws`
+    * survivors per stratum — and the exact top-n window runs on that
+    * tiny frame. Exactness is GUARANTEED, not probabilistic: if at
+    * least min(n, m) rows of a stratum pass a cutoff T, the n
+    * smallest coins are all ≤ T, so the survivor set contains the
+    * true sample; an in-plan assert checks exactly that per stratum
+    * and fails LOUDLY naming `oversample` when a pathological coin
+    * distribution (deterministic for a given dataset) needs a larger
+    * factor. The window form shuffled EVERY row to its stratum — a
+    * hot stratum (90% of a crawl in one language) became one
+    * un-splittable window partition (the r15 skew audit), and the
+    * shuffle itself was corpus-sized where this one is sample-sized.
+    * Strata with m ≤ oversample·n + floorDraws pass entirely (rate
+    * 1), so small-group semantics are unchanged. The legacy window
+    * form stays behind `viaWindow` for the parity spec. */
   def stratifiedN(df: DataFrame, stratum: Column, id: Column,
-                  n: Int): DataFrame = {
+                  n: Int, oversample: Double = 8.0,
+                  floorDraws: Double = 50.0,
+                  viaWindow: Boolean = false): DataFrame = {
     require(n > 0, "n must be positive")
-    df.withColumn("__coin", coin(id))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(stratum).orderBy(col("__coin"), id)))
-      .filter(col("__rn") <= n)
-      .drop("__coin", "__rn")
+    // the in-plan guard below catches any stratum whose cutoff
+    // captured ≥ 1 but < min(n, m) rows; a stratum capturing ZERO
+    // rows has no row to carry an assert and would vanish silently,
+    // so the expected-survivor floor is enforced here instead:
+    // ≥ 25 expected draws makes P(zero survivors) ≤ e^-25 per
+    // stratum (strata with m below the floor pass whole at rate 1) —
+    // unreachable with the md5 coin, by construction rather than by
+    // runtime check
+    require(viaWindow || oversample * n + floorDraws >= 25.0,
+      s"stratifiedN: oversample*n + floorDraws = " +
+        s"${oversample * n + floorDraws} < 25 expected survivors — " +
+        "a stratum could miss the cutoff entirely and vanish " +
+        "silently; raise oversample or floorDraws")
+    if (viaWindow)
+      df.withColumn("__coin", coin(id))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(stratum).orderBy(col("__coin"), id)))
+        .filter(col("__rn") <= n)
+        .drop("__coin", "__rn")
+    else {
+      val counts = df.groupBy(stratum.as("__st"))
+        .agg(count(lit(1)).as("__m"))
+      val rate = least(lit(1.0),
+        (lit(oversample) * n + lit(floorDraws)) / col("__m"))
+      val survivors = df.withColumn("__coin", coin(id))
+        // the counts frame is stratum-cardinality-sized; in the
+        // hot-strata regime this operator de-skews it is tiny and AQE
+        // broadcasts it (millions of tiny strata revert to a plain
+        // co-partitioned join, where the window form was fine anyway)
+        // null-safe: a NULL stratum is a legitimate group in the
+        // window form and must stay one here
+        .join(counts, stratum <=> col("__st"))
+        .filter(col("__coin") <= hexThresholdCol(rate))
+      val w = Window.partitionBy(stratum).orderBy(col("__coin"), id)
+      survivors
+        .withColumn("__rn", row_number().over(w))
+        // exactness guard: >= min(n, m) survivors in this stratum ⇔
+        // the cutoff captured the true top-n (see scaladoc); riding
+        // the same bounded survivor window costs no extra pass
+        .withColumn("__ok", coalesce(assert_true(
+          count(lit(1)).over(Window.partitionBy(stratum)) >=
+            least(lit(n.toLong), col("__m")),
+          lit("stratifiedN: the oversampled coin cutoff captured " +
+            "fewer than min(n, stratum size) rows for a stratum — " +
+            "raise `oversample` (pathological coin clustering)"))
+          .cast("long"), lit(0L)))
+        .filter(col("__rn") + col("__ok") <= n)
+        .drop("__coin", "__rn", "__ok", "__st", "__m")
+    }
   }
 
   /** Corpus mixing: per-source deterministic Bernoulli rates in one

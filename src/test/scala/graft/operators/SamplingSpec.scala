@@ -41,6 +41,40 @@ class SamplingSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("stratifiedN threshold form (default) == the full-shuffle " +
+      "window form, incl. a hot stratum, tiny strata, and null strata") {
+    // hot stratum: 90% of rows in one group — the r15 skew-audit case
+    val skewed = spark.range(2000).select(col("id"),
+      when(col("id") % 10 === 0,
+          concat(lit("small"), (col("id") % 3).cast("string")))
+        .when(col("id") % 100 === 7, lit(null).cast("string"))
+        .otherwise(lit("hot")).as("source"))
+    for (n <- Seq(1, 5, 40)) {
+      def run(viaWindow: Boolean) =
+        Sampling.stratifiedN(skewed, col("source"), col("id"), n,
+            viaWindow = viaWindow)
+          .select("id").as[Long].collect().sorted.toSeq
+      assert(run(viaWindow = false) == run(viaWindow = true), s"n=$n")
+    }
+    // parameter floor: a cutoff that could miss a stratum entirely is
+    // rejected up front (zero-survivor strata carry no assert row)
+    val bad = intercept[IllegalArgumentException] {
+      Sampling.stratifiedN(skewed, col("source"), col("id"), 5,
+        oversample = 0.0, floorDraws = 0.0)
+    }
+    assert(bad.getMessage.contains("vanish"))
+    // in-plan exactness guard: ~25 expected survivors per stratum but
+    // n = 60 wanted from the 200-row strata -> certain shortfall,
+    // loud failure naming oversample (deterministic: md5 coins)
+    val e = intercept[Exception] {
+      Sampling.stratifiedN(skewed, col("source"), col("id"), 60,
+        oversample = 0.0, floorDraws = 25.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("oversample")), msgs(e))
+  }
+
   test("mixCorpora applies per-source rates and drops absent sources") {
     val out = Sampling.mixCorpora(corpus, col("source"), col("id"),
       Map("src0" -> 1.0, "src1" -> 0.2))
