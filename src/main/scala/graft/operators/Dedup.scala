@@ -797,10 +797,17 @@ object Dedup {
     * funneled every occurrence into one un-splittable partition, the
     * scrub's VERDICT r14 #5 pathology). The rebuild is one per-doc
     * aggregation. No driver-side data. The window form survives
-    * behind `keepFirstViaWindow` for the parity spec. */
+    * behind `keepFirstViaWindow` on the `private[graft]` impl — for
+    * the parity spec ONLY; it is deliberately NOT public API, because
+    * a caller flipping it at scale re-opens the r14 #5 un-splittable
+    * hot-span partition. */
   def spanDedup(df: DataFrame, idCol: String, text: Column,
-                w: Int = 10, keepFirstViaWindow: Boolean = false)
-      : DataFrame = {
+                w: Int = 10): DataFrame =
+    spanDedupImpl(df, idCol, text, w, keepFirstViaWindow = false)
+
+  private[graft] def spanDedupImpl(
+      df: DataFrame, idCol: String, text: Column,
+      w: Int, keepFirstViaWindow: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc_id"),
       tokenSpansNative(text, w).as("__spans"))
@@ -887,8 +894,18 @@ object Dedup {
     * DuckDB oracle replays bit-for-bit; DedupSpec pins hash ≡ text on
     * a collision-free corpus. */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, text: Column,
-                         k: Int = 5, hashGrams: Boolean = false,
-                         keepFirstViaWindow: Boolean = false)
+                         k: Int = 5, hashGrams: Boolean = false)
+      : DataFrame =
+    scrubRepeatedSpansImpl(df, idCol, text, k, hashGrams,
+      keepFirstViaWindow = false)
+
+  /** Flag-bearing impl of [[scrubRepeatedSpans]]; `private[graft]` on
+    * purpose — the legacy window keep-first exists for the parity spec
+    * and the planted hot-gram probe only, and must not be reachable
+    * from user code (flipping it at scale re-opens r14 #5). */
+  private[graft] def scrubRepeatedSpansImpl(
+      df: DataFrame, idCol: String, text: Column,
+      k: Int, hashGrams: Boolean, keepFirstViaWindow: Boolean)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")

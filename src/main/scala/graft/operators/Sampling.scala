@@ -38,12 +38,19 @@ object Sampling {
     df.filter(coin(key) <= lit(hexThreshold(rate)))
 
   /** Column form of [[hexThreshold]] for a rate COLUMN; rates <= 0
-    * select nothing, rates >= 1 select everything. */
-  private def hexThresholdCol(rate: Column): Column =
+    * select nothing, rates >= 1 select everything. A positive rate so
+    * small it rounds to zero (< ~2^-33, i.e. a stratum past ~2*10^11
+    * rows at the default draws) clamps to threshold 0 — effective
+    * rate 2^-32, which is >= any rate that rounds to zero, so the
+    * pre-filter stays a superset of the requested draw instead of
+    * degenerating: without the clamp, `%08x` of -1L renders the
+    * 16-char "ffffffffffffffff", which compares above every 8-char
+    * coin and silently selects ALL rows. */
+  private[graft] def hexThresholdCol(rate: Column): Column =
     when(rate <= 0.0, lit("/"))
       .when(rate >= 1.0, lit("ffffffff"))
       .otherwise(format_string("%08x",
-        (round(rate * 4294967296.0) - 1).cast("long")))
+        greatest(lit(0L), (round(rate * 4294967296.0) - 1).cast("long"))))
 
   /** Deterministic stratified sample: the `n` rows of each stratum
     * with the smallest md5 coin (id as tie-break) — a uniform-without-
@@ -56,23 +63,35 @@ object Sampling {
     * is under the OVERSAMPLED per-stratum cutoff
     * `(oversample·n + floorDraws)/m` — ≈ `oversample·n + floorDraws`
     * survivors per stratum — and the exact top-n window runs on that
-    * tiny frame. Exactness is GUARANTEED, not probabilistic: if at
-    * least min(n, m) rows of a stratum pass a cutoff T, the n
-    * smallest coins are all ≤ T, so the survivor set contains the
-    * true sample; an in-plan assert checks exactly that per stratum
-    * and fails LOUDLY naming `oversample` when a pathological coin
-    * distribution (deterministic for a given dataset) needs a larger
-    * factor. The window form shuffled EVERY row to its stratum — a
+    * tiny frame. Exactness: if at least min(n, m) rows of a stratum
+    * pass a cutoff T, the n smallest coins are all ≤ T, so the
+    * survivor set contains the true sample; an in-plan assert checks
+    * exactly that per stratum and fails LOUDLY naming `oversample`
+    * when a pathological coin distribution (deterministic for a given
+    * dataset) needs a larger factor. One case the assert cannot see:
+    * a stratum whose EVERY coin misses the cutoff carries no row for
+    * the guard to ride and would vanish silently — the ≥ 25
+    * expected-draw parameter floor below bounds that at P ≤ e^-25
+    * per stratum (astronomically safe, but probabilistic, not a
+    * theorem; the guarded under-capture case IS deterministic). The window form shuffled EVERY row to its stratum — a
     * hot stratum (90% of a crawl in one language) became one
     * un-splittable window partition (the r15 skew audit), and the
     * shuffle itself was corpus-sized where this one is sample-sized.
     * Strata with m ≤ oversample·n + floorDraws pass entirely (rate
     * 1), so small-group semantics are unchanged. The legacy window
-    * form stays behind `viaWindow` for the parity spec. */
+    * form stays behind `viaWindow` on the `private[graft]` impl —
+    * parity spec only, not public API (flipping it shuffles the whole
+    * corpus and single-tasks the hot stratum). */
   def stratifiedN(df: DataFrame, stratum: Column, id: Column,
                   n: Int, oversample: Double = 8.0,
-                  floorDraws: Double = 50.0,
-                  viaWindow: Boolean = false): DataFrame = {
+                  floorDraws: Double = 50.0): DataFrame =
+    stratifiedNImpl(df, stratum, id, n, oversample, floorDraws,
+      viaWindow = false)
+
+  private[graft] def stratifiedNImpl(
+      df: DataFrame, stratum: Column, id: Column,
+      n: Int, oversample: Double, floorDraws: Double,
+      viaWindow: Boolean): DataFrame = {
     require(n > 0, "n must be positive")
     // the in-plan guard below catches any stratum whose cutoff
     // captured ≥ 1 but < min(n, m) rows; a stratum capturing ZERO
@@ -243,10 +262,34 @@ object Sampling {
     * floor(sqrt(n)) is safe under a hash gate; Math.pow is only
     * 1-ulp-accurate and could flip a floor at perfect powers.
     *
-    * Scale: one count aggregate (stratum-dim sized, broadcast back)
-    * and one window shuffle on the stratum key. */
+    * Scale shape (r16 — the skew audit's last corpus-sized stratum
+    * window): one count aggregate (stratum-dim sized, broadcast
+    * back), then a salted TWO-STAGE exact top-k instead of one
+    * `row_number` over the raw stratum — a hot stratum (90% of a
+    * crawl in one language, exactly the head this operator exists to
+    * downsample) made that window partition un-splittable and
+    * corpus-sized. Stage 1 ranks within (stratum, hash(order) mod S)
+    * buckets of ~n_s/S rows — the average shuffle-partition load, the
+    * best any shuffle achieves — and keeps each bucket's local top
+    * k_s; a true global top-k_s row is top-k_s in ANY subset it
+    * belongs to, so stage 1 is lossless. Stage 2 re-ranks the ≤ S·k_s
+    * survivors per stratum exactly — k_s = n_s^alpha is SUBLINEAR, so
+    * the one remaining stratum-keyed partition is Θ(S·n^alpha), not
+    * Θ(n). The bucket hash is content-derived (xxhash64 of the order
+    * key), so retries and speculative tasks re-draw identically. With
+    * a unique `order` the kept set is identical to the single-window
+    * form (parity-spec'd); under order ties both forms keep an
+    * arbitrary k-subset of the tied boundary rows. The legacy
+    * single-window form stays behind `viaWindow` on the
+    * `private[graft]` impl — parity spec only. */
   def temperatureResample(df: DataFrame, stratum: Column, order: Column,
-                          alpha: Double): DataFrame = {
+                          alpha: Double): DataFrame =
+    temperatureResampleImpl(df, stratum, order, alpha,
+      saltBuckets = 0, viaWindow = false)
+
+  private[graft] def temperatureResampleImpl(
+      df: DataFrame, stratum: Column, order: Column, alpha: Double,
+      saltBuckets: Int, viaWindow: Boolean): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
     val kExpr =
       if (alpha == 0.5) floor(sqrt(col("__n").cast("double")))
@@ -256,11 +299,108 @@ object Sampling {
       .withColumn("__k", greatest(lit(1L), kExpr.cast("long")))
     // null-safe: a NULL stratum is a real group and must keep its
     // max(1, floor(n^alpha)) rows, not silently vanish
-    df.join(broadcast(targets), stratum <=> col("__s"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__s")).orderBy(order)))
-      .filter(col("__rn") <= col("__k"))
-      .drop("__s", "__n", "__k", "__rn")
+    val joined = df.join(broadcast(targets), stratum <=> col("__s"))
+    if (viaWindow)
+      joined
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__s")).orderBy(order)))
+        .filter(col("__rn") <= col("__k"))
+        .drop("__s", "__n", "__k", "__rn")
+    else {
+      val s =
+        if (saltBuckets > 0) saltBuckets
+        else df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+      val stage1 = joined
+        .withColumn("__b", pmod(xxhash64(order), lit(s.toLong)))
+        .withColumn("__r1", row_number().over(
+          Window.partitionBy(col("__s"), col("__b")).orderBy(order)))
+        .filter(col("__r1") <= col("__k"))
+      stage1
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__s")).orderBy(order)))
+        .filter(col("__rn") <= col("__k"))
+        .drop("__s", "__n", "__k", "__b", "__r1", "__rn")
+    }
+  }
+
+  /** Per-stratum nucleus (top-p) selection by integral mass — the
+    * corpus-curation shape of nucleus sampling: rank a stratum's rows
+    * by `(mass desc, id asc)` and keep the smallest prefix whose
+    * cumulative mass reaches `pct`% of the stratum total, emitting
+    * the exact running cumulative as `cum` (a LONG; `mass` must be
+    * integral — char/token counts — so the cut arithmetic is
+    * integer-exact and oracle-replayable).
+    *
+    * Scale shape (r16 — the skew audit's last corpus-sized window,
+    * with [[temperatureResample]]): a naive
+    * `sum(mass) over (partition by stratum order by ...)` funnels a
+    * hot stratum (90%-one-language crawl) into ONE un-splittable
+    * window partition. Instead the prefix sum is decomposed over
+    * VALUE CLASSES: a `groupBy(stratum, mass)` aggregate (map-side
+    * combined — a hot class collapses per map task) gives each
+    * class's mass and count; the class-frame windows (prefix and
+    * total) run over a frame bounded by the mass DOMAIN per stratum
+    * (distinct integral lengths — ~10⁶ for char counts), not by
+    * corpus rows; classes whose before-class cumulative already
+    * reaches the cut are pre-filtered BEFORE any row-level work, so
+    * the only row-level window — the id tie-rank inside a class,
+    * which reconstructs `cum = before_class + mass·rank` exactly —
+    * shuffles just the nucleus plus its boundary class (output-sized)
+    * and partitions by the (stratum, mass) TIE CLASS, hot only if one
+    * exact length dominates a stratum. The class join-back is
+    * sort-merge and AQE-skew-splittable (the scrub argument). Rows
+    * with NULL mass drop, as in the window form (their `cum` is
+    * NULL). Legacy single-window form behind `viaWindow` on the
+    * `private[graft]` impl — parity spec only. */
+  def nucleusCut(df: DataFrame, stratum: Column, mass: Column,
+                 id: Column, pct: Int): DataFrame =
+    nucleusCutImpl(df, stratum, mass, id, pct, viaWindow = false)
+
+  private[graft] def nucleusCutImpl(
+      df: DataFrame, stratum: Column, mass: Column, id: Column,
+      pct: Int, viaWindow: Boolean): DataFrame = {
+    require(pct > 0 && pct <= 100, s"pct must be in (0,100]: $pct")
+    val inCols = df.columns.map(col).toSeq
+    val base = df.withColumn("__s", stratum)
+      .withColumn("__m", mass.cast("long"))
+      .withColumn("__id", id)
+    if (viaWindow) {
+      val w = Window.partitionBy(col("__s"))
+        .orderBy(desc("__m"), asc("__id"))
+      base
+        .withColumn("cum", sum("__m").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__total",
+          sum("__m").over(Window.partitionBy(col("__s"))))
+        .filter((col("cum") - col("__m")) * 100 < col("__total") * pct)
+        .select(inCols :+ col("cum"): _*)
+    } else {
+      val vals = base
+        .groupBy(col("__s").as("__vs"), col("__m").as("__vm"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__mass", col("__vm") * col("__c"))
+        .withColumn("__cumv", sum("__mass").over(
+          Window.partitionBy("__vs").orderBy(desc("__vm"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__beforev", col("__cumv") - col("__mass"))
+        .withColumn("__total",
+          sum("__mass").over(Window.partitionBy("__vs")))
+        .select("__vs", "__vm", "__beforev", "__total")
+      base
+        .join(vals,
+          col("__s") <=> col("__vs") && col("__m") === col("__vm"))
+        // a row's cum is >= its class's before-class cumulative, so a
+        // class past the cut can never contribute — drop it before
+        // the row-level tie-rank window sees it
+        .filter(col("__beforev") * 100 < col("__total") * pct)
+        .withColumn("__r", row_number().over(
+          Window.partitionBy(col("__s"), col("__m"))
+            .orderBy(col("__id"))).cast("long"))
+        .withColumn("cum", col("__beforev") + col("__m") * col("__r"))
+        .filter((col("cum") - col("__m")) * 100 < col("__total") * pct)
+        .select(inCols :+ col("cum"): _*)
+    }
   }
 
   /** Token-budget packing, concat-and-split semantics: the documents

@@ -32,8 +32,14 @@ object Skew {
 
   /** Skewed-key report: top-k join keys by row count with their share —
     * the diagnostic that decides between broadcast, salting, and AQE.
-    * One scan: the total is a window sum over the (already aggregated,
-    * key-cardinality-sized) counts, not a second pass over the input.
+    * One scan: the total is a 1-row `agg(sum)` over the (already
+    * aggregated, key-cardinality-sized) counts, broadcast-cross-joined
+    * back — NOT an empty-partition-by window, which would drag the
+    * whole key frame through ONE window partition (for a 10⁹-distinct-
+    * key column the diagnostic would single-task exactly the disease
+    * it diagnoses; r15 verdict #2). The two references to `counts`
+    * share one shuffle via exchange reuse, so the input is still
+    * scanned once.
     *
     * `partitions` > 0 adds `recommended_salt` per key: a key holding
     * share s of the rows lands s*P partitions' worth of data on ONE
@@ -43,10 +49,11 @@ object Skew {
     * under the average (s <= 1/P) recommend 1 = no salting. */
   def keySkewReport(df: DataFrame, key: String, topK: Int = 20,
                     partitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.groupBy(key).agg(count(lit(1)).as("rows"))
-      .withColumn("share",
-        col("rows") / sum("rows").over(Window.partitionBy()))
+    val counts = df.groupBy(key).agg(count(lit(1)).as("rows"))
+    val total = counts.agg(sum("rows").as("__total"))
+    val base = counts.crossJoin(broadcast(total))
+      .withColumn("share", col("rows") / col("__total"))
+      .drop("__total")
       .orderBy(desc("rows")).limit(topK)
     if (partitions <= 0) base
     else base.withColumn("recommended_salt",

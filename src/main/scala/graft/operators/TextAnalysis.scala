@@ -209,10 +209,16 @@ object TextAnalysis {
     * exists for. The agg re-shuffles the (doc, term) stream once more
     * but collapses hot terms map-side; the df frame it joins back is
     * vocabulary-sized (broadcast-able in most corpora, AQE decides).
-    * Window form retained behind `dfViaWindow` for the parity spec. */
+    * Window form retained behind `dfViaWindow` on the `private[graft]`
+    * impl — parity spec only, not public API (a caller flipping it on
+    * a stopword-bearing corpus re-opens the single-task df pass). */
   def topTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
-               text: Column, n: Int,
-               dfViaWindow: Boolean = false)
+               text: Column, n: Int): org.apache.spark.sql.DataFrame =
+    topTermsImpl(df, idCol, text, n, dfViaWindow = false)
+
+  private[graft] def topTermsImpl(
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      text: Column, n: Int, dfViaWindow: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf0 = df.select(col(idCol).as("doc_id"),

@@ -87,12 +87,17 @@ object GraftExtensions {
       (es: Seq[Expression]) => ShinglesExpr(es(0),
         litInt(es(1), "graft_shingles"))),
     (FunctionIdentifier("graft_token_grams"), TokenGramsExpr.info,
-      (es: Seq[Expression]) =>
-        if (es.size <= 2)
-          TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"))
-        else TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"),
+      (es: Seq[Expression]) => es.size match {
+        case 2 => TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"))
+        case 3 => TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"),
+          litInt(es(2), "graft_token_grams"), keepPartial = false)
+        case 4 => TokenGramsExpr(es(0), litInt(es(1), "graft_token_grams"),
           litInt(es(2), "graft_token_grams"),
-          litInt(es(3), "graft_token_grams") != 0)),
+          litInt(es(3), "graft_token_grams") != 0)
+        case n => throw new IllegalArgumentException(
+          "graft_token_grams expects 2 (text, k), 3 (text, k, stride) " +
+            s"or 4 (text, k, stride, keep_partial) arguments, got $n")
+      }),
     (FunctionIdentifier("graft_split_java"), SplitJavaExpr.info,
       (es: Seq[Expression]) => SplitJavaExpr(es(0),
         litStr(es(1), "graft_split_java"))),

@@ -422,11 +422,18 @@ object EventQueries {
     * deterministic segment set with `true`. Both legs are one
     * map-side-combined aggregate each over the event scan. */
   def segmentDistinctApprox(s: SparkSession, dir: String): DataFrame = {
+    // event_type IS NOT NULL on BOTH legs (and in the oracle): the
+    // inner equi-join below is not null-safe, so a NULL segment would
+    // silently drop from the Spark result while DuckDB's GROUP BY
+    // still emits it — filtering explicitly keeps the two engines'
+    // row sets identical even on fixtures with NULL event_type
     val sk = graft.operators.SketchOps
-      .segmentSketches(ev(s, dir), col("event_type"), col("user_id"))
+      .segmentSketches(ev(s, dir).filter(col("event_type").isNotNull),
+        col("event_type"), col("user_id"))
       .select(col("seg"),
         graft.operators.SketchOps.estimate(col("sk")).as("n_approx"))
-    val exact = ev(s, dir).filter(col("user_id").isNotNull)
+    val exact = ev(s, dir)
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
       .groupBy(col("event_type").as("seg"))
       .agg(countDistinct(col("user_id")).as("n_exact"))
     val tol = graft.operators.SketchOps.compositeEnvelope3Sigma(12)
@@ -440,7 +447,7 @@ object EventQueries {
 
   val segmentDistinctApproxSql: String =
     """SELECT event_type AS seg, true AS within_envelope
-      |FROM events WHERE user_id IS NOT NULL
+      |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val rollingDistinctUsersApproxSql: String =

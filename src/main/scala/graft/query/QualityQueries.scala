@@ -242,21 +242,18 @@ object QualityQueries {
     * cumulative mass reaches 80% of the language's total — the
     * nucleus-sampling shape applied to corpus curation (cut the long
     * tail, keep the bulk). Kept iff `(cum_before · 100) < (80 ·
-    * total)` — all integer, so the cut point is exact. One window
-    * per language partition; no global sort. */
-  def nucleusTopP(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(desc("n_chars"), asc("doc_id"))
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("lang")
-    docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("cum", sum("n_chars").over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
-      .withColumn("total", sum("n_chars").over(wAll))
-      .filter((col("cum") - col("n_chars")) * 100 < col("total") * 80)
+    * total)` — all integer, so the cut point is exact. Runs on
+    * [[graft.operators.Sampling.nucleusCut]] (r16): the prefix sum is
+    * decomposed over (lang, n_chars) value classes so a hot language
+    * never becomes one un-splittable window partition; the row-level
+    * tie-rank window shuffles only the nucleus and partitions by tie
+    * class. */
+  def nucleusTopP(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.nucleusCut(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        col("lang"), col("n_chars"), col("doc_id"), pct = 80)
       .select("doc_id", "lang", "n_chars", "cum")
       .orderBy("lang", "doc_id")
-  }
 
   val nucleusTopPSql: String =
     """WITH r AS (SELECT doc_id, lang, n_chars,

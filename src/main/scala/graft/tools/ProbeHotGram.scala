@@ -37,8 +37,8 @@ object ProbeHotGram {
       docs.count() // materialize input outside the timed region
       def run(viaWindow: Boolean): Double = {
         val t0 = System.nanoTime
-        graft.Bench.force(graft.operators.Dedup.scrubRepeatedSpans(
-          docs, "doc_id", col("text"), k = 5,
+        graft.Bench.force(graft.operators.Dedup.scrubRepeatedSpansImpl(
+          docs, "doc_id", col("text"), k = 5, hashGrams = false,
           keepFirstViaWindow = viaWindow))
         (System.nanoTime - t0) / 1e9
       }

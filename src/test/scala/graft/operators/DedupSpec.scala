@@ -379,7 +379,7 @@ class DedupSpec extends SparkTestBase {
     }.toDF("doc_id", "text")
     for (w <- Seq(4, 5, 10)) {
       def run(viaWindow: Boolean) =
-        Dedup.spanDedup(corpus, "doc_id", col("text"), w,
+        Dedup.spanDedupImpl(corpus, "doc_id", col("text"), w,
             keepFirstViaWindow = viaWindow)
           .collect().map(x => x.getLong(0) ->
             ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
@@ -403,8 +403,8 @@ class DedupSpec extends SparkTestBase {
     }.toDF("doc_id", "text")
     for (k <- Seq(3, 5)) {
       def run(viaWindow: Boolean) =
-        Dedup.scrubRepeatedSpans(corpus, "doc_id", col("text"), k,
-            keepFirstViaWindow = viaWindow)
+        Dedup.scrubRepeatedSpansImpl(corpus, "doc_id", col("text"), k,
+            hashGrams = false, keepFirstViaWindow = viaWindow)
           .collect().map(x => x.getLong(0) ->
             ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4))))
           .toMap

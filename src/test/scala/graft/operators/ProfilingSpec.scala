@@ -64,7 +64,7 @@ class ProfilingSpec extends SparkTestBase {
       id -> s"the $body the"
     }.toDF("id", "text")
     def run(viaWindow: Boolean) =
-      TextAnalysis.topTerms(corpus, "id", col("text"), 3,
+      TextAnalysis.topTermsImpl(corpus, "id", col("text"), 3,
           dfViaWindow = viaWindow)
         .collect().map(r => (r.getLong(0), r.getInt(4)) ->
           ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap

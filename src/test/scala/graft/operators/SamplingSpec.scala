@@ -25,6 +25,26 @@ class SamplingSpec extends SparkTestBase {
     assert(Sampling.bernoulli(corpus, col("id"), 1.0).count() == 1000)
   }
 
+  test("hexThresholdCol clamps ultra-small positive rates to coin 0 " +
+      "instead of the 16-char %08x of -1 that selects ALL rows " +
+      "(advice r15), and keeps the documented edge rates") {
+    val rates = Seq(-0.5, 0.0, 1e-12, 1.0 / (1L << 34).toDouble,
+      1.0 / (1L << 32).toDouble, 0.5, 1.0, 2.0).toDF("rate")
+    val got = rates
+      .select(Sampling.hexThresholdCol(col("rate")).as("t"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "/" && got(1) == "/", "rates <= 0 select nothing")
+    // positive rates that round(rate * 2^32) to zero clamp to the
+    // smallest real threshold (keep coins == 00000000) — a SUPERSET
+    // of the requested draw, never the select-everything degenerate
+    assert(got(2) == "00000000" && got(3) == "00000000", got.toSeq)
+    assert(got(4) == "00000000", "rate 2^-32 keeps exactly coin 0")
+    assert(got.forall(_.length <= 8), s"8-hex-char domain: ${got.toSeq}")
+    assert(got(6) == "ffffffff" && got(7) == "ffffffff")
+    // scalar twin agrees on the representable rates
+    assert(Sampling.hexThreshold(0.5) == got(5))
+  }
+
   test("stratifiedN draws exactly n per stratum (capped by group size)") {
     val out = Sampling.stratifiedN(corpus, col("source"), col("id"), 30)
     val sizes = out.groupBy("source").count()
@@ -51,8 +71,8 @@ class SamplingSpec extends SparkTestBase {
         .otherwise(lit("hot")).as("source"))
     for (n <- Seq(1, 5, 40)) {
       def run(viaWindow: Boolean) =
-        Sampling.stratifiedN(skewed, col("source"), col("id"), n,
-            viaWindow = viaWindow)
+        Sampling.stratifiedNImpl(skewed, col("source"), col("id"), n,
+            oversample = 8.0, floorDraws = 50.0, viaWindow = viaWindow)
           .select("id").as[Long].collect().sorted.toSeq
       assert(run(viaWindow = false) == run(viaWindow = true), s"n=$n")
     }
@@ -212,6 +232,65 @@ class SamplingSpec extends SparkTestBase {
     // floor(sqrt(4)) = 2 rows survive per stratum — INCLUDING null
     assert(out.count(_._1.isEmpty) == 2, out.toSeq.toString)
     assert(out.count(_._1.contains("en")) == 2)
+  }
+
+  test("temperatureResample salted two-stage form (default) == the " +
+      "single stratum window (legacy), incl. a hot stratum, a " +
+      "1-row stratum, and a null stratum, across salt widths") {
+    val skewed = ((0 until 900).map(i => ("hot", i.toLong * 7 % 900)) ++
+      (0 until 90).map(i => ("de", i.toLong)) ++
+      Seq(("io", 0L), (null.asInstanceOf[String], 0L),
+        (null.asInstanceOf[String], 1L))).toDF("lang", "id")
+    for (alpha <- Seq(0.3, 0.5, 1.0); s <- Seq(1, 4, 32)) {
+      def run(viaWindow: Boolean) =
+        Sampling.temperatureResampleImpl(skewed, col("lang"), col("id"),
+            alpha, saltBuckets = s, viaWindow = viaWindow)
+          .select("lang", "id").collect()
+          .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+      assert(run(viaWindow = false) == run(viaWindow = true),
+        s"alpha=$alpha salt=$s")
+    }
+  }
+
+  test("nucleusCut keeps the smallest prefix reaching pct% of stratum " +
+      "mass with the exact running cum, == the legacy stratum-window " +
+      "form, incl. heavy mass ties, a hot stratum, zero masses, and " +
+      "null stratum/mass rows") {
+    val rnd = new scala.util.Random(61)
+    // hot stratum with heavy ties (few distinct masses), a tiny
+    // stratum, zero-mass rows, a null stratum, and null-mass rows
+    val rows = (0L until 800L).map(i =>
+        ("hot", 1L + rnd.nextInt(6).toLong * 10, i)) ++
+      (0L until 12L).map(i => ("tiny", 100L + i, i)) ++
+      Seq(("hot", 0L, 9001L), ("hot", 0L, 9002L),
+        (null.asInstanceOf[String], 50L, 1L), (null, 30L, 2L),
+        ("tiny", -1L, 9000L)) // -1 sentinel swapped to null below
+    val df = rows.toDF("lang", "mass", "doc")
+      .withColumn("mass",
+        when(col("mass") === -1L, lit(null)).otherwise(col("mass")))
+    for (pct <- Seq(50, 80, 100)) {
+      def run(viaWindow: Boolean) =
+        Sampling.nucleusCutImpl(df, col("lang"), col("mass"),
+            col("doc"), pct, viaWindow = viaWindow)
+          .collect()
+          .map(r => (Option(r.getString(0)), Option(r.get(1)),
+            r.getLong(2)) -> r.getLong(3)).toMap
+      val fast = run(viaWindow = false)
+      assert(fast == run(viaWindow = true), s"pct=$pct")
+      if (pct == 80) {
+        // sanity against first principles on the tiny stratum:
+        // masses 100..111, total 1266; keep desc-prefix until
+        // cum_before*100 >= 80*total
+        val tiny = fast.filter(_._1._1.contains("tiny")).toSeq
+          .sortBy(-_._1._3)
+        val masses = (0L until 12L).map(100L + _).sortBy(identity).reverse
+        val total = masses.sum
+        val expectKeep = masses.indices.takeWhile(i =>
+          masses.take(i).sum * 100 < 80 * total).map(masses(_))
+        assert(tiny.map(_._1._2.get.asInstanceOf[Long]).sorted ==
+          expectKeep.sorted, s"tiny kept ${tiny.map(_._1)}")
+      }
+    }
   }
 
   test("shuffleShards assigns every row a shard and a dense in-shard position") {

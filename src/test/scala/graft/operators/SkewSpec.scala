@@ -43,6 +43,21 @@ class SkewSpec extends SparkTestBase {
     assert(math.abs(top.getAs[Double]("share") - 0.9) < 1e-9)
   }
 
+  test("skew report carries no empty-partition window (r15 verdict " +
+      "#2): the total is a broadcast 1-row agg, so a 10^9-distinct-" +
+      "key frame never single-tasks inside its own diagnostic") {
+    val fact = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i"))
+      .toDF("key")
+    val report = Skew.keySkewReport(fact, "key", topK = 3, partitions = 8)
+    val physical = report.queryExecution.executedPlan.toString
+    assert(!physical.contains("Window"),
+      s"keySkewReport must not plan a WindowExec:\n$physical")
+    // and the de-windowed share math is unchanged
+    val top = report.collect()(0)
+    assert(top.getString(0) == "hot")
+    assert(math.abs(top.getAs[Double]("share") - 0.9) < 1e-9)
+  }
+
   test("report recommends salt = ceil(share * partitions), clamped") {
     val fact = ((1 to 900).map(_ => "hot") ++ (1 to 100).map(i => s"k$i"))
       .toDF("key")

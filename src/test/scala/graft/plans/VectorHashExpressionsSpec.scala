@@ -125,6 +125,27 @@ class VectorHashExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_token_grams arities: 3-arg (text, k, stride) defaults " +
+      "keepPartial to false, and a wrong arity raises a descriptive " +
+      "error instead of an IndexOutOfBounds (advice r15)") {
+    val df = Seq("a b c d e", "", "x y").toDF("text")
+    val rows = df.select(
+        call_function("graft_token_grams", col("text"), lit(2), lit(2))
+          .as("three"),
+        call_function("graft_token_grams", col("text"), lit(2), lit(2),
+          lit(0)).as("four"))
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    val e = intercept[Exception] {
+      df.select(call_function("graft_token_grams", col("text"),
+        lit(2), lit(1), lit(0), lit(9))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expects 2 (text, k)")), msgs(e))
+  }
+
   test("graft_token_grams(stride = k, keepPartial) == the HOF " +
       "tokenSpans C4 span chain, incl. trailing partials and empties") {
     val texts = Gen.listOfN(60, Gen.chooseNum(0, 12).flatMap(n =>
