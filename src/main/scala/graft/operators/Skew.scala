@@ -93,4 +93,22 @@ object Skew {
     if (n <= 1) big.join(small, Seq(key))
     else saltedJoin(big, small, key, spreadCol, n)
   }
+
+  /** Window operators with an EMPTY partition spec in `df`'s
+    * optimized logical plan — `over ()` drags the ENTIRE input
+    * through one window partition, the un-splittable-by-construction
+    * failure class AQE cannot rescue (the r14–r16 skew audits found
+    * five of these by hand; this makes the hunt mechanical). Returns
+    * one string per offending Window node (its window expressions)
+    * so pipelines can assert emptiness in CI: an empty result proves
+    * no operator in the plan funnels the full frame into one task.
+    * Works at the logical level (public, stable API) — value-KEYED
+    * hot windows still need the semantic audit; this catches the
+    * subset that is mechanically decidable. */
+  def emptyPartitionWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+        w.windowExpressions.map(_.toString).mkString("; ")
+    }
 }
