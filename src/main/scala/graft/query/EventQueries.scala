@@ -363,7 +363,11 @@ object EventQueries {
     * as epoch-day longs (the retention gate's derivation). */
   def rollingDistinctUsers(s: SparkSession, dir: String): DataFrame =
     graft.operators.BitmapOps
-      .rollingDistinct(ev(s, dir),
+      // ets IS NOT NULL (mirrored in the oracle): a NULL timestamp
+      // would make a NULL period group that Spark EMITS but the
+      // oracle's BETWEEN self-join never matches — the inverse face
+      // of the approx twin's dropped-null-join divergence
+      .rollingDistinct(ev(s, dir).filter(col("ets").isNotNull),
         datediff(to_date(col("ets")), lit("1970-01-01")).cast("long"),
         col("user_id"), window = 7)
       .orderBy("period")
@@ -373,7 +377,7 @@ object EventQueries {
       |    datediff('day', DATE '1970-01-01',
       |             CAST(date_trunc('day', ts) AS DATE)) AS p,
       |    user_id AS id
-      |  FROM events WHERE user_id IS NOT NULL),
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |ps AS (SELECT DISTINCT p FROM d)
       |SELECT ps.p AS period, count(DISTINCT d.id) AS n_distinct
       |FROM ps JOIN d ON d.p BETWEEN ps.p - 6 AND ps.p
@@ -398,10 +402,16 @@ object EventQueries {
     * frame. */
   def rollingDistinctUsersApprox(s: SparkSession, dir: String): DataFrame = {
     val day = datediff(to_date(col("ets")), lit("1970-01-01")).cast("long")
+    // ets IS NOT NULL on both legs (and in the oracle): a NULL
+    // timestamp makes a NULL period, which the non-null-safe
+    // period join below silently drops while the oracle's DISTINCT
+    // period set still emits it — the same latent divergence class
+    // as segmentDistinctApprox's NULL segment
+    val src = ev(s, dir).filter(col("ets").isNotNull)
     val approx = graft.operators.SketchOps
-      .rollingDistinctApprox(ev(s, dir), day, col("user_id"), window = 7)
+      .rollingDistinctApprox(src, day, col("user_id"), window = 7)
     val exact = graft.operators.BitmapOps
-      .rollingDistinct(ev(s, dir), day, col("user_id"), window = 7)
+      .rollingDistinct(src, day, col("user_id"), window = 7)
       .withColumnRenamed("n_distinct", "n_exact")
     val tol = graft.operators.SketchOps.compositeEnvelope3Sigma(12)
     approx.join(exact, Seq("period"))
@@ -454,7 +464,7 @@ object EventQueries {
     """WITH d AS (SELECT DISTINCT
       |    datediff('day', DATE '1970-01-01',
       |             CAST(date_trunc('day', ts) AS DATE)) AS p
-      |  FROM events WHERE user_id IS NOT NULL)
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
       |SELECT p AS period, true AS within_envelope
       |FROM d ORDER BY period""".stripMargin
 
