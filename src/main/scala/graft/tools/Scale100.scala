@@ -156,11 +156,18 @@ object Scale100 {
     // under-measure (r14: q_scrub_spans "cost" 0.48 s at 100x under
     // count() because the whole gram window was optimized away; the
     // forced run costs 16.6 s)
+    // q_temperature_resample / q_nucleus_topp (r16): the doc replicas
+    // keep lang and n_chars, so each language stratum grows exactly
+    // x k with an identical length distribution — the measured
+    // variables are the salted two-stage top-k (k_s = sqrt(k*n) per
+    // stratum) and the value-class prefix pass (class frame CONSTANT
+    // at x k rows; only the nucleus-sized tie-rank leg scales)
     val qs = graft.SparkEntry.queries
     for (q <- Seq("q_winsorize", "q_histogram_equidepth",
         "q_rank_transform", "q_bpe_encode_docs",
         "q_sequence_match", "q_funnel_windowed",
-        "q_rolling_distinct", "q_scrub_spans") if on(q)) {
+        "q_rolling_distinct", "q_scrub_spans",
+        "q_temperature_resample", "q_nucleus_topp") if on(q)) {
       val fn = qs(q)
       record(q, time { graft.Bench.force(fn(spark, sfDir)); 0L }._2,
         time { graft.Bench.force(fn(spark, outDir)); 0L }._2)
