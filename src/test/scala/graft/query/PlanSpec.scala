@@ -294,6 +294,24 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("r16 de-skew shapes are locked: temperature resample plans the " +
+      "salted stage-1 bucket window; nucleus cut plans the value-class " +
+      "frame (a silent fall-back to the raw stratum window would pass " +
+      "parity specs but single-task a hot language at scale)") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pT = plan(Sampling.temperatureResample(docs, col("lang"),
+      col("doc_id"), 0.5))
+    // the salt column only exists in the two-stage form
+    assert(pT.contains("__b#"), pT)
+    val pN = plan(Sampling.nucleusCut(docs, col("lang"),
+      col("n_chars"), col("doc_id"), 80))
+    // the value-class aggregate frame only exists in the
+    // decomposition form
+    assert(pN.contains("__vm#"), pN)
+    assert(pN.contains("HashAggregate"), pN)
+  }
+
   test("token chunking is a scan-level generator: no exchange") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$dir/documents.parquet")
