@@ -293,6 +293,65 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("temperatureResample == an independent in-memory reference " +
+      "model over random corpora (both Spark forms could share a bug; " +
+      "the model can't)") {
+    val rnd = new scala.util.Random(997)
+    for (trial <- 0 until 3; alpha <- Seq(0.3, 0.5, 0.8)) {
+      val langs = Array("en", "de", "sw", null)
+      val rows = (0 until 400).map { i =>
+        (langs(rnd.nextInt(langs.length)), rnd.nextLong())
+      }.distinct // unique orders: ties would make the draw ambiguous
+      val df = rows.toDF("lang", "ord")
+      val got = Sampling.temperatureResample(df, col("lang"),
+          col("ord"), alpha)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+      // .toSeq before flatMap: flatMap on a Map key-dedups 2-tuple
+      // results, silently collapsing each stratum's k rows to one
+      val want = rows.map { case (l, o) => (Option(l), o) }
+        .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          // sqrt for alpha = 0.5, like the operator: pow is only
+          // 1-ulp-accurate and can flip the floor at perfect squares
+          val raw = if (alpha == 0.5) math.sqrt(rs.size.toDouble)
+            else math.pow(rs.size.toDouble, alpha)
+          val k = math.max(1L, math.floor(raw).toLong)
+          rs.sortBy(_._2).take(k.toInt)
+        }.toSet
+      assert(got == want, s"trial=$trial alpha=$alpha")
+    }
+  }
+
+  test("nucleusCut == an independent in-memory reference model over " +
+      "random corpora with heavy ties") {
+    val rnd = new scala.util.Random(331)
+    for (trial <- 0 until 3; pct <- Seq(30, 80, 100)) {
+      val langs = Array("en", "de", null)
+      val rows = (0L until 300L).map { i =>
+        (langs(rnd.nextInt(langs.length)),
+          // heavy ties: few distinct masses, incl. zeros
+          rnd.nextInt(7).toLong * 10, i)
+      }
+      val df = rows.toDF("lang", "mass", "doc")
+      val got = Sampling.nucleusCut(df, col("lang"), col("mass"),
+          col("doc"), pct)
+        .collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))
+          -> r.getLong(3)).toMap
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(r => (-r._2, r._3))
+        val total = sorted.map(_._2).sum
+        var cum = 0L
+        sorted.flatMap { case (l, m, id) =>
+          val before = cum; cum += m
+          if (before * 100 < total * pct)
+            Some((Option(l), m, id) -> (before + m))
+          else None
+        }
+      }.toMap
+      assert(got == want, s"trial=$trial pct=$pct")
+    }
+  }
+
   test("shuffleShards assigns every row a shard and a dense in-shard position") {
     val out = Sampling.shuffleShards(corpus, col("id"), 8, "s1")
       .select("id", "shard", "pos").collect()
