@@ -311,6 +311,8 @@ object Sampling {
         if (saltBuckets > 0) saltBuckets
         else df.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
+      require(s > 0, s"temperatureResample: salt width must be " +
+        s"positive, got $s (from spark.sql.shuffle.partitions)")
       val stage1 = joined
         .withColumn("__b", pmod(xxhash64(order), lit(s.toLong)))
         .withColumn("__r1", row_number().over(
@@ -329,8 +331,10 @@ object Sampling {
     * by `(mass desc, id asc)` and keep the smallest prefix whose
     * cumulative mass reaches `pct`% of the stratum total, emitting
     * the exact running cumulative as `cum` (a LONG; `mass` must be
-    * integral — char/token counts — so the cut arithmetic is
-    * integer-exact and oracle-replayable).
+    * integral and NON-NEGATIVE — char/token counts — so the cut
+    * arithmetic is integer-exact and oracle-replayable; a negative
+    * mass fails loudly in-plan, because the value-class pre-filter
+    * below is unsound for it).
     *
     * Scale shape (r16 — the skew audit's last corpus-sized window,
     * with [[temperatureResample]]): a naive
@@ -379,6 +383,20 @@ object Sampling {
       val vals = base
         .groupBy(col("__s").as("__vs"), col("__m").as("__vm"))
         .agg(count(lit(1)).as("__c"))
+        // loud guard, riding the tiny class frame: the past-the-cut
+        // class pre-filter is only sound for non-negative masses
+        // (with m < 0 a row's cum_before runs BELOW its class's
+        // before-class cumulative, so a dropped class could still
+        // hold qualifying rows — a silent wrong answer); lengths and
+        // token counts are never negative, so fail instead of guess
+        // NULL masses pass through — their rows drop at the non-null-
+        // safe join below, the documented window-form behavior
+        .withColumn("__vm",
+          when(col("__vm").isNull || col("__vm") >= 0, col("__vm"))
+            .otherwise(assert_true(col("__vm") >= 0,
+              lit("nucleusCut: mass must be non-negative (char/token " +
+                "counts) — the value-class pre-filter is unsound for " +
+                "negative masses")).cast("long")))
         .withColumn("__mass", col("__vm") * col("__c"))
         .withColumn("__cumv", sum("__mass").over(
           Window.partitionBy("__vs").orderBy(desc("__vm"))

@@ -293,6 +293,20 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("nucleusCut fails LOUDLY on a negative mass instead of " +
+      "silently mis-dropping value classes (the pre-filter is " +
+      "unsound there)") {
+    val df = Seq(("en", 5L, 1L), ("en", -3L, 2L), ("de", 4L, 3L))
+      .toDF("lang", "mass", "doc")
+    val e = intercept[Exception] {
+      Sampling.nucleusCut(df, col("lang"), col("mass"), col("doc"), 80)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-negative")), msgs(e))
+  }
+
   test("temperatureResample == an independent in-memory reference " +
       "model over random corpora (both Spark forms could share a bug; " +
       "the model can't)") {
