@@ -80,15 +80,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ONE session builder for the whole repo (r16 verdict #7): Bench
+    // carried its own with a drifted local[4] default, so r16's
+    // "canonical" quiet sweep silently measured a different engine
+    // config than the driver's local[32] and r15's canonical — the
+    // artifact's cpus field must now always match GraftSession's
+    val cpus = GraftSession.cpus
+    val spark = GraftSession.getOrCreate("graft-bench")
     // warmup: JVM/codegen/parquet-footer caches, so per-query numbers
     // reflect steady-state cost rather than first-job startup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()

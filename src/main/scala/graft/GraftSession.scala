@@ -14,8 +14,14 @@ import org.apache.spark.sql.SparkSession
   *     explicitly at call sites.
   */
 object GraftSession {
+  /** The one parallelism knob: local[cpus] AND the static shuffle
+    * partition count. Defaults to 32 — the driver's harness config.
+    * Every main (Verify, Bench, probes) must come through here: r16
+    * shipped a bench artifact silently measured at a drifted local[4]
+    * because Bench carried its own builder with its own default. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
   def builder(appName: String = "graft"): SparkSession.Builder = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")

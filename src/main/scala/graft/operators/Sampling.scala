@@ -22,8 +22,13 @@ object Sampling {
     * engines, no integer parsing dialects. */
   private[graft] def hexThreshold(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    // clamp to 0 as in [[hexThresholdCol]]: a positive rate < ~2^-33
+    // rounds to zero draws, and `%08x` of -1L would render the 16-char
+    // "ffffffffffffffff" — ABOVE every 8-char coin, silently selecting
+    // ALL rows instead of ~none; threshold "00000000" keeps the
+    // effective rate at 2^-32, a superset of any rate that rounds to 0
     if (rate == 0.0) "/" // sorts below every hex digit: selects nothing
-    else f"${math.round(rate * (1L << 32)).min(1L << 32) - 1}%08x"
+    else f"${math.max(0L, math.round(rate * (1L << 32)).min(1L << 32) - 1)}%08x"
   }
 
   /** md5-hex coin of a key column (cast to string first so the bytes
@@ -275,7 +280,18 @@ object Sampling {
     * belongs to, so stage 1 is lossless. Stage 2 re-ranks the ≤ S·k_s
     * survivors per stratum exactly — k_s = n_s^alpha is SUBLINEAR, so
     * the one remaining stratum-keyed partition is Θ(S·n^alpha), not
-    * Θ(n). The bucket hash is content-derived (xxhash64 of the order
+    * Θ(n). The salt width S defaults to
+    * min(spark.sql.shuffle.partitions, 1024): the stage-2 bound
+    * GROWS with S, so inheriting a cluster-scale partition count
+    * (10⁴–10⁵ is routine) uncapped would re-inflate the one
+    * un-splittable partition to S·k ≈ 10⁹⁺ rows — the balanced choice
+    * equalizes stage-1 load n/S against stage-2 load S·k at
+    * S ≈ sqrt(n/k), a few hundred for any realistic corpus, and the
+    * 1024 cap keeps the default within a small factor of that without
+    * a pre-pass over the data. alpha = 1.0 keeps k = n (every row),
+    * so it short-circuits to the input unchanged — running the
+    * machinery would make stage 2 the exact corpus-sized stratum
+    * window this rewrite removes. The bucket hash is content-derived (xxhash64 of the order
     * key), so retries and speculative tasks re-draw identically. With
     * a unique `order` the kept set is identical to the single-window
     * form (parity-spec'd); under order ties both forms keep an
@@ -291,6 +307,11 @@ object Sampling {
       df: DataFrame, stratum: Column, order: Column, alpha: Double,
       saltBuckets: Int, viaWindow: Boolean): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    // alpha = 1 ⇒ k_s = n_s: every row of every stratum is kept, and
+    // stage 2 would degenerate to the full single-stratum window this
+    // operator exists to avoid — return the input unchanged instead
+    // (the window form keeps the degenerate path for the parity spec)
+    if (alpha == 1.0 && !viaWindow) return df
     val kExpr =
       if (alpha == 0.5) floor(sqrt(col("__n").cast("double")))
       else floor(pow(col("__n").cast("double"), lit(alpha)))
@@ -307,10 +328,18 @@ object Sampling {
         .filter(col("__rn") <= col("__k"))
         .drop("__s", "__n", "__k", "__rn")
     else {
+      // default salt width: the session's shuffle parallelism, CAPPED
+      // at 1024 — stage 2's one stratum-keyed partition is Θ(S·k), so
+      // a cluster-scale shuffle.partitions (10⁴–10⁵) inherited here
+      // uncapped would re-inflate the exact skew this rewrite removes
+      // (S=10⁵, k=10⁵ at n=10¹⁰/alpha=0.5 ⇒ 10¹⁰ rows back in ONE
+      // partition); 1024 stays within a small factor of the balanced
+      // S ≈ sqrt(n/k) for any realistic corpus while stage 1 buckets
+      // (n/S rows) remain far below a shuffle partition's capacity
       val s =
         if (saltBuckets > 0) saltBuckets
-        else df.sparkSession.conf
-          .get("spark.sql.shuffle.partitions").toInt
+        else math.min(1024, df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt)
       require(s > 0, s"temperatureResample: salt width must be " +
         s"positive, got $s (from spark.sql.shuffle.partitions)")
       val stage1 = joined

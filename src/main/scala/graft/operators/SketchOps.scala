@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.GraftExtensions
@@ -76,6 +76,63 @@ object SketchOps {
     * partition-invariant and this is. */
   def estimate(sk: Column): Column =
     GraftExtensions.nativeFn("graft_hll_composite", sk)
+
+  // ---- Persisted incremental sketch index (r16 verdict #4; the
+  // [[Dedup.loadMinhashIndex]] layout for the HLL blob tier) ----
+  //
+  // The 100 TB contract: a cross-day / cross-corpus distinct-user
+  // profile must NOT rescan history — yesterday's blobs are the
+  // artifact you keep. `save` writes the one-pass per-segment blobs +
+  // params; `append` banks a new batch as an idempotent `delta_<tag>`
+  // (a replayed batch OVERWRITES its own delta — and even a
+  // double-loaded blob is harmless, because HLL state union is
+  // per-register max: associative, commutative, IDEMPOTENT);
+  // `load` unions base + every delta and re-merges per segment —
+  // blob-count-sized work, never event-history-sized. The composite
+  // estimator makes the loaded estimates bit-identical to a fresh
+  // single-pass sketch of the same rows (partition-invariance, pinned
+  // by SketchOpsSpec and the q_segment_distinct_inc hash gate).
+
+  /** Build and persist the base segment-sketch index: per-segment HLL
+    * blobs under `path/base`, lgK under `path/params`. */
+  def saveSketchIndex(df: DataFrame, seg: Column, id: Column,
+                      path: String, lgK: Int = 12): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    segmentSketches(df, seg, id, lgK)
+      .write.mode("overwrite").parquet(s"$path/base")
+    Seq(lgK).toDF("lgK").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Append a batch WITHOUT rescanning history: sketch it at the
+    * STORED lgK (union with a different lgK would silently degrade
+    * every register) and write it as `delta_<tag>` — idempotent under
+    * replay (overwrite), and HLL-idempotent even if double-read. */
+  def appendSketchIndex(spark: SparkSession, path: String,
+                        batch: DataFrame, seg: Column, id: Column,
+                        tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
+    val lgK = spark.read.parquet(s"$path/params").collect()(0).getInt(0)
+    segmentSketches(batch, seg, id, lgK)
+      .write.mode("overwrite").parquet(s"$path/delta_$tag")
+  }
+
+  /** Load base + every delta and merge to one blob per segment:
+    * (seg, sk). Work is proportional to the number of SAVED BLOBS
+    * (segments × batches), never to the events they summarize. */
+  def loadSketchIndex(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.toString).sorted.toSeq
+    (s"$path/base" +: deltas)
+      .map(d => spark.read.parquet(d).select("seg", "sk"))
+      .reduce(_ unionByName _)
+      .groupBy("seg")
+      .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+  }
 
   /** Rolling-window APPROXIMATE distinct counts — the
     * [[BitmapOps.rollingDistinct]] shape with per-period HLL blobs in

@@ -134,6 +134,10 @@ object GraftExtensions {
         // expressions that canonicalize EQUAL (ADVICE r10)
         scala.collection.immutable.ArraySeq.unsafeWrapArray(
           litLongArray(es(1), "graft_bigram_costs")))),
+    (FunctionIdentifier("graft_quality_score"), HashNgramScoreExpr.info,
+      (es: Seq[Expression]) => HashNgramScoreExpr(es(0),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          litLongArray(es(1), "graft_quality_score")))),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     (FunctionIdentifier("graft_bitmap_agg"), BitmapAggExpr.info,

@@ -532,7 +532,69 @@ object QualityQueries {
       |  s > 7 * 1500 AS alarm
       |FROM c ORDER BY key, period""".stripMargin
 
+  // ---- hashed-n-gram linear quality classifier ----
+
+  /** fastText-style discriminative quality filter under the FULL hash
+    * gate (r16 verdict #5): a linear model over hashed word
+    * unigram+bigram features
+    * ([[graft.operators.QualityClassifier]]) trains on the even-id
+    * half of the corpus (label +1 for 'en', −1 otherwise — a
+    * stand-in labeled fixture; the SPEC proves real separation on a
+    * planted-vocabulary fixture) in exact integer arithmetic
+    * (cross-multiplied class-rate weights, md5-mod-4096 hashing
+    * trick), then every document scores through the NATIVE one-pass
+    * `graft_quality_score` expression. The oracle replays
+    * tokenization, feature hashing, training, and scoring closed-form
+    * in SQL, so the raw LONG scores — not a derived boolean — are
+    * hash-gated bit-for-bit. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val d = docs(s, dir)
+    val label = when(col("lang") === "en", 1).otherwise(-1)
+    val w = QualityClassifier.train(
+      d.filter(col("doc_id") % 2 === 0), col("text"), label)
+    QualityClassifier.score(d, "doc_id", col("text"), w)
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS ts
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |      ts || [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]
+      |    )) AS f
+      |  FROM toks),
+      |fb AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+      |  FROM feats),
+      |tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |n AS (SELECT
+      |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+      |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+      |  FROM tr),
+      |w AS (SELECT fb.b,
+      |    CAST(SUM(CASE WHEN tr.y = 1 THEN 1 ELSE 0 END)
+      |           * (SELECT nneg FROM n)
+      |       - SUM(CASE WHEN tr.y = -1 THEN 1 ELSE 0 END)
+      |           * (SELECT npos FROM n) AS BIGINT) AS w
+      |  FROM fb JOIN tr USING (doc_id) GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |    CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS score
+      |  FROM documents d
+      |  LEFT JOIN fb ON fb.doc_id = d.doc_id
+      |  LEFT JOIN w ON w.b = fb.b
+      |  GROUP BY 1)
+      |SELECT doc_id, score, score > 0 AS pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_quality_classifier" ->
+      (qualityClassifier _, qualityClassifierSql),
     "q_drift_psi" -> (driftPsi _, driftPsiSql),
     "q_drift_rolling_psi" -> (driftRollingPsi _, driftRollingPsiSql),
     "q_drift_cusum" -> (driftCusum _, driftCusumSql),

@@ -36,4 +36,23 @@ grep -qi "CartesianProduct" EXPLAINS.md && {
 echo "== 4/4 regenerate COVERAGE.md from the freshest correctness json =="
 python3 tools/gen_coverage.py . /tmp/correctness_closeout.json
 
+echo "== 5/5 bench artifact provenance (r16 verdict #1) =="
+# bench_full.json must be measured at the driver's parallelism — r16's
+# "canonical" quiet sweep silently ran local[4] (a drifted Bench-local
+# default) and broke cross-round comparability. Bench now shares
+# GraftSession's builder; this asserts the committed artifact agrees.
+python3 - <<'EOF'
+import json
+b = json.load(open('bench_full.json'))
+cpus = str(b.get('cpus', ''))
+assert cpus == '32', (
+    f"bench_full.json measured at cpus={cpus!r}, expected 32 — "
+    "re-sweep with the unified GraftSession builder (no SPARK_GRAFT_CPUS "
+    "override) before snapshotting")
+if 'warning' in b:
+    print(f"NOTE: bench_full.json carries a contention warning: "
+          f"{b['warning'][:120]}... — prefer a quieter sweep")
+print(f"bench provenance: cpus={cpus} OK")
+EOF
+
 echo "closeout: ALL GATES GREEN — safe to snapshot-commit"
