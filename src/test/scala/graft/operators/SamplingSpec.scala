@@ -366,6 +366,49 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("scalar hexThreshold clamps tiny positive rates like the column " +
+      "form (advice r16): 1e-12 keeps only coin 00000000, never the " +
+      "16-char %08x of -1 that selected ALL rows") {
+    assert(Sampling.hexThreshold(1e-12) == "00000000")
+    assert(Sampling.hexThreshold(1.0 / (1L << 34).toDouble) == "00000000")
+    assert(Sampling.hexThreshold(1.0 / (1L << 32).toDouble) == "00000000")
+    // behavioral: the scalar form feeds bernoulli/mixCorpora/hashSplit —
+    // a tiny rate must select ~0 of 1000 rows, not all of them
+    assert(Sampling.bernoulli(corpus, col("id"), 1e-12).count() <= 1)
+    assert(Sampling.mixCorpora(corpus, col("source"), col("id"),
+      Map("src0" -> 1e-12, "src1" -> 1.0)).count() <= 250 + 1)
+  }
+
+  test("temperatureResample alpha=1 short-circuits to the input " +
+      "unchanged — no window anywhere in the plan (advice r16: k=n " +
+      "would regress stage 2 to the corpus-sized stratum window)") {
+    val out = Sampling.temperatureResample(corpus, col("source"),
+      col("id"), 1.0)
+    assert(out.count() == 1000)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), plan)
+  }
+
+  test("default salt width caps at min(shuffle.partitions, 1024) — a " +
+      "cluster-scale partition count must not re-inflate the stage-2 " +
+      "bound (verdict r16 #2)") {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "8192")
+      val plan = Sampling.temperatureResample(corpus, col("source"),
+        col("id"), 0.5).queryExecution.analyzed.toString
+      assert(plan.contains("1024"), plan)
+      assert(!plan.contains("8192"), plan)
+      // an explicit saltBuckets is always honored verbatim
+      val explicitPlan = Sampling.temperatureResampleImpl(corpus,
+          col("source"), col("id"), 0.5, saltBuckets = 7,
+          viaWindow = false)
+        .queryExecution.analyzed.toString
+      assert(explicitPlan.contains(", 7)"), explicitPlan)
+    } finally spark.conf.set(key, old)
+  }
+
   test("shuffleShards assigns every row a shard and a dense in-shard position") {
     val out = Sampling.shuffleShards(corpus, col("id"), 8, "s1")
       .select("id", "shard", "pos").collect()

@@ -119,6 +119,46 @@ class SketchOpsSpec extends SparkTestBase {
     }
   }
 
+  test("persisted sketch index (r16 verdict #4): save + delta appends " +
+      "+ load estimates EQUAL a direct full-history sketch; a " +
+      "replayed delta tag overwrites instead of duplicating; lgK is " +
+      "pinned by the stored params") {
+    val all = rows.select(($"p" % 5).cast("string").as("seg"), $"id")
+    val h = pmod(xxhash64($"id"), lit(3L))
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_sketchidx_spec_${System.nanoTime()}").toString
+    // base = hash-third 0, two delta batches — every segment appears
+    // in all three parts, so the merge is exercised per segment
+    SketchOps.saveSketchIndex(all.filter(h === 0), $"seg", $"id",
+      path, lgK = 11)
+    SketchOps.appendSketchIndex(spark, path, all.filter(h === 1),
+      $"seg", $"id", "d1")
+    // replayed tag: must OVERWRITE its own delta (and HLL union is
+    // idempotent even when a blob double-loads)
+    SketchOps.appendSketchIndex(spark, path, all.filter(h === 1),
+      $"seg", $"id", "d1")
+    SketchOps.appendSketchIndex(spark, path, all.filter(h === 2),
+      $"seg", $"id", "d2")
+    val loaded = SketchOps.loadSketchIndex(spark, path)
+      .select($"seg", SketchOps.estimate($"sk").as("n"))
+      .as[(String, Long)].collect().toMap
+    // lgK must come from params (11), NOT the call-site default (12):
+    // a mixed-lgK union would shift registers and break this equality
+    val direct = SketchOps.segmentSketches(all, $"seg", $"id", lgK = 11)
+      .select($"seg", SketchOps.estimate($"sk").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(loaded === direct,
+      "base+delta blob merge must equal the fresh full-history sketch")
+    // and the estimates are sane vs the exact truth (3σ at lgK=11)
+    val exact = all.groupBy("seg").agg(countDistinct($"id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val tol = SketchOps.compositeEnvelope3Sigma(11)
+    for ((seg, ex) <- exact)
+      assert(math.abs(loaded(seg).toDouble - ex) <=
+        math.max(2.0, tol * ex), s"seg $seg: ${loaded(seg)} vs $ex")
+  }
+
   test("NULL ids are excluded and null periods dropped — the bitmap " +
       "contract; sketch size stays bounded by lgK") {
     val withNulls = Seq(
