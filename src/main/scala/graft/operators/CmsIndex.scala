@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Persisted incremental COUNT-MIN heavy-hitters index — the frequency
+  * companion of [[SketchOps]]' persisted HLL distinct-count index:
+  * cross-day term-frequency profiles union yesterday's blobs instead
+  * of rescanning event history.
+  *
+  * Two structures per saved batch, both bounded:
+  *  - a count-min sketch of the term stream (Spark's own
+  *    `count_min_sketch` aggregate / `o.a.s.util.sketch.CountMinSketch`
+  *    wire format), depth x width LONG counters — merging is exact
+  *    counter ADDITION, so unlike HLL there is no estimator subtlety:
+  *    the merged base+delta sketch is BIT-IDENTICAL to a fresh
+  *    single-pass sketch of the concatenated stream (same depth /
+  *    width / seed; addition commutes). CmsIndexSpec pins blob
+  *    byte-equality, the strongest possible incremental claim.
+  *  - the batch's SpaceSaving top-m summary ([[HeavyHitters]]) as the
+  *    CANDIDATE set. The union of per-batch candidates is a proven
+  *    superset of the global heavy hitters: a term with global count
+  *    > N/m must have batch count > N_b/m in at least one batch
+  *    (otherwise summing the per-batch bounds gives count <= N/m),
+  *    and SpaceSaving guarantees every such term surfaces in that
+  *    batch's summary. Candidates stay m-bounded per batch, so the
+  *    index never stores the unbounded term universe.
+  *
+  * Query-time work is blob-count + candidate-count sized, never
+  * history-sized: merge the (batches)-many sketch blobs, union the
+  * (m x batches)-many candidates, estimate each candidate against the
+  * merged sketch (overestimate-only, error <= eps*N at the sketch's
+  * published confidence).
+  *
+  * Append semantics match the HLL index: a replayed batch OVERWRITES
+  * its own `delta_<tag>` — and because CMS merge is ADDITION (not
+  * idempotent, unlike HLL's per-register max), the overwrite is the
+  * only thing standing between a replayed batch and double-counting;
+  * the spec pins replay idempotence explicitly. Appends sketch at the
+  * STORED params (a depth/width/seed mismatch would make the blobs
+  * unmergeable — `mergeInPlace` throws rather than degrade).
+  */
+object CmsIndex {
+
+  /** Default relative error: estimate <= true + eps * N. */
+  val DefaultEps = 0.001
+  /** Default per-query confidence of the eps bound. */
+  val DefaultConfidence = 0.99
+  /** Fixed hash seed — blobs are only mergeable at one seed. */
+  val DefaultSeed = 42
+  /** Default per-batch SpaceSaving candidate capacity. */
+  val DefaultCapacity = 50
+
+  /** The eps bound in absolute counts for a stream of `n` items. */
+  def epsBound(eps: Double, n: Long): Long = math.ceil(eps * n).toLong
+
+  /** Distributed merge of CMS blobs (exact counter addition).
+    * `mergeInPlace` throws on any depth/width/seed mismatch — loud,
+    * never a silent degrade. */
+  class CmsMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val s = CountMinSketch.readFrom(new ByteArrayInputStream(a))
+        s.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+        s.toByteArray
+      }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      merge2(b, a)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      merge2(b1, b2)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** One (sk BINARY, n LONG) row: the batch's CMS blob + item count.
+    * NULL terms are excluded (the [[SketchOps]] contract). */
+  private def sketchRow(df: DataFrame, term: Column, eps: Double,
+                        conf: Double, seed: Int): DataFrame =
+    df.select(term.as("__t")).where(col("__t").isNotNull)
+      .agg(
+        count_min_sketch(col("__t"), lit(eps), lit(conf), lit(seed))
+          .as("sk"),
+        count(lit(1)).as("n"))
+
+  private def candRows(df: DataFrame, term: Column, m: Int): DataFrame =
+    HeavyHitters.sketchTopK(
+      df.select(term.as("__t")).where(col("__t").isNotNull),
+      col("__t"), m).select("term")
+
+  private def writeBatch(df: DataFrame, term: Column, dir: String,
+                         eps: Double, conf: Double, seed: Int,
+                         m: Int): Unit = {
+    sketchRow(df, term, eps, conf, seed).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/sketch")
+    candRows(df, term, m).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/cands")
+  }
+
+  /** Build and persist the base index: blob + candidates under
+    * `path/base`, (eps, conf, seed, m) under `path/params`. */
+  def saveCmsIndex(df: DataFrame, term: Column, path: String,
+                   eps: Double = DefaultEps,
+                   conf: Double = DefaultConfidence,
+                   seed: Int = DefaultSeed,
+                   m: Int = DefaultCapacity): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    writeBatch(df, term, s"$path/base", eps, conf, seed, m)
+    Seq((eps, conf, seed, m)).toDF("eps", "conf", "seed", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Stored (eps, conf, seed, m). */
+  def loadParams(spark: SparkSession, path: String)
+      : (Double, Double, Int, Int) = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** Append a batch WITHOUT rescanning history, at the STORED params;
+    * `delta_<tag>` overwrite makes a replayed batch idempotent (and
+    * here the overwrite carries the whole burden — CMS merge is
+    * addition, a double-read delta WOULD double-count; see scaladoc). */
+  def appendCmsIndex(spark: SparkSession, path: String, batch: DataFrame,
+                     term: Column, tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
+    val (eps, conf, seed, m) = loadParams(spark, path)
+    writeBatch(batch, term, s"$path/delta_$tag", eps, conf, seed, m)
+  }
+
+  private def batchDirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.toString).sorted.toSeq
+    s"$path/base" +: deltas
+  }
+
+  /** Merge base + every delta to ONE sketch: (blob bytes, total n).
+    * Work is blob-count-sized (one ~depth x width x 8 B blob per saved
+    * batch); the merge runs as a distributed aggregate and only the
+    * single merged row lands on the driver — the bounded-params
+    * collect pattern, same as the ANN codebook loads. */
+  def loadMergedSketch(spark: SparkSession, path: String)
+      : (Array[Byte], Long) = {
+    val merge = udaf(new CmsMerge(), Encoders.BINARY)
+    val r = batchDirs(spark, path)
+      .map(d => spark.read.parquet(s"$d/sketch").select("sk", "n"))
+      .reduce(_ unionByName _)
+      .agg(merge(col("sk")).as("sk"), sum("n").as("n"))
+      .collect()(0)
+    (r.getAs[Array[Byte]](0), r.getLong(1))
+  }
+
+  /** Union of every batch's SpaceSaving candidates — the proven
+    * heavy-hitter superset (see object scaladoc for the lemma). */
+  def loadCandidates(spark: SparkSession, path: String): DataFrame =
+    batchDirs(spark, path)
+      .map(d => spark.read.parquet(s"$d/cands").select("term"))
+      .reduce(_ unionByName _)
+      .distinct()
+
+  /** Estimate each candidate term against a merged blob: (term, est).
+    * The blob is broadcast and deserialized ONCE per partition —
+    * never per row. */
+  def estimateTerms(cands: DataFrame, skBytes: Array[Byte]): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(skBytes)
+    cands.select(col("term")).as[String].mapPartitions { it =>
+      val sk = CountMinSketch.readFrom(new ByteArrayInputStream(bc.value))
+      it.map(t => (t, sk.estimateCount(t)))
+    }.toDF("term", "est")
+  }
+
+  /** The full index read path: candidates with their merged-sketch
+    * estimates and the index's published absolute error bound —
+    * (term, est, n_total, bound). Every true heavy hitter above
+    * N/m is present with exact_cnt <= est <= exact_cnt + bound at
+    * the stored confidence. */
+  def heavyHittersFromIndex(spark: SparkSession, path: String)
+      : DataFrame = {
+    val (eps, _, _, _) = loadParams(spark, path)
+    val (sk, n) = loadMergedSketch(spark, path)
+    estimateTerms(loadCandidates(spark, path), sk)
+      .withColumn("n_total", lit(n))
+      .withColumn("bound", lit(epsBound(eps, n)))
+  }
+}

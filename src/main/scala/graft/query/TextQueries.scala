@@ -404,6 +404,70 @@ object TextQueries {
       |SELECT term, exact_cnt, true AS found, true AS bound_ok
       |FROM e, n WHERE exact_cnt * 50 > total ORDER BY term""".stripMargin
 
+  /** PERSISTED INCREMENTAL heavy-hitters index under the hash gate
+    * (the [[graft.operators.CmsIndex]] tier — frequency companion of
+    * q_segment_distinct_inc's HLL index): the token stream splits
+    * deterministically in two (doc_id parity), the base half is saved
+    * as a CMS blob + SpaceSaving candidate set, the second half
+    * appends TWICE under one delta tag (replay must overwrite — CMS
+    * merge is ADDITION, so unlike HLL a duplicated delta would
+    * double-count), and the LOADED index must certify, for every term
+    * whose exact count clears the N/m line: (a) `found` — it surfaced
+    * in the candidate union (the per-batch SpaceSaving superset
+    * lemma); (b) `bound_ok` — the merged-sketch estimate brackets the
+    * exact count from above within eps*N; (c) `blob_identical` — the
+    * merged base+delta blob is BYTE-EQUAL to a fresh single-pass
+    * sketch of the full history (counter addition is exact), the
+    * claim that makes incremental maintenance lossless at 100 TB:
+    * cross-day term profiles union yesterday's blobs instead of
+    * rescanning history. */
+  def heavyHittersInc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CmsIndex
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(TextAnalysis.tokenize(col("text"))).as("term"))
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_cmsidx_$tag").toString
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val half = pmod(col("doc_id"), lit(2L))
+    CmsIndex.saveCmsIndex(toks.filter(half === 0), col("term"), path)
+    CmsIndex.appendCmsIndex(s, path, toks.filter(half === 1),
+      col("term"), "d1")
+    CmsIndex.appendCmsIndex(s, path, toks.filter(half === 1),
+      col("term"), "d1")
+    val (skInc, nInc) = CmsIndex.loadMergedSketch(s, path)
+    // fresh single-pass sketch of the SAME full stream, for the
+    // bit-identity leg — byte equality computed once, emitted in-plan
+    val freshPath = s"${path}_fresh"
+    CmsIndex.saveCmsIndex(toks, col("term"), freshPath)
+    val (skFresh, nFresh) = CmsIndex.loadMergedSketch(s, freshPath)
+    val blobEq = java.util.Arrays.equals(skInc, skFresh) && nInc == nFresh
+    val bound = CmsIndex.epsBound(CmsIndex.DefaultEps, nInc)
+    val est = CmsIndex.estimateTerms(CmsIndex.loadCandidates(s, path), skInc)
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+    val total = exact.agg(sum("exact_cnt").as("total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("exact_cnt") * CmsIndex.DefaultCapacity > col("total"))
+      .join(est, Seq("term"), "left")
+      .select(col("term"), col("exact_cnt"),
+        col("est").isNotNull.as("found"),
+        coalesce(col("est") >= col("exact_cnt") &&
+          col("est") <= col("exact_cnt") + lit(bound), lit(false))
+          .as("bound_ok"),
+        lit(blobEq).as("blob_identical"))
+      .orderBy("term")
+  }
+
+  val heavyHittersIncSql: String =
+    """WITH t AS (SELECT unnest(string_split(text,' ')) AS term
+      |           FROM documents),
+      |e AS (SELECT term, count(*) AS exact_cnt FROM t GROUP BY 1),
+      |n AS (SELECT sum(exact_cnt) AS total FROM e)
+      |SELECT term, exact_cnt, true AS found, true AS bound_ok,
+      |  true AS blob_identical
+      |FROM e, n WHERE exact_cnt * 50 > total ORDER BY term""".stripMargin
+
   /** Normalization gate: md5 of the normalized bytes certifies the
     * exact lowercase+NFC+whitespace-collapsed output against DuckDB's
     * independent utf8proc implementation. A PLANTED suffix of
@@ -760,6 +824,7 @@ object TextQueries {
     "q_bm25" -> (bm25 _, bm25Sql),
     "q_normalize" -> (normalize _, normalizeSql),
     "q_heavy_hitters" -> (heavyHitters _, heavyHittersSql),
+    "q_heavy_hitters_inc" -> (heavyHittersInc _, heavyHittersIncSql),
     "q_curation_pipeline" -> (curationPipeline _, curationPipelineSql),
     "q_hash_split" -> (hashSplit _, hashSplitSql),
     "q_shuffle_shards" -> (shuffleShards _, shuffleShardsSql),
