@@ -87,6 +87,36 @@ object Bench {
     // artifact's cpus field must now always match GraftSession's
     val cpus = GraftSession.cpus
     val spark = GraftSession.getOrCreate("graft-bench")
+    // Streaming-row stability pins (r16 verdict #6): the q_stream_*
+    // certification replays drifted up to 62% ACROSS QUIET SWEEPS
+    // (r17 three-sweep probe, zero plan change — EXPLAINS identical);
+    // the moving part is per-micro-batch state-store/offset-log I/O
+    // on the disk-backed java.io.tmpdir plus background state
+    // maintenance landing mid-measurement. Pin the harness, not the
+    // operator: checkpoints go to tmpfs (every replay query carries a
+    // UUID queryName, so a shared base can never resume stale
+    // offsets), and maintenance is deferred past any sweep. The
+    // replays never exercise recovery, so certification semantics are
+    // untouched; the explicit-checkpoint file-source replays
+    // (StreamingIngest) keep their own dirs and are unaffected.
+    if (new java.io.File("/dev/shm").isDirectory) {
+      val ckptBase = "/dev/shm/graft_bench_ckpt"
+      val p = new org.apache.hadoop.fs.Path(ckptBase)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      spark.conf.set("spark.sql.streaming.checkpointLocation", ckptBase)
+    }
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // The residual jitter after the checkpoint pin (still 18-27% on
+    // the micro-batch-heavy rows) is WAKE-UP LATENCY: the micro-batch
+    // thread sleeps pollingDelay (default 10 ms) whenever it finds no
+    // new data, so every addData/processAllAvailable boundary in a
+    // replay pays 0-10 ms of scheduler phase — ~50 batches x 10 ms
+    // matches the observed 0.5 s swing on q_stream_hourly exactly.
+    // 1 ms bounds the phase noise without changing execution.
+    spark.conf.set("spark.sql.streaming.pollingDelay", "1ms")
     // warmup: JVM/codegen/parquet-footer caches, so per-query numbers
     // reflect steady-state cost rather than first-job startup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -133,7 +163,17 @@ object Bench {
           val three = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
           val ok3 = three.filter(_.isFinite)
           val runs =
-            if (ok3.nonEmpty && ok3.min > 2.0 &&
+            if (name.startsWith("q_stream_"))
+              // streaming replays keep warming past run 3 (state-store
+              // and micro-batch paths JIT late): the r17 pinned-sweep
+              // probes show run sequences still FALLING at the third
+              // sample (q_stream_join 6.02 -> 5.16 -> 4.82), so a
+              // 3-run min is a biased draw from a descending curve and
+              // was the last source of >10% row drift between quiet
+              // sweeps after the checkpoint/pollingDelay pins. Two
+              // more runs land on the flat part.
+              three ++ Seq(timeOnce(fn), timeOnce(fn))
+            else if (ok3.nonEmpty && ok3.min > 2.0 &&
                 ok3.max / ok3.min > 1.5) three :+ timeOnce(fn)
             else three
           name -> ((runs, l))
@@ -184,7 +224,7 @@ object Bench {
           (allRunsSec > 0 && wallSec > 1.5 * allRunsSec))
         f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
-    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"runs_per_query":"min-of-3 (4 if >2s and spread>1.5)"$warnField$errField"""
+    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l)) =>
       val ok = runs.filter(_.isFinite)
       val runsJson = runs.map(r => if (r.isFinite) f"$r%.4f" else "-1")
