@@ -194,6 +194,66 @@ object ScaleBench {
     }, "embeddings", 32)
   }
 
+  // Embedding near-dup is excluded from `headline` deliberately — two
+  // measured reasons (PERF.md round 6 for the full numbers):
+  //  1. its oracle config (3 planes = 8 buckets/table, right for the
+  //     bounded 2k-vector gate corpus) has bucket size n/8, so pairs
+  //     grow quadratically at fixed params: 364x wall at 10x data —
+  //     planes must scale ~log2(n);
+  //  2. at threshold 0.45 in 64 dims the TRUE pair set itself grows
+  //     superlinearly (0.45 is ~3.6 sigma of generic cross-correlations,
+  //     so a 10x corpus densifies: 18.6k verified pairs vs 1.4k
+  //     linear) — a property of near-orthogonal thresholds, not of the
+  //     plan. Here we measure the PRODUCTION regime instead: a real
+  //     near-dup threshold (0.9) with corpus-sparse buckets (12
+  //     planes, Hamming<=1 probing) must scale ~linearly.
+  def dedupEmb(spark: SparkSession, dir: String): (Long, Double) = {
+    val s = System.nanoTime()
+    val n = graft.operators.Dedup.embeddingNearDups(
+      spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", threshold = 0.9,
+      numPlanes = 12, tables = 8, probes = 1).count()
+    (n, (System.nanoTime() - s) / 1e9)
+  }
+
+  // Media (binary-column) family over the FULL documents table — the
+  // driver queries bound their ids to stay verify-sized, so the curve
+  // is measured here instead: (a) container build + byte-level header
+  // parse (codegen'd expression path), (b) real PNG encode + ImageIO
+  // pixel decode (mapPartitions path). Both are per-row CPU with no
+  // shuffle; anything superlinear is a plan problem.
+  def mediaScale(spark: SparkSession, dir: String)
+      : (Long, Double, Long, Double) = {
+    import spark.implicits._
+    import graft.operators.{ImageCodec, Multimodal}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val w = (col("doc_id") % 640 + 1).cast("int")
+    val h = (col("doc_id") % 480 + 1).cast("int")
+    val rate = (col("doc_id") % 8 * 4000 + 8000).cast("int")
+    val ch = (col("doc_id") % 2 + 1).cast("int")
+    val mts = ((col("doc_id") % 4 + 1) * lit(600)).cast("int")
+    val dur = (mts * (col("doc_id") % 30 + 1)).cast("int")
+    val bytes = when(col("doc_id") % 4 === 0, Multimodal.pngBytes(w, h))
+      .when(col("doc_id") % 4 === 1, Multimodal.jpegBytes(w, h))
+      .when(col("doc_id") % 4 === 2, Multimodal.wavBytes(rate, ch))
+      .otherwise(Multimodal.mp4Bytes(w, h, mts, dur))
+    val nMeta = docs.select(Multimodal.mediaMeta(bytes).as("m"))
+      .filter(col("m.format").isNotNull).count()
+    val tMeta = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nFeat = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val c = (id * 1234567 % 0xFFFFFF).toInt
+          val f = ImageCodec.decodeFeatures(
+            ImageCodec.encodePng(16, 16, c, c))
+          if (f != null && f.length == 64) 1L else 0L
+        }
+      }.reduce(_ + _)
+    (nMeta, tMeta, nFeat, (System.nanoTime() - t1) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
@@ -254,70 +314,13 @@ object ScaleBench {
       spark.stop()
       return
     }
-    // Embedding near-dup is excluded from `headline` deliberately — two
-    // measured reasons (PERF.md round 6 for the full numbers):
-    //  1. its oracle config (3 planes = 8 buckets/table, right for the
-    //     bounded 2k-vector gate corpus) has bucket size n/8, so pairs
-    //     grow quadratically at fixed params: 364x wall at 10x data —
-    //     planes must scale ~log2(n);
-    //  2. at threshold 0.45 in 64 dims the TRUE pair set itself grows
-    //     superlinearly (0.45 is ~3.6 sigma of generic cross-correlations,
-    //     so a 10x corpus densifies: 18.6k verified pairs vs 1.4k
-    //     linear) — a property of near-orthogonal thresholds, not of the
-    //     plan. Here we measure the PRODUCTION regime instead: a real
-    //     near-dup threshold (0.9) with corpus-sparse buckets (12
-    //     planes, Hamming<=1 probing) must scale ~linearly.
-    def dedupEmb(dir: String): (Long, Double) = {
-      val s = System.nanoTime()
-      val n = graft.operators.Dedup.embeddingNearDups(
-        spark.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", threshold = 0.9,
-        numPlanes = 12, tables = 8, probes = 1).count()
-      (n, (System.nanoTime() - s) / 1e9)
-    }
-    val (nb, tb) = dedupEmb(sfDir)
-    val (ns, tsc) = dedupEmb(outDir)
+    val (nb, tb) = dedupEmb(spark, sfDir)
+    val (ns, tsc) = dedupEmb(spark, outDir)
     println(f"[scale-bench] dedup_embedding prod-cfg(0.9,12,8,p1): " +
       f"sf0.1 pairs=$nb in $tb%.1f s | ${k}x pairs=$ns in $tsc%.1f s " +
       f"ratio=${tsc / tb}%.1f")
-    // Media (binary-column) family over the FULL documents table — the
-    // driver queries bound their ids to stay verify-sized, so the curve
-    // is measured here instead: (a) container build + byte-level header
-    // parse (codegen'd expression path), (b) real PNG encode + ImageIO
-    // pixel decode (mapPartitions path). Both are per-row CPU with no
-    // shuffle; anything superlinear is a plan problem.
-    def mediaScale(dir: String): (Long, Double, Long, Double) = {
-      import spark.implicits._
-      import graft.operators.{ImageCodec, Multimodal}
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val t0 = System.nanoTime()
-      val w = (col("doc_id") % 640 + 1).cast("int")
-      val h = (col("doc_id") % 480 + 1).cast("int")
-      val rate = (col("doc_id") % 8 * 4000 + 8000).cast("int")
-      val ch = (col("doc_id") % 2 + 1).cast("int")
-      val mts = ((col("doc_id") % 4 + 1) * lit(600)).cast("int")
-      val dur = (mts * (col("doc_id") % 30 + 1)).cast("int")
-      val bytes = when(col("doc_id") % 4 === 0, Multimodal.pngBytes(w, h))
-        .when(col("doc_id") % 4 === 1, Multimodal.jpegBytes(w, h))
-        .when(col("doc_id") % 4 === 2, Multimodal.wavBytes(rate, ch))
-        .otherwise(Multimodal.mp4Bytes(w, h, mts, dur))
-      val nMeta = docs.select(Multimodal.mediaMeta(bytes).as("m"))
-        .filter(col("m.format").isNotNull).count()
-      val tMeta = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val nFeat = docs.select(col("doc_id")).as[Long]
-        .mapPartitions { it =>
-          it.map { id =>
-            val c = (id * 1234567 % 0xFFFFFF).toInt
-            val f = ImageCodec.decodeFeatures(
-              ImageCodec.encodePng(16, 16, c, c))
-            if (f != null && f.length == 64) 1L else 0L
-          }
-        }.reduce(_ + _)
-      (nMeta, tMeta, nFeat, (System.nanoTime() - t1) / 1e9)
-    }
-    val (mnb, mtb, fnb, ftb) = mediaScale(sfDir)
-    val (mns, mtsc, fns, ftsc) = mediaScale(outDir)
+    val (mnb, mtb, fnb, ftb) = mediaScale(spark, sfDir)
+    val (mns, mtsc, fns, ftsc) = mediaScale(spark, outDir)
     println(f"[scale-bench] multimodal_meta: sf0.1 rows=$mnb in $mtb%.1f s" +
       f" | ${k}x rows=$mns in $mtsc%.1f s ratio=${mtsc / mtb}%.1f")
     println(f"[scale-bench] multimodal_features: sf0.1 rows=$fnb in " +
@@ -334,7 +337,7 @@ object ScaleBench {
         buildScaledDocs(spark, sfDir, mediaK, dir100)
       println(f"[scale-bench] built ${mediaK}x documents under $dir100 " +
         f"in ${(System.nanoTime() - tb0) / 1e9}%.1f s")
-      val (mn1, mt1, fn1, ft1) = mediaScale(dir100)
+      val (mn1, mt1, fn1, ft1) = mediaScale(spark, dir100)
       println(f"[scale-bench] multimodal_meta@${mediaK}x: rows=$mn1 in " +
         f"$mt1%.1f s ratio_vs_base=${mt1 / mtb}%.1f (linear=$mediaK)")
       println(f"[scale-bench] multimodal_features@${mediaK}x: rows=$fn1 " +
