@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.operators.{CmsIndex, SketchOps}
+
+/** The persisted-index contract, measured instead of argued: a
+  * cross-day profile served from saved blobs must cost BLOB-COUNT
+  * work while the rescan it replaces costs EVENT-HISTORY work.
+  *
+  * Planted history: D daily batches of `perDay` rows each (terms from
+  * a deterministic 100k-key stream for CMS; user ids over a 3M space
+  * for HLL), day 0 saved as the base index, days 1..D-1 appended as
+  * `delta_<day>`. For each D the probe times
+  *   - load: merge the D saved blobs + serve the profile
+  *     (candidate estimates for CMS, per-segment estimates for HLL);
+  *   - rescan: the same profile from a fresh single-pass sketch over
+  *     all D days of raw history (what a system without the index
+  *     must do).
+  * Load should stay ~flat in D (blobs are KB-sized); rescan must grow
+  * ~linearly. The append cost itself is per-batch work either way and
+  * is reported for completeness.
+  *
+  * {{{ sbt "runMain graft.tools.ProbeIndexScale [perDay] [daysCsv]" }}}
+  */
+object ProbeIndexScale {
+  def main(args: Array[String]): Unit = {
+    val perDay = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val daysList = args.drop(1).headOption.getOrElse("2,8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = GraftSession.getOrCreate("graft-probe-index-scale")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def day(d: Int) = spark.range(d * perDay, (d + 1) * perDay)
+      .select(
+        concat(lit("t"), pmod(col("id") * 2654435761L, lit(100000L)))
+          .as("term"),
+        pmod(col("id") * 40503L, lit(3000000L)).as("uid"),
+        pmod(col("id"), lit(8L)).cast("string").as("seg"))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    println(f"[probe-index] perDay=$perDay rows; days tiers: " +
+      daysList.mkString(","))
+    for (days <- daysList) {
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_idxscale_${days}_${System.nanoTime()}").toString
+      val cmsPath = s"$base/cms"
+      val hllPath = s"$base/hll"
+      val tAppend = time {
+        CmsIndex.saveCmsIndex(day(0), col("term"), cmsPath)
+        SketchOps.saveSketchIndex(day(0), col("seg"), col("uid"), hllPath)
+        for (d <- 1 until days) {
+          CmsIndex.appendCmsIndex(spark, cmsPath, day(d), col("term"),
+            s"d$d")
+          SketchOps.appendSketchIndex(spark, hllPath, day(d),
+            col("seg"), col("uid"), s"d$d")
+        }
+      }
+      val tLoadCms = time {
+        val (sk, _) = CmsIndex.loadMergedSketch(spark, cmsPath)
+        CmsIndex.estimateTerms(CmsIndex.loadCandidates(spark, cmsPath), sk)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val tLoadHll = time {
+        SketchOps.loadSketchIndex(spark, hllPath)
+          .select(col("seg"), SketchOps.estimate(col("sk")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val hist = (0 until days).map(day).reduce(_ unionAll _)
+      val tRescanCms = time {
+        CmsIndex.saveCmsIndex(hist, col("term"), s"$base/cms_fresh")
+      }
+      val tRescanHll = time {
+        SketchOps.segmentSketches(hist, col("seg"), col("uid"))
+          .select(col("seg"), SketchOps.estimate(col("sk")))
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"[probe-index] D=$days%3d (${days * perDay / 1000000}%4d M rows)" +
+        f"  load: cms=$tLoadCms%6.2f s hll=$tLoadHll%6.2f s" +
+        f"  rescan: cms=$tRescanCms%6.2f s hll=$tRescanHll%6.2f s" +
+        f"  (append total $tAppend%.1f s)")
+    }
+    spark.stop()
+  }
+}
