@@ -1,0 +1,132 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Persisted incremental MEMBERSHIP index — the third member of the
+  * persisted-index family ([[SketchOps]] = distinct counts,
+  * [[CmsIndex]] = frequencies, this = set membership): "was this key
+  * seen in ANY prior batch?" answered from saved blobs instead of a
+  * history scan — the 100 TB shape of the reference's 25-day ingest
+  * dedup when the history no longer fits a join (reference
+  * `README.md` history tables; the in-query form is [[BloomJoin]]).
+  *
+  * Per batch: one Bloom blob built by the native `graft_bloom_agg`
+  * (Spark's own BloomFilterAggregate — executor-merged partials,
+  * `o.a.s.util.sketch.BloomFilter` wire format) plus the batch's
+  * non-null key count for capacity accounting. Merging is BITWISE OR
+  * of same-geometry filters: associative, commutative, IDEMPOTENT
+  * (HLL-like — a double-loaded delta is harmless, unlike CMS), and a
+  * key sets the same bits whichever batch it arrives in, so the
+  * merged base+delta blob is BYTE-EQUAL to a fresh single-pass filter
+  * of the full history. The probe side reuses the codegen'd
+  * `graft_might_contain`, so membership screens run at scan speed
+  * against a broadcast-literal blob.
+  *
+  * Geometry is pinned by the store: every batch is sketched at the
+  * saved (expectedItems, numBits) — OR across different geometries
+  * would be silently wrong, and `BloomFilter.mergeInPlace` throws on
+  * mismatch rather than degrade. `expectedItems` is INDEX capacity
+  * (the union of all batches, not one batch): past it the
+  * false-positive rate rises above `fpp` — it never costs false
+  * negatives, which is the guarantee membership screens live on.
+  */
+object BloomIndex {
+
+  /** Distributed OR-merge of same-geometry Bloom blobs. */
+  class BloomMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val f = BloomFilter.readFrom(new ByteArrayInputStream(a))
+        f.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(b)))
+        val out = new java.io.ByteArrayOutputStream()
+        f.writeTo(out)
+        out.toByteArray
+      }
+    override def zero: Array[Byte] = Array.emptyByteArray
+    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
+      merge2(b, a)
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      merge2(b1, b2)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** One (sk BINARY, n LONG) row: the batch's Bloom blob at the given
+    * geometry + its non-null key count. `sk` is NULL for an empty
+    * batch (the aggregate has nothing to hash) — load skips those. */
+  private def blobRow(df: DataFrame, key: Column, expectedItems: Long,
+                      numBits: Long): DataFrame =
+    df.select(key.as("__k")).where(col("__k").isNotNull)
+      .agg(
+        graft.plans.GraftExtensions
+          .nativeFn("graft_bloom_agg", col("__k"), lit(expectedItems),
+            lit(numBits)).as("sk"),
+        count(lit(1)).as("n"))
+
+  /** Build and persist the base index under `path/base`; geometry
+    * (expectedItems, numBits, fpp) under `path/params`. */
+  def saveBloomIndex(df: DataFrame, key: Column, path: String,
+                     expectedItems: Long,
+                     fpp: Double = 0.01): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numBits = BloomJoin.optimalNumBits(expectedItems, fpp)
+    blobRow(df, key, expectedItems, numBits).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/base")
+    Seq((expectedItems, numBits, fpp))
+      .toDF("expectedItems", "numBits", "fpp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Stored (expectedItems, numBits, fpp). */
+  def loadParams(spark: SparkSession, path: String)
+      : (Long, Long, Double) = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  /** Append a batch at the STORED geometry; `delta_<tag>` overwrite
+    * keeps replays idempotent (and the OR-merge is idempotent even if
+    * a blob double-loads). */
+  def appendBloomIndex(spark: SparkSession, path: String,
+                       batch: DataFrame, key: Column,
+                       tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
+    val (expectedItems, numBits, _) = loadParams(spark, path)
+    blobRow(batch, key, expectedItems, numBits).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/delta_$tag")
+  }
+
+  /** OR-merge base + every delta to ONE blob: (blob bytes, total key
+    * occurrences banked). Blob-count-sized work; the single merged
+    * row lands on the driver (bounded-params collect), ready for the
+    * codegen'd [[BloomJoin.mightContain]] probe or broadcast reuse.
+    * Returns (null, 0) when every saved batch was empty. */
+  def loadMergedFilter(spark: SparkSession, path: String)
+      : (Array[Byte], Long) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("delta_"))
+      .map(_.getPath.toString).sorted.toSeq
+    val merge = udaf(new BloomMerge(), Encoders.BINARY)
+    val r = (s"$path/base" +: deltas)
+      .map(d => spark.read.parquet(d).select("sk", "n"))
+      .reduce(_ unionByName _)
+      .where(col("sk").isNotNull)
+      .agg(merge(col("sk")).as("sk"), sum("n").as("n"))
+      .collect()(0)
+    val blob = r.getAs[Array[Byte]](0)
+    (if (blob != null && blob.isEmpty) null else blob,
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

@@ -514,6 +514,89 @@ object EventQueries {
       |FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PERSISTED incremental MEMBERSHIP index under the hash gate — the
+    * third persisted-index face ([[graft.operators.BloomIndex]]; HLL =
+    * distinct counts, CMS = frequencies, Bloom = "seen before?"): the
+    * event history's first two day-terciles are banked as Bloom blobs
+    * (base = first half of history, second half appended TWICE under
+    * one delta tag — OR-merge is idempotent, so even a double-load
+    * would be harmless), and the last tercile plays "today" against
+    * the LOADED index. Gate, per distinct today-user:
+    * (a) `fn_ok` — every user the exact join says was seen is also
+    * flagged by the loaded filter (NO FALSE NEGATIVES, the guarantee
+    * membership screens live on); (b) `fpr_ok` — false positives
+    * among truly-new users stay inside the 3σ binomial envelope of
+    * the stored fpp; (c) `blob_identical` — the merged base+delta
+    * blob is BYTE-EQUAL to a fresh single-pass filter of the full
+    * history (a key sets the same bits whichever batch it arrives
+    * in). At 100 TB: yesterday's ~115 MB of blobs replace a
+    * history-sized anti-join build side. */
+  def seenBeforeInc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{BloomIndex, BloomJoin}
+    val fpp = 0.01
+    val src = ev(s, dir)
+      .filter(col("user_id").isNotNull && col("ets").isNotNull)
+      .select(col("user_id"),
+        datediff(to_date(col("ets")), lit("1970-01-01")).cast("long")
+          .as("day"))
+    // deterministic calendar split: [minD, histMid) = base,
+    // [histMid, histEnd) = delta batch, [histEnd, maxD] = today.
+    // 1-row bounded collect, replayed closed-form by the oracle.
+    val b = src.agg(min("day"), max("day")).collect()(0)
+    val (minD, maxD) = (b.getLong(0), b.getLong(1))
+    val histEnd = minD + 2L * (maxD - minD + 1L) / 3L
+    val histMid = minD + (histEnd - minD) / 2L
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_bloomidx_$tag").toString
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    BloomIndex.saveBloomIndex(src.filter(col("day") < histMid),
+      col("user_id"), path, expectedItems = 100000L, fpp = fpp)
+    val delta = src.filter(col("day") >= histMid && col("day") < histEnd)
+    BloomIndex.appendBloomIndex(s, path, delta, col("user_id"), "d1")
+    BloomIndex.appendBloomIndex(s, path, delta, col("user_id"), "d1")
+    val (blob, _) = BloomIndex.loadMergedFilter(s, path)
+    val freshPath = s"${path}_fresh"
+    BloomIndex.saveBloomIndex(src.filter(col("day") < histEnd),
+      col("user_id"), freshPath, expectedItems = 100000L, fpp = fpp)
+    val (freshBlob, _) = BloomIndex.loadMergedFilter(s, freshPath)
+    val blobEq = java.util.Arrays.equals(blob, freshBlob)
+    val today = src.filter(col("day") >= histEnd)
+      .select("user_id").distinct()
+    val hist = src.filter(col("day") < histEnd)
+      .select("user_id").distinct().withColumn("__h", lit(1))
+    val joined = today.join(hist, Seq("user_id"), "left")
+      .select(col("user_id"), col("__h").isNotNull.as("seen_exact"),
+        BloomJoin.mightContain(blob, col("user_id")).as("might"))
+    val stats = joined.agg(
+      sum(when(col("might") && !col("seen_exact"), 1L).otherwise(0L))
+        .as("fp"),
+      sum(when(!col("seen_exact"), 1L).otherwise(0L)).as("n_new"))
+    joined.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("seen_exact"),
+        (!col("seen_exact") || col("might")).as("fn_ok"),
+        (col("fp") <= ceil(lit(fpp) * col("n_new") +
+          lit(3.0) * sqrt(lit(fpp) * col("n_new"))) + lit(3L))
+          .as("fpr_ok"),
+        lit(blobEq).as("blob_identical"))
+      .orderBy("user_id")
+  }
+
+  val seenBeforeIncSql: String =
+    """WITH e AS (SELECT user_id,
+      |    datediff('day', DATE '1970-01-01',
+      |             CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+      |s AS (SELECT mn + 2 * (mx - mn + 1) // 3 AS hist_end FROM b),
+      |today AS (SELECT DISTINCT user_id FROM e, s WHERE day >= hist_end),
+      |hist AS (SELECT DISTINCT user_id FROM e, s WHERE day < hist_end)
+      |SELECT t.user_id, (h.user_id IS NOT NULL) AS seen_exact,
+      |  true AS fn_ok, true AS fpr_ok, true AS blob_identical
+      |FROM today t LEFT JOIN hist h USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val rollingDistinctUsersApproxSql: String =
     """WITH d AS (SELECT DISTINCT
       |    datediff('day', DATE '1970-01-01',
@@ -537,6 +620,7 @@ object EventQueries {
       (segmentDistinctApprox _, segmentDistinctApproxSql),
     "q_segment_distinct_inc" ->
       (segmentDistinctInc _, segmentDistinctIncSql),
+    "q_seen_before_inc" -> (seenBeforeInc _, seenBeforeIncSql),
     "q_segment_overlap" -> (segmentOverlap _, segmentOverlapSql),
     "q_sequence_match" -> (sequenceMatchViews _, sequenceMatchViewsSql),
     "q_events_hourly" -> (eventsHourly _, eventsHourlySql),
