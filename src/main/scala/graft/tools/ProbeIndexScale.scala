@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.functions._
 import graft.GraftSession
-import graft.operators.{CmsIndex, SketchOps}
+import graft.operators.{BloomIndex, BloomJoin, CmsIndex, SketchOps}
 
 /** The persisted-index contract, measured instead of argued: a
   * cross-day profile served from saved blobs must cost BLOB-COUNT
@@ -50,14 +50,19 @@ object ProbeIndexScale {
         s"graft_idxscale_${days}_${System.nanoTime()}").toString
       val cmsPath = s"$base/cms"
       val hllPath = s"$base/hll"
+      val bloomPath = s"$base/bloom"
       val tAppend = time {
         CmsIndex.saveCmsIndex(day(0), col("term"), cmsPath)
         SketchOps.saveSketchIndex(day(0), col("seg"), col("uid"), hllPath)
+        BloomIndex.saveBloomIndex(day(0), col("uid"), bloomPath,
+          expectedItems = 3000000L)
         for (d <- 1 until days) {
           CmsIndex.appendCmsIndex(spark, cmsPath, day(d), col("term"),
             s"d$d")
           SketchOps.appendSketchIndex(spark, hllPath, day(d),
             col("seg"), col("uid"), s"d$d")
+          BloomIndex.appendBloomIndex(spark, bloomPath, day(d),
+            col("uid"), s"d$d")
         }
       }
       val tLoadCms = time {
@@ -70,6 +75,16 @@ object ProbeIndexScale {
           .select(col("seg"), SketchOps.estimate(col("sk")))
           .write.format("noop").mode("overwrite").save()
       }
+      // membership: probe a fixed "today" batch against the loaded
+      // blob (broadcast-literal codegen probe) vs the anti-join
+      // against raw history a system without the index must run
+      val todayKeys = spark.range(1000000)
+        .select(pmod(col("id") * 48271L, lit(3000000L)).as("uid"))
+      val tLoadBloom = time {
+        val (blob, _) = BloomIndex.loadMergedFilter(spark, bloomPath)
+        todayKeys.filter(!BloomJoin.mightContain(blob, col("uid")))
+          .write.format("noop").mode("overwrite").save()
+      }
       val hist = (0 until days).map(day).reduce(_ unionAll _)
       val tRescanCms = time {
         CmsIndex.saveCmsIndex(hist, col("term"), s"$base/cms_fresh")
@@ -79,9 +94,13 @@ object ProbeIndexScale {
           .select(col("seg"), SketchOps.estimate(col("sk")))
           .write.format("noop").mode("overwrite").save()
       }
+      val tRescanBloom = time {
+        todayKeys.join(hist.select(col("uid")), Seq("uid"), "left_anti")
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"[probe-index] D=$days%3d (${days * perDay / 1000000}%4d M rows)" +
-        f"  load: cms=$tLoadCms%6.2f s hll=$tLoadHll%6.2f s" +
-        f"  rescan: cms=$tRescanCms%6.2f s hll=$tRescanHll%6.2f s" +
+        f"  load: cms=$tLoadCms%6.2f s hll=$tLoadHll%6.2f s bloom=$tLoadBloom%6.2f s" +
+        f"  rescan: cms=$tRescanCms%6.2f s hll=$tRescanHll%6.2f s bloom-anti=$tRescanBloom%6.2f s" +
         f"  (append total $tAppend%.1f s)")
     }
     spark.stop()
