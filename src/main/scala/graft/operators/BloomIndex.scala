@@ -13,7 +13,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * seen in ANY prior batch?" answered from saved blobs instead of a
   * history scan — the 100 TB shape of the reference's 25-day ingest
   * dedup when the history no longer fits a join (reference
-  * `README.md` history tables; the in-query form is [[BloomJoin]]).
+  * `README.md` history tables; the in-query form is [[BloomJoin]];
+  * the structure is Bloom 1970, geometry per the standard
+  * -n·ln p/(ln 2)² sizing in [[BloomJoin.optimalNumBits]]).
   *
   * Per batch: one Bloom blob built by the native `graft_bloom_agg`
   * (Spark's own BloomFilterAggregate — executor-merged partials,

@@ -10,7 +10,9 @@ import org.apache.spark.util.sketch.CountMinSketch
 /** Persisted incremental COUNT-MIN heavy-hitters index — the frequency
   * companion of [[SketchOps]]' persisted HLL distinct-count index:
   * cross-day term-frequency profiles union yesterday's blobs instead
-  * of rescanning event history.
+  * of rescanning event history. (Count-min sketch: Cormode &
+  * Muthukrishnan 2005; candidate sets: Metwally et al.'s Space-Saving
+  * summary via [[HeavyHitters]].)
   *
   * Two structures per saved batch, both bounded:
   *  - a count-min sketch of the term stream (Spark's own
