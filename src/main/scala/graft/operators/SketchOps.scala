@@ -99,10 +99,11 @@ object SketchOps {
                       path: String, lgK: Int = 12): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // per-SEGMENT rows (not a single blob row), so no coalesce(1) —
+    // the one index whose base write is not IndexStore.writeSingle
     segmentSketches(df, seg, id, lgK)
       .write.mode("overwrite").parquet(s"$path/base")
-    Seq(lgK).toDF("lgK").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/params")
+    IndexStore.writeParams(Seq(lgK).toDF("lgK"), path)
   }
 
   /** Append a batch WITHOUT rescanning history: sketch it at the
@@ -112,27 +113,18 @@ object SketchOps {
   def appendSketchIndex(spark: SparkSession, path: String,
                         batch: DataFrame, seg: Column, id: Column,
                         tag: String): Unit = {
-    require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
-    val lgK = spark.read.parquet(s"$path/params").collect()(0).getInt(0)
+    val lgK = IndexStore.paramsRow(spark, path).getInt(0)
     segmentSketches(batch, seg, id, lgK)
-      .write.mode("overwrite").parquet(s"$path/delta_$tag")
+      .write.mode("overwrite").parquet(IndexStore.deltaDir(path, tag))
   }
 
   /** Load base + every delta and merge to one blob per segment:
     * (seg, sk). Work is proportional to the number of SAVED BLOBS
     * (segments × batches), never to the events they summarize. */
-  def loadSketchIndex(spark: SparkSession, path: String): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val deltas = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("delta_"))
-      .map(_.getPath.toString).sorted.toSeq
-    (s"$path/base" +: deltas)
-      .map(d => spark.read.parquet(d).select("seg", "sk"))
-      .reduce(_ unionByName _)
+  def loadSketchIndex(spark: SparkSession, path: String): DataFrame =
+    IndexStore.unionBatches(spark, path, "", Seq("seg", "sk"))
       .groupBy("seg")
       .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
-  }
 
   /** Rolling-window APPROXIMATE distinct counts — the
     * [[BitmapOps.rollingDistinct]] shape with per-period HLL blobs in

@@ -117,4 +117,22 @@ class BloomIndexSpec extends SparkTestBase {
     }
     assert(ep == null && en === 0L)
   }
+
+  test("loadMergedFilter excludeTags skips the named delta — the " +
+      "streaming screen's replay-safe pre-batch view") {
+    val path = freshPath("exclude")
+    BloomIndex.saveBloomIndex(keys.filter($"batch" === 0), $"k", path,
+      expectedItems = 50000L)
+    BloomIndex.appendBloomIndex(spark, path,
+      keys.filter($"batch" === 1), $"k", "d1")
+    val (withD1, nWith) = BloomIndex.loadMergedFilter(spark, path)
+    BloomIndex.appendBloomIndex(spark, path,
+      keys.filter($"batch" === 2), $"k", "d2")
+    // excluding d2 must reproduce the exact pre-d2 blob and count
+    val (without, nWithout) =
+      BloomIndex.loadMergedFilter(spark, path, excludeTags = Set("d2"))
+    assert(nWithout === nWith)
+    assert(java.util.Arrays.equals(without, withD1),
+      "excluding a delta must restore the pre-append blob exactly")
+  }
 }

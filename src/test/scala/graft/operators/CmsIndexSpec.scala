@@ -134,6 +134,40 @@ class CmsIndexSpec extends SparkTestBase {
     assert(bound === CmsIndex.epsBound(0.01, nTotal))
   }
 
+  test("empty batches are skipped on load and an ALL-empty index " +
+      "normalizes to (null, 0) — the BloomIndex contract, mirrored " +
+      "(r17 verdict #1)") {
+    val path = freshPath("empty_delta")
+    CmsIndex.saveCmsIndex(stream.filter($"batch" === 0), $"term", path)
+    CmsIndex.appendCmsIndex(spark, path,
+      stream.filter($"batch" =!= 0), $"term", "d1")
+    // an empty daily batch is a ROUTINE event for this index; so is a
+    // batch whose every term is NULL (all rows filtered by the
+    // NULL-exclusion contract)
+    CmsIndex.appendCmsIndex(spark, path,
+      stream.filter(lit(false)), $"term", "empty")
+    CmsIndex.appendCmsIndex(spark, path,
+      stream.limit(5).select(lit(null).cast("string").as("term")),
+      $"term", "nulls")
+    val (inc, n) = CmsIndex.loadMergedSketch(spark, path)
+    val fresh = freshPath("empty_fresh")
+    CmsIndex.saveCmsIndex(stream, $"term", fresh)
+    val (fr, nF) = CmsIndex.loadMergedSketch(spark, fresh)
+    assert(n === nF)
+    assert(java.util.Arrays.equals(inc, fr),
+      "empty deltas must not perturb the merged blob")
+
+    val p2 = freshPath("all_empty")
+    CmsIndex.saveCmsIndex(stream.filter(lit(false)), $"term", p2)
+    CmsIndex.appendCmsIndex(spark, p2,
+      stream.filter(lit(false)), $"term", "e1")
+    val (ep, en) = CmsIndex.loadMergedSketch(spark, p2)
+    assert(ep == null && en === 0L,
+      "an all-empty index must load as (null, 0)")
+    // the full read path over the all-empty index: empty, no NPE
+    assert(CmsIndex.heavyHittersFromIndex(spark, p2).count() === 0L)
+  }
+
   test("NULL terms are excluded from sketch, count, and candidates") {
     val withNulls = Seq(Some("a"), Some("a"), None, Some("b"), None)
       .toDF("term")
