@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.query.{CoreQueries, DedupQueries, DomainQueries, EventQueries, GraphQueries,
-  MediaDedupQueries, MediaQueries, QualityQueries, TextQueries, TpchQueries,
-  VectorQueries, WarehouseQueries}
+  MediaDedupQueries, MediaQueries, PipelineQueries, QualityQueries, TextQueries,
+  TpchQueries, VectorQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,7 +15,7 @@ object SparkEntry {
       MediaQueries.all ++ MediaDedupQueries.all ++ VectorQueries.all ++
       QualityQueries.all ++
       WarehouseQueries.all ++ GraphQueries.all ++ TpchQueries.all ++
-      EventQueries.all
+      EventQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The end-to-end curation pipeline: quality + repetition gates

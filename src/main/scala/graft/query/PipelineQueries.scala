@@ -1,0 +1,339 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomIndex, BloomJoin, CmsIndex, SketchOps}
+import graft.sources.Tables
+
+/** The persisted-index family COMPOSED (r17 verdict #3/#4): the
+  * reference's daily cron — acquire → dedup-against-history → enrich →
+  * profile (reference `daily_certstream_download.sh`,
+  * `daily_all_upload.sh`) — re-expressed at the 100 TB shape, where
+  * "history" is never a join side or a rescan but the KB/MB blobs the
+  * three incremental indexes bank per day:
+  *
+  *  - [[graft.operators.BloomIndex]] — "seen before?" (the 25-day
+  *    `comm -23` new-key gate),
+  *  - [[graft.operators.SketchOps]] HLL — "how many distinct?" (the
+  *    day's segment profile),
+  *  - [[graft.operators.CmsIndex]] — "how frequent?" (the day's
+  *    heavy-hitter profile).
+  *
+  * [[dailyIncPipeline]] runs the whole daily loop batch-side in ONE
+  * gated query; [[screenIngestBloom]] runs the membership leg through
+  * a REAL checkpointed file stream ([[graft.streaming.ScreenStream]]),
+  * restart included. Both follow the `_inc` certification idiom
+  * (q_seen_before_inc / q_segment_distinct_inc / q_heavy_hitters_inc):
+  * exact legs are hash-gated as real columns the DuckDB oracle
+  * replays closed-form; probabilistic legs are gated as derived
+  * booleans (subset / envelope / bit-identity) the oracle pins TRUE. */
+object PipelineQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEventsTs(s, dir)
+
+  /** (user_id, event_type, day) with the NULL exclusions every index
+    * shares — the seenBeforeInc projection plus event_type. */
+  private def keyedDays(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("user_id").isNotNull && col("ets").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        datediff(to_date(col("ets")), lit("1970-01-01")).cast("long")
+          .as("day"))
+
+  /** Bloom capacity derived from the data (r17 ADVICE): 2× headroom
+    * over the approximate distinct key count that will ever be banked,
+    * floored — so a larger scale factor raises capacity instead of
+    * silently pushing the realized fpp past the stored one. One
+    * bounded-collect aggregate. */
+  private def derivedCapacity(keys: DataFrame): Long = {
+    val approx = keys.agg(approx_count_distinct(col("user_id")))
+      .collect()(0).getLong(0)
+    math.max(1024L, 2L * approx)
+  }
+
+  /** A fresh per-session tmp dir (wiped on entry — reruns never
+    * accumulate), tagged by applicationId against concurrent harness
+    * processes: the established `_inc`-query protocol. */
+  private def freshBase(s: SparkSession, name: String): String = {
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_${name}_$tag").toString
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    base
+  }
+
+  /** THE FLAGSHIP COMPOSITION — one simulated daily run against
+    * yesterday's persisted state, all three indexes, one gated result:
+    *
+    * history = the first two day-terciles (banked as base + delta
+    * `h1`, the multi-day index shape); "today" = the last tercile.
+    * Steps, in the cron's order:
+    *
+    *  1. ACQUIRE/DEDUP: today's distinct (event_type, user) pairs are
+    *     screened against the LOADED history Bloom blob — new-user
+    *     gating without a history join (the `comm -23` analog).
+    *  2. BANK: today appends to all three indexes as `delta_today` —
+    *     TWICE, because the daily cron's replay story (tag overwrite)
+    *     is part of what this query certifies.
+    *  3. PROFILE from blobs: per event type seen today — distinct
+    *     users from the loaded HLL index, frequency estimate from the
+    *     loaded CMS index, both now INCLUDING today.
+    *
+    * Gate per event type: `events_today` and `new_users` are EXACT
+    * hash-gated columns (the oracle replays the calendar split and the
+    * anti-join closed-form); `screen_subset_ok` (every Bloom-new user
+    * is exactly-new — no false negatives), `screen_fpr_ok` (users the
+    * screen missed to false positives sit inside the 3σ binomial
+    * envelope of the stored fpp), `hll_inc_eq_fresh` (loaded base+
+    * deltas estimate ≡ fresh single-pass estimate, bit-identical),
+    * `hll_envelope_ok` (3σ composite envelope vs exact distinct),
+    * `cms_bound_ok` (estimate brackets the exact count within eps·N),
+    * and `cms_blob_identical` (merged blobs byte-equal to a fresh
+    * full-stream sketch) pin every probabilistic leg. */
+  def dailyIncPipeline(s: SparkSession, dir: String): DataFrame = {
+    val src = keyedDays(s, dir)
+    // deterministic calendar split (the seenBeforeInc arithmetic,
+    // replayed closed-form by the oracle); 1-row bounded collect
+    val b = src.agg(min("day"), max("day")).collect()(0)
+    val (minD, maxD) = (b.getLong(0), b.getLong(1))
+    val histEnd = minD + 2L * (maxD - minD + 1L) / 3L
+    val histMid = minD + (histEnd - minD) / 2L
+    val hist = src.filter(col("day") < histEnd)
+    val today = src.filter(col("day") >= histEnd)
+
+    val base = freshBase(s, "dailyinc")
+    val bloomPath = s"$base/bloom"
+    val hllPath = s"$base/hll"
+    val cmsPath = s"$base/cms"
+    val fpp = 0.01
+    val capacity = derivedCapacity(src)
+
+    // ---- yesterday's state: two history batches per index ----
+    val h0 = hist.filter(col("day") < histMid)
+    val h1 = hist.filter(col("day") >= histMid)
+    BloomIndex.saveBloomIndex(h0, col("user_id"), bloomPath,
+      expectedItems = capacity, fpp = fpp)
+    BloomIndex.appendBloomIndex(s, bloomPath, h1, col("user_id"), "h1")
+    SketchOps.saveSketchIndex(h0, col("event_type"), col("user_id"),
+      hllPath)
+    SketchOps.appendSketchIndex(s, hllPath, h1, col("event_type"),
+      col("user_id"), "h1")
+    CmsIndex.saveCmsIndex(h0, col("event_type"), cmsPath)
+    CmsIndex.appendCmsIndex(s, cmsPath, h1, col("event_type"), "h1")
+
+    // ---- 1. the new-user screen runs BEFORE today is banked:
+    // loadMergedFilter collects the blob eagerly, so the later appends
+    // cannot leak into it ----
+    val (histBlob, _) = BloomIndex.loadMergedFilter(s, bloomPath)
+    val todayPairs = today.select("event_type", "user_id").distinct()
+    val histUsers = hist.select("user_id").distinct()
+      .withColumn("__h", lit(1))
+    val screened = todayPairs
+      .withColumn("bloom_new",
+        !BloomJoin.mightContain(histBlob, col("user_id")))
+      .join(histUsers, Seq("user_id"), "left")
+      .withColumn("exact_new", col("__h").isNull)
+    val screenStats = screened.groupBy("event_type").agg(
+      // Bloom-new but exactly-seen would be a FALSE NEGATIVE: zero,
+      // deterministically
+      sum(when(col("bloom_new") && !col("exact_new"), 1L).otherwise(0L))
+        .as("bad_new"),
+      sum(when(col("exact_new"), 1L).otherwise(0L)).as("new_users"),
+      // exactly-new users the screen dropped = false positives
+      sum(when(col("exact_new") && !col("bloom_new"), 1L).otherwise(0L))
+        .as("missed"))
+
+    // ---- 2. bank today — twice: tag overwrite IS the replay story ----
+    BloomIndex.appendBloomIndex(s, bloomPath, today, col("user_id"),
+      "today")
+    BloomIndex.appendBloomIndex(s, bloomPath, today, col("user_id"),
+      "today")
+    SketchOps.appendSketchIndex(s, hllPath, today, col("event_type"),
+      col("user_id"), "today")
+    SketchOps.appendSketchIndex(s, hllPath, today, col("event_type"),
+      col("user_id"), "today")
+    CmsIndex.appendCmsIndex(s, cmsPath, today, col("event_type"), "today")
+    CmsIndex.appendCmsIndex(s, cmsPath, today, col("event_type"), "today")
+
+    // ---- 3. profile from blobs (now history + today) ----
+    val hllLoaded = SketchOps.loadSketchIndex(s, hllPath)
+      .select(col("seg").as("event_type"),
+        SketchOps.estimate(col("sk")).as("n_inc"))
+    val hllFresh = SketchOps
+      .segmentSketches(src, col("event_type"), col("user_id"))
+      .select(col("seg").as("event_type"),
+        SketchOps.estimate(col("sk")).as("n_fresh"))
+    val (cmsBlob, cmsN) = CmsIndex.loadMergedSketch(s, cmsPath)
+    val cmsFreshPath = s"$base/cms_fresh"
+    CmsIndex.saveCmsIndex(src, col("event_type"), cmsFreshPath)
+    val (cmsFresh, cmsFreshN) = CmsIndex.loadMergedSketch(s, cmsFreshPath)
+    val cmsEq = java.util.Arrays.equals(cmsBlob, cmsFresh) &&
+      cmsN == cmsFreshN
+    val cmsBound = CmsIndex.epsBound(CmsIndex.DefaultEps, cmsN)
+    val cmsEst = CmsIndex
+      .estimateTerms(CmsIndex.loadCandidates(s, cmsPath), cmsBlob)
+      .select(col("term").as("event_type"), col("est"))
+
+    val todayStats = today.groupBy("event_type")
+      .agg(count(lit(1)).as("events_today"))
+    val exact = src.groupBy("event_type").agg(
+      countDistinct(col("user_id")).as("n_exact"),
+      count(lit(1)).as("cnt_exact"))
+    val tol = SketchOps.compositeEnvelope3Sigma(12)
+
+    todayStats
+      .join(screenStats, Seq("event_type"))
+      .join(hllLoaded, Seq("event_type"))
+      .join(hllFresh, Seq("event_type"))
+      .join(exact, Seq("event_type"))
+      .join(cmsEst, Seq("event_type"), "left")
+      .select(col("event_type"), col("events_today"), col("new_users"),
+        (col("bad_new") === 0L).as("screen_subset_ok"),
+        (col("missed") <= ceil(lit(fpp) * col("new_users") +
+          lit(3.0) * sqrt(lit(fpp) * col("new_users"))) + lit(3L))
+          .as("screen_fpr_ok"),
+        (col("n_inc") === col("n_fresh")).as("hll_inc_eq_fresh"),
+        (abs(col("n_inc") - col("n_exact")) <=
+          greatest(lit(2.0), lit(tol) * col("n_exact")))
+          .as("hll_envelope_ok"),
+        coalesce(col("est") >= col("cnt_exact") &&
+          col("est") <= col("cnt_exact") + lit(cmsBound), lit(false))
+          .as("cms_bound_ok"),
+        lit(cmsEq).as("cms_blob_identical"))
+      .orderBy("event_type")
+  }
+
+  val dailyIncPipelineSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    datediff('day', DATE '1970-01-01',
+      |             CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+      |s AS (SELECT mn + 2 * (mx - mn + 1) // 3 AS hist_end FROM b),
+      |today AS (SELECT * FROM e, s WHERE day >= hist_end),
+      |hist_users AS (SELECT DISTINCT user_id FROM e, s
+      |               WHERE day < hist_end),
+      |tp AS (SELECT DISTINCT event_type, user_id FROM today),
+      |nu AS (SELECT t.event_type,
+      |    CAST(count(*) FILTER (WHERE h.user_id IS NULL) AS BIGINT)
+      |      AS new_users
+      |  FROM tp t LEFT JOIN hist_users h USING (user_id) GROUP BY 1),
+      |et AS (SELECT event_type, CAST(count(*) AS BIGINT) AS events_today
+      |  FROM today GROUP BY 1)
+      |SELECT et.event_type, et.events_today, nu.new_users,
+      |  true AS screen_subset_ok, true AS screen_fpr_ok,
+      |  true AS hll_inc_eq_fresh, true AS hll_envelope_ok,
+      |  true AS cms_bound_ok, true AS cms_blob_identical
+      |FROM et JOIN nu USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** The membership leg of the daily loop through a REAL checkpointed
+    * file-source stream ([[graft.streaming.ScreenStream]]): history
+    * (first two day-terciles) is banked as Bloom blobs; "today"'s rows
+    * replay in two files with a stream RESTART between them — each
+    * micro-batch screens against the blobs (base + every delta banked
+    * so far, the prior batch's included) and banks itself, so
+    * cross-batch dedup flows through the INDEX, not streaming state.
+    *
+    * Gate, per distinct today-user: `exact_new` is the EXACT
+    * hash-gated column (user unseen in history — oracle replays the
+    * anti-join); `no_false_new` (an emitted user is always exactly-new
+    * AND not emitted by an earlier batch — Bloom has no false
+    * negatives, and the delta banked by batch k screens batch k+1),
+    * `emitted_once_ok` (no user emitted twice across the restart
+    * boundary), and `fpr_ok` (new users the screen missed to false
+    * positives stay inside the 3σ binomial envelope) pin the
+    * probabilistic side. ScreenStreamSpec certifies the same module
+    * equal to the batch anti-join EXACTLY on a collision-free
+    * fixture, replay and crash-shaped replay included. */
+  def screenIngestBloom(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = keyedDays(s, dir).select("user_id", "day")
+    val b = src.agg(min("day"), max("day")).collect()(0)
+    val (minD, maxD) = (b.getLong(0), b.getLong(1))
+    val histEnd = minD + 2L * (maxD - minD + 1L) / 3L
+    val histMid = minD + (histEnd - minD) / 2L
+    // today splits at its own midpoint: file 1 | restart | file 2
+    val todayMid = histEnd + (maxD - histEnd + 1L) / 2L
+
+    val base = freshBase(s, "bloomscreen")
+    val indexPath = s"$base/idx"
+    val in = s"$base/in"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    Files.createDirectories(Paths.get(in))
+    val fpp = 0.01
+    val capacity = derivedCapacity(src)
+    BloomIndex.saveBloomIndex(src.filter(col("day") < histMid),
+      col("user_id"), indexPath, expectedItems = capacity, fpp = fpp)
+    BloomIndex.appendBloomIndex(s, indexPath,
+      src.filter(col("day") >= histMid && col("day") < histEnd),
+      col("user_id"), "h1")
+
+    def addFile(df: DataFrame, name: String): Unit = {
+      val tmp = s"$base/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(s"$in/$name"))
+      ()
+    }
+    def screen(): Unit =
+      graft.streaming.ScreenStream.screenNewKeys(
+        s.readStream.schema("user_id LONG, day LONG").parquet(in),
+        "user_id", indexPath, ckpt, out)
+        .awaitTermination()
+    val today = src.filter(col("day") >= histEnd)
+    addFile(today.filter(col("day") < todayMid), "f1.parquet")
+    screen()
+    addFile(today.filter(col("day") >= todayMid), "f2.parquet")
+    screen() // restart: checkpoint resumes, only the new file runs
+
+    // emissions across all batches, with per-user emission counts
+    val emitted = s.read.parquet(s"$out/new")
+      .groupBy("user_id").agg(count(lit(1)).as("n_emit"))
+    val histUsers = src.filter(col("day") < histEnd)
+      .select("user_id").distinct().withColumn("__h", lit(1))
+    val joined = today.select("user_id").distinct()
+      .join(histUsers, Seq("user_id"), "left")
+      .join(emitted, Seq("user_id"), "left")
+      .select(col("user_id"), col("__h").isNull.as("exact_new"),
+        coalesce(col("n_emit"), lit(0L)).as("n_emit"))
+    val stats = joined.agg(
+      sum(when(col("exact_new"), 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("exact_new") && col("n_emit") === 0L, 1L)
+        .otherwise(0L)).as("missed"),
+      max(col("n_emit")).as("max_emit"))
+    joined.crossJoin(broadcast(stats))
+      .select(col("user_id"), col("exact_new"),
+        (col("n_emit") === 0L || (col("exact_new") && col("n_emit") === 1L))
+          .as("no_false_new"),
+        (col("max_emit") <= 1L).as("emitted_once_ok"),
+        (col("missed") <= ceil(lit(fpp) * col("n_new") +
+          lit(3.0) * sqrt(lit(fpp) * col("n_new"))) + lit(3L))
+          .as("fpr_ok"))
+      .orderBy("user_id")
+  }
+
+  val screenIngestBloomSql: String =
+    """WITH e AS (SELECT user_id,
+      |    datediff('day', DATE '1970-01-01',
+      |             CAST(date_trunc('day', ts) AS DATE)) AS day
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL),
+      |b AS (SELECT min(day) AS mn, max(day) AS mx FROM e),
+      |s AS (SELECT mn + 2 * (mx - mn + 1) // 3 AS hist_end FROM b),
+      |today AS (SELECT DISTINCT user_id FROM e, s WHERE day >= hist_end),
+      |hist AS (SELECT DISTINCT user_id FROM e, s WHERE day < hist_end)
+      |SELECT t.user_id, (h.user_id IS NULL) AS exact_new,
+      |  true AS no_false_new, true AS emitted_once_ok, true AS fpr_ok
+      |FROM today t LEFT JOIN hist h USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q_daily_inc_pipeline" -> (dailyIncPipeline _, dailyIncPipelineSql),
+    "q_screen_ingest_bloom" -> (screenIngestBloom _, screenIngestBloomSql))
+}
