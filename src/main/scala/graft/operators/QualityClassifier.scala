@@ -45,8 +45,18 @@ object QualityClassifier {
 
   /** Distinct unigram ∪ adjacent-bigram feature set of `text` as an
     * array column — the composed form shared by training, the
-    * composed scorer, and (structurally) the DuckDB oracle. */
-  def features(text: Column): Column = {
+    * composed scorer, and (structurally) the DuckDB oracle.
+    *
+    * `charN > 0` adds fastText's SUBWORD features (Bojanowski et al.
+    * 2017, "Enriching Word Vectors with Subword Information"): the
+    * char n-grams of each token wrapped in `<`…`>` boundary markers —
+    * the robustness trick for the transliteration/obfuscation common
+    * in web-corpus quality filtering, where "fr33 c4sino" shares no
+    * WORD feature with its clean form but plenty of char grams.
+    * Tokens are `[a-z0-9]+` (pure ASCII), so character indexing
+    * agrees bit-for-bit across Spark, the JVM native twin, and
+    * DuckDB. */
+  def features(text: Column, charN: Int = 0): Column = {
     val toks = filter(split(lower(text), "[^a-z0-9]+", -1),
       t => t =!= lit(""))
     // zip_with pads the shorter side with NULL, so the last (token,
@@ -56,7 +66,20 @@ object QualityClassifier {
       zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)),
       x => x.isNotNull)
-    array_distinct(concat(toks, bigrams))
+    val words = concat(toks, bigrams)
+    if (charN == 0) array_distinct(words)
+    else {
+      val grams = flatten(transform(toks, { t =>
+        val w = concat(lit("<"), t, lit(">"))
+        // a token shorter than charN-2 has no full window; emit []
+        // (flatten propagates a NULL element to a NULL result)
+        when(length(w) >= charN,
+          transform(sequence(lit(1), length(w) - lit(charN - 1)),
+            i => w.substr(i, lit(charN))))
+          .otherwise(array().cast("array<string>"))
+      }))
+      array_distinct(concat(words, grams))
+    }
   }
 
   /** md5-high-32 bucket of a feature column: non-negative, < dim,
@@ -71,7 +94,7 @@ object QualityClassifier {
     * class rates is the classic labeling bug). Returns the sparse
     * weight table (bucket LONG, w LONG), at most `dim` rows. */
   def train(labeled: DataFrame, text: Column, label: Column,
-            dim: Int = 4096): DataFrame = {
+            dim: Int = 4096, charN: Int = 0): DataFrame = {
     require(dim > 0 && dim <= (1 << 22),
       s"dim must be in (0, 2^22]: $dim (the dense table broadcasts)")
     val y = when(label === 1 || label === -1, label.cast("long"))
@@ -79,7 +102,7 @@ object QualityClassifier {
         lit("QualityClassifier.train: label must be +1 or -1"))
         .cast("long"))
     val counts = labeled
-      .select(y.as("__y"), explode(features(text)).as("__f"))
+      .select(y.as("__y"), explode(features(text, charN)).as("__f"))
       .select(col("__y"), bucket(col("__f"), dim).as("bucket"))
       .groupBy("bucket")
       .agg(sum(when(col("__y") === 1L, 1L).otherwise(0L)).as("__cpos"),
@@ -101,7 +124,8 @@ object QualityClassifier {
     * scores 0 (the composed form's explode-drop + left-join
     * semantics). */
   def score(df: DataFrame, idCol: String, text: Column,
-            weights: DataFrame, dim: Int = 4096): DataFrame = {
+            weights: DataFrame, dim: Int = 4096,
+            charN: Int = 0): DataFrame = {
     val table = new Array[Long](dim)
     weights.select("bucket", "w").collect().foreach { r =>
       val b = r.getLong(0)
@@ -110,7 +134,8 @@ object QualityClassifier {
     }
     df.select(col(idCol),
         coalesce(graft.plans.GraftExtensions.nativeFn(
-          "graft_quality_score", text, lit(table)), lit(0L)).as("score"))
+          "graft_quality_score", text, lit(table), lit(charN)),
+          lit(0L)).as("score"))
       .withColumn("pred", col("score") > 0)
   }
 
@@ -118,8 +143,9 @@ object QualityClassifier {
     * the native expression replaced — the independent implementation
     * QualityClassifierSpec certifies [[score]] against. */
   def scoreComposed(df: DataFrame, idCol: String, text: Column,
-                    weights: DataFrame, dim: Int = 4096): DataFrame =
-    df.select(col(idCol), explode_outer(features(text)).as("__f"))
+                    weights: DataFrame, dim: Int = 4096,
+                    charN: Int = 0): DataFrame =
+    df.select(col(idCol), explode_outer(features(text, charN)).as("__f"))
       .withColumn("__b",
         when(col("__f").isNotNull, bucket(col("__f"), dim)))
       .join(broadcast(weights.select(col("bucket").as("__b"), col("w"))),

@@ -54,7 +54,18 @@ object ClassifierOps {
     (h % dim).toInt
   }
 
-  def hashNgramScore(s: UTF8String, table: Array[Long]): Long = {
+  /** Feature-set score: distinct word unigrams ∪ adjacent bigrams,
+    * plus — when `charN > 0` — fastText's SUBWORD trick (Bojanowski
+    * et al. 2017): the char n-grams of each token wrapped in boundary
+    * markers `<`…`>`, so "fishing" contributes `<fi`, `fis`, …,
+    * `ng>` and a transliterated/obfuscated variant still shares most
+    * of its features with the clean form. Tokens are `[a-z0-9]+` by
+    * construction (pure ASCII), so char/codepoint/byte indexing agree
+    * across Spark, this JVM twin, and the DuckDB oracle. Tokens
+    * shorter than `charN - 2` contribute no grams (the marked form
+    * is shorter than one window). */
+  def hashNgramScore(s: UTF8String, table: Array[Long],
+                     charN: Int): Long = {
     val toks = s.toLowerCase.toString
       .split("[^a-z0-9]+", -1).filter(_.nonEmpty)
     val feats = new java.util.HashSet[String](
@@ -63,6 +74,14 @@ object ClassifierOps {
     while (i < toks.length) {
       feats.add(toks(i))
       if (i + 1 < toks.length) feats.add(toks(i) + " " + toks(i + 1))
+      if (charN > 0) {
+        val w = "<" + toks(i) + ">"
+        var j = 0
+        while (j <= w.length - charN) {
+          feats.add(w.substring(j, j + charN))
+          j += 1
+        }
+      }
       i += 1
     }
     var score = 0L
@@ -72,15 +91,19 @@ object ClassifierOps {
   }
 }
 
-/** `graft_quality_score(text, weights)` — the hashed-n-gram linear
-  * score of `text` under a dense `dim`-entry weight table (weights
-  * must be a foldable ARRAY<BIGINT> literal). Immutable IndexedSeq
+/** `graft_quality_score(text, weights[, char_n])` — the hashed-n-gram
+  * linear score of `text` under a dense `dim`-entry weight table
+  * (weights must be a foldable ARRAY<BIGINT> literal). `char_n > 0`
+  * adds the boundary-marked char n-gram subword features
+  * ([[ClassifierOps.hashNgramScore]]). Immutable IndexedSeq
   * (not Array) for the same plan-canonicalization reason as
   * [[BigramCostsExpr]]: rebuilt-but-equal tables must compare equal. */
-case class HashNgramScoreExpr(child: Expression, table: IndexedSeq[Long])
+case class HashNgramScoreExpr(child: Expression, table: IndexedSeq[Long],
+                              charN: Int = 0)
     extends Expression {
 
   require(table.nonEmpty, "weight table must be non-empty")
+  require(charN >= 0, s"char_n must be >= 0: $charN")
 
   @transient private lazy val tableArr: Array[Long] = table.toArray
 
@@ -99,7 +122,8 @@ case class HashNgramScoreExpr(child: Expression, table: IndexedSeq[Long])
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else ClassifierOps.hashNgramScore(v.asInstanceOf[UTF8String], tableArr)
+    else ClassifierOps.hashNgramScore(v.asInstanceOf[UTF8String],
+      tableArr, charN)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -112,7 +136,7 @@ case class HashNgramScoreExpr(child: Expression, table: IndexedSeq[Long])
         long ${ev.value} = 0L;
         if (!${ev.isNull}) {
           ${ev.value} = graft.plans.ClassifierOps.hashNgramScore(
-            ${c.value}, $tableRef);
+            ${c.value}, $tableRef, $charN);
         }""")
   }
 

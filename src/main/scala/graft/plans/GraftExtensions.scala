@@ -137,7 +137,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_quality_score"), HashNgramScoreExpr.info,
       (es: Seq[Expression]) => HashNgramScoreExpr(es(0),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(
-          litLongArray(es(1), "graft_quality_score")))),
+          litLongArray(es(1), "graft_quality_score")),
+        // optional 3rd arg: subword char-n-gram width (0 = word-only)
+        if (es.size >= 3) litInt(es(2), "graft_quality_score") else 0)),
     (FunctionIdentifier("graft_mp4_timeline"), Mp4TimelineExpr.info,
       (es: Seq[Expression]) => Mp4TimelineExpr(es.head)),
     (FunctionIdentifier("graft_bitmap_agg"), BitmapAggExpr.info,

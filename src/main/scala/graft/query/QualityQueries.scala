@@ -592,9 +592,69 @@ object QualityQueries {
       |SELECT doc_id, score, score > 0 AS pred
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** The SUBWORD variant under the same full hash gate (r17 verdict
+    * #8 — fastText's char-n-gram trick, Bojanowski 2017): features
+    * are word unigrams ∪ bigrams ∪ the char 3-grams of each token
+    * wrapped in `<`…`>` boundary markers, the robustness layer for
+    * the transliteration/obfuscation web-corpus quality filters face
+    * ("fr33 c4sino" shares no word feature with its clean form but
+    * plenty of char grams — QualityClassifierSpec proves the planted
+    * separation word features miss). Same integer-exact training and
+    * the same NATIVE one-pass scorer (`graft_quality_score(text, w,
+    * 3)`); the oracle replays gram extraction with a nested list
+    * comprehension and the raw LONG scores hash-gate bit-for-bit. */
+  def qualityClassifierSub(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val d = docs(s, dir)
+    val label = when(col("lang") === "en", 1).otherwise(-1)
+    val w = QualityClassifier.train(
+      d.filter(col("doc_id") % 2 === 0), col("text"), label, charN = 3)
+    QualityClassifier.score(d, "doc_id", col("text"), w, charN = 3)
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSubSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |                t -> t <> '') AS ts
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |      ts || [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))]
+      |      || flatten([[substr('<' || t || '>', i, 3)
+      |                   FOR i IN range(1, len(t) + 1)] FOR t IN ts])
+      |    )) AS f
+      |  FROM toks),
+      |fb AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b
+      |  FROM feats),
+      |tr AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |n AS (SELECT
+      |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+      |    CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nneg
+      |  FROM tr),
+      |w AS (SELECT fb.b,
+      |    CAST(SUM(CASE WHEN tr.y = 1 THEN 1 ELSE 0 END)
+      |           * (SELECT nneg FROM n)
+      |       - SUM(CASE WHEN tr.y = -1 THEN 1 ELSE 0 END)
+      |           * (SELECT npos FROM n) AS BIGINT) AS w
+      |  FROM fb JOIN tr USING (doc_id) GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |    CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS score
+      |  FROM documents d
+      |  LEFT JOIN fb ON fb.doc_id = d.doc_id
+      |  LEFT JOIN w ON w.b = fb.b
+      |  GROUP BY 1)
+      |SELECT doc_id, score, score > 0 AS pred
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_quality_classifier" ->
       (qualityClassifier _, qualityClassifierSql),
+    "q_quality_classifier_sub" ->
+      (qualityClassifierSub _, qualityClassifierSubSql),
     "q_drift_psi" -> (driftPsi _, driftPsiSql),
     "q_drift_rolling_psi" -> (driftRollingPsi _, driftRollingPsiSql),
     "q_drift_cusum" -> (driftCusum _, driftCusumSql),

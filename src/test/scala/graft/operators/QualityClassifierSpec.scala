@@ -95,6 +95,58 @@ class QualityClassifierSpec extends SparkTestBase {
       "no-token and NULL docs score 0")
   }
 
+  test("subword char-grams (charN=3) separate the suffix-obfuscated " +
+      "holdout that word features miss — the fastText subword claim, " +
+      "planted (r17 verdict #8)") {
+    // every token altered by a one-char suffix: zero WORD-feature
+    // overlap with training, but most boundary-marked char 3-grams
+    // survive — the transliteration/obfuscation shape of web spam
+    def obf(v: Vector[String]): Vector[String] = v.map(_ + "x")
+    val obfuscated = (
+      (200 until 210).map(i => (i.toLong, doc(obf(goodV), i, 9), 1)) ++
+      (300 until 310).map(i => (i.toLong, doc(obf(badV), i, 9), -1))
+    ).toDF("doc_id", "text", "label")
+    def acc(w: org.apache.spark.sql.DataFrame, charN: Int): Double = {
+      val scored = QualityClassifier
+        .score(obfuscated, "doc_id", col("text"), w, charN = charN)
+        .join(obfuscated.select("doc_id", "label"), "doc_id")
+        .select(col("pred") === (col("label") === 1)).as[Boolean]
+        .collect()
+      scored.count(identity).toDouble / scored.length
+    }
+    val wWord = QualityClassifier.train(labeled, col("text"), col("label"))
+    val wSub = QualityClassifier.train(labeled, col("text"), col("label"),
+      charN = 3)
+    assert(acc(wSub, 3) == 1.0,
+      "the subword model must classify the obfuscated docs perfectly")
+    assert(acc(wWord, 0) < 1.0,
+      "word features alone must NOT separate them (or the fixture " +
+        "proves nothing)")
+  }
+
+  test("native graft_quality_score(text, w, 3) == composed subword " +
+      "scorer on edge rows (short tokens, empty, NULL, unicode)") {
+    val edge = Seq(
+      (1L, "clear concise prose"),
+      (2L, ""),
+      (3L, "a b c"), // 1-char tokens: marked form exactly one window
+      (4L, null.asInstanceOf[String]),
+      (5L, "café au lait"),
+      (6L, "a1 2b c3d 4")
+    ).toDF("doc_id", "text")
+    val w = QualityClassifier.train(labeled, col("text"), col("label"),
+      charN = 3)
+    val native = QualityClassifier
+      .score(edge, "doc_id", col("text"), w, charN = 3)
+      .select("doc_id", "score", "pred")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val composed = QualityClassifier
+      .scoreComposed(edge, "doc_id", col("text"), w, charN = 3)
+      .select("doc_id", "score", "pred")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(native == composed)
+  }
+
   test("JVM bucket twin == Spark conv(md5) bucket (the cross-engine " +
       "hash contract the DuckDB oracle replays)") {
     val feats = Seq("clear", "clear concise", "a", "1", "z9 q2",
