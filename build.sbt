@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed-size heap + pinned collector (r17 verdict #5): with the
+  // default growable heap, GC ergonomics re-tier the region/heap
+  // geometry mid-sweep — PERF r17 caught whole-sweep +25-60% modes
+  // with flat run vectors whose only discriminator was gc_sec 7.3 vs
+  // 5.2. -Xms = -Xmx removes heap resizing; naming G1 removes any
+  // collector-selection ergonomics. Applies to every forked main
+  // (Bench, Verify, probes) and the test JVM alike.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseG1GC",
 )

@@ -99,12 +99,24 @@ object Bench {
     // replays never exercise recovery, so certification semantics are
     // untouched; the explicit-checkpoint file-source replays
     // (StreamingIngest) keep their own dirs and are unaffected.
-    if (new java.io.File("/dev/shm").isDirectory) {
-      val ckptBase = "/dev/shm/graft_bench_ckpt"
-      val p = new org.apache.hadoop.fs.Path(ckptBase)
+    // appId-suffixed (r17 ADVICE): a fixed shared path let two
+    // concurrent bench processes delete each other's live checkpoints
+    // mid-sweep; the per-process dir is wiped on entry AND on exit so
+    // per-query UUID checkpoint dirs don't accumulate in tmpfs
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory)
+        Some(s"/dev/shm/graft_bench_ckpt_${spark.sparkContext.applicationId
+          .replaceAll("[^a-zA-Z0-9]", "_")}")
+      else None
+    def wipeCkpt(): Unit = ckptBase.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
-      spark.conf.set("spark.sql.streaming.checkpointLocation", ckptBase)
+      ()
+    }
+    ckptBase.foreach { dir =>
+      wipeCkpt()
+      spark.conf.set("spark.sql.streaming.checkpointLocation", dir)
     }
     spark.conf.set(
       "spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
@@ -260,6 +272,7 @@ object Bench {
         f""","omitted_fast_queries":$omitted,"omitted_sec":$omittedSec%.3f,"full":"bench_full.json""""
       else ""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$health,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$extra}""")
+    wipeCkpt()
     spark.stop()
   }
 }

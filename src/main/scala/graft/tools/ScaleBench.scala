@@ -110,7 +110,20 @@ object ScaleBench {
     // q_containment (doc_id < 60 verification slice);
     // q_pagerank_personalized (%1000-node densification, as uniform);
     // q_stream_cdc (bounded replay slice)
-    "q_drift_rolling_psi")
+    "q_drift_rolling_psi",
+    // round 18 (r17 verdict #6): the hashed-n-gram classifier — train
+    // is one explode+groupBy to a dim-bounded table, scoring is ONE
+    // codegen'd expression, so near-linear is the expectation (the
+    // _sub variant adds the char-gram fan-out, ~4x features/doc); and
+    // the persisted-index certifications — probe evidence lives in
+    // ProbeIndexScale, these rows make the whole save/append/load/
+    // certify cycle regression-gated (each runs its exact comparison
+    // legs too, so the row is certification cost, not just index
+    // cost). q_screen_ingest_bloom stays out: its file-stream replay
+    // harness (stage + checkpoint + restart) is fixture, not plan.
+    "q_quality_classifier", "q_quality_classifier_sub",
+    "q_segment_distinct_inc", "q_seen_before_inc", "q_heavy_hitters_inc",
+    "q_daily_inc_pipeline")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)
