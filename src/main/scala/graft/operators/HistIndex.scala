@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental EXACT histogram index — the fourth member of
+  * the persisted-index family ([[SketchOps]] HLL = distinct counts,
+  * [[CmsIndex]] = frequencies, [[BloomIndex]] = membership, this =
+  * value DISTRIBUTION), and the only one whose incremental claim
+  * needs no sketch argument at all: per batch it banks fixed-bin LONG
+  * counts, merge is counter ADDITION over an identical bin spec, so
+  * the loaded base+deltas profile EQUALS the full-history profile
+  * row-for-row — the DuckDB oracle replays every count bit-for-bit
+  * (q_value_profile_inc), no envelope, no bit-identity argument, no
+  * confidence parameter.
+  *
+  * Layout and semantics are the [[IndexStore]] contract: bin spec
+  * (lo, width, nBins) pinned under `path/params` (appends bin at the
+  * STORED spec — counts over different edges would be silently
+  * meaningless), `delta_<tag>` overwrite for replay idempotence (like
+  * CMS, addition is not idempotent: the overwrite carries the replay
+  * burden), NULL values excluded. Out-of-range values land in
+  * underflow/overflow bins (-1 and nBins) rather than being dropped:
+  * a profile that silently discards the tail is how drift goes
+  * unnoticed.
+  *
+  * Scale shape: each batch scans its OWN rows once into ≤ nBins + 2
+  * rows; the load unions (batches × bins) tiny rows and re-sums.
+  * Cross-day value-distribution monitoring (the [[Drift]] family's
+  * PSI input, quantile drift, SLA percentiles) reads KB of blobs,
+  * never event history. Bin edges are computed in IEEE double
+  * arithmetic identical across Spark/DuckDB (`floor((v - lo) /
+  * width)`), so the exact gate holds cross-engine. */
+object HistIndex {
+
+  /** Bin of `v` under the spec: -1 underflow, nBins overflow, else
+    * floor((v - lo) / width). */
+  def bin(v: Column, lo: Double, width: Double, nBins: Int): Column =
+    when(v < lo, lit(-1L))
+      .when(v >= lo + width * nBins, lit(nBins.toLong))
+      .otherwise(floor((v - lo) / width).cast("long"))
+
+  private def binCounts(df: DataFrame, value: Column, lo: Double,
+                        width: Double, nBins: Int): DataFrame =
+    df.select(value.as("__v")).where(col("__v").isNotNull)
+      .groupBy(bin(col("__v"), lo, width, nBins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Build and persist the base index: (bin, cnt) rows under
+    * `path/base`, the bin spec under `path/params`. */
+  def saveHistIndex(df: DataFrame, value: Column, path: String,
+                    lo: Double, width: Double, nBins: Int): Unit = {
+    require(width > 0 && nBins > 0, s"bad bin spec: $lo/$width/$nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    IndexStore.writeSingle(binCounts(df, value, lo, width, nBins),
+      s"$path/base")
+    IndexStore.writeParams(
+      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), path)
+  }
+
+  /** Stored (lo, width, nBins). */
+  def loadParams(spark: SparkSession, path: String)
+      : (Double, Double, Int) = {
+    val r = IndexStore.paramsRow(spark, path)
+    (r.getDouble(0), r.getDouble(1), r.getInt(2))
+  }
+
+  /** Append a batch at the STORED bin spec; `delta_<tag>` overwrite
+    * keeps replays idempotent (addition would double-count a
+    * duplicated delta — the CMS caveat, same cure). */
+  def appendHistIndex(spark: SparkSession, path: String,
+                      batch: DataFrame, value: Column,
+                      tag: String): Unit = {
+    val (lo, width, nBins) = loadParams(spark, path)
+    IndexStore.writeSingle(binCounts(batch, value, lo, width, nBins),
+      IndexStore.deltaDir(path, tag))
+  }
+
+  /** Sum base + every delta to the EXACT full-history profile:
+    * (bin, cnt), one row per non-empty bin. */
+  def loadHistogram(spark: SparkSession, path: String): DataFrame =
+    IndexStore.unionBatches(spark, path, "", Seq("bin", "cnt"))
+      .groupBy("bin")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile read path: for each requested q, the bin containing
+    * rank ceil(q·n) — (q, bin, lo_edge, hi_edge, rank, n). Bin-width
+    * resolution by construction; EXACT in the sense that the true
+    * q-quantile provably lies in [lo_edge, hi_edge). Work is
+    * (nBins + 2) × |qs| rows — driver-free and trivially
+    * oracle-replayable. Underflow/overflow bins carry -inf/+inf
+    * edges. */
+  def quantileBins(spark: SparkSession, path: String,
+                   qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val (lo, width, nBins) = loadParams(spark, path)
+    import spark.implicits._
+    // one load, two consumers (cum rows + the total) — localCheckpoint
+    // so the blob union isn't recomputed; ≤ nBins + 2 rows
+    val hist = loadHistogram(spark, path).localCheckpoint()
+    val h = hist
+      // bin-spec-bounded unpartitioned window (≤ nBins + 2 rows by
+      // construction), never data-bounded
+      .withColumn("cum", sum("cnt").over(Window.orderBy("bin")))
+    val qdf = qs.toDF("q")
+    h.crossJoin(broadcast(hist.agg(sum("cnt").as("n"))))
+      .crossJoin(broadcast(qdf))
+      .where(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q", "n")
+      .agg(min("bin").as("bin"))
+      .select(col("q"), col("bin"),
+        when(col("bin") === -1L, lit(Double.NegativeInfinity))
+          .otherwise(lit(lo) + col("bin") * lit(width)).as("lo_edge"),
+        when(col("bin") === nBins.toLong, lit(Double.PositiveInfinity))
+          .otherwise(lit(lo) + (col("bin") + 1L) * lit(width))
+          .as("hi_edge"),
+        ceil(col("q") * col("n")).as("rank"), col("n"))
+  }
+}

@@ -333,7 +333,57 @@ object PipelineQueries {
       |FROM today t LEFT JOIN hist h USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** The EXACT tier of the persisted-index family under the FULL hash
+    * gate ([[graft.operators.HistIndex]] — fixed-bin value-distribution
+    * profiles): the event stream splits deterministically in three
+    * (event_id mod 3), the base third is saved, the second appends
+    * TWICE under one delta tag (bin-count merge is ADDITION — the
+    * overwrite carries the replay burden, the CMS caveat), the third
+    * plays "today" and also appends twice, and the LOADED profile —
+    * (bin, cnt, cum) — must equal the closed-form full-history
+    * histogram ROW FOR ROW. No envelope, no bit-identity argument:
+    * counter addition over a pinned bin spec is exact, so this is the
+    * one index whose entire output the DuckDB oracle replays
+    * bit-for-bit. Spec (lo=0, width=50, nBins=16) covers the
+    * testdata value range at every shipped SF with the overflow bin
+    * (not a drop) catching any excursion. */
+  def valueProfileInc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistIndex
+    val src = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+    val path = s"${freshBase(s, "histidx")}/idx"
+    val third = pmod(col("event_id"), lit(3L))
+    HistIndex.saveHistIndex(src.filter(third === 0), col("value"), path,
+      lo = 0.0, width = 50.0, nBins = 16)
+    HistIndex.appendHistIndex(s, path, src.filter(third === 1),
+      col("value"), "d1")
+    HistIndex.appendHistIndex(s, path, src.filter(third === 1),
+      col("value"), "d1")
+    HistIndex.appendHistIndex(s, path, src.filter(third === 2),
+      col("value"), "today")
+    HistIndex.appendHistIndex(s, path, src.filter(third === 2),
+      col("value"), "today")
+    HistIndex.loadHistogram(s, path)
+      // bin-spec-bounded frame (≤ nBins + 2 rows), whitelisted in
+      // WindowAuditSpec
+      .withColumn("cum", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.orderBy("bin")))
+      .orderBy("bin")
+  }
+
+  val valueProfileIncSql: String =
+    """WITH e AS (SELECT CASE WHEN value < 0 THEN CAST(-1 AS BIGINT)
+      |      WHEN value >= 800 THEN CAST(16 AS BIGINT)
+      |      ELSE CAST(floor(value / 50.0) AS BIGINT) END AS bin
+      |    FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM e GROUP BY 1)
+      |SELECT bin, cnt,
+      |  CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
+      |FROM h ORDER BY bin""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_daily_inc_pipeline" -> (dailyIncPipeline _, dailyIncPipelineSql),
-    "q_screen_ingest_bloom" -> (screenIngestBloom _, screenIngestBloomSql))
+    "q_screen_ingest_bloom" -> (screenIngestBloom _, screenIngestBloomSql),
+    "q_value_profile_inc" -> (valueProfileInc _, valueProfileIncSql))
 }

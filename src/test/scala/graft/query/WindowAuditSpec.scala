@@ -35,7 +35,10 @@ class WindowAuditSpec extends SparkTestBase {
       "q_sim_lsh_recall" -> "200-row recall-gate frame by construction",
       "q_sim_pq_recall" -> "200-row recall-gate frame by construction",
       "q_vocab_encode" -> ("vocab rank window runs after " +
-        ".limit(maxVocab) — bounded by the cap (TextAnalysis.vocabEncode)"))
+        ".limit(maxVocab) — bounded by the cap (TextAnalysis.vocabEncode)"),
+      "q_value_profile_inc" -> ("cumulative count over the loaded " +
+        "histogram — bin-spec-bounded (≤ nBins + 2 = 18 rows by " +
+        "construction, HistIndex.loadHistogram), never data-sized"))
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val ws =
