@@ -204,6 +204,17 @@ object ExplainDump {
         "frame, per-key baseline window, typed-order FlatMapGroups " +
         "recurrence — the corpus is scanned once)" ->
         graft.query.QualityQueries.driftCusum(spark, sfDir),
+      "q_quality_classifier (scoring is ONE codegen'd scan " +
+        "expression — graft_quality_score carries the dense dim-" +
+        "bounded weight table as a plan reference: no explode, no " +
+        "join, no re-aggregation on the score path; train is one " +
+        "explode + map-side-combinable groupBy to <= dim rows)" ->
+        graft.query.QualityQueries.qualityClassifier(spark, sfDir),
+      "q_value_profile_inc (persisted exact histogram read: a union " +
+        "of blob-count-sized parquet scans re-summed to <= nBins + 2 " +
+        "rows — the profile never rescans events; the cum window is " +
+        "bin-spec-bounded)" ->
+        graft.query.PipelineQueries.valueProfileInc(spark, sfDir),
       "q_funnel_windowed (per-step type-filtered scans joined to the " +
         "shrinking per-user frame — all shuffles user-keyed, no " +
         "stream-wide window)" ->
