@@ -72,14 +72,21 @@ private[operators] object IndexStore {
 
   /** Union of the named columns across base + every delta (optionally
     * under a per-batch `subdir`, for operators that bank more than one
-    * structure per batch). */
+    * structure per batch) — as ONE multi-path parquet scan, not a
+    * per-dir union: the r18 ProbeIndexScale run measured the
+    * union-of-D-relations form paying ~0.14 s of per-relation plan/scan
+    * setup per banked batch (52 s to merge 365 KB-sized CMS blobs),
+    * which made load time grow with BATCH COUNT even though the data
+    * is KB-sized. A single relation over D paths plans once and scans
+    * the D files in one stage. Batch dirs are unpartitioned plain
+    * parquet (every writer in this family), so multi-path reading is
+    * safe; every batch shares the writer's schema and `select`
+    * normalizes column order. */
   def unionBatches(spark: SparkSession, path: String, subdir: String,
                    cols: Seq[String],
-                   excludeTags: Set[String] = Set.empty): DataFrame =
-    batchDirs(spark, path, excludeTags)
-      .map { d =>
-        val dir = if (subdir.isEmpty) d else s"$d/$subdir"
-        spark.read.parquet(dir).select(cols.map(col): _*)
-      }
-      .reduce(_ unionByName _)
+                   excludeTags: Set[String] = Set.empty): DataFrame = {
+    val dirs = batchDirs(spark, path, excludeTags)
+      .map(d => if (subdir.isEmpty) d else s"$d/$subdir")
+    spark.read.parquet(dirs: _*).select(cols.map(col): _*)
+  }
 }

@@ -368,6 +368,30 @@ object Scale100 {
       record("rolling_psi_periods", time(psi(30))._2, time(psi(3000))._2)
     }
 
+    // --- r18: the hashed-n-gram classifier at 100x documents ---
+    // Disjoint replica vocabularies grow the FEATURE universe ~100x,
+    // but the hashing trick keeps the model a dense 4096-long table
+    // regardless — the fastText property the operator exists for.
+    // Scoring is one codegen'd scan expression (subword grams
+    // included); train is one explode + map-side-combinable groupBy
+    // to <= dim rows. ~linear wall is the claim at two decades.
+    if (on("quality_classifier_sub")) {
+      def classify(dir: String): Long = {
+        import graft.operators.QualityClassifier
+        val d = spark.read.parquet(s"$dir/documents.parquet")
+        val label = when(col("lang") === "en", 1).otherwise(-1)
+        val w = QualityClassifier.train(
+          d.filter(col("doc_id") % 2 === 0), col("text"), label,
+          charN = 3)
+        graft.Bench.force(
+          QualityClassifier.score(d, "doc_id", col("text"), w,
+            charN = 3))
+        0L
+      }
+      record("quality_classifier_sub",
+        time(classify(sfDir))._2, time(classify(outDir))._2)
+    }
+
     val json = out.map { case (n, b, s, r) =>
       f""""$n":{"base":$b%.3f,"scaled":$s%.3f,"ratio":$r%.2f,"per_unit":${r / k}%.3f}"""
     }.mkString(
