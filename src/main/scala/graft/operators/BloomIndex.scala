@@ -144,4 +144,20 @@ object BloomIndex {
     (if (blob != null && blob.isEmpty) null else blob,
       if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  /** Fold base + every delta into a fresh ONE-batch index at
+    * `newPath` (copy-on-write — see [[IndexStore]] for why never
+    * in-place): same geometry params, merged blob as the new base.
+    * Blob-count-sized work; the old index is untouched. */
+  def compactBloomIndex(spark: SparkSession, oldPath: String,
+                        newPath: String): Unit = {
+    import spark.implicits._
+    val (expectedItems, numBits, fpp) = loadParams(spark, oldPath)
+    val (blob, n) = loadMergedFilter(spark, oldPath)
+    IndexStore.writeSingle(Seq((Option(blob), n)).toDF("sk", "n"),
+      s"$newPath/base")
+    IndexStore.writeParams(
+      Seq((expectedItems, numBits, fpp))
+        .toDF("expectedItems", "numBits", "fpp"), newPath)
+  }
 }

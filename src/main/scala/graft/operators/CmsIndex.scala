@@ -206,6 +206,26 @@ object CmsIndex {
     out
   }
 
+  /** Fold base + every delta into a fresh ONE-batch index at
+    * `newPath` (copy-on-write — see [[IndexStore]]): stored params,
+    * the merged sketch as the new base blob, and the FULL candidate
+    * union as the new base candidate set (keeping every historical
+    * candidate preserves the superset lemma: future batches add their
+    * own SpaceSaving summaries on top). */
+  def compactCmsIndex(spark: SparkSession, oldPath: String,
+                      newPath: String): Unit = {
+    import spark.implicits._
+    val (eps, conf, seed, m) = loadParams(spark, oldPath)
+    val (blob, n) = loadMergedSketch(spark, oldPath)
+    IndexStore.writeSingle(Seq((Option(blob), n)).toDF("sk", "n"),
+      s"$newPath/base/sketch")
+    IndexStore.writeSingle(loadCandidates(spark, oldPath),
+      s"$newPath/base/cands")
+    IndexStore.writeParams(
+      Seq((eps, conf, seed, m)).toDF("eps", "conf", "seed", "m"),
+      newPath)
+  }
+
   /** The full index read path: candidates with their merged-sketch
     * estimates and the index's published absolute error bound —
     * (term, est, n_total, bound). Every true heavy hitter above

@@ -85,6 +85,20 @@ object HistIndex {
       .groupBy("bin")
       .agg(sum("cnt").as("cnt"))
 
+  /** Fold base + every delta into a fresh ONE-batch index at
+    * `newPath` (copy-on-write — see [[IndexStore]]): stored bin spec,
+    * the summed profile as the new base. Addition is exact, so the
+    * compacted index is bit-equal row for row. */
+  def compactHistIndex(spark: SparkSession, oldPath: String,
+                       newPath: String): Unit = {
+    import spark.implicits._
+    val (lo, width, nBins) = loadParams(spark, oldPath)
+    IndexStore.writeSingle(loadHistogram(spark, oldPath),
+      s"$newPath/base")
+    IndexStore.writeParams(
+      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), newPath)
+  }
+
   /** Quantile read path: for each requested q, the bin containing
     * rank ceil(q·n) — (q, bin, lo_edge, hi_edge, rank, n). Bin-width
     * resolution by construction; EXACT in the sense that the true

@@ -70,6 +70,19 @@ private[operators] object IndexStore {
     s"$path/base" +: deltas
   }
 
+  /** Why compaction is COPY-ON-WRITE (`compact*Index(old, new)`) and
+    * never in-place: after a year the 365 `delta_*` dirs deserve
+    * folding into one base, but any in-place protocol has an
+    * unclosable crash window under plain-filesystem semantics —
+    * overwrite-base-then-drop-deltas double-counts CMS/Hist (addition
+    * is not idempotent) if it dies in between, and
+    * drop-deltas-then-replace-base loses them. Writing a fresh
+    * one-batch index at a NEW path leaves the old index untouched
+    * until the caller's metadata swap, which is the atomic boundary a
+    * real deployment owns anyway. Each operator's `compact*Index`
+    * certifies (spec-pinned) that the compacted index loads
+    * IDENTICALLY and keeps accepting appends at the same params. */
+
   /** Union of the named columns across base + every delta (optionally
     * under a per-batch `subdir`, for operators that bank more than one
     * structure per batch) — as ONE multi-path parquet scan, not a

@@ -126,6 +126,19 @@ object SketchOps {
       .groupBy("seg")
       .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
 
+  /** Fold base + every delta into a fresh ONE-batch index at
+    * `newPath` (copy-on-write — see [[IndexStore]]): stored lgK, one
+    * merged blob per segment as the new base. Register-state union is
+    * lossless, so the compacted index estimates identically. */
+  def compactSketchIndex(spark: SparkSession, oldPath: String,
+                         newPath: String): Unit = {
+    import spark.implicits._
+    val lgK = IndexStore.paramsRow(spark, oldPath).getInt(0)
+    loadSketchIndex(spark, oldPath)
+      .write.mode("overwrite").parquet(s"$newPath/base")
+    IndexStore.writeParams(Seq(lgK).toDF("lgK"), newPath)
+  }
+
   /** Rolling-window APPROXIMATE distinct counts — the
     * [[BitmapOps.rollingDistinct]] shape with per-period HLL blobs in
     * place of per-(period, bucket) bitmaps: the raw events are

@@ -382,8 +382,54 @@ object PipelineQueries {
       |  CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum
       |FROM h ORDER BY bin""".stripMargin
 
+  /** Quantiles FROM the persisted histogram index — still exact in
+    * the only sense a binned structure can be (the true q-quantile
+    * provably lies in [lo_edge, hi_edge), the bin containing rank
+    * ceil(q·n)), and still fully closed-form for the oracle. The
+    * index is built base + replayed delta + compacted-path-equivalent
+    * appends exactly like q_value_profile_inc; the read is
+    * [[graft.operators.HistIndex.quantileBins]] — (nBins + 2) × |qs|
+    * rows of work, never an event scan, the 100 TB shape of "what is
+    * the p95 of yesterday's values". */
+  def valueQuantilesInc(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HistIndex
+    val src = ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+    val path = s"${freshBase(s, "histq")}/idx"
+    val third = pmod(col("event_id"), lit(3L))
+    HistIndex.saveHistIndex(src.filter(third === 0), col("value"), path,
+      lo = 0.0, width = 50.0, nBins = 16)
+    HistIndex.appendHistIndex(s, path, src.filter(third === 1),
+      col("value"), "d1")
+    HistIndex.appendHistIndex(s, path, src.filter(third === 1),
+      col("value"), "d1")
+    HistIndex.appendHistIndex(s, path, src.filter(third === 2),
+      col("value"), "today")
+    HistIndex.quantileBins(s, path, Seq(0.25, 0.5, 0.9, 0.95))
+      .orderBy("q")
+  }
+
+  val valueQuantilesIncSql: String =
+    """WITH e AS (SELECT CASE WHEN value < 0 THEN CAST(-1 AS BIGINT)
+      |      WHEN value >= 800 THEN CAST(16 AS BIGINT)
+      |      ELSE CAST(floor(value / 50.0) AS BIGINT) END AS bin
+      |    FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT bin, count(*) AS cnt FROM e GROUP BY 1),
+      |c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM h),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+      |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.95]) AS DOUBLE)
+      |       AS q),
+      |sel AS (SELECT q, min(bin) AS bin FROM qs, c, n
+      |        WHERE cum >= ceil(q * n) GROUP BY q)
+      |SELECT s.q, s.bin,
+      |  CAST(s.bin * 50.0 AS DOUBLE) AS lo_edge,
+      |  CAST((s.bin + 1) * 50.0 AS DOUBLE) AS hi_edge,
+      |  CAST(ceil(s.q * n.n) AS BIGINT) AS rank, n.n
+      |FROM sel s, n ORDER BY q""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q_daily_inc_pipeline" -> (dailyIncPipeline _, dailyIncPipelineSql),
     "q_screen_ingest_bloom" -> (screenIngestBloom _, screenIngestBloomSql),
-    "q_value_profile_inc" -> (valueProfileInc _, valueProfileIncSql))
+    "q_value_profile_inc" -> (valueProfileInc _, valueProfileIncSql),
+    "q_value_quantiles_inc" -> (valueQuantilesInc _, valueQuantilesIncSql))
 }

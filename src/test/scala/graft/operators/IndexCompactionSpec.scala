@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Correctness burden for persisted-index COMPACTION (copy-on-write —
+  * [[IndexStore]] documents why never in-place): for each of the four
+  * families, folding base + deltas into a fresh one-batch index must
+  *  1. load IDENTICALLY to the uncompacted index at the family's
+  *     strongest gate (byte-equal blob / equal estimates / exact
+  *     rows), and
+  *  2. keep accepting appends at the stored params — a post-compaction
+  *     append must still merge equal to a fresh single-pass build of
+  *     the ENTIRE history (pre-compaction batches + the new one). */
+class IndexCompactionSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def fresh(name: String): String = new java.io.File(
+    System.getProperty("java.io.tmpdir"),
+    s"graft_compact_spec_${name}_${System.nanoTime()}").toString
+
+  // four round-robin batches over overlapping keys / skewed terms
+  lazy val rows = spark.range(8000).select(
+    (col("id") % 4).as("batch"),
+    (col("id") % 3000).as("k"),
+    concat(lit("t"), col("id") % 40).as("term"),
+    (col("id") % 900).cast("double").as("v"))
+
+  private def b(i: Int) = rows.filter($"batch" === i)
+  private val hist3 = rows.filter($"batch" < 3)
+
+  test("bloom: compacted index loads byte-identical; appends after " +
+      "compaction still merge equal to one pass over ALL history") {
+    val old = fresh("bloom_old"); val neu = fresh("bloom_new")
+    BloomIndex.saveBloomIndex(b(0), $"k", old, expectedItems = 50000L)
+    BloomIndex.appendBloomIndex(spark, old, b(1), $"k", "d1")
+    BloomIndex.appendBloomIndex(spark, old, b(2), $"k", "d2")
+    BloomIndex.compactBloomIndex(spark, old, neu)
+    val (ob, on) = BloomIndex.loadMergedFilter(spark, old)
+    val (nb, nn) = BloomIndex.loadMergedFilter(spark, neu)
+    assert(on === nn)
+    assert(java.util.Arrays.equals(ob, nb))
+    BloomIndex.appendBloomIndex(spark, neu, b(3), $"k", "d3")
+    val full = fresh("bloom_full")
+    BloomIndex.saveBloomIndex(rows, $"k", full, expectedItems = 50000L)
+    val (fb, fn) = BloomIndex.loadMergedFilter(spark, full)
+    val (ab, an) = BloomIndex.loadMergedFilter(spark, neu)
+    assert(an === fn)
+    assert(java.util.Arrays.equals(ab, fb))
+  }
+
+  test("cms: compacted index loads byte-identical with the candidate " +
+      "union preserved; post-compaction appends stay exact") {
+    val old = fresh("cms_old"); val neu = fresh("cms_new")
+    CmsIndex.saveCmsIndex(b(0), $"term", old)
+    CmsIndex.appendCmsIndex(spark, old, b(1), $"term", "d1")
+    CmsIndex.appendCmsIndex(spark, old, b(2), $"term", "d2")
+    CmsIndex.compactCmsIndex(spark, old, neu)
+    val (ob, on) = CmsIndex.loadMergedSketch(spark, old)
+    val (nb, nn) = CmsIndex.loadMergedSketch(spark, neu)
+    assert(on === nn)
+    assert(java.util.Arrays.equals(ob, nb))
+    assert(CmsIndex.loadCandidates(spark, neu).as[String].collect().toSet
+      === CmsIndex.loadCandidates(spark, old).as[String].collect().toSet)
+    CmsIndex.appendCmsIndex(spark, neu, b(3), $"term", "d3")
+    val full = fresh("cms_full")
+    CmsIndex.saveCmsIndex(rows, $"term", full)
+    val (fb, _) = CmsIndex.loadMergedSketch(spark, full)
+    val (ab, _) = CmsIndex.loadMergedSketch(spark, neu)
+    assert(java.util.Arrays.equals(ab, fb))
+  }
+
+  test("hll: compacted index estimates identically per segment; " +
+      "post-compaction appends equal a direct full-history sketch") {
+    val old = fresh("hll_old"); val neu = fresh("hll_new")
+    SketchOps.saveSketchIndex(b(0), $"term", $"k", old)
+    SketchOps.appendSketchIndex(spark, old, b(1), $"term", $"k", "d1")
+    SketchOps.appendSketchIndex(spark, old, b(2), $"term", $"k", "d2")
+    SketchOps.compactSketchIndex(spark, old, neu)
+    def est(p: String): Map[String, Long] =
+      SketchOps.loadSketchIndex(spark, p)
+        .select($"seg", SketchOps.estimate($"sk").as("e"))
+        .as[(String, Long)].collect().toMap
+    assert(est(neu) === est(old))
+    SketchOps.appendSketchIndex(spark, neu, b(3), $"term", $"k", "d3")
+    val direct = SketchOps.segmentSketches(rows, $"term", $"k")
+      .select($"seg", SketchOps.estimate($"sk").as("e"))
+      .as[(String, Long)].collect().toMap
+    assert(est(neu) === direct)
+  }
+
+  test("hist: compacted index is row-for-row identical; post-" +
+      "compaction appends stay exact") {
+    val old = fresh("hist_old"); val neu = fresh("hist_new")
+    HistIndex.saveHistIndex(b(0), $"v", old,
+      lo = 0.0, width = 100.0, nBins = 8)
+    HistIndex.appendHistIndex(spark, old, b(1), $"v", "d1")
+    HistIndex.appendHistIndex(spark, old, b(2), $"v", "d2")
+    HistIndex.compactHistIndex(spark, old, neu)
+    def h(p: String): Map[Long, Long] =
+      HistIndex.loadHistogram(spark, p).as[(Long, Long)].collect().toMap
+    assert(h(neu) === h(old))
+    HistIndex.appendHistIndex(spark, neu, b(3), $"v", "d3")
+    val direct = rows
+      .groupBy(HistIndex.bin($"v", 0.0, 100.0, 8).as("b"))
+      .agg(count(lit(1)).as("c")).as[(Long, Long)].collect().toMap
+    assert(h(neu) === direct)
+  }
+}

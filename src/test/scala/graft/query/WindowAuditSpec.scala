@@ -38,7 +38,9 @@ class WindowAuditSpec extends SparkTestBase {
         ".limit(maxVocab) — bounded by the cap (TextAnalysis.vocabEncode)"),
       "q_value_profile_inc" -> ("cumulative count over the loaded " +
         "histogram — bin-spec-bounded (≤ nBins + 2 = 18 rows by " +
-        "construction, HistIndex.loadHistogram), never data-sized"))
+        "construction, HistIndex.loadHistogram), never data-sized"),
+      "q_value_quantiles_inc" -> ("the same bin-spec-bounded cum " +
+        "frame inside HistIndex.quantileBins"))
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val ws =
