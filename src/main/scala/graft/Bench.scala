@@ -134,6 +134,22 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // Box-speed yardstick (r18): a fixed in-memory CPU-bound job timed
+    // min-of-3 at sweep start and once at sweep end. The one noise
+    // mode the contention checks CANNOT see is a uniform whole-box
+    // slow phase below the load/steal thresholds (the r18 179.6 s vs
+    // 158.0 s sweep pair at identical code: every family +10-30%,
+    // flat run vectors, gc normal, no flag) — a data-independent
+    // calibration number makes that phase SELF-IDENTIFYING in the
+    // artifact: two sweeps whose totals differ by ~the calib ratio
+    // are the same engine on a different box-hour.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, 32)
+        .selectExpr("sum(xxhash64(id)) as h").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = (1 to 3).map(_ => calibOnce()).min
     val loadBefore = loadAvg
     val gcBefore = gcMillis
     val cpuBefore = processCpuSec
@@ -236,7 +252,8 @@ object Bench {
           (allRunsSec > 0 && wallSec > 1.5 * allRunsSec))
         f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
-    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
+    val calibEnd = calibOnce()
+    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l)) =>
       val ok = runs.filter(_.isFinite)
       val runsJson = runs.map(r => if (r.isFinite) f"$r%.4f" else "-1")

@@ -266,6 +266,20 @@ object Dedup {
       p.getInt(0), p.getInt(1), p.getInt(2))
   }
 
+  /** Fold base + every delta into a fresh delta-free index at
+    * `newPath` — COPY-ON-WRITE like the sketch-index family
+    * ([[IndexStore]] documents why in-place compaction is an
+    * unclosable crash window; the caller's path swap is the atomic
+    * boundary). Signatures are deterministic under the stored params,
+    * so the compacted index screens identically
+    * (IndexCompactionSpec). */
+  def compactMinhashIndex(spark: SparkSession, oldPath: String,
+                          newPath: String): Unit = {
+    require(oldPath != newPath,
+      "compaction is copy-on-write: newPath must differ from oldPath")
+    saveMinhashIndex(loadMinhashIndex(spark, oldPath), newPath)
+  }
+
   def buildMinhashIndex(corpus: DataFrame, idCol: String, text: Column,
                         numHashes: Int = 16, bands: Int = 16,
                         shingleK: Int = 2): MinhashIndex = {

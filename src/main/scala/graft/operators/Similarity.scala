@@ -347,6 +347,28 @@ object Similarity {
       codebooks.head.head.length)
   }
 
+  /** Fold base + every delta into fresh delta-free indexes at
+    * `newPath` — COPY-ON-WRITE like the sketch-index family (see
+    * [[graft.operators.IndexStore]]: in-place compaction is an
+    * unclosable crash window; the caller's path swap is the atomic
+    * boundary). Centroid assignment is deterministic, so the
+    * compacted index searches identically (IndexCompactionSpec). */
+  def compactIvfIndex(spark: SparkSession, oldPath: String,
+                      newPath: String): Unit = {
+    require(oldPath != newPath,
+      "compaction is copy-on-write: newPath must differ from oldPath")
+    saveIvfIndex(loadIvfIndex(spark, oldPath), newPath)
+  }
+
+  /** PQ twin of [[compactIvfIndex]] — codebooks/centroids carry over,
+    * assigned/vectors fold. */
+  def compactPqIndex(spark: SparkSession, oldPath: String,
+                     newPath: String): Unit = {
+    require(oldPath != newPath,
+      "compaction is copy-on-write: newPath must differ from oldPath")
+    savePqIndex(loadPqIndex(spark, oldPath), newPath)
+  }
+
   private def centroidFrame(spark: SparkSession,
                             coarse: Array[Array[Double]]): DataFrame = {
     import spark.implicits._

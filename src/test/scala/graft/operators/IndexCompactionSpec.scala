@@ -90,6 +90,83 @@ class IndexCompactionSpec extends SparkTestBase {
     assert(est(neu) === direct)
   }
 
+  test("minhash: compacted decontamination index carries identical " +
+      "banded/shingle frames and keeps accepting appends") {
+    val docs = spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", concat(lit("w"), col("id") % 7),
+        concat(lit("x"), col("id") % 11),
+        concat(lit("y"), col("id") % 5),
+        concat(lit("z"), col("id") % 13)).as("text"))
+    def part(lo: Long, hi: Long) =
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+    val old = fresh("mh_old"); val neu = fresh("mh_new")
+    Dedup.saveMinhashIndex(
+      Dedup.buildMinhashIndex(part(0, 100), "doc_id", $"text"), old)
+    Dedup.appendMinhashIndex(spark, old, part(100, 200), "doc_id",
+      $"text", "d1")
+    Dedup.compactMinhashIndex(spark, old, neu)
+    def banded(p: String): Set[(Long, Int, Long)] =
+      Dedup.loadMinhashIndex(spark, p).banded
+        .as[(Long, Int, Long)].collect().toSet
+    def sh(p: String): Set[(Long, Seq[String])] =
+      Dedup.loadMinhashIndex(spark, p).shingleSets
+        .as[(Long, Seq[String])].collect().toSet
+    assert(banded(neu) === banded(old))
+    assert(sh(neu) === sh(old))
+    // params intact: a post-compaction append bands identically to a
+    // full rebuild over all three batches
+    Dedup.appendMinhashIndex(spark, neu, part(200, 300), "doc_id",
+      $"text", "d2")
+    val full = Dedup.buildMinhashIndex(part(0, 300), "doc_id", $"text")
+    assert(banded(neu) ===
+      full.banded.as[(Long, Int, Long)].collect().toSet)
+  }
+
+  test("ivf/pq: compacted ANN indexes carry identical assignments, " +
+      "centroids, and codebooks; appends keep working") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def part(lo: Long, hi: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+    val old = fresh("ivf_old"); val neu = fresh("ivf_new")
+    // sf0.001 embeddings span vec_id 0..499: three batches inside that
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(part(0, 200), "vec_id", "embedding",
+        nlist = 8), old)
+    Similarity.appendIvfIndex(spark, old, part(200, 350), "vec_id",
+      "embedding", "d1")
+    Similarity.compactIvfIndex(spark, old, neu)
+    def cells(p: String): Set[(Long, Int)] =
+      Similarity.loadIvfIndex(spark, p).assigned.select("id", "cell")
+        .as[(Long, Int)].collect().toSet
+    assert(cells(neu) === cells(old))
+    assert(Similarity.loadIvfIndex(spark, neu).coarse.map(_.toSeq).toSeq
+      === Similarity.loadIvfIndex(spark, old).coarse.map(_.toSeq).toSeq)
+    // appends after compaction assign against the carried centroids
+    Similarity.appendIvfIndex(spark, neu, part(350, 500), "vec_id",
+      "embedding", "d2")
+    Similarity.appendIvfIndex(spark, old, part(350, 500), "vec_id",
+      "embedding", "d2")
+    assert(cells(neu) === cells(old))
+
+    val pold = fresh("pq_old"); val pneu = fresh("pq_new")
+    Similarity.savePqIndex(
+      Similarity.buildPqIndex(part(0, 200), "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 8), pold)
+    Similarity.appendPqIndex(spark, pold, part(200, 350), "vec_id",
+      "embedding", "d1")
+    Similarity.compactPqIndex(spark, pold, pneu)
+    def codes(p: String): Set[(Long, Int, Seq[Int])] =
+      Similarity.loadPqIndex(spark, p).assigned
+        .select("id", "cell", "codes")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(codes(pneu) === codes(pold))
+    assert(Similarity.loadPqIndex(spark, pneu).codebooks
+        .map(_.map(_.toSeq).toSeq).toSeq ===
+      Similarity.loadPqIndex(spark, pold).codebooks
+        .map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("hist: compacted index is row-for-row identical; post-" +
       "compaction appends stay exact") {
     val old = fresh("hist_old"); val neu = fresh("hist_new")
