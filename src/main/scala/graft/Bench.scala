@@ -145,11 +145,17 @@ object Bench {
     // are the same engine on a different box-hour.
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: xxhash64 fills the long range, so an ANSI
+      // sum over 200M of them overflows; xor is overflow-free and the
+      // same per-row CPU shape
       spark.range(0, 200000000L, 1, 32)
-        .selectExpr("sum(xxhash64(id)) as h").collect()
+        .selectExpr("bit_xor(xxhash64(id)) as h").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibStart = (1 to 3).map(_ => calibOnce()).min
+    // min-of-3 at BOTH ends: a single-shot end sample on a sweep-aged
+    // heap reads high (measured 0.26 vs a 0.15 min on the same box)
+    def calib(): Double = (1 to 3).map(_ => calibOnce()).min
+    val calibStart = calib()
     val loadBefore = loadAvg
     val gcBefore = gcMillis
     val cpuBefore = processCpuSec
@@ -252,7 +258,7 @@ object Bench {
           (allRunsSec > 0 && wallSec > 1.5 * allRunsSec))
         f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
-    val calibEnd = calibOnce()
+    val calibEnd = calib()
     val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l)) =>
       val ok = runs.filter(_.isFinite)
