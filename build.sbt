@@ -33,6 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 5.2. -Xms = -Xmx removes heap resizing; naming G1 removes any
   // collector-selection ergonomics. Applies to every forked main
   // (Bench, Verify, probes) and the test JVM alike.
+  // NOTE -Xms = -Xmx COMMITS the full 8 GB at JVM start: on a box with
+  // less free memory the JVM fails to launch where -Xmx-only worked.
+  // SPARK_DRIVER_MEM is the knob — e.g. SPARK_DRIVER_MEM=2g sbt test
+  // on a constrained machine (documented in README; timings are only
+  // comparable at the default 8g).
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",

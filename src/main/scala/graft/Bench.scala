@@ -115,6 +115,21 @@ object Bench {
       ()
     }
     ckptBase.foreach { dir =>
+      // crashed/killed sweeps leak their appId-suffixed tmpfs dirs
+      // forever (r18 ADVICE — the old fixed path was self-cleaning on
+      // the next entry wipe): sweep stale siblings older than 3 h on
+      // entry so RAM-backed garbage can't accumulate
+      val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+      Option(new java.io.File("/dev/shm").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("graft_bench_ckpt_") &&
+          f.lastModified() < cutoff)
+        .foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          ()
+        }
       wipeCkpt()
       spark.conf.set("spark.sql.streaming.checkpointLocation", dir)
     }
@@ -143,12 +158,12 @@ object Bench {
     // calibration number makes that phase SELF-IDENTIFYING in the
     // artifact: two sweeps whose totals differ by ~the calib ratio
     // are the same engine on a different box-hour.
-    def calibOnce(): Double = {
+    def calibOnce(n: Long = 200000000L): Double = {
       val t0 = System.nanoTime()
       // bit_xor, not sum: xxhash64 fills the long range, so an ANSI
       // sum over 200M of them overflows; xor is overflow-free and the
       // same per-row CPU shape
-      spark.range(0, 200000000L, 1, 32)
+      spark.range(0, n, 1, 32)
         .selectExpr("bit_xor(xxhash64(id)) as h").collect()
       (System.nanoTime() - t0) / 1e9
     }
@@ -166,10 +181,41 @@ object Bench {
     // runs time as +Infinity, so min() only ever picks a successful
     // run, and a query whose every run failed is reported as an error
     // (value -1), excluded from the total.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    //
+    // Per-RUN adjudication fields (r18 verdict #1 — the driver's
+    // official sweep carried six rows flat-elevated 2.5–11× over the
+    // same-code quiet canonical, QUIET by every sweep-level check, and
+    // nothing in the artifact could say whether the cause was a plan
+    // flip, a GC mode, or a box phase):
+    //  - `gc`: this JVM's GC seconds during the run — a row whose slow
+    //    runs carry multi-second gc deltas is a heap/collector mode;
+    //  - `plan`: hash of the CANONICALIZED physical plan (exprIds
+    //    normalized, so reruns of an identical plan hash identically) —
+    //    a row whose fingerprint differs between sweeps flipped plans;
+    //  - `calib1` (per query, below): one box-speed sample as the
+    //    query finished — a slow row next to a quiet calib1 is
+    //    query-selective, not a box phase.
+    def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+      try {
+        val s = df.queryExecution.executedPlan.canonicalized.toString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .take(4).map(b => f"$b%02x").mkString
+      } catch { case _: Throwable => "plan_err" }
+    case class RunObs(sec: Double, gcSec: Double, plan: String)
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): RunObs = {
+      val g0 = gcMillis
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => Double.PositiveInfinity }
+      try {
+        val df = fn(spark, sfDir)
+        force(df)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // fingerprint computed OUTSIDE the timed window (planning the
+        // returned frame is cheap; the run itself was already forced)
+        RunObs(sec, (gcMillis - g0) / 1e3, planFingerprint(df))
+      } catch { case _: Throwable =>
+        RunObs(Double.PositiveInfinity, (gcMillis - g0) / 1e3, "err")
+      }
     }
     // three runs each; a query still slow after three (min > 2 s)
     // whose spread looks contention-shaped (max/min > 1.5) gets a
@@ -189,13 +235,13 @@ object Bench {
     def load1: Double =
       loadAvg.split("\\s+").headOption.flatMap(_.toDoubleOption)
         .getOrElse(-1.0)
-    val results: Seq[(String, (Seq[Double], Double))] =
+    val results: Seq[(String, (Seq[RunObs], Double, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           val l = load1
           val three = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
-          val ok3 = three.filter(_.isFinite)
+          val ok3 = three.map(_.sec).filter(_.isFinite)
           val runs =
             if (name.startsWith("q_stream_"))
               // streaming replays keep warming past run 3 (state-store
@@ -210,10 +256,15 @@ object Bench {
             else if (ok3.nonEmpty && ok3.min > 2.0 &&
                 ok3.max / ok3.min > 1.5) three :+ timeOnce(fn)
             else three
-          name -> ((runs, l))
+          // one small box-speed sample per query (100M rows, ~0.07 s
+          // quiet — half the sweep-level 200M yardstick so the ~190
+          // samples cost ~15 s/sweep): a row elevated next to a QUIET
+          // calib1 cannot be blamed on a box phase
+          val c1 = calibOnce(100000000L)
+          name -> ((runs, l, c1))
         }
-    val best = results.map { case (name, (runs, _)) =>
-      val ok = runs.filter(_.isFinite)
+    val best = results.map { case (name, (runs, _, _)) =>
+      val ok = runs.map(_.sec).filter(_.isFinite)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val errors = best.collect { case (name, v) if v < 0 => name }
@@ -246,7 +297,8 @@ object Bench {
     val externalLoad =
       if (selfCpuRate >= 0 && loadAfterNum >= 0) loadAfterNum - selfCpuRate
       else -1.0
-    val allRunsSec = results.flatMap(_._2._1).filter(_.isFinite).sum
+    val allRunsSec =
+      results.flatMap(_._2._1.map(_.sec)).filter(_.isFinite).sum
     val stealAfter = stealJiffies
     val stealPct =
       if (stealAfter._2 > stealBefore._2)
@@ -259,13 +311,37 @@ object Bench {
         f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
     val calibEnd = calib()
-    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
-    val fullJson = results.map { case (k, (runs, l)) =>
-      val ok = runs.filter(_.isFinite)
-      val runsJson = runs.map(r => if (r.isFinite) f"$r%.4f" else "-1")
+    // sweep-level JIT counters: the one row-selective mode per-run gc
+    // and plan fields cannot see is generated-code falling out of the
+    // compiled tier (code cache pressure) — a sweep whose codecache_mb
+    // sits near the JVM's reserve or whose jit_sec is far off the
+    // canonical's is running DIFFERENT machine code at identical plans
+    val jitSec =
+      Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+        .filter(_.isCompilationTimeMonitoringSupported)
+        .map(_.getTotalCompilationTime / 1e3).getOrElse(-1.0)
+    val codeCacheMb = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed).sum / 1e6
+    }
+    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
+    val fullJson = results.map { case (k, (runs, l, c1)) =>
+      val ok = runs.map(_.sec).filter(_.isFinite)
+      val runsJson = runs.map(r =>
+          if (r.sec.isFinite) f"${r.sec}%.4f" else "-1")
         .mkString("[", ",", "]")
-      if (ok.isEmpty) f""""$k":{"min":-1,"max":-1,"runs":$runsJson,"load1":$l%.2f}"""
-      else f""""$k":{"min":${ok.min}%.4f,"max":${ok.max}%.4f,"runs":$runsJson,"load1":$l%.2f}"""
+      val gcJson = runs.map(r => f"${r.gcSec}%.3f").mkString("[", ",", "]")
+      val plans = runs.map(_.plan)
+      val planJson =
+        if (plans.distinct.size == 1) s""""${plans.head}""""
+        else plans.map(p => s""""$p"""").mkString("[", ",", "]")
+      val mm =
+        if (ok.isEmpty) """"min":-1,"max":-1"""
+        else f""""min":${ok.min}%.4f,"max":${ok.max}%.4f"""
+      f""""$k":{$mm,"runs":$runsJson,"gc":$gcJson,"plan":$planJson,"calib1":$c1%.3f,"load1":$l%.2f}"""
     }.mkString(s"""{"metric":"total","value":$total,"unit":"sec",$health,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     if (only.isEmpty)

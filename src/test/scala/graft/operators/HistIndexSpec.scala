@@ -82,6 +82,40 @@ class HistIndexSpec extends SparkTestBase {
     assert(HistIndex.loadHistogram(spark, p2).count() === 0L)
   }
 
+  test("per-segment face: loaded (seg, bin, cnt) EQUALS the closed-" +
+      "form per-segment histogram; replayed tags overwrite; NULL " +
+      "segments and values are excluded") {
+    val path = freshPath("seg")
+    // two segments with different shapes + NULL seg/value rows
+    val rows = spark.range(2000).select(
+      (col("id") % 3).as("batch"),
+      when(col("id") % 10 === 9, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), col("id") % 2)).as("seg"),
+      when(col("id") % 17 === 16, lit(null).cast("double"))
+        .otherwise((col("id") % 1300).cast("double")).as("v"))
+    HistIndex.saveHistIndexSeg(rows.filter($"batch" === 0),
+      $"seg", $"v", path, lo = 0.0, width = 100.0, nBins = 10)
+    HistIndex.appendHistIndexSeg(spark, path,
+      rows.filter($"batch" === 1), $"seg", $"v", "d1")
+    HistIndex.appendHistIndexSeg(spark, path,
+      rows.filter($"batch" === 1), $"seg", $"v", "d1") // replay
+    HistIndex.appendHistIndexSeg(spark, path,
+      rows.filter($"batch" === 2), $"seg", $"v", "d2")
+    val loaded = HistIndex.loadHistogramSeg(spark, path)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val direct = rows.where($"seg".isNotNull && $"v".isNotNull)
+      .groupBy($"seg", HistIndex.bin($"v", 0.0, 100.0, 10).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    assert(loaded === direct)
+    // values 1000..1299 land in the overflow bin of each segment
+    assert(loaded.keySet.exists(_._2 == 10L),
+      "per-segment overflow bins must be present, not dropped")
+    assert(!loaded.keySet.exists(k => k._1 == null))
+  }
+
   test("quantileBins: each q maps to the bin containing rank " +
       "ceil(q*n) with the right edges") {
     val path = freshPath("quant")

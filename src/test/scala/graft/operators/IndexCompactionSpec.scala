@@ -167,6 +167,40 @@ class IndexCompactionSpec extends SparkTestBase {
         .map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("hist per-segment face: compacted index is row-for-row " +
+      "identical; post-compaction appends stay exact") {
+    val old = fresh("histseg_old"); val neu = fresh("histseg_new")
+    HistIndex.saveHistIndexSeg(b(0), $"term", $"v", old,
+      lo = 0.0, width = 100.0, nBins = 8)
+    HistIndex.appendHistIndexSeg(spark, old, b(1), $"term", $"v", "d1")
+    HistIndex.appendHistIndexSeg(spark, old, b(2), $"term", $"v", "d2")
+    HistIndex.compactHistIndexSeg(spark, old, neu)
+    def h(p: String): Map[(String, Long), Long] =
+      HistIndex.loadHistogramSeg(spark, p).as[(String, Long, Long)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(h(neu) === h(old))
+    HistIndex.appendHistIndexSeg(spark, neu, b(3), $"term", $"v", "d3")
+    val direct = rows
+      .groupBy($"term", HistIndex.bin($"v", 0.0, 100.0, 8).as("b"))
+      .agg(count(lit(1)).as("c")).as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(h(neu) === direct)
+  }
+
+  test("every family's compactor refuses a same-path call loudly " +
+      "(copy-on-write contract, centralized in IndexStore)") {
+    val p = fresh("same_path")
+    for (compact <- Seq[(String, String) => Unit](
+        BloomIndex.compactBloomIndex(spark, _, _),
+        CmsIndex.compactCmsIndex(spark, _, _),
+        SketchOps.compactSketchIndex(spark, _, _),
+        HistIndex.compactHistIndex(spark, _, _),
+        HistIndex.compactHistIndexSeg(spark, _, _))) {
+      val e = intercept[IllegalArgumentException](compact(p, p))
+      assert(e.getMessage.contains("copy-on-write"))
+    }
+  }
+
   test("hist: compacted index is row-for-row identical; post-" +
       "compaction appends stay exact") {
     val old = fresh("hist_old"); val neu = fresh("hist_new")
