@@ -347,6 +347,14 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    else
+      // targeted probes (BENCH_ONLY) still need their per-run gc/plan/
+      // calib fields on disk for adjudication — never as
+      // bench_full.json (a subset must not masquerade as the fleet
+      // artifact), only where explicitly asked
+      sys.env.get("BENCH_FULL_OUT").foreach(p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     // inline map: slowest first, ms precision, hard char budget
     val parts = best.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession
 import graft.operators.{BloomIndex, BloomJoin, CmsIndex, SketchOps}
@@ -16,7 +17,13 @@ import graft.operators.{BloomIndex, BloomJoin, CmsIndex, SketchOps}
   *     (candidate estimates for CMS, per-segment estimates for HLL);
   *   - rescan: the same profile from a fresh single-pass sketch over
   *     all D days of raw history (what a system without the index
-  *     must do).
+  *     must do);
+  *   - compact (r18 verdict #4): fold the D batches into a fresh
+  *     one-batch index (copy-on-write), plus the post-compaction
+  *     load — compaction should cost ~one load + one blob write
+  *     (blob-count work, NEVER an event scan), and the compacted
+  *     load is the D-independent floor the next year's appends
+  *     build on.
   * Load should stay ~flat in D (blobs are KB-sized); rescan must grow
   * ~linearly. The append cost itself is per-batch work either way and
   * is reported for completeness.
@@ -24,6 +31,75 @@ import graft.operators.{BloomIndex, BloomJoin, CmsIndex, SketchOps}
   * {{{ sbt "runMain graft.tools.ProbeIndexScale [perDay] [daysCsv]" }}}
   */
 object ProbeIndexScale {
+
+  /** One synthetic banked day — shared with ScaleBench's compaction
+    * regression row so both harnesses measure the same shape. */
+  def plantedDay(spark: SparkSession, perDay: Long, d: Int): DataFrame =
+    spark.range(d * perDay, (d + 1) * perDay)
+      .select(
+        concat(lit("t"), pmod(col("id") * 2654435761L, lit(100000L)))
+          .as("term"),
+        pmod(col("id") * 40503L, lit(3000000L)).as("uid"),
+        pmod(col("id"), lit(8L)).cast("string").as("seg"))
+
+  /** Build base + (days-1) deltas for all three sketch families under
+    * `base`; returns (cmsPath, hllPath, bloomPath). */
+  def buildIndexes(spark: SparkSession, base: String, perDay: Long,
+                   days: Int): (String, String, String) = {
+    val cmsPath = s"$base/cms"
+    val hllPath = s"$base/hll"
+    val bloomPath = s"$base/bloom"
+    def day(d: Int) = plantedDay(spark, perDay, d)
+    CmsIndex.saveCmsIndex(day(0), col("term"), cmsPath)
+    SketchOps.saveSketchIndex(day(0), col("seg"), col("uid"), hllPath)
+    BloomIndex.saveBloomIndex(day(0), col("uid"), bloomPath,
+      expectedItems = 3000000L)
+    for (d <- 1 until days) {
+      CmsIndex.appendCmsIndex(spark, cmsPath, day(d), col("term"), s"d$d")
+      SketchOps.appendSketchIndex(spark, hllPath, day(d),
+        col("seg"), col("uid"), s"d$d")
+      BloomIndex.appendBloomIndex(spark, bloomPath, day(d),
+        col("uid"), s"d$d")
+    }
+    (cmsPath, hllPath, bloomPath)
+  }
+
+  def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Compact-at-D + post-compaction-load timings for one exact (CMS)
+    * and one idempotent (Bloom) family, against already-built index
+    * paths. Returns labeled seconds. */
+  def compactionTimings(spark: SparkSession, cmsPath: String,
+                        bloomPath: String, scratch: String)
+      : Seq[(String, Double)] = {
+    val todayKeys = spark.range(1000000)
+      .select(pmod(col("id") * 48271L, lit(3000000L)).as("uid"))
+    val tCompactCms = time {
+      CmsIndex.compactCmsIndex(spark, cmsPath, s"$scratch/cms_compact")
+    }
+    val tLoadCmsPost = time {
+      val (sk, _) = CmsIndex.loadMergedSketch(spark, s"$scratch/cms_compact")
+      CmsIndex.estimateTerms(
+          CmsIndex.loadCandidates(spark, s"$scratch/cms_compact"), sk)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val tCompactBloom = time {
+      BloomIndex.compactBloomIndex(spark, bloomPath,
+        s"$scratch/bloom_compact")
+    }
+    val tLoadBloomPost = time {
+      val (blob, _) =
+        BloomIndex.loadMergedFilter(spark, s"$scratch/bloom_compact")
+      todayKeys.filter(!BloomJoin.mightContain(blob, col("uid")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    Seq("compact_cms" -> tCompactCms, "load_cms_post" -> tLoadCmsPost,
+      "compact_bloom" -> tCompactBloom,
+      "load_bloom_post" -> tLoadBloomPost)
+  }
+
   def main(args: Array[String]): Unit = {
     val perDay = args.headOption.map(_.toLong).getOrElse(2000000L)
     val daysList = args.drop(1).headOption.getOrElse("2,8,32")
@@ -31,16 +107,7 @@ object ProbeIndexScale {
     val spark = GraftSession.getOrCreate("graft-probe-index-scale")
     spark.sparkContext.setLogLevel("WARN")
 
-    def day(d: Int) = spark.range(d * perDay, (d + 1) * perDay)
-      .select(
-        concat(lit("t"), pmod(col("id") * 2654435761L, lit(100000L)))
-          .as("term"),
-        pmod(col("id") * 40503L, lit(3000000L)).as("uid"),
-        pmod(col("id"), lit(8L)).cast("string").as("seg"))
-
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
+    def day(d: Int) = plantedDay(spark, perDay, d)
 
     println(f"[probe-index] perDay=$perDay rows; days tiers: " +
       daysList.mkString(","))
@@ -48,23 +115,11 @@ object ProbeIndexScale {
       val base = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_idxscale_${days}_${System.nanoTime()}").toString
-      val cmsPath = s"$base/cms"
-      val hllPath = s"$base/hll"
-      val bloomPath = s"$base/bloom"
+      var paths: (String, String, String) = null
       val tAppend = time {
-        CmsIndex.saveCmsIndex(day(0), col("term"), cmsPath)
-        SketchOps.saveSketchIndex(day(0), col("seg"), col("uid"), hllPath)
-        BloomIndex.saveBloomIndex(day(0), col("uid"), bloomPath,
-          expectedItems = 3000000L)
-        for (d <- 1 until days) {
-          CmsIndex.appendCmsIndex(spark, cmsPath, day(d), col("term"),
-            s"d$d")
-          SketchOps.appendSketchIndex(spark, hllPath, day(d),
-            col("seg"), col("uid"), s"d$d")
-          BloomIndex.appendBloomIndex(spark, bloomPath, day(d),
-            col("uid"), s"d$d")
-        }
+        paths = buildIndexes(spark, base, perDay, days)
       }
+      val (cmsPath, hllPath, bloomPath) = paths
       val tLoadCms = time {
         val (sk, _) = CmsIndex.loadMergedSketch(spark, cmsPath)
         CmsIndex.estimateTerms(CmsIndex.loadCandidates(spark, cmsPath), sk)
@@ -102,6 +157,11 @@ object ProbeIndexScale {
         f"  load: cms=$tLoadCms%6.2f s hll=$tLoadHll%6.2f s bloom=$tLoadBloom%6.2f s" +
         f"  rescan: cms=$tRescanCms%6.2f s hll=$tRescanHll%6.2f s bloom-anti=$tRescanBloom%6.2f s" +
         f"  (append total $tAppend%.1f s)")
+      val ct = compactionTimings(spark, cmsPath, bloomPath, base).toMap
+      println(f"[probe-index] D=$days%3d  compact: " +
+        f"cms=${ct("compact_cms")}%6.2f s bloom=${ct("compact_bloom")}%6.2f s" +
+        f"  post-compact load: cms=${ct("load_cms_post")}%6.2f s " +
+        f"bloom=${ct("load_bloom_post")}%6.2f s")
     }
     spark.stop()
   }

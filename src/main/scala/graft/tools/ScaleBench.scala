@@ -408,6 +408,24 @@ object ScaleBench {
           (tier, tb2, tm2)
         }
 
+    // Index-compaction regression row (r18 verdict #4): compact-at-D
+    // cost + post-compaction load for one exact (CMS) and one
+    // idempotent (Bloom) family, on a FIXED planted shape (D=32 daily
+    // batches of 500k rows, the ProbeIndexScale generator) so the row
+    // is comparable across rounds regardless of sfDir/k — compaction
+    // is blob-count work and must stay seconds-flat like load.
+    val compactRow = {
+      val cbase = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_scale_compact_${System.nanoTime()}").toString
+      val (cms, _, bloom) =
+        ProbeIndexScale.buildIndexes(spark, cbase, 500000L, 32)
+      val t = ProbeIndexScale.compactionTimings(spark, cms, bloom, cbase)
+      println(t.map { case (k, v) => f"$k=$v%.2fs" }
+        .mkString("[scale-bench] index_compaction_d32: ", " ", ""))
+      t
+    }
+
     val worst = rows.maxBy(_._4)
     println(f"[scale-bench] SUMMARY k=$k queries=${rows.size} " +
       f"median_ratio=${rows.map(_._4).sorted.apply(rows.size / 2)}%.1f " +
@@ -419,6 +437,8 @@ object ScaleBench {
       :+ f""""multimodal_features_full":{"base":$ftb%.3f,"scaled":$ftsc%.3f,"ratio":${ftsc / ftb}%.2f,"base_rows":$fnb,"scaled_rows":$fns}"""
       :++ sigTiers.map { case (tier, tb2, tm2) =>
         f""""sig_screen_$tier":{"banded":$tb2%.3f,"mih":$tm2%.3f}""" }
+      :+ compactRow.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("\"index_compaction_d32\":{", ",", "}")
       :++ media100.toSeq.flatMap { case (mn1, mt1, fn1, ft1) => Seq(
         f""""multimodal_meta_${mediaK}x":{"base":$mtb%.3f,"scaled":$mt1%.3f,"ratio":${mt1 / mtb}%.2f,"rows":$mn1,"linear_k":$mediaK}""",
         f""""multimodal_features_${mediaK}x":{"base":$ftb%.3f,"scaled":$ft1%.3f,"ratio":${ft1 / ftb}%.2f,"rows":$fn1,"linear_k":$mediaK}""") })
