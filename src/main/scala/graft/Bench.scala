@@ -170,6 +170,10 @@ object Bench {
     // min-of-3 at BOTH ends: a single-shot end sample on a sweep-aged
     // heap reads high (measured 0.26 vs a 0.15 min on the same box)
     def calib(): Double = (1 to 3).map(_ => calibOnce()).min
+    // the 100M per-query variant has its own codegen (different range
+    // literal): pay it once here so the first query's calib1 sample
+    // reads box speed, not compile time
+    calibOnce(100000000L)
     val calibStart = calib()
     val loadBefore = loadAvg
     val gcBefore = gcMillis
