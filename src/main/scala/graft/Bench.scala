@@ -202,6 +202,13 @@ object Bench {
     def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
       try {
         val s = df.queryExecution.executedPlan.canonicalized.toString
+          // typed operators (mapPartitions, Aggregator udafs) print
+          // closure OBJECT identities (…$$Lambda$123/0x7f…@1a2b) that
+          // differ per run at identical plan shape — the first
+          // instrumented sweep showed 17/196 rows "unstable" from
+          // this alone. Strip them so the hash tracks plan SHAPE.
+          .replaceAll("\\$\\$Lambda[^\\s,()\\[\\]]*", "LAMBDA")
+          .replaceAll("@[0-9a-fA-F]{4,}", "@")
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .take(4).map(b => f"$b%02x").mkString
@@ -331,7 +338,32 @@ object Bench {
           p.getName.contains("Code Cache"))
         .map(_.getUsage.getUsed).sum / 1e6
     }
-    val health = f""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
+    // The enforceable per-query box check (r18 verdict #1): the driver
+    // sweep's failure mode was a MID-sweep co-tenant burst — row-
+    // selective 2.5–11× elevation with every END-of-sweep check quiet
+    // (loadavg decayed, external_load averaged out, start/end calib
+    // samples missed the window). calib1 samples box speed as each
+    // query finishes; a burst spanning ≥ 2 consecutive queries shows
+    // as ADJACENT elevated samples. Isolated spikes are excluded
+    // (residual executor work from a heavy row elevates one sample —
+    // measured: pagerank_personalized 0.275 right after pagerank's
+    // iteration storm on a quiet box), and q_stream_* rows are
+    // excluded (their samples overlap state-store cleanup; measured
+    // 0.26–0.38 quiet). Policy: rows listed here are box-suspect —
+    // not canonical-eligible without a re-sweep.
+    val suspectRows = {
+      val ns = results.collect {
+        case (n, (_, _, c1)) if !n.startsWith("q_stream_") => (n, c1)
+      }
+      ns.indices.filter { i =>
+        ns(i)._2 > 0.25 &&
+          ((i > 0 && ns(i - 1)._2 > 0.25) ||
+            (i < ns.size - 1 && ns(i + 1)._2 > 0.25))
+      }.map(ns(_)._1)
+    }
+    val suspectField = suspectRows
+      .map(n => s""""$n"""").mkString(""""box_suspect_rows":[""", ",", "],")
+    val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l, c1)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
       val runsJson = runs.map(r =>
