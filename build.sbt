@@ -41,4 +41,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+UseG1GC",
+  // The 196-query bench sweep generates codegen classes continuously
+  // and was measured at 170 MB of the JDK's 240 MB code-cache default
+  // (r19 bench artifact, jit_sec/codecache_mb fields) — close enough
+  // to the flush/disable cliff that one more round of queries could
+  // cross it and silently de-JIT hot rows mid-sweep. Double the
+  // reserve; same pinned-not-ergonomic rationale as the heap.
+  "-XX:ReservedCodeCacheSize=512m",
 )

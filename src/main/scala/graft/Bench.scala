@@ -170,10 +170,28 @@ object Bench {
     // min-of-3 at BOTH ends: a single-shot end sample on a sweep-aged
     // heap reads high (measured 0.26 vs a 0.15 min on the same box)
     def calib(): Double = (1 to 3).map(_ => calibOnce()).min
+    // Memory-BANDWIDTH yardstick (r19, from the slow-mode adjudication):
+    // the r18 driver mode reproduces under a DRAM-streaming co-tenant —
+    // which the CPU calib barely sees (a register-bound hash loop reads
+    // ~2× slower while data-streaming rows run 3-11× slower) and
+    // loadavg sees not at all (4 memcpy processes saturate a socket's
+    // bandwidth at load +4). A single-thread pass over a pinned 256 MB
+    // array measures the one resource that mode actually steals; GB/s.
+    val bwArr = new Array[Long](32 * 1024 * 1024)
+    java.util.Arrays.fill(bwArr, 0x9e3779b97f4a7c15L)
+    def bwOnce(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0; var acc = 0L
+      while (i < bwArr.length) { acc ^= bwArr(i); i += 1 }
+      if (acc == 42L) print("") // keep the pass un-eliminable
+      0.256 / ((System.nanoTime() - t0) / 1e9)
+    }
+    bwOnce() // JIT warm
     // the 100M per-query variant has its own codegen (different range
     // literal): pay it once here so the first query's calib1 sample
     // reads box speed, not compile time
     calibOnce(100000000L)
+    val bwStart = (1 to 3).map(_ => bwOnce()).max
     val calibStart = calib()
     val loadBefore = loadAvg
     val gcBefore = gcMillis
@@ -246,7 +264,7 @@ object Bench {
     def load1: Double =
       loadAvg.split("\\s+").headOption.flatMap(_.toDoubleOption)
         .getOrElse(-1.0)
-    val results: Seq[(String, (Seq[RunObs], Double, Double))] =
+    val results: Seq[(String, (Seq[RunObs], Double, Double, Double))] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -270,11 +288,14 @@ object Bench {
           // one small box-speed sample per query (100M rows, ~0.07 s
           // quiet — half the sweep-level 200M yardstick so the ~190
           // samples cost ~15 s/sweep): a row elevated next to a QUIET
-          // calib1 cannot be blamed on a box phase
+          // calib1 cannot be blamed on a box phase. bw1 is the
+          // bandwidth twin (~0.03 s quiet) for the co-tenant mode the
+          // CPU sample cannot see.
           val c1 = calibOnce(100000000L)
-          name -> ((runs, l, c1))
+          val b1 = bwOnce()
+          name -> ((runs, l, c1, b1))
         }
-    val best = results.map { case (name, (runs, _, _)) =>
+    val best = results.map { case (name, (runs, _, _, _)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
@@ -322,6 +343,7 @@ object Bench {
         f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
     val calibEnd = calib()
+    val bwEnd = (1 to 3).map(_ => bwOnce()).max
     // sweep-level JIT counters: the one row-selective mode per-run gc
     // and plan fields cannot see is generated-code falling out of the
     // compiled tier (code cache pressure) — a sweep whose codecache_mb
@@ -353,18 +375,38 @@ object Bench {
     // not canonical-eligible without a re-sweep.
     val suspectRows = {
       val ns = results.collect {
-        case (n, (_, _, c1)) if !n.startsWith("q_stream_") => (n, c1)
+        case (n, (_, _, c1, b1)) if !n.startsWith("q_stream_") =>
+          (n, c1, b1)
       }
+      // bandwidth reference: the BEST the box showed this sweep —
+      // max of the start/end yardsticks and the per-row median. A
+      // minority burst leaves the median quiet; a burst at one end
+      // leaves the other end quiet; only whole-sweep contamination
+      // defeats it, and that's what the external_load/steal warning
+      // already catches (measured: probe under a full-duration hog
+      // flagged CONTENDED with steal 12%)
+      val bwRef = {
+        val s = ns.map(_._3).sorted
+        val med = if (s.isEmpty) 0.0 else s(s.size / 2)
+        math.max(math.max(bwStart, bwEnd), med)
+      }
+      // a row is box-suspect when IT and an adjacent row both show a
+      // degraded box: CPU sample > 0.25 s (≈3× quiet) or bandwidth
+      // sample below half the reference — two consecutive samples
+      // rule out the isolated post-heavy-row spikes measured on quiet
+      // sweeps
+      def bad(x: (String, Double, Double)): Boolean =
+        x._2 > 0.25 || (bwRef > 0 && x._3 < 0.5 * bwRef)
       ns.indices.filter { i =>
-        ns(i)._2 > 0.25 &&
-          ((i > 0 && ns(i - 1)._2 > 0.25) ||
-            (i < ns.size - 1 && ns(i + 1)._2 > 0.25))
+        bad(ns(i)) &&
+          ((i > 0 && bad(ns(i - 1))) ||
+            (i < ns.size - 1 && bad(ns(i + 1))))
       }.map(ns(_)._1)
     }
     val suspectField = suspectRows
       .map(n => s""""$n"""").mkString(""""box_suspect_rows":[""", ",", "],")
-    val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
-    val fullJson = results.map { case (k, (runs, l, c1)) =>
+    val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"membw_gbps":[$bwStart%.1f,$bwEnd%.1f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
+    val fullJson = results.map { case (k, (runs, l, c1, b1)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
       val runsJson = runs.map(r =>
           if (r.sec.isFinite) f"${r.sec}%.4f" else "-1")
@@ -377,7 +419,7 @@ object Bench {
       val mm =
         if (ok.isEmpty) """"min":-1,"max":-1"""
         else f""""min":${ok.min}%.4f,"max":${ok.max}%.4f"""
-      f""""$k":{$mm,"runs":$runsJson,"gc":$gcJson,"plan":$planJson,"calib1":$c1%.3f,"load1":$l%.2f}"""
+      f""""$k":{$mm,"runs":$runsJson,"gc":$gcJson,"plan":$planJson,"calib1":$c1%.3f,"bw1":$b1%.1f,"load1":$l%.2f}"""
     }.mkString(s"""{"metric":"total","value":$total,"unit":"sec",$health,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     if (only.isEmpty)
