@@ -40,7 +40,10 @@ class WindowAuditSpec extends SparkTestBase {
         "histogram — bin-spec-bounded (≤ nBins + 2 = 18 rows by " +
         "construction, HistIndex.loadHistogram), never data-sized"),
       "q_value_quantiles_inc" -> ("the same bin-spec-bounded cum " +
-        "frame inside HistIndex.quantileBins"))
+        "frame inside HistIndex.quantileBins"),
+      "q_stream_profile_inc" -> ("the q_value_profile_inc cum frame " +
+        "over the STREAMED histogram index — same ≤ nBins + 2 = 18 " +
+        "row bound by construction (PipelineQueries.streamProfileInc)"))
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val ws =
