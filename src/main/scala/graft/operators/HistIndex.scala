@@ -164,6 +164,40 @@ object HistIndex {
       Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), newPath)
   }
 
+  /** Per-SEGMENT quantile read: [[quantileBins]] with every rank
+    * computed against its own segment's total — "p95 of yesterday's
+    * values PER event type" answered from segments × (nBins + 2) ×
+    * |qs| rows of blob work. Output (seg, q, bin, lo_edge, hi_edge,
+    * rank, n); segments with zero banked rows are absent (no rank to
+    * bound). */
+  def quantileBinsSeg(spark: SparkSession, path: String,
+                      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1]: $qs")
+    val (lo, width, nBins) = loadParams(spark, path)
+    import spark.implicits._
+    // one load, two consumers (per-seg cum + per-seg totals)
+    val hist = loadHistogramSeg(spark, path).localCheckpoint()
+    val h = hist
+      // segment-keyed window: ≤ nBins + 2 rows per partition
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("seg").orderBy("bin")))
+    val totals = hist.groupBy("seg").agg(sum("cnt").as("n"))
+    val qdf = qs.toDF("q")
+    h.join(broadcast(totals), Seq("seg"))
+      .crossJoin(broadcast(qdf))
+      .where(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("seg", "q", "n")
+      .agg(min("bin").as("bin"))
+      .select(col("seg"), col("q"), col("bin"),
+        when(col("bin") === -1L, lit(Double.NegativeInfinity))
+          .otherwise(lit(lo) + col("bin") * lit(width)).as("lo_edge"),
+        when(col("bin") === nBins.toLong, lit(Double.PositiveInfinity))
+          .otherwise(lit(lo) + (col("bin") + 1L) * lit(width))
+          .as("hi_edge"),
+        ceil(col("q") * col("n")).as("rank"), col("n"))
+  }
+
   /** Quantile read path: for each requested q, the bin containing
     * rank ceil(q·n) — (q, bin, lo_edge, hi_edge, rank, n). Bin-width
     * resolution by construction; EXACT in the sense that the true

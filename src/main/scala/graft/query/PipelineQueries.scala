@@ -474,6 +474,62 @@ object PipelineQueries {
       |       AS BIGINT) AS cum
       |FROM h ORDER BY event_type, bin""".stripMargin
 
+  /** Per-segment quantiles FROM the per-segment histogram index —
+    * the read that completes the seg face's profile story: "the p95
+    * of yesterday's values PER event type" answered from segments ×
+    * (nBins + 2) × |qs| rows of blob work, never an event scan. Same
+    * build as q_value_profile_seg (base + replayed delta + today);
+    * same closed-form oracle as q_value_quantiles_inc, partitioned:
+    * per (event_type, q), the bin containing rank ceil(q·n_seg), with
+    * ±infinity edges on the underflow/overflow bins. */
+  def valueQuantilesSeg(s: SparkSession, dir: String): DataFrame = {
+    val src = ev(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val path = s"${freshBase(s, "histqseg")}/idx"
+    val third = pmod(col("event_id"), lit(3L))
+    HistIndex.saveHistIndexSeg(src.filter(third === 0),
+      col("event_type"), col("value"), path,
+      lo = 0.0, width = 50.0, nBins = 16)
+    HistIndex.appendHistIndexSeg(s, path, src.filter(third === 1),
+      col("event_type"), col("value"), "d1")
+    HistIndex.appendHistIndexSeg(s, path, src.filter(third === 1),
+      col("event_type"), col("value"), "d1")
+    HistIndex.appendHistIndexSeg(s, path, src.filter(third === 2),
+      col("event_type"), col("value"), "today")
+    HistIndex.quantileBinsSeg(s, path, Seq(0.25, 0.5, 0.9, 0.95))
+      .withColumnRenamed("seg", "event_type")
+      .orderBy("event_type", "q")
+  }
+
+  val valueQuantilesSegSql: String =
+    """WITH e AS (SELECT event_type,
+      |      CASE WHEN value < 0 THEN CAST(-1 AS BIGINT)
+      |      WHEN value >= 800 THEN CAST(16 AS BIGINT)
+      |      ELSE CAST(floor(value / 50.0) AS BIGINT) END AS bin
+      |    FROM events WHERE value IS NOT NULL
+      |      AND event_type IS NOT NULL),
+      |h AS (SELECT event_type, bin, count(*) AS cnt FROM e
+      |      GROUP BY 1, 2),
+      |c AS (SELECT event_type, bin,
+      |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+      |          AS cum FROM h),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e
+      |      GROUP BY 1),
+      |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.95]) AS DOUBLE)
+      |       AS q),
+      |sel AS (SELECT c.event_type, q, min(bin) AS bin
+      |        FROM qs, c JOIN n USING (event_type)
+      |        WHERE cum >= ceil(q * n) GROUP BY 1, 2)
+      |SELECT s.event_type, s.q, s.bin,
+      |  CASE WHEN s.bin = -1 THEN CAST('-infinity' AS DOUBLE)
+      |       ELSE CAST(s.bin * 50.0 AS DOUBLE) END AS lo_edge,
+      |  CASE WHEN s.bin = 16 THEN CAST('infinity' AS DOUBLE)
+      |       ELSE CAST((s.bin + 1) * 50.0 AS DOUBLE) END AS hi_edge,
+      |  CAST(ceil(s.q * n.n) AS BIGINT) AS rank, n.n
+      |FROM sel s JOIN n USING (event_type)
+      |ORDER BY event_type, q""".stripMargin
+
   /** The BANKING face gated (r18 verdict "what's missing" #3 — every
     * sibling face has a CORRECTNESS row; this one was spec-only):
     * ALL FOUR indexes maintained through a REAL checkpointed file
@@ -666,5 +722,6 @@ object PipelineQueries {
     "q_value_profile_inc" -> (valueProfileInc _, valueProfileIncSql),
     "q_value_profile_seg" -> (valueProfileSeg _, valueProfileSegSql),
     "q_stream_profile_inc" -> (streamProfileInc _, streamProfileIncSql),
-    "q_value_quantiles_inc" -> (valueQuantilesInc _, valueQuantilesIncSql))
+    "q_value_quantiles_inc" -> (valueQuantilesInc _, valueQuantilesIncSql),
+    "q_value_quantiles_seg" -> (valueQuantilesSeg _, valueQuantilesSegSql))
 }

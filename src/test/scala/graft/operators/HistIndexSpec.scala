@@ -116,6 +116,30 @@ class HistIndexSpec extends SparkTestBase {
     assert(!loaded.keySet.exists(k => k._1 == null))
   }
 
+  test("quantileBinsSeg: each (seg, q) maps to the bin containing " +
+      "rank ceil(q*n_seg) against its OWN segment's total") {
+    val path = freshPath("quantseg")
+    // seg a: 1000 rows uniform over bins 0..9 (100/bin);
+    // seg b: 500 rows at stride 4 over bins 0..19 (25/bin)
+    val rows = spark.range(1500).select(
+      when(col("id") < 1000, lit("a")).otherwise(lit("b")).as("seg"),
+      when(col("id") < 1000, col("id").cast("double") + 0.5)
+        .otherwise((col("id") - 1000).cast("double") * 4.0 + 0.5)
+        .as("v"))
+    HistIndex.saveHistIndexSeg(rows, $"seg", $"v", path,
+      lo = 0.0, width = 100.0, nBins = 20)
+    val q = HistIndex.quantileBinsSeg(spark, path, Seq(0.5, 1.0))
+      .select("seg", "q", "bin", "rank", "n")
+      .as[(String, Double, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // seg a: rank(0.5)=500 -> bin 4 (cum 100/bin); rank(1.0)=1000 -> 9
+    assert(q(("a", 0.5))._3 === 4L && q(("a", 0.5))._5 === 1000L)
+    assert(q(("a", 1.0))._3 === 9L)
+    // seg b: rank(0.5)=250 -> bin 9 (cum 25/bin); rank(1.0)=500 -> 19
+    assert(q(("b", 0.5))._3 === 9L && q(("b", 0.5))._5 === 500L)
+    assert(q(("b", 1.0))._3 === 19L)
+  }
+
   test("quantileBins: each q maps to the bin containing rank " +
       "ceil(q*n) with the right edges") {
     val path = freshPath("quant")
