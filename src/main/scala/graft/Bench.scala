@@ -184,7 +184,12 @@ object Bench {
       var i = 0; var acc = 0L
       while (i < bwArr.length) { acc ^= bwArr(i); i += 1 }
       if (acc == 42L) print("") // keep the pass un-eliminable
-      0.256 / ((System.nanoTime() - t0) / 1e9)
+      // numerator = the array's true size (32Mi longs = 0.268435456
+      // GB, not 0.256 — r19 ADVICE: the field is labeled absolute
+      // GB/s and gets compared across rounds, so the ~4.6%
+      // understatement was a standing bias even though intra-sweep
+      // ratios cancelled it)
+      (bwArr.length * 8L / 1e9) / ((System.nanoTime() - t0) / 1e9)
     }
     bwOnce() // JIT warm
     // the 100M per-query variant has its own codegen (different range
@@ -264,37 +269,171 @@ object Bench {
     def load1: Double =
       loadAvg.split("\\s+").headOption.flatMap(_.toDoubleOption)
         .getOrElse(-1.0)
-    val results: Seq[(String, (Seq[RunObs], Double, Double, Double))] =
-      SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (name, _) => only.forall(_.contains(name)) }
-        .map { case (name, fn) =>
-          val l = load1
-          val three = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
-          val ok3 = three.map(_.sec).filter(_.isFinite)
-          val runs =
-            if (name.startsWith("q_stream_"))
-              // streaming replays keep warming past run 3 (state-store
-              // and micro-batch paths JIT late): the r17 pinned-sweep
-              // probes show run sequences still FALLING at the third
-              // sample (q_stream_join 6.02 -> 5.16 -> 4.82), so a
-              // 3-run min is a biased draw from a descending curve and
-              // was the last source of >10% row drift between quiet
-              // sweeps after the checkpoint/pollingDelay pins. Two
-              // more runs land on the flat part.
-              three ++ Seq(timeOnce(fn), timeOnce(fn))
-            else if (ok3.nonEmpty && ok3.min > 2.0 &&
-                ok3.max / ok3.min > 1.5) three :+ timeOnce(fn)
-            else three
-          // one small box-speed sample per query (100M rows, ~0.07 s
-          // quiet — half the sweep-level 200M yardstick so the ~190
-          // samples cost ~15 s/sweep): a row elevated next to a QUIET
-          // calib1 cannot be blamed on a box phase. bw1 is the
-          // bandwidth twin (~0.03 s quiet) for the co-tenant mode the
-          // CPU sample cannot see.
-          val c1 = calibOnce(100000000L)
-          val b1 = bwOnce()
-          name -> ((runs, l, c1, b1))
-        }
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    def measure(name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Seq[RunObs], Double, Double, Double) = {
+      val l = load1
+      val three = Seq(timeOnce(fn), timeOnce(fn), timeOnce(fn))
+      val ok3 = three.map(_.sec).filter(_.isFinite)
+      val runs =
+        if (name.startsWith("q_stream_"))
+          // streaming replays keep warming past run 3 (state-store
+          // and micro-batch paths JIT late): the r17 pinned-sweep
+          // probes show run sequences still FALLING at the third
+          // sample (q_stream_join 6.02 -> 5.16 -> 4.82), so a
+          // 3-run min is a biased draw from a descending curve and
+          // was the last source of >10% row drift between quiet
+          // sweeps after the checkpoint/pollingDelay pins. Two
+          // more runs land on the flat part.
+          three ++ Seq(timeOnce(fn), timeOnce(fn))
+        else if (ok3.nonEmpty && ok3.min > 2.0 &&
+            ok3.max / ok3.min > 1.5) three :+ timeOnce(fn)
+        else three
+      // one small box-speed sample per query (100M rows, ~0.07 s
+      // quiet — half the sweep-level 200M yardstick so the ~190
+      // samples cost ~15 s/sweep): a row elevated next to a QUIET
+      // calib1 cannot be blamed on a box phase. bw1 is the
+      // bandwidth twin (~0.03 s quiet) for the co-tenant mode the
+      // CPU sample cannot see.
+      val c1 = calibOnce(100000000L)
+      val b1 = bwOnce()
+      // heartbeat (r19 ADVICE): the stale-sibling sweep above keys
+      // off base-dir mtime, which only moves on direct-child
+      // create/delete — a long-lived sweep that goes 3 h without a
+      // new per-query checkpoint child would look stale to a
+      // CONCURRENT bench's entry sweep and lose live checkpoints
+      // mid-run. Touching our own base dir once per query keeps a
+      // live sweep's mtime always < 3 h old.
+      ckptBase.foreach(d =>
+        new java.io.File(d).setLastModified(System.currentTimeMillis()))
+      (runs, l, c1, b1)
+    }
+    val firstPass: Seq[(String, (Seq[RunObs], Double, Double, Double))] =
+      queryList.map { case (name, fn) => name -> measure(name, fn) }
+    // end-of-main-pass yardsticks (min/max-of-3): inputs to the
+    // suspect rule and the bwRef, measured before any requeue work
+    val calibEnd = calib()
+    val bwEnd = (1 to 3).map(_ => bwOnce()).max
+
+    // ---- The enforceable per-query box check (r18 verdict #1) + the
+    // in-sweep REQUEUE (r19 verdict #6). The driver sweep's failure
+    // mode was a MID-sweep co-tenant burst — row-selective 2.5–11×
+    // elevation with every END-of-sweep check quiet. calib1/bw1
+    // sample box speed as each query finishes; a burst spanning ≥ 2
+    // consecutive queries shows as ADJACENT degraded samples.
+    // Isolated spikes are excluded (residual executor work from a
+    // heavy row elevates its own leaving sample — the min(entering,
+    // leaving) effective sample kills those), and streaming-harness
+    // rows are excluded (their samples overlap state-store teardown).
+    // NEW (r19 verdict #6): instead of shipping a flagged artifact
+    // (BENCH_r19 did — the driver runs ONE sweep), flagged rows are
+    // re-measured after a cool-down, bounded at two passes; rows
+    // whose dedicated requeue window reads quiet are cleared with
+    // honest (merged-min) numbers, rows still degraded stay in
+    // box_suspect_rows. ----
+    val streamingHarness = Set("q_screen_ingest",
+      "q_screen_ingest_bloom", "q_media_screen_stream")
+    def isExcluded(n: String): Boolean =
+      n.startsWith("q_stream_") || streamingHarness(n)
+    // effective CPU sample per row = min(entering, leaving): the
+    // leaving sample of a heavy multi-job row reads its own teardown
+    // (measured 0.19–0.36 on every quiet sweep for the daily
+    // pipelines and dbscan), but the entering sample (= the previous
+    // row's leaving sample) is quiet then; a REAL box window spanning
+    // the row elevates both. Computed over the full ordered sequence
+    // BEFORE the exclusions so adjacency of samples is physical.
+    def effSamples(rs: Seq[(String, (Seq[RunObs], Double, Double, Double))],
+                   firstEntering: Double)
+        : Seq[(String, Double, Double)] = {
+      val raw = rs.map { case (n, (_, _, c1, b1)) => (n, c1, b1) }
+      raw.indices.map { i =>
+        val entering = if (i == 0) firstEntering else raw(i - 1)._2
+        (raw(i)._1, math.min(entering, raw(i)._2), raw(i)._3)
+      }
+    }
+    val nsFirst = effSamples(firstPass, calibStart)
+      .filter { case (n, _, _) => !isExcluded(n) }
+    // bandwidth reference: the BEST the box showed this sweep — max
+    // of the start/end yardsticks and the per-row median. A minority
+    // burst leaves the median quiet; a burst at one end leaves the
+    // other end quiet; only whole-sweep contamination defeats it, and
+    // that's what the external_load/steal warning already catches.
+    val bwRef = {
+      val s = nsFirst.map(_._3).sorted
+      val med = if (s.isEmpty) 0.0 else s(s.size / 2)
+      math.max(math.max(bwStart, bwEnd), med)
+    }
+    // CPU threshold scaled to the sweep's own yardstick (r19 ADVICE:
+    // the old absolute 0.25 s marks every row bad on hardware whose
+    // QUIET 100M sample exceeds it) — 3× the best 100M-equivalent the
+    // box showed (calibStart is the 200M job, halved; the per-row
+    // median is the in-sweep view), floored at the 0.25 s this box's
+    // rule was calibrated to so fast-box behavior is unchanged.
+    val c1Thresh = {
+      val s = nsFirst.map(_._2).sorted
+      val med = if (s.isEmpty) 0.0 else s(s.size / 2)
+      val ref = math.min(calibStart / 2.0, med)
+      math.max(0.25, 3.0 * ref)
+    }
+    def badSample(c1: Double, b1: Double): Boolean =
+      c1 > c1Thresh || (bwRef > 0 && b1 < 0.5 * bwRef)
+    // a row is box-suspect when IT and an adjacent row both show a
+    // degraded box — two consecutive samples rule out the isolated
+    // post-heavy-row spikes measured on quiet sweeps
+    def computeSuspects(
+        rs: Seq[(String, (Seq[RunObs], Double, Double, Double))],
+        firstEntering: Double): Seq[String] = {
+      val ns = effSamples(rs, firstEntering)
+        .filter { case (n, _, _) => !isExcluded(n) }
+      def bad(x: (String, Double, Double)): Boolean = badSample(x._2, x._3)
+      ns.indices.filter { i =>
+        bad(ns(i)) &&
+          ((i > 0 && bad(ns(i - 1))) ||
+            (i < ns.size - 1 && bad(ns(i + 1))))
+      }.map(ns(_)._1)
+    }
+    var results = firstPass
+    var suspects = computeSuspects(firstPass, calibStart)
+    val requeuedAll = scala.collection.mutable.LinkedHashSet.empty[String]
+    var sleepSec = 0.0
+    var requeuePass = 0
+    val fnByName = queryList.toMap
+    while (suspects.nonEmpty && requeuePass < 2) {
+      requeuePass += 1
+      // cool-down: the reproduced co-tenant bursts are transient;
+      // 20 s is long enough for loadavg-invisible bandwidth hogs to
+      // finish a phase, short enough to keep a clean driver sweep's
+      // cost at zero (no suspects → no sleep)
+      Thread.sleep(20000)
+      sleepSec += 20.0
+      requeuedAll ++= suspects
+      // dedicated requeue window: entering sample measured fresh, then
+      // each row's leaving c1 becomes the next row's entering — the
+      // same min(entering, leaving) physics as the main pass
+      var entering = calibOnce(100000000L)
+      val stillBad = scala.collection.mutable.ArrayBuffer.empty[String]
+      val reMeasured = suspects.map { n =>
+        val m = measure(n, fnByName(n))
+        val eff = math.min(entering, m._3)
+        entering = m._3
+        if (badSample(eff, m._4)) stillBad += n
+        n -> m
+      }.toMap
+      // merge: ALL runs kept (both vectors land in the artifact; min
+      // picks the least-contended observation across passes); the
+      // per-row samples become the requeue window's — they are the
+      // ones the final verdict rests on
+      results = results.map {
+        case (n, (runs, _, _, _)) if reMeasured.contains(n) =>
+          val (nr, nl, nc1, nb1) = reMeasured(n)
+          n -> ((runs ++ nr, nl, nc1, nb1))
+        case kept => kept
+      }
+      suspects = stillBad.toSeq
+    }
+    val suspectRows = suspects
     val best = results.map { case (name, (runs, _, _, _)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
       name -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -337,13 +476,14 @@ object Bench {
         100.0 * (stealAfter._1 - stealBefore._1) /
           (stealAfter._2 - stealBefore._2)
       else 0.0
+    // deliberate requeue cool-downs are wall time with no measured
+    // runs — subtract them so a sweep that requeued and CLEARED does
+    // not false-trip the stall check
     val warnField =
       if (externalLoad > 1.0 || stealPct > 2.0 ||
-          (allRunsSec > 0 && wallSec > 1.5 * allRunsSec))
+          (allRunsSec > 0 && wallSec - sleepSec > 1.5 * allRunsSec))
         f""","warning":"CONTENDED RUN (external load $externalLoad%.2f cpus beyond the bench's own $selfCpuRate%.2f, host steal $stealPct%.1f%%, wall $wallSec%.0fs vs $allRunsSec%.0fs in measured runs): timings are upper bounds, re-measure on a quiet box""""
       else ""
-    val calibEnd = calib()
-    val bwEnd = (1 to 3).map(_ => bwOnce()).max
     // sweep-level JIT counters: the one row-selective mode per-run gc
     // and plan fields cannot see is generated-code falling out of the
     // compiled tier (code cache pressure) — a sweep whose codecache_mb
@@ -360,73 +500,10 @@ object Bench {
           p.getName.contains("Code Cache"))
         .map(_.getUsage.getUsed).sum / 1e6
     }
-    // The enforceable per-query box check (r18 verdict #1): the driver
-    // sweep's failure mode was a MID-sweep co-tenant burst — row-
-    // selective 2.5–11× elevation with every END-of-sweep check quiet
-    // (loadavg decayed, external_load averaged out, start/end calib
-    // samples missed the window). calib1 samples box speed as each
-    // query finishes; a burst spanning ≥ 2 consecutive queries shows
-    // as ADJACENT elevated samples. Isolated spikes are excluded
-    // (residual executor work from a heavy row elevates one sample —
-    // measured: pagerank_personalized 0.275 right after pagerank's
-    // iteration storm on a quiet box), and q_stream_* rows are
-    // excluded (their samples overlap state-store cleanup; measured
-    // 0.26–0.38 quiet). Policy: rows listed here are box-suspect —
-    // not canonical-eligible without a re-sweep.
-    val suspectRows = {
-      // streaming-HARNESS rows are excluded whatever their name: their
-      // calib1 samples overlap state-store/micro-batch teardown and
-      // read 0.21–0.57 on EVERY quiet sweep (measured across four r19
-      // sweeps — q_screen_ingest 0.21–0.31, q_screen_ingest_bloom
-      // 0.22–0.32, q_media_screen_stream 0.26–0.57 — while their bw1
-      // stays quiet); two of them are alphabetically adjacent, which
-      // false-fired the contiguity rule once before this exclusion
-      val streamingHarness = Set("q_screen_ingest",
-        "q_screen_ingest_bloom", "q_media_screen_stream")
-      // effective CPU sample per row = min(entering, leaving): the
-      // leaving sample of a heavy multi-job row reads its own teardown
-      // (measured 0.19–0.36 on every quiet sweep for the daily
-      // pipelines and dbscan — three ADJACENT rows, which false-fired
-      // the contiguity rule once), but the entering sample (= the
-      // previous row's leaving sample) is quiet then; a REAL box
-      // window spanning the row elevates both. Computed over the full
-      // ordered sequence BEFORE the exclusions so adjacency of
-      // samples is physical, not post-filter.
-      val raw = results.map { case (n, (_, _, c1, b1)) => (n, c1, b1) }
-      val eff = raw.indices.map { i =>
-        val entering = if (i == 0) calibStart else raw(i - 1)._2
-        (raw(i)._1, math.min(entering, raw(i)._2), raw(i)._3)
-      }
-      val ns = eff.filter { case (n, _, _) =>
-        !n.startsWith("q_stream_") && !streamingHarness(n)
-      }
-      // bandwidth reference: the BEST the box showed this sweep —
-      // max of the start/end yardsticks and the per-row median. A
-      // minority burst leaves the median quiet; a burst at one end
-      // leaves the other end quiet; only whole-sweep contamination
-      // defeats it, and that's what the external_load/steal warning
-      // already catches (measured: probe under a full-duration hog
-      // flagged CONTENDED with steal 12%)
-      val bwRef = {
-        val s = ns.map(_._3).sorted
-        val med = if (s.isEmpty) 0.0 else s(s.size / 2)
-        math.max(math.max(bwStart, bwEnd), med)
-      }
-      // a row is box-suspect when IT and an adjacent row both show a
-      // degraded box: CPU sample > 0.25 s (≈3× quiet) or bandwidth
-      // sample below half the reference — two consecutive samples
-      // rule out the isolated post-heavy-row spikes measured on quiet
-      // sweeps
-      def bad(x: (String, Double, Double)): Boolean =
-        x._2 > 0.25 || (bwRef > 0 && x._3 < 0.5 * bwRef)
-      ns.indices.filter { i =>
-        bad(ns(i)) &&
-          ((i > 0 && bad(ns(i - 1))) ||
-            (i < ns.size - 1 && bad(ns(i + 1))))
-      }.map(ns(_)._1)
-    }
     val suspectField = suspectRows
-      .map(n => s""""$n"""").mkString(""""box_suspect_rows":[""", ",", "],")
+      .map(n => s""""$n"""").mkString(""""box_suspect_rows":[""", ",", "],") +
+      requeuedAll.toSeq
+        .map(n => s""""$n"""").mkString(""""requeued_rows":[""", ",", "],")
     val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"membw_gbps":[$bwStart%.1f,$bwEnd%.1f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l, c1, b1)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
@@ -435,13 +512,16 @@ object Bench {
         .mkString("[", ",", "]")
       val gcJson = runs.map(r => f"${r.gcSec}%.3f").mkString("[", ",", "]")
       val plans = runs.map(_.plan)
-      val planJson =
-        if (plans.distinct.size == 1) s""""${plans.head}""""
-        else plans.map(p => s""""$p"""").mkString("[", ",", "]")
+      // ALWAYS an array (r19 ADVICE): the old string-when-identical /
+      // array-when-flipped union type broke naive readers exactly on
+      // the interesting (plan-flip) rows; `plan_flipped` carries the
+      // common-case answer without parsing the array
+      val planJson = plans.map(p => s""""$p"""").mkString("[", ",", "]")
+      val planFlipped = plans.distinct.size > 1
       val mm =
         if (ok.isEmpty) """"min":-1,"max":-1"""
         else f""""min":${ok.min}%.4f,"max":${ok.max}%.4f"""
-      f""""$k":{$mm,"runs":$runsJson,"gc":$gcJson,"plan":$planJson,"calib1":$c1%.3f,"bw1":$b1%.1f,"load1":$l%.2f}"""
+      f""""$k":{$mm,"runs":$runsJson,"gc":$gcJson,"plan":$planJson,"plan_flipped":$planFlipped,"calib1":$c1%.3f,"bw1":$b1%.1f,"load1":$l%.2f}"""
     }.mkString(s"""{"metric":"total","value":$total,"unit":"sec",$health,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     if (only.isEmpty)
