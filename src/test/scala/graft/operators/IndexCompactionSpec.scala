@@ -195,9 +195,35 @@ class IndexCompactionSpec extends SparkTestBase {
         CmsIndex.compactCmsIndex(spark, _, _),
         SketchOps.compactSketchIndex(spark, _, _),
         HistIndex.compactHistIndex(spark, _, _),
-        HistIndex.compactHistIndexSeg(spark, _, _))) {
+        HistIndex.compactHistIndexSeg(spark, _, _),
+        QuantileIndex.compactQuantileIndex(spark, _, _))) {
       val e = intercept[IllegalArgumentException](compact(p, p))
       assert(e.getMessage.contains("copy-on-write"))
+    }
+  }
+
+  test("quantile: compacted index loads bit-identical (deterministic " +
+      "blob fold); post-compaction appends keep the accounted bound " +
+      "over ALL history at the stored k") {
+    val old = fresh("qidx_old"); val neu = fresh("qidx_new")
+    QuantileIndex.saveQuantileIndex(b(0), $"v", old, k = 128)
+    QuantileIndex.appendQuantileIndex(spark, old, b(1), $"v", "d1")
+    QuantileIndex.appendQuantileIndex(spark, old, b(2), $"v", "d2")
+    QuantileIndex.compactQuantileIndex(spark, old, neu)
+    val o = QuantileIndex.loadMergedSketch(spark, old)
+    val c = QuantileIndex.loadMergedSketch(spark, neu)
+    assert(java.util.Arrays.equals(o.toBytes, c.toBytes))
+    assert(QuantileIndex.loadParams(spark, neu) === 128)
+    QuantileIndex.appendQuantileIndex(spark, neu, b(3), $"v", "d3")
+    val full = QuantileIndex.loadMergedSketch(spark, neu)
+    val data = rows.select("v").as[Double].collect()
+    assert(full.n === data.length.toLong)
+    Seq(0.1, 0.5, 0.95).foreach { q =>
+      val target = math.ceil(q * full.n).toLong
+      val ans = full.valueAtRank(target)
+      val lo = data.count(_ < ans).toLong
+      val hi = data.count(_ <= ans).toLong
+      assert(lo - full.rankBound <= target && target <= hi + full.rankBound)
     }
   }
 
