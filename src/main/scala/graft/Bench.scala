@@ -367,15 +367,20 @@ object Bench {
     }
     // CPU threshold scaled to the sweep's own yardstick (r19 ADVICE:
     // the old absolute 0.25 s marks every row bad on hardware whose
-    // QUIET 100M sample exceeds it) — 3× the best 100M-equivalent the
-    // box showed (calibStart is the 200M job, halved; the per-row
-    // median is the in-sweep view), floored at the 0.25 s this box's
-    // rule was calibrated to so fast-box behavior is unchanged.
+    // QUIET 100M sample exceeds it) — 3× the QUIETEST 100M-equivalent
+    // evidence the sweep produced (either end's calibration, halved
+    // from the 200M job, or the best per-row sample), floored at the
+    // 0.25 s this box's rule was calibrated to so fast-box behavior
+    // is unchanged. Min, NOT median: an injection fire showed a
+    // median-keyed threshold scales UP under whole-sweep
+    // contamination and masks every row — if ANY moment of the sweep
+    // was quiet, the threshold anchors there; if NO moment was quiet,
+    // per-row flags are the wrong tool and the sweep-level
+    // external_load/steal CONTENDED warning carries the verdict.
     val c1Thresh = {
-      val s = nsFirst.map(_._2).sorted
-      val med = if (s.isEmpty) 0.0 else s(s.size / 2)
-      val ref = math.min(calibStart / 2.0, med)
-      math.max(0.25, 3.0 * ref)
+      val best = (Seq(calibStart / 2.0, calibEnd / 2.0) ++
+        nsFirst.map(_._2)).min
+      math.max(0.25, 3.0 * best)
     }
     def badSample(c1: Double, b1: Double): Boolean =
       c1 > c1Thresh || (bwRef > 0 && b1 < 0.5 * bwRef)

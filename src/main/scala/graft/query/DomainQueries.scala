@@ -100,6 +100,81 @@ object DomainQueries {
       |WHERE c % 10 <> 0
       |ORDER BY ip_int, p1, p2, p3, p4, p5""".stripMargin
 
+  /** Ingest → serving-table build → the reference's ACTUAL query
+    * pattern, as one gated row (r19 verdict #8 — closing the loop the
+    * W1/W2 faces left open): the migrator's rdns output is SAVED in
+    * the Cassandra-shaped layout ([[graft.sources.OrderedSink]]'s
+    * contract, here with a real directory partition on the partition
+    * key — reference `README.md:40` `PRIMARY KEY (ip8, ip16, ip24,
+    * ip_int, p1..p7)`), then the canonical point/prefix read runs
+    * against the saved table: one partition key, clustering-ordered
+    * first page (the keyset-pagination W2 shape with `after = None`).
+    *
+    * Gate: the page rows are hash-exact (the oracle replays the
+    * migrator projection, the string-min partition pick, and the
+    * ORDER BY/LIMIT closed-form); `partition_pruned` certifies the
+    * scan carried a PartitionFilter on ip8 — the point read lists ONE
+    * partition directory, not 224, which is the entire 100 TB point
+    * of building the layout. */
+  def servingPage(s: SparkSession, dir: String): DataFrame = {
+    val rdns = Migrator.run(massdnsLines(s, dir), tlds,
+        Some(geoDim(s)), "oracle")
+      .rdnsv4
+      .select("ip8", "ip16", "ip24", "ipAddress", "ip_int",
+        "p1", "p2", "p3", "p4", "p5", "p6", "p7",
+        "country", "city", "asn", "as_name")
+    val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_serving_$tag").toString
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    // BUILD: directory-partitioned on the partition key (the pruning
+    // unit), clustering-sorted within files (the streaming-read order)
+    rdns.repartition(col("ip8"))
+      .sortWithinPartitions(Seq("ip8", "ip16", "ip24", "ip_int", "p1",
+        "p2", "p3", "p4", "p5", "p6", "p7").map(col): _*)
+      .write.partitionBy("ip8").mode("overwrite").parquet(path)
+    val table = s.read.parquet(path)
+    // deterministic point read: the string-min partition key (1-row
+    // bounded collect; the oracle replays min(ip8) closed-form)
+    val target = rdns.agg(min("ip8")).collect()(0).getString(0)
+    val page = table.filter(col("ip8") === lit(target))
+      .orderBy(Seq("ip_int", "p1", "p2", "p3", "p4", "p5").map(col): _*)
+      .limit(50)
+      .select(col("ipAddress"), col("ip_int"), col("p1"), col("p2"),
+        col("p3"), col("p4"), col("p5"), col("country"), col("asn"))
+    // pruning evidence read from the plan itself: the scan must carry
+    // a non-empty PartitionFilters list on ip8 (directory pruning)
+    val planStr = page.queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*ip8".r
+      .findFirstIn(planStr).isDefined
+    page.withColumn("partition_pruned", lit(pruned))
+      .orderBy(Seq("ip_int", "p1", "p2", "p3", "p4", "p5").map(col): _*)
+  }
+
+  val servingPageSql: String = oracleCommon +
+    """, r AS (SELECT
+      |  o1 || '.0.0.0' AS ip8,
+      |  o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ipAddress,
+      |  o1*16777216 + o2*65536 + o3*256 + o4 AS ip_int,
+      |  CASE c % 3 WHEN 0 THEN 'uk' WHEN 1 THEN 'com' ELSE 'de' END AS p1,
+      |  CASE c % 3 WHEN 0 THEN 'co' ELSE '' END AS p2,
+      |  CASE c % 3 WHEN 0 THEN '' WHEN 1 THEN 'example'
+      |    ELSE 's' || c END AS p3,
+      |  CASE c % 3 WHEN 0 THEN 's' || c WHEN 1 THEN 's' || c
+      |    ELSE 'www' END AS p4,
+      |  CASE c % 3 WHEN 2 THEN '' ELSE 'www' END AS p5,
+      |  COALESCE(g.country, '') AS country,
+      |  CAST(COALESCE(g.asn, 0) AS BIGINT) AS asn
+      |FROM src LEFT JOIN geo g
+      |  ON o1*16777216 + o2*65536 + o3*256 + o4
+      |     BETWEEN g.start_ip AND g.end_ip
+      |WHERE c % 10 <> 0)
+      |SELECT ipAddress, ip_int, p1, p2, p3, p4, p5, country, asn,
+      |  true AS partition_pruned
+      |FROM r WHERE ip8 = (SELECT min(ip8) FROM r)
+      |ORDER BY ip_int, p1, p2, p3, p4, p5 LIMIT 50""".stripMargin
+
   // CNAME branch incl. the apexDomain=target quirk.
   def migratorCnames(s: SparkSession, dir: String): DataFrame =
     Migrator.run(massdnsLines(s, dir), tlds, None, "oracle")
@@ -706,6 +781,7 @@ object DomainQueries {
       (attributionLastTouch _, attributionLastTouchSql),
     "q_migrator_rdns" -> (migratorRdns _, migratorRdnsSql),
     "q_migrator_cnames" -> (migratorCnames _, migratorCnamesSql),
+    "q_serving_page" -> (servingPage _, servingPageSql),
     "q_topk_apex" -> (topkApex _, topkApexSql),
     "q_surt_hosts" -> (surtHosts _, surtHostsSql),
     "q_validate_apex" -> (validateAndApex _, validateAndApexSql),

@@ -207,6 +207,48 @@ object Scale100 {
         time(overlap(1000000L))._2, time(overlap(100000000L))._2)
     }
 
+    // --- per-segment histogram face scaled by SEGMENT COUNT (r19
+    // verdict #7): q_value_profile_seg is flat at 10x EVENTS (1.04 —
+    // the scan term dominates); the face's OTHER axis is segments,
+    // because the blob frame is segments x (nBins + 2) rows. Fixed 4M
+    // events, segments 40 -> 4000: the banking scans are identical,
+    // so the timed READ isolates the blob-frame term — the claim
+    // "per-segment p95s cost segments x bins blob work" measured at
+    // 100x the segment universe. ---
+    if (on("hist_seg_100x_segments")) {
+      import graft.operators.HistIndex
+      def segEvents(nSegs: Int): DataFrame = spark.range(4000000L)
+        .select(
+          concat(lit("s"), pmod(col("id") * 2654435761L,
+            lit(nSegs.toLong))).as("seg"),
+          pmod(col("id") * 37L, lit(800L)).cast("double").as("v"),
+          pmod(col("id"), lit(3L)).as("third"))
+      def buildIdx(nSegs: Int): String = {
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_scale100_histseg_${nSegs}_${System.nanoTime()}").toString
+        val df = segEvents(nSegs)
+        HistIndex.saveHistIndexSeg(df.filter(col("third") === 0),
+          col("seg"), col("v"), path, lo = 0.0, width = 50.0, nBins = 16)
+        HistIndex.appendHistIndexSeg(spark, path,
+          df.filter(col("third") === 1), col("seg"), col("v"), "d1")
+        HistIndex.appendHistIndexSeg(spark, path,
+          df.filter(col("third") === 2), col("seg"), col("v"), "today")
+        path
+      }
+      def readSeg(path: String): Long = {
+        graft.Bench.force(
+          HistIndex.loadHistogramSeg(spark, path)
+            .withColumn("cum", sum("cnt").over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("seg").orderBy("bin"))))
+        0L
+      }
+      val p40 = buildIdx(40); val p4000 = buildIdx(4000)
+      record("hist_seg_100x_segments",
+        time(readSeg(p40))._2, time(readSeg(p4000))._2)
+    }
+
     // --- graph iteration at 100x nodes (disjoint replicas) ---
     def baseEdges(every: Int): DataFrame = spark.read
       .parquet(s"$sfDir/events.parquet")

@@ -418,9 +418,10 @@ object ScaleBench {
       val cbase = new java.io.File(
         System.getProperty("java.io.tmpdir"),
         s"graft_scale_compact_${System.nanoTime()}").toString
-      val (cms, _, bloom) =
+      val (cms, _, bloom, quant) =
         ProbeIndexScale.buildIndexes(spark, cbase, 500000L, 32)
-      val t = ProbeIndexScale.compactionTimings(spark, cms, bloom, cbase)
+      val t = ProbeIndexScale.compactionTimings(spark, cms, bloom, cbase) ++
+        ProbeIndexScale.quantCompactionTimings(spark, quant, cbase)
       println(t.map { case (k, v) => f"$k=$v%.2fs" }
         .mkString("[scale-bench] index_compaction_d32: ", " ", ""))
       t
