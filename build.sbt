@@ -47,5 +47,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // to the flush/disable cliff that one more round of queries could
   // cross it and silently de-JIT hot rows mid-sweep. Double the
   // reserve; same pinned-not-ergonomic rationale as the heap.
-  "-XX:ReservedCodeCacheSize=512m",
+  // Env-parametric (default unchanged) so the r19->r20 drift probes
+  // can A/B the JDK default without editing the build.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODECACHE", "512m")}",
 )

@@ -192,11 +192,29 @@ object Bench {
       (bwArr.length * 8L / 1e9) / ((System.nanoTime() - t0) / 1e9)
     }
     bwOnce() // JIT warm
+    // Per-JOB scheduler-latency yardstick (r20, from the four-row
+    // drift adjudication): iterative rows (kcore 44 jobs/run, hits
+    // 42, components_inc 73) scale with the box's per-job scheduling
+    // latency — a third axis ORTHOGONAL to the CPU calib (register
+    // loop) and the bandwidth pass, measured at 36–46 ms/job on this
+    // box while both other yardsticks read quiet and /proc/stat shows
+    // 100% idle at rest. ms per empty 1-partition job, min-of-2 of
+    // 20-job averages; a sweep whose job_ms is far off another's is
+    // the same engine on a different scheduler-hour, and the
+    // multi-job rows will differ by ~(jobs × Δjob_ms).
+    def jobMsOnce(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 20) { spark.range(1, 2, 1, 1).count(); i += 1 }
+      (System.nanoTime() - t0) / 1e6 / 20.0
+    }
+    jobMsOnce() // path warm
     // the 100M per-query variant has its own codegen (different range
     // literal): pay it once here so the first query's calib1 sample
     // reads box speed, not compile time
     calibOnce(100000000L)
     val bwStart = (1 to 3).map(_ => bwOnce()).max
+    val jobMsStart = math.min(jobMsOnce(), jobMsOnce())
     val calibStart = calib()
     val loadBefore = loadAvg
     val gcBefore = gcMillis
@@ -316,6 +334,7 @@ object Bench {
     // suspect rule and the bwRef, measured before any requeue work
     val calibEnd = calib()
     val bwEnd = (1 to 3).map(_ => bwOnce()).max
+    val jobMsEnd = math.min(jobMsOnce(), jobMsOnce())
 
     // ---- The enforceable per-query box check (r18 verdict #1) + the
     // in-sweep REQUEUE (r19 verdict #6). The driver sweep's failure
@@ -509,7 +528,7 @@ object Bench {
       .map(n => s""""$n"""").mkString(""""box_suspect_rows":[""", ",", "],") +
       requeuedAll.toSeq
         .map(n => s""""$n"""").mkString(""""requeued_rows":[""", ",", "],")
-    val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"membw_gbps":[$bwStart%.1f,$bwEnd%.1f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
+    val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"membw_gbps":[$bwStart%.1f,$bwEnd%.1f],"job_ms":[$jobMsStart%.1f,$jobMsEnd%.1f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l, c1, b1)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
       val runsJson = runs.map(r =>

@@ -532,9 +532,12 @@ object PipelineQueries {
 
   /** The BANKING face gated (r18 verdict "what's missing" #3 — every
     * sibling face has a CORRECTNESS row; this one was spec-only):
-    * ALL FOUR indexes maintained through a REAL checkpointed file
+    * ALL FIVE indexes maintained through a REAL checkpointed file
     * stream ([[graft.streaming.ProfileStream]]) with a RESTART between
-    * the two files, from EMPTY day-zero bases. The exact leg is the
+    * the two files, from EMPTY day-zero bases (the quantile member
+    * joined in r20 — its `quant_bound_ok` gate checks the streamed
+    * sketch's accounted rank bound against exact ranks plus exact n).
+    * The exact leg is the
     * [[graft.operators.HistIndex]] member: the streamed value profile
     * — (bin, cnt, cum) — must equal the closed-form full-history
     * histogram row-for-row, which the oracle replays bit-for-bit.
@@ -562,6 +565,7 @@ object PipelineQueries {
     Files.createDirectories(Paths.get(in))
     val bloomPath = s"$base/bloom"; val hllPath = s"$base/hll"
     val cmsPath = s"$base/cms"; val histPath = s"$base/hist"
+    val quantPath = s"$base/quant"
     val fpp = 0.01
     val capacity = derivedCapacity(src)
     // day-zero init: EMPTY bases pin the geometry every streamed
@@ -574,6 +578,8 @@ object PipelineQueries {
     CmsIndex.saveCmsIndex(empty, col("event_type"), cmsPath)
     HistIndex.saveHistIndex(empty, col("value"), histPath,
       lo = 0.0, width = 50.0, nBins = 16)
+    graft.operators.QuantileIndex.saveQuantileIndex(empty, col("value"),
+      quantPath)
 
     def addFile(df: DataFrame, name: String): Unit = {
       val tmp = s"$base/stage_$name"
@@ -589,7 +595,7 @@ object PipelineQueries {
           .schema("user_id LONG, event_type STRING, value DOUBLE, day LONG")
           .parquet(in),
         "user_id", "event_type", "value",
-        bloomPath, hllPath, cmsPath, histPath, ckpt)
+        bloomPath, hllPath, cmsPath, histPath, ckpt, Some(quantPath))
         .awaitTermination()
     addFile(src.filter(col("day") < mid), "f1.parquet")
     bank()
@@ -617,6 +623,29 @@ object PipelineQueries {
     CmsIndex.saveCmsIndex(src, col("event_type"), s"$base/cms_fresh")
     val (cFresh, cFreshN) = CmsIndex.loadMergedSketch(s, s"$base/cms_fresh")
     val cmsEq = java.util.Arrays.equals(cInc, cFresh) && cIncN == cFreshN
+    // Quantile (r20 — the seventh family through the same stream):
+    // the streamed sketch's accounted rank bound must hold against
+    // exact ranks of the full input (tie-safe interval gate), and its
+    // n must equal the exact non-null count — one scan certifies both
+    val quantOk = {
+      import graft.operators.QuantileIndex
+      val qsk = QuantileIndex.loadMergedSketch(s, quantPath)
+      val vals = src.filter(col("value").isNotNull)
+      val qs2 = Seq(0.5, 0.95)
+      val est = qs2.map(q =>
+        (math.ceil(q * qsk.n).toLong,
+          qsk.valueAtRank(math.ceil(q * qsk.n).toLong)))
+      val aggs = est.flatMap { case (_, v) => Seq(
+        sum(when(col("value") < lit(v), 1L).otherwise(0L)),
+        sum(when(col("value") <= lit(v), 1L).otherwise(0L)))
+      } :+ count(lit(1))
+      val r = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val boundOk = est.zipWithIndex.forall { case ((target, _), i) =>
+        r.getLong(2 * i) - qsk.rankBound <= target &&
+          target <= r.getLong(2 * i + 1) + qsk.rankBound
+      }
+      boundOk && qsk.n == r.getLong(2 * est.size)
+    }
 
     HistIndex.loadHistogram(s, histPath)
       // bin-spec-bounded frame (≤ nBins + 2 rows), whitelisted shape
@@ -625,7 +654,8 @@ object PipelineQueries {
       .select(col("bin"), col("cnt"), col("cum"),
         lit(bloomEq).as("bloom_blob_identical"),
         lit(hllEq).as("hll_inc_eq_fresh"),
-        lit(cmsEq).as("cms_blob_identical"))
+        lit(cmsEq).as("cms_blob_identical"),
+        lit(quantOk).as("quant_bound_ok"))
       .orderBy("bin")
   }
 
@@ -641,7 +671,7 @@ object PipelineQueries {
       |SELECT bin, cnt,
       |  CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
       |  true AS bloom_blob_identical, true AS hll_inc_eq_fresh,
-      |  true AS cms_blob_identical
+      |  true AS cms_blob_identical, true AS quant_bound_ok
       |FROM h ORDER BY bin""".stripMargin
 
   /** The approximate-quantile index member under the certification

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{BloomIndex, CmsIndex, HistIndex, SketchOps}
+import graft.operators.{BloomIndex, CmsIndex, HistIndex, QuantileIndex, SketchOps}
 
 /** The BANKING face of the persisted-index family for streaming
   * ingest — where [[ScreenStream]] reads the Bloom index per
@@ -31,30 +31,39 @@ import graft.operators.{BloomIndex, CmsIndex, HistIndex, SketchOps}
   * / exact row equality), across a restart and under batch replay. */
 object ProfileStream {
 
-  /** One micro-batch of banking, factored out for the replay spec. */
+  /** One micro-batch of banking, factored out for the replay spec.
+    * `quantPath` (r20 — the seventh family joins the streamed face)
+    * banks the value stream into the approximate-quantile index at
+    * its stored k; same tag-overwrite replay story as CMS/Hist
+    * (sketch insertion is not idempotent, the overwrite is). */
   def bankBatch(batch: DataFrame, key: String, seg: String,
                 value: String, bloomPath: String, hllPath: String,
-                cmsPath: String, histPath: String, tag: String): Unit = {
+                cmsPath: String, histPath: String, tag: String,
+                quantPath: Option[String] = None): Unit = {
     val s = batch.sparkSession
     BloomIndex.appendBloomIndex(s, bloomPath, batch, col(key), tag)
     SketchOps.appendSketchIndex(s, hllPath, batch, col(seg), col(key),
       tag)
     CmsIndex.appendCmsIndex(s, cmsPath, batch, col(seg), tag)
     HistIndex.appendHistIndex(s, histPath, batch, col(value), tag)
+    quantPath.foreach(qp =>
+      QuantileIndex.appendQuantileIndex(s, qp, batch, col(value), tag))
   }
 
-  /** Checkpointed exactly-once banking of a stream into the four
-    * pre-initialized indexes. */
+  /** Checkpointed exactly-once banking of a stream into the
+    * pre-initialized indexes (four always; the quantile index too
+    * when `quantPath` is given). */
   def bankStream(stream: DataFrame, key: String, seg: String,
                  value: String, bloomPath: String, hllPath: String,
                  cmsPath: String, histPath: String,
-                 checkpointDir: String): StreamingQuery =
+                 checkpointDir: String,
+                 quantPath: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         bankBatch(batch, key, seg, value, bloomPath, hllPath, cmsPath,
-          histPath, s"b$batchId")
+          histPath, s"b$batchId", quantPath)
       }
       .start()
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import graft.SparkTestBase
-import graft.operators.{BloomIndex, CmsIndex, HistIndex, SketchOps}
+import graft.operators.{BloomIndex, CmsIndex, HistIndex, QuantileIndex, SketchOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *  - HLL: per-segment composite estimates EQUAL (register-state
   *    union is batching-invariant, the estimator is pure);
   *  - CMS: merged blob BYTE-EQUAL (counter addition commutes);
-  *  - Hist: (bin, cnt) rows EXACTLY equal.
+  *  - Hist: (bin, cnt) rows EXACTLY equal;
+  *  - Quantile (r20): exact n and the blob's accounted rank bound
+  *    held against exact ranks (its build is distributed, so the
+  *    gate is the bound, not byte identity).
   * Plus the at-least-once story: re-banking one batch under its own
-  * tag leaves all four indexes unchanged. Day-zero init uses EMPTY
+  * tag leaves every index unchanged. Day-zero init uses EMPTY
   * bases — also part of the contract. */
 class ProfileStreamSpec extends SparkTestBase {
 
@@ -48,19 +51,22 @@ class ProfileStreamSpec extends SparkTestBase {
     ()
   }
 
-  private def initIndexes(d: String): (String, String, String, String) = {
+  private def initIndexes(d: String)
+      : (String, String, String, String, String) = {
     val empty = rows(0, 0)
-    val (bp, hp, cp, tp) = (s"$d/bloom", s"$d/hll", s"$d/cms", s"$d/hist")
+    val (bp, hp, cp, tp, qp) =
+      (s"$d/bloom", s"$d/hll", s"$d/cms", s"$d/hist", s"$d/quant")
     BloomIndex.saveBloomIndex(empty, $"k", bp, expectedItems = 50000L)
     SketchOps.saveSketchIndex(empty, $"seg", $"k", hp)
     CmsIndex.saveCmsIndex(empty, $"seg", cp)
     HistIndex.saveHistIndex(empty, $"v", tp,
       lo = 0.0, width = 100.0, nBins = 10)
-    (bp, hp, cp, tp)
+    QuantileIndex.saveQuantileIndex(empty, $"v", qp, k = 128)
+    (bp, hp, cp, tp, qp)
   }
 
   private def assertAllEqualFresh(d: String, bp: String, hp: String,
-                                  cp: String, tp: String,
+                                  cp: String, tp: String, qp: String,
                                   all: DataFrame): Unit = {
     // Bloom: byte-identity vs a fresh one-pass filter
     val (inc, _) = BloomIndex.loadMergedFilter(spark, bp)
@@ -91,34 +97,56 @@ class ProfileStreamSpec extends SparkTestBase {
       .groupBy(HistIndex.bin($"v", 0.0, 100.0, 10).as("b"))
       .agg(count(lit(1)).as("c")).as[(Long, Long)].collect().toMap
     assert(hist === direct)
+    // Quantile: streamed sketch's n is exact and its accounted rank
+    // bound holds against exact ranks (tie-safe interval gate)
+    val qsk = QuantileIndex.loadMergedSketch(spark, qp)
+    val data = all.select($"v").as[Double].collect()
+    assert(qsk.n === data.length.toLong)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val target = math.ceil(q * qsk.n).toLong
+      val ans = qsk.valueAtRank(target)
+      val lo = data.count(_ < ans).toLong
+      val hi = data.count(_ <= ans).toLong
+      assert(lo - qsk.rankBound <= target && target <= hi + qsk.rankBound,
+        s"streamed quantile bound broken at q=$q")
+    }
   }
 
   test("two files through the checkpointed stream with a restart: all " +
       "four indexes equal fresh single-pass builds at their strongest " +
       "gates (empty day-zero bases included)") {
     val d = base
-    val (bp, hp, cp, tp) = initIndexes(d)
+    val (bp, hp, cp, tp, qp) = initIndexes(d)
     def bank(): Unit =
       ProfileStream.bankStream(
         spark.readStream.schema("k LONG, seg STRING, v DOUBLE")
           .parquet(s"$d/in"),
-        "k", "seg", "v", bp, hp, cp, tp, s"$d/ckpt")
+        "k", "seg", "v", bp, hp, cp, tp, s"$d/ckpt", Some(qp))
         .awaitTermination()
     addFile(d, rows(0, 700), "f1.parquet")
     bank()
     addFile(d, rows(400, 1200), "f2.parquet")
     bank() // restart: checkpoint resumes, only f2 banks
-    assertAllEqualFresh(d, bp, hp, cp, tp, rows(0, 700)
+    assertAllEqualFresh(d, bp, hp, cp, tp, qp, rows(0, 700)
       .unionAll(rows(400, 1200)))
   }
 
   test("re-banking a batch under its own tag (the at-least-once " +
       "replay) leaves every index unchanged") {
     val d = base
-    val (bp, hp, cp, tp) = initIndexes(d)
+    val (bp, hp, cp, tp, qp) = initIndexes(d)
     val b0 = rows(0, 700)
-    ProfileStream.bankBatch(b0, "k", "seg", "v", bp, hp, cp, tp, "b0")
-    ProfileStream.bankBatch(b0, "k", "seg", "v", bp, hp, cp, tp, "b0")
-    assertAllEqualFresh(d, bp, hp, cp, tp, b0)
+    ProfileStream.bankBatch(b0, "k", "seg", "v", bp, hp, cp, tp, "b0",
+      Some(qp))
+    val onceN = QuantileIndex.loadMergedSketch(spark, qp).n
+    ProfileStream.bankBatch(b0, "k", "seg", "v", bp, hp, cp, tp, "b0",
+      Some(qp))
+    // overwrite, not double-count: n unchanged (the rebuilt blob's
+    // BYTES may differ — distributed build order — but the replayed
+    // delta replaces its own dir; assertAllEqualFresh then re-checks
+    // the bound + exact n on the final state)
+    assert(QuantileIndex.loadMergedSketch(spark, qp).n === onceN,
+      "replayed quantile delta must overwrite, not double-count")
+    assertAllEqualFresh(d, bp, hp, cp, tp, qp, b0)
   }
 }
