@@ -644,18 +644,23 @@ object Dedup {
           coalesce(col("__jc"), cur("cluster")).as("cluster"))
     }
     // seed = min over self+neighbors of the identity labeling — hop 1
-    // folded into the node-derivation aggregate
+    // folded into the node-derivation aggregate. LAZY checkpoint: the
+    // convergence-sum action right below is what materializes (and
+    // truncates) each round's labels, so the former eager checkpoint
+    // was a second whole action per round for nothing (r20 job-count
+    // audit: the components family paid ~2 scheduler round-trips per
+    // round; fused it is one).
     var labels = edges.groupBy("src").agg(min("dst").as("__m"))
       .select(col("src").as("id"),
         least(col("src"), col("__m")).as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var iter = 1
     var converged = false
     while (iter < maxIter && !converged) {
       val hopped = hop(labels)
       val next = (if (iter >= jumpAfter) jump(hopped) else hopped)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

@@ -78,7 +78,14 @@ object Hits {
       // eager checkpoint: the raw frame is consumed by both the max
       // aggregate and the rescale join — without the cut the final
       // plan re-executes the entire iteration prefix per consumer
-      // (the quadratic-re-evaluation trap of normalized iteration)
+      // (the quadratic-re-evaluation trap of normalized iteration).
+      // It must stay a CHECKPOINT, not a lazy persist (r20 probe): a
+      // persist dedupes execution but leaves the logical plan intact,
+      // and with two references per half-iteration the RENDERED plan
+      // (SQL-listener execution-start events render it per action)
+      // doubles per half-iteration — iters=5 OOM'd the test JVM in
+      // explainString. localCheckpoint truncates the plan to a
+      // LogicalRDD leaf immediately.
       val raw = raw0.localCheckpoint(true)
       pendingRaw += raw
       // the max travels as a broadcast 1-row frame INSIDE the lazy

@@ -10,6 +10,38 @@ import org.apache.spark.sql.functions._
   */
 object QueryOps {
 
+  /** Runs `body` with adaptive query execution DISABLED, restoring the
+    * previous setting on exit (r20 optimization round). AQE compiles
+    * every exchange — shuffle or broadcast — into its own query stage,
+    * and each stage is a full driver job round-trip (re-optimize,
+    * submit, await): measured 36–46 ms/job on a quiet box, and the
+    * iterative graph rows pay 26–73 jobs per run almost entirely on
+    * provably tiny frames (mod-1000 node ids ⇒ ≤ 1000 rows at ANY
+    * input scale). For those computations AQE's runtime re-planning
+    * (coalescing, skew splits, join re-selection) has nothing to
+    * re-plan, so the whole per-stage materialization protocol is pure
+    * scheduling overhead — the same driver-latency tax on a 1000-node
+    * cluster as on local[32]. Scope: use ONLY around computations
+    * whose every shuffled frame is bounded by construction, and only
+    * when `body` fully MATERIALIZES its result (eager localCheckpoint
+    * or an action) — a lazily returned frame would execute after the
+    * conf is restored and silently regain AQE. Join strategy on the
+    * bounded frames stays deliberate via explicit broadcast hints
+    * (guide §3.1), not AQE conversion. */
+  def withoutAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    // Auto-broadcast stays ON inside the scope: a BroadcastExchange
+    // build is itself a driver job round-trip, but the A/B probe
+    // (r20) showed builds beat the alternative — suppressing them
+    // (autoBroadcastJoinThreshold=-1) cut q_graph_kcore to 7 jobs yet
+    // tripled its floor (5.9 s → 15.1 s): the in-job SMJ stages pay
+    // 32-task sorts per round that cost more than the build
+    // round-trips they replace.
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** How [[funnel]] materializes the step-filtered event slice it
     * re-reads once per step (ADVICE r13: the one-scan win must not
     * silently cost fault tolerance when the slice is fact-table-sized).
