@@ -50,6 +50,32 @@ object PipelineQueries {
   private def derivedCapacity(keys: DataFrame): Long =
     BloomIndex.derivedCapacity(keys, col("user_id"))
 
+  /** One-scan discipline (r20 optimization round, guide §5/§8): every
+    * pipeline row reads its event projection 5–20 times — calendar
+    * split, per-index saves/appends, screen sides, exact legs,
+    * fresh-twin rebuilds. A LAZY local checkpoint turns that into ONE
+    * parquet scan + executor-local block re-reads; the row's first
+    * action (typically the calendar-bounds collect or the base-index
+    * save) materializes it, so no extra job is paid. At 100 TB this is
+    * the difference between one full-table scan and twenty; locally it
+    * removes the per-re-read scan cost from every downstream job. The
+    * repo-standard fault-tolerance caveat applies (see
+    * [[QueryOps.FunnelScan]]): executor loss cannot recompute local
+    * checkpoint blocks — the daily batch simply re-runs, which is
+    * exactly what the banking tags' replay idempotence certifies. */
+  private def oneScan(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
+  /** Why every query body below is wrapped in [[QueryOps.withoutAqe]]
+    * (r20 optimization round): the eager segment of a pipeline row —
+    * index saves/appends/loads and bounded collects — is dozens of
+    * tiny actions whose every blob op is scan → partial agg → 1-row
+    * write, a shape AQE cannot improve at ANY scale (no skew possible,
+    * nothing to coalesce, the output is one row), while each AQE query
+    * stage costs a full driver job round-trip. The returned frame
+    * executes lazily AFTER the scope restores the session conf, so the
+    * force-time joins keep AQE. */
+
   /** A fresh per-session tmp dir (wiped on entry — reruns never
     * accumulate), tagged by applicationId against concurrent harness
     * processes: the established `_inc`-query protocol. */
@@ -90,8 +116,9 @@ object PipelineQueries {
     * `cms_bound_ok` (estimate brackets the exact count within eps·N),
     * and `cms_blob_identical` (merged blobs byte-equal to a fresh
     * full-stream sketch) pin every probabilistic leg. */
-  def dailyIncPipeline(s: SparkSession, dir: String): DataFrame = {
-    val src = keyedDays(s, dir)
+  def dailyIncPipeline(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
+    val src = oneScan(keyedDays(s, dir))
     // deterministic calendar split (the seenBeforeInc arithmetic,
     // replayed closed-form by the oracle); 1-row bounded collect
     val b = src.agg(min("day"), max("day")).collect()(0)
@@ -247,9 +274,10 @@ object PipelineQueries {
     * probabilistic side. ScreenStreamSpec certifies the same module
     * equal to the batch anti-join EXACTLY on a collision-free
     * fixture, replay and crash-shaped replay included. */
-  def screenIngestBloom(s: SparkSession, dir: String): DataFrame = {
+  def screenIngestBloom(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import java.nio.file.{Files, Paths}
-    val src = keyedDays(s, dir).select("user_id", "day")
+    val src = oneScan(keyedDays(s, dir).select("user_id", "day"))
     val b = src.agg(min("day"), max("day")).collect()(0)
     val (minD, maxD) = (b.getLong(0), b.getLong(1))
     val histEnd = minD + 2L * (maxD - minD + 1L) / 3L
@@ -343,10 +371,11 @@ object PipelineQueries {
     * bit-for-bit. Spec (lo=0, width=50, nBins=16) covers the
     * testdata value range at every shipped SF with the overflow bin
     * (not a drop) catching any excursion. */
-  def valueProfileInc(s: SparkSession, dir: String): DataFrame = {
+  def valueProfileInc(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import graft.operators.HistIndex
-    val src = ev(s, dir).filter(col("value").isNotNull)
-      .select(col("event_id"), col("value"))
+    val src = oneScan(ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("value")))
     val path = s"${freshBase(s, "histidx")}/idx"
     val third = pmod(col("event_id"), lit(3L))
     HistIndex.saveHistIndex(src.filter(third === 0), col("value"), path,
@@ -387,10 +416,11 @@ object PipelineQueries {
     * [[graft.operators.HistIndex.quantileBins]] — (nBins + 2) × |qs|
     * rows of work, never an event scan, the 100 TB shape of "what is
     * the p95 of yesterday's values". */
-  def valueQuantilesInc(s: SparkSession, dir: String): DataFrame = {
+  def valueQuantilesInc(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import graft.operators.HistIndex
-    val src = ev(s, dir).filter(col("value").isNotNull)
-      .select(col("event_id"), col("value"))
+    val src = oneScan(ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("value")))
     val path = s"${freshBase(s, "histq")}/idx"
     val third = pmod(col("event_id"), lit(3L))
     HistIndex.saveHistIndex(src.filter(third === 0), col("value"), path,
@@ -433,10 +463,11 @@ object PipelineQueries {
     * (event_type, bin, cnt, per-segment cum) — replayed row-for-row
     * by the oracle. The 100 TB read: per-segment p95s from
     * segments × (nBins + 2) rows of blob work, never an event scan. */
-  def valueProfileSeg(s: SparkSession, dir: String): DataFrame = {
-    val src = ev(s, dir)
+  def valueProfileSeg(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
+    val src = oneScan(ev(s, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
-      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value")))
     val path = s"${freshBase(s, "histseg")}/idx"
     val third = pmod(col("event_id"), lit(3L))
     HistIndex.saveHistIndexSeg(src.filter(third === 0),
@@ -482,10 +513,11 @@ object PipelineQueries {
     * same closed-form oracle as q_value_quantiles_inc, partitioned:
     * per (event_type, q), the bin containing rank ceil(q·n_seg), with
     * ±infinity edges on the underflow/overflow bins. */
-  def valueQuantilesSeg(s: SparkSession, dir: String): DataFrame = {
-    val src = ev(s, dir)
+  def valueQuantilesSeg(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
+    val src = oneScan(ev(s, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
-      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value")))
     val path = s"${freshBase(s, "histqseg")}/idx"
     val third = pmod(col("event_id"), lit(3L))
     HistIndex.saveHistIndexSeg(src.filter(third === 0),
@@ -549,14 +581,15 @@ object PipelineQueries {
     * counter addition byte-equal to a fresh full-stream sketch).
     * ProfileStreamSpec additionally certifies the at-least-once
     * replay (re-banking a batch under its own tag is a no-op). */
-  def streamProfileInc(s: SparkSession, dir: String): DataFrame = {
+  def streamProfileInc(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import java.nio.file.{Files, Paths}
-    val src = ev(s, dir)
+    val src = oneScan(ev(s, dir)
       .filter(col("user_id").isNotNull && col("ets").isNotNull &&
         col("event_type").isNotNull)
       .select(col("user_id"), col("event_type"), col("value"),
         datediff(to_date(col("ets")), lit("1970-01-01")).cast("long")
-          .as("day"))
+          .as("day")))
     val b = src.agg(min("day"), max("day")).collect()(0)
     val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1L) / 2L
 
@@ -695,10 +728,11 @@ object PipelineQueries {
     *  - `compact_identical`: a copy-on-write compaction answers
     *    bit-for-bit equal (estimate AND bound), the family's
     *    lifecycle gate. */
-  def valueQuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+  def valueQuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import graft.operators.QuantileIndex
-    val src = ev(s, dir).filter(col("value").isNotNull)
-      .select(col("event_id"), col("value"))
+    val src = oneScan(ev(s, dir).filter(col("value").isNotNull)
+      .select(col("event_id"), col("value")))
     val base = freshBase(s, "qsketch")
     val path = s"$base/idx"; val cPath = s"$base/idx_compact"
     val third = pmod(col("event_id"), lit(3L))
@@ -769,8 +803,9 @@ object PipelineQueries {
     * byte-equality legs — the exact columns the gate adds (history
     * distinct users, per-type exact counts) are linear scans that keep
     * the row's 10× scaling shape. */
-  def dailyPipelineProd(s: SparkSession, dir: String): DataFrame = {
-    val src = keyedDays(s, dir)
+  def dailyPipelineProd(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
+    val src = oneScan(keyedDays(s, dir))
     val b = src.agg(min("day"), max("day")).collect()(0)
     val (minD, maxD) = (b.getLong(0), b.getLong(1))
     val histEnd = minD + 2L * (maxD - minD + 1L) / 3L

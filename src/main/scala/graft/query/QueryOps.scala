@@ -21,13 +21,13 @@ object QueryOps {
     * (coalescing, skew splits, join re-selection) has nothing to
     * re-plan, so the whole per-stage materialization protocol is pure
     * scheduling overhead — the same driver-latency tax on a 1000-node
-    * cluster as on local[32]. Scope: use ONLY around computations
-    * whose every shuffled frame is bounded by construction, and only
-    * when `body` fully MATERIALIZES its result (eager localCheckpoint
-    * or an action) — a lazily returned frame would execute after the
-    * conf is restored and silently regain AQE. Join strategy on the
-    * bounded frames stays deliberate via explicit broadcast hints
-    * (guide §3.1), not AQE conversion. */
+    * cluster as on local[32]. Scope: use around (a) computations whose
+    * every shuffled frame is bounded by construction AND whose body
+    * fully materializes (the graph rows), or (b) eager multi-action
+    * segments whose per-action plan shape AQE cannot improve — blob
+    * builds, 1-row writes (the pipeline rows). A lazily returned tail
+    * frame executes AFTER the conf is restored and deliberately keeps
+    * AQE. */
   def withoutAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     // Auto-broadcast stays ON inside the scope: a BroadcastExchange
     // build is itself a driver job round-trip, but the A/B probe
