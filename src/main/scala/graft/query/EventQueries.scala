@@ -475,10 +475,16 @@ object EventQueries {
     * exact count(DISTINCT). Certifies the 100 TB contract that
     * cross-day distinct profiles union yesterday's blobs instead of
     * rescanning history. */
-  def segmentDistinctInc(s: SparkSession, dir: String): DataFrame = {
+  // one-scan + AQE-free eager body (r20; see PipelineQueries.oneScan):
+  // the projection is re-read by every index save/append and exact leg,
+  // and each blob op is scan -> partial agg -> 1-row write
+  def segmentDistinctInc(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import graft.operators.SketchOps
     val src = ev(s, dir)
       .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"))
+      .localCheckpoint(eager = false)
     val half = pmod(xxhash64(col("user_id")), lit(2L))
     val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val path = new java.io.File(
@@ -506,7 +512,7 @@ object EventQueries {
           greatest(lit(2.0), lit(tol) * col("n_exact")))
           .as("within_envelope"))
       .orderBy("seg")
-  }
+    }
 
   val segmentDistinctIncSql: String =
     """SELECT event_type AS seg, true AS inc_eq_direct,
@@ -531,7 +537,9 @@ object EventQueries {
     * history (a key sets the same bits whichever batch it arrives
     * in). At 100 TB: yesterday's ~115 MB of blobs replace a
     * history-sized anti-join build side. */
-  def seenBeforeInc(s: SparkSession, dir: String): DataFrame = {
+  // one-scan + AQE-free eager body (r20; see PipelineQueries.oneScan)
+  def seenBeforeInc(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import graft.operators.{BloomIndex, BloomJoin}
     val fpp = 0.01
     val src = ev(s, dir)
@@ -539,6 +547,7 @@ object EventQueries {
       .select(col("user_id"),
         datediff(to_date(col("ets")), lit("1970-01-01")).cast("long")
           .as("day"))
+      .localCheckpoint(eager = false)
     // deterministic calendar split: [minD, histMid) = base,
     // [histMid, histEnd) = delta batch, [histEnd, maxD] = today.
     // 1-row bounded collect, replayed closed-form by the oracle.
@@ -586,7 +595,7 @@ object EventQueries {
           .as("fpr_ok"),
         lit(blobEq).as("blob_identical"))
       .orderBy("user_id")
-  }
+    }
 
   val seenBeforeIncSql: String =
     """WITH e AS (SELECT user_id,

@@ -421,10 +421,15 @@ object TextQueries {
     * claim that makes incremental maintenance lossless at 100 TB:
     * cross-day term profiles union yesterday's blobs instead of
     * rescanning history. */
-  def heavyHittersInc(s: SparkSession, dir: String): DataFrame = {
+  // one-scan + AQE-free eager body (r20; see PipelineQueries.oneScan):
+  // the exploded token stream is re-derived by every index op and the
+  // exact leg — tokenize once, checkpoint, re-read blocks
+  def heavyHittersInc(s: SparkSession, dir: String): DataFrame =
+    QueryOps.withoutAqe(s) {
     import graft.operators.CmsIndex
     val toks = docs(s, dir).select(col("doc_id"),
       explode(TextAnalysis.tokenize(col("text"))).as("term"))
+      .localCheckpoint(eager = false)
     val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_cmsidx_$tag").toString
@@ -457,7 +462,7 @@ object TextQueries {
           .as("bound_ok"),
         lit(blobEq).as("blob_identical"))
       .orderBy("term")
-  }
+    }
 
   val heavyHittersIncSql: String =
     """WITH t AS (SELECT unnest(string_split(text,' ')) AS term

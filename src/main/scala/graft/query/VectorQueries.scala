@@ -243,7 +243,11 @@ object VectorQueries {
     * Certifies the 100 TB contract that corpus growth costs one
     * batch-assignment scan against frozen pay-once centroids, with
     * exactly-once delta persistence. */
-  def simIvfAppend(s: SparkSession, dir: String): DataFrame = {
+  // AQE-free eager body (r20; see PipelineQueries.oneScan rationale):
+  // the save/append/load lifecycle is blob-sized actions; the returned
+  // comparison frame stays lazy and forces under restored AQE
+  def simIvfAppend(s: SparkSession, dir: String): DataFrame =
+    graft.query.QueryOps.withoutAqe(s) {
     val sub = embs(s, dir).filter(col("vec_id") < 200)
     val batch = embs(s, dir)
       .filter(col("vec_id") >= 200 && col("vec_id") < 300)
@@ -274,7 +278,7 @@ object VectorQueries {
         (col("neighbor_id") === col("m_neighbor") &&
           col("cos") === col("m_cos")).as("loaded_eq_mem"))
       .orderBy("query_id", "rank")
-  }
+    }
 
   val simIvfAppendSql: String =
     """SELECT vec_id AS query_id, CAST(r AS INT) AS rank,
