@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Bfs, Dedup, Hits, KCore, LabelProp, PageRank, Sssp, Triangles}
-import graft.query.QueryOps
 import graft.sources.Tables
 
 /** General graph analytics over a deterministic graph derived from
@@ -34,14 +33,9 @@ object GraphQueries {
       .select((col("user_id") % 1000).as("src"),
         ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
       .distinct()
-    // mod-1000 node ids (≤ 1000-row rank frames at any input scale):
-    // run the three unrolled iterations as ONE AQE-free action — the
-    // eager checkpoint inside the scope is what materializes them
-    QueryOps.withoutAqe(s) {
-      PageRank.run(e, iters = 3)
-        .select(col("node"), col("rank").as("pr"))
-        .localCheckpoint(true)
-    }.orderBy("node")
+    PageRank.run(e, iters = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy("node")
   }
 
   val pageRankEventsSql: String = {
@@ -79,12 +73,9 @@ object GraphQueries {
         ((col("user_id") * 31 + col("event_id") * 17) % 1000).as("dst"))
       .distinct()
     val sources = s.range(5).select(col("id").as("node"))
-    // same bounded-frame argument as pageRankEvents
-    QueryOps.withoutAqe(s) {
-      PageRank.runPersonalized(e, sources, iters = 3)
-        .select(col("node"), col("rank").as("pr"))
-        .localCheckpoint(true)
-    }.orderBy("node")
+    PageRank.runPersonalized(e, sources, iters = 3)
+      .select(col("node"), col("rank").as("pr"))
+      .orderBy("node")
   }
 
   val pageRankPersonalizedSql: String = {
@@ -144,12 +135,7 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("id_a"),
         greatest(col("src"), col("dst")).as("id_b"))
       .distinct()
-    // mod-1000 node ids bound every label frame at ≤ 1000 rows, and
-    // nearDupClusters materializes each round via its convergence-sum
-    // action — AQE's per-exchange stage jobs buy nothing here
-    QueryOps.withoutAqe(s) {
-      Dedup.nearDupClusters(pairs)
-    }.orderBy("id")
+    Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
   val graphComponentsSql: String =
@@ -179,12 +165,9 @@ object GraphQueries {
       .select(least(col("src"), col("dst")).as("id_a"),
         greatest(col("src"), col("dst")).as("id_b"))
       .distinct()
-    // bounded as in graphComponents (mod-1000 ids); both the base
-    // clustering and the incremental fold materialize inside the scope
-    QueryOps.withoutAqe(s) {
-      val oldLabels = Dedup.nearDupClusters(pairsAt(599))
-      Dedup.nearDupClustersIncremental(oldLabels, pairsAt(601))
-    }.orderBy("id")
+    val oldLabels = Dedup.nearDupClusters(pairsAt(599))
+    Dedup.nearDupClustersIncremental(oldLabels, pairsAt(601))
+      .orderBy("id")
   }
 
   val graphComponentsIncSql: String =
@@ -289,13 +272,7 @@ object GraphQueries {
     * with the identical window tie-break. */
   def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
     val e = eventEdges(s, dir, every = 11)
-    // node ids are `% 1000` by construction, so the per-round label
-    // frame is ≤ 1000 rows at ANY input scale — AQE's per-exchange
-    // stage jobs are skipped (run ends with an eager checkpoint; the
-    // static planner auto-broadcasts the tiny sides)
-    QueryOps.withoutAqe(s) {
-      LabelProp.run(e, rounds = 3)
-    }.orderBy("node")
+    LabelProp.run(e, rounds = 3).orderBy("node")
   }
 
   val graphLabelPropSql: String = {
@@ -330,12 +307,7 @@ object GraphQueries {
     * certify a shuffled distributed run value-for-value. */
   def graphHits(s: SparkSession, dir: String): DataFrame = {
     val e = eventEdges(s, dir, every = 3).distinct()
-    // mod-1000 node ids: score frames are ≤ 1000 rows at any input
-    // scale — skip AQE's per-exchange stage jobs (run ends with an
-    // eager checkpoint; the static planner auto-broadcasts tiny sides)
-    QueryOps.withoutAqe(s) {
-      Hits.run(e, iters = 2)
-    }.orderBy("node")
+    Hits.run(e, iters = 2).orderBy("node")
   }
 
   val graphHitsSql: String = {
@@ -375,15 +347,7 @@ object GraphQueries {
     * where 6 rounds is or isn't the fixpoint. */
   def graphKcore(s: SparkSession, dir: String): DataFrame = {
     val e = eventEdges(s, dir, every = 3)
-    // mod-1000 node ids: every per-round frame is ≤ 1000 rows (and
-    // the edge set ≤ 10^6 pairs) at ANY input scale — run the peel
-    // without AQE's per-exchange stage jobs (QueryOps.withoutAqe;
-    // peel ends with an eager checkpoint, so every round executes
-    // inside the scope, and the static planner auto-broadcasts the
-    // tiny sides). The trailing orderBy is a bounded post-sort.
-    QueryOps.withoutAqe(s) {
-      KCore.peel(e, k = 5, rounds = 6)
-    }.orderBy("node")
+    KCore.peel(e, k = 5, rounds = 6).orderBy("node")
   }
 
   val graphKcoreSql: String = {

@@ -66,15 +66,21 @@ object PipelineQueries {
   private def oneScan(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
-  /** Why every query body below is wrapped in [[QueryOps.withoutAqe]]
-    * (r20 optimization round): the eager segment of a pipeline row —
-    * index saves/appends/loads and bounded collects — is dozens of
-    * tiny actions whose every blob op is scan → partial agg → 1-row
-    * write, a shape AQE cannot improve at ANY scale (no skew possible,
-    * nothing to coalesce, the output is one row), while each AQE query
-    * stage costs a full driver job round-trip. The returned frame
-    * executes lazily AFTER the scope restores the session conf, so the
-    * force-time joins keep AQE. */
+  /** Why the heavyweight query bodies below are wrapped in
+    * [[QueryOps.withoutAqe]] (r20 optimization round): the eager
+    * segment of a pipeline row — index saves/appends/loads and
+    * bounded collects — is dozens of tiny actions whose every blob op
+    * is scan → partial agg → 1-row write, a shape AQE cannot improve
+    * at ANY scale (no skew possible, nothing to coalesce, the output
+    * is one row), while each AQE query stage costs a full driver job
+    * round-trip. The returned frame executes lazily AFTER the scope
+    * restores the session conf, so the force-time joins keep AQE.
+    * Measured boundary (r20 closing sweep): the four HistIndex rows
+    * (value_profile/quantiles × inc/seg) ran 15-30% SLOWER inside the
+    * scope — their per-seg histogram aggs/loads are the one lifecycle
+    * shape where AQE's tiny-shuffle coalescing nets out positive — so
+    * they keep AQE; the Bloom/HLL/CMS/quantile-sketch rows keep the
+    * scope (measured -0.1 to -1.2 s each at the same box-hour). */
 
   /** A fresh per-session tmp dir (wiped on entry — reruns never
     * accumulate), tagged by applicationId against concurrent harness
@@ -371,8 +377,7 @@ object PipelineQueries {
     * bit-for-bit. Spec (lo=0, width=50, nBins=16) covers the
     * testdata value range at every shipped SF with the overflow bin
     * (not a drop) catching any excursion. */
-  def valueProfileInc(s: SparkSession, dir: String): DataFrame =
-    QueryOps.withoutAqe(s) {
+  def valueProfileInc(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.HistIndex
     val src = oneScan(ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_id"), col("value")))
@@ -416,8 +421,7 @@ object PipelineQueries {
     * [[graft.operators.HistIndex.quantileBins]] — (nBins + 2) × |qs|
     * rows of work, never an event scan, the 100 TB shape of "what is
     * the p95 of yesterday's values". */
-  def valueQuantilesInc(s: SparkSession, dir: String): DataFrame =
-    QueryOps.withoutAqe(s) {
+  def valueQuantilesInc(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.HistIndex
     val src = oneScan(ev(s, dir).filter(col("value").isNotNull)
       .select(col("event_id"), col("value")))
@@ -463,8 +467,7 @@ object PipelineQueries {
     * (event_type, bin, cnt, per-segment cum) — replayed row-for-row
     * by the oracle. The 100 TB read: per-segment p95s from
     * segments × (nBins + 2) rows of blob work, never an event scan. */
-  def valueProfileSeg(s: SparkSession, dir: String): DataFrame =
-    QueryOps.withoutAqe(s) {
+  def valueProfileSeg(s: SparkSession, dir: String): DataFrame = {
     val src = oneScan(ev(s, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_id"), col("event_type"), col("value")))
@@ -513,8 +516,7 @@ object PipelineQueries {
     * same closed-form oracle as q_value_quantiles_inc, partitioned:
     * per (event_type, q), the bin containing rank ceil(q·n_seg), with
     * ±infinity edges on the underflow/overflow bins. */
-  def valueQuantilesSeg(s: SparkSession, dir: String): DataFrame =
-    QueryOps.withoutAqe(s) {
+  def valueQuantilesSeg(s: SparkSession, dir: String): DataFrame = {
     val src = oneScan(ev(s, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
       .select(col("event_id"), col("event_type"), col("value")))

@@ -21,13 +21,17 @@ object QueryOps {
     * (coalescing, skew splits, join re-selection) has nothing to
     * re-plan, so the whole per-stage materialization protocol is pure
     * scheduling overhead — the same driver-latency tax on a 1000-node
-    * cluster as on local[32]. Scope: use around (a) computations whose
-    * every shuffled frame is bounded by construction AND whose body
-    * fully materializes (the graph rows), or (b) eager multi-action
-    * segments whose per-action plan shape AQE cannot improve — blob
-    * builds, 1-row writes (the pipeline rows). A lazily returned tail
-    * frame executes AFTER the conf is restored and deliberately keeps
-    * AQE. */
+    * cluster as on local[32]. Scope: use ONLY around eager
+    * multi-action segments whose per-action plan shape AQE cannot
+    * improve — blob builds, 1-row writes (the index-lifecycle rows).
+    * A lazily returned tail frame executes AFTER the conf is restored
+    * and deliberately keeps AQE. Measured boundary (r20): wrapping
+    * LAZY ITERATIVE bodies (components hops, PageRank unrolls)
+    * REGRESSED 3-4x — their per-round tiny frames have no stats
+    * without AQE, so the planner falls back to sort-merge joins where
+    * AQE's runtime size observation broadcast them; those scopes were
+    * reverted. The win is real only where the scoped actions contain
+    * no size-sensitive join choices. */
   def withoutAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     // Auto-broadcast stays ON inside the scope: a BroadcastExchange
     // build is itself a driver job round-trip, but the A/B probe

@@ -557,14 +557,7 @@ object WarehouseQueries {
         right, "id_b", "name_b", k = 1)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // components rounds run AQE-free (r20; QueryOps.withoutAqe): each
-    // round materializes via its convergence-sum action, and the
-    // blocking contract bounds per-node degree (lev<=1 deletion
-    // neighborhoods), so there is no skew for AQE to split — its
-    // per-exchange stage jobs are pure driver round-trips here
-    QueryOps.withoutAqe(s) {
-      Dedup.nearDupClusters(pairs)
-    }.orderBy("id")
+    Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
   val entityResolutionSql: String =
@@ -733,11 +726,7 @@ object WarehouseQueries {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    // AQE-free components: SNB bounds per-node degree at 2w (see
-    // q_entity_resolution note)
-    QueryOps.withoutAqe(s) {
-      Dedup.nearDupClusters(pairs)
-    }.orderBy("id")
+    Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
   /** Interval–interval overlap self-join
@@ -849,11 +838,7 @@ object WarehouseQueries {
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    // AQE-free components: SNB bounds per-node degree at 2w (see
-    // q_entity_resolution note)
-    QueryOps.withoutAqe(s) {
-      Dedup.nearDupClusters(pairs)
-    }.orderBy("id")
+    Dedup.nearDupClusters(pairs).orderBy("id")
   }
 
   val entityResolutionSnbNormSql: String =
