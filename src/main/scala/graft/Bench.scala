@@ -529,6 +529,15 @@ object Bench {
       requeuedAll.toSeq
         .map(n => s""""$n"""").mkString(""""requeued_rows":[""", ",", "],")
     val health = f"""$suspectField"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"jit_sec":$jitSec%.1f,"codecache_mb":$codeCacheMb%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"membw_gbps":[$bwStart%.1f,$bwEnd%.1f],"job_ms":[$jobMsStart%.1f,$jobMsEnd%.1f],"runs_per_query":"min-of-3 (4 if >2s and spread>1.5; 5 for q_stream_*)"$warnField$errField"""
+    // Compact health for the PRINTED line (r20 verdict #3: the driver
+    // has NEVER parsed the bench line — parsed:null in all 20 rounds —
+    // because the full health string embeds the UNBOUNDED
+    // box_suspect_rows/requeued_rows name lists; r20's requeue lists
+    // pushed the line past the driver's tail-capture window, cutting
+    // off the line's head where "value" lives). The printed line
+    // carries scalar counts instead of the lists; the full lists, the
+    // loadavg strings and the JIT counters stay in bench_full.json.
+    val healthMini = f""""box_suspect_n":${suspectRows.size},"requeued_n":${requeuedAll.size},"self_cpu_rate":$selfCpuRate%.2f,"external_load":$externalLoad%.2f,"steal_pct":$stealPct%.2f,"gc_sec":$gcSec%.1f,"wall_sec":$wallSec%.1f,"cpus":$cpus,"calib_sec":[$calibStart%.3f,$calibEnd%.3f],"membw_gbps":[$bwStart%.1f,$bwEnd%.1f],"job_ms":[$jobMsStart%.1f,$jobMsEnd%.1f]$warnField$errField"""
     val fullJson = results.map { case (k, (runs, l, c1, b1)) =>
       val ok = runs.map(_.sec).filter(_.isFinite)
       val runsJson = runs.map(r =>
@@ -559,11 +568,15 @@ object Bench {
       sys.env.get("BENCH_FULL_OUT").foreach(p =>
         java.nio.file.Files.write(java.nio.file.Paths.get(p),
           fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    // inline map: slowest first, ms precision, hard char budget
+    // inline map: slowest first, ms precision, hard char budget.
+    // Budget shrunk 1400 -> 450 (r20 verdict #3): the whole printed
+    // line must land inside a ~2000-char tail capture WITH room for
+    // the health scalars and a possible CONTENDED warning; ~16 slowest
+    // entries + omitted_sec keep the headline reconstructible, and
+    // bench_full.json carries every per-query number at full precision.
     val parts = best.sortBy(-_._2)
       .map { case (k, v) => f""""$k":$v%.3f""" }
-    // health fields (~200 chars) now share the ~2000-char capture window
-    val budget = 1400
+    val budget = 450
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = 0
     var full = false
@@ -582,7 +595,7 @@ object Bench {
       if (omitted > 0)
         f""","omitted_fast_queries":$omitted,"omitted_sec":$omittedSec%.3f,"full":"bench_full.json""""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$health,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$extra}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},$healthMini,"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$extra}""")
     wipeCkpt()
     spark.stop()
   }

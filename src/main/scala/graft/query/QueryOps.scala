@@ -31,7 +31,22 @@ object QueryOps {
     * without AQE, so the planner falls back to sort-merge joins where
     * AQE's runtime size observation broadcast them; those scopes were
     * reverted. The win is real only where the scoped actions contain
-    * no size-sensitive join choices. */
+    * no size-sensitive join choices.
+    *
+    * CONCURRENCY CONTRACT (r20 verdict #9 / ADVICE): this toggles the
+    * SESSION-GLOBAL conf non-atomically — queries wrapped in it must
+    * not run concurrently on the same SparkSession with other queries
+    * (the toggle would leak into a bystander's planning, and the
+    * restore can clobber a nested scope's saved value). Both harnesses
+    * honor this today: Bench and Verify run the registered queries
+    * strictly sequentially on one session, and no query body spawns
+    * driver threads that plan queries. A future multi-threaded
+    * submitter (guide §2.6) must either give each query its own
+    * `spark.newSession()` (per-session conf, shared state) or drop
+    * these scopes; asserting the invariant here is deliberate — a
+    * cloned session per query would re-pay session init on every one
+    * of the ~200 bench rows to defend against a caller that does not
+    * exist. */
   def withoutAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     // Auto-broadcast stays ON inside the scope: a BroadcastExchange
     // build is itself a driver job round-trip, but the A/B probe
