@@ -109,20 +109,18 @@ object BloomIndex {
                      expectedItems: Long,
                      fpp: Double = 0.01): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val numBits = BloomJoin.optimalNumBits(expectedItems, fpp)
     IndexStore.writeSingle(
       blobRow(df, key, expectedItems, numBits), s"$path/base")
-    IndexStore.writeParams(
-      Seq((expectedItems, numBits, fpp))
-        .toDF("expectedItems", "numBits", "fpp"), path)
+    IndexStore.writeParams(spark, path, "expectedItems" -> expectedItems,
+      "numBits" -> numBits, "fpp" -> fpp)
   }
 
   /** Stored (expectedItems, numBits, fpp). */
   def loadParams(spark: SparkSession, path: String)
       : (Long, Long, Double) = {
-    val r = IndexStore.paramsRow(spark, path)
-    (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val m = IndexStore.params(spark, path)
+    (m("expectedItems").toLong, m("numBits").toLong, m("fpp").toDouble)
   }
 
   /** Append a batch at the STORED geometry; `delta_<tag>` overwrite
@@ -171,8 +169,8 @@ object BloomIndex {
     val (blob, n) = loadMergedFilter(spark, oldPath)
     IndexStore.writeSingle(Seq((Option(blob), n)).toDF("sk", "n"),
       s"$newPath/base")
-    IndexStore.writeParams(
-      Seq((expectedItems, numBits, fpp))
-        .toDF("expectedItems", "numBits", "fpp"), newPath)
+    IndexStore.writeParams(spark, newPath,
+      "expectedItems" -> expectedItems, "numBits" -> numBits,
+      "fpp" -> fpp)
   }
 }

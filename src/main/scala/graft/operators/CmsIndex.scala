@@ -98,28 +98,34 @@ object CmsIndex {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** One (sk BINARY, n LONG) row: the batch's CMS blob + item count.
-    * NULL terms are excluded (the [[SketchOps]] contract). */
-  private def sketchRow(df: DataFrame, term: Column, eps: Double,
-                        conf: Double, seed: Int): DataFrame =
+  /** ONE (sk BINARY, n LONG, cands ARRAY<STRING>) row: the batch's
+    * CMS blob, item count, and SpaceSaving candidate terms — BOTH
+    * structures from a SINGLE aggregation over a SINGLE scan of the
+    * batch (r21, guide §2.4/§6: the old two-subdir layout ran two
+    * separate scan+agg+write jobs per banked batch, i.e. every CMS
+    * save/append read its batch twice; at 100 TB that is two full
+    * daily-batch scans where one suffices, and locally it was two
+    * driver job round-trips per blob op). The count-min aggregate and
+    * the SpaceSaving UDAF are both object-hash aggregates, so they
+    * share one ObjectHashAggregateExec pass. NULL terms are excluded
+    * (the [[SketchOps]] contract). */
+  private def batchRow(df: DataFrame, term: Column, eps: Double,
+                       conf: Double, seed: Int, m: Int): DataFrame = {
+    val ss = udaf(new HeavyHitters.SpaceSaving(m))
     df.select(term.as("__t")).where(col("__t").isNotNull)
       .agg(
         count_min_sketch(col("__t"), lit(eps), lit(conf), lit(seed))
           .as("sk"),
-        count(lit(1)).as("n"))
-
-  private def candRows(df: DataFrame, term: Column, m: Int): DataFrame =
-    HeavyHitters.sketchTopK(
-      df.select(term.as("__t")).where(col("__t").isNotNull),
-      col("__t"), m).select("term")
+        count(lit(1)).as("n"),
+        ss(col("__t")).as("__c"))
+      .select(col("sk"), col("n"),
+        transform(col("__c"), e => e.getField("term")).as("cands"))
+  }
 
   private def writeBatch(df: DataFrame, term: Column, dir: String,
                          eps: Double, conf: Double, seed: Int,
-                         m: Int): Unit = {
-    IndexStore.writeSingle(sketchRow(df, term, eps, conf, seed),
-      s"$dir/sketch")
-    IndexStore.writeSingle(candRows(df, term, m), s"$dir/cands")
-  }
+                         m: Int): Unit =
+    IndexStore.writeSingle(batchRow(df, term, eps, conf, seed, m), dir)
 
   /** Build and persist the base index: blob + candidates under
     * `path/base`, (eps, conf, seed, m) under `path/params`. */
@@ -129,17 +135,16 @@ object CmsIndex {
                    seed: Int = DefaultSeed,
                    m: Int = DefaultCapacity): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     writeBatch(df, term, s"$path/base", eps, conf, seed, m)
-    IndexStore.writeParams(
-      Seq((eps, conf, seed, m)).toDF("eps", "conf", "seed", "m"), path)
+    IndexStore.writeParams(spark, path, "eps" -> eps, "conf" -> conf,
+      "seed" -> seed, "m" -> m)
   }
 
   /** Stored (eps, conf, seed, m). */
   def loadParams(spark: SparkSession, path: String)
       : (Double, Double, Int, Int) = {
-    val r = IndexStore.paramsRow(spark, path)
-    (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getInt(3))
+    val p = IndexStore.params(spark, path)
+    (p("eps").toDouble, p("conf").toDouble, p("seed").toInt, p("m").toInt)
   }
 
   /** Append a batch WITHOUT rescanning history, at the STORED params;
@@ -170,7 +175,7 @@ object CmsIndex {
   def loadMergedSketch(spark: SparkSession, path: String)
       : (Array[Byte], Long) = {
     val merge = udaf(new CmsMerge(), Encoders.BINARY)
-    val r = IndexStore.unionBatches(spark, path, "sketch", Seq("sk", "n"))
+    val r = IndexStore.unionBatches(spark, path, "", Seq("sk", "n"))
       .where(col("sk").isNotNull)
       .agg(merge(col("sk")).as("sk"), sum("n").as("n"))
       .collect()(0)
@@ -180,9 +185,11 @@ object CmsIndex {
   }
 
   /** Union of every batch's SpaceSaving candidates — the proven
-    * heavy-hitter superset (see object scaladoc for the lemma). */
+    * heavy-hitter superset (see object scaladoc for the lemma).
+    * Reads the same one-row-per-batch files as the sketch merge. */
   def loadCandidates(spark: SparkSession, path: String): DataFrame =
-    IndexStore.unionBatches(spark, path, "cands", Seq("term"))
+    IndexStore.unionBatches(spark, path, "", Seq("cands"))
+      .select(explode(col("cands")).as("term"))
       .distinct()
 
   /** Estimate each candidate term against a merged blob: (term, est).
@@ -218,13 +225,15 @@ object CmsIndex {
     import spark.implicits._
     val (eps, conf, seed, m) = loadParams(spark, oldPath)
     val (blob, n) = loadMergedSketch(spark, oldPath)
-    IndexStore.writeSingle(Seq((Option(blob), n)).toDF("sk", "n"),
-      s"$newPath/base/sketch")
-    IndexStore.writeSingle(loadCandidates(spark, oldPath),
-      s"$newPath/base/cands")
-    IndexStore.writeParams(
-      Seq((eps, conf, seed, m)).toDF("eps", "conf", "seed", "m"),
-      newPath)
+    // candidate union is m × batches bounded; sorted for a
+    // deterministic on-disk array order
+    val cands = loadCandidates(spark, oldPath).collect()
+      .map(_.getString(0)).sorted.toSeq
+    IndexStore.writeSingle(
+      Seq((Option(blob), n, cands)).toDF("sk", "n", "cands"),
+      s"$newPath/base")
+    IndexStore.writeParams(spark, newPath, "eps" -> eps, "conf" -> conf,
+      "seed" -> seed, "m" -> m)
   }
 
   /** The full index read path: candidates with their merged-sketch

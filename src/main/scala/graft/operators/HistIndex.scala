@@ -53,18 +53,17 @@ object HistIndex {
                     lo: Double, width: Double, nBins: Int): Unit = {
     require(width > 0 && nBins > 0, s"bad bin spec: $lo/$width/$nBins")
     val spark = df.sparkSession
-    import spark.implicits._
     IndexStore.writeSingle(binCounts(df, value, lo, width, nBins),
       s"$path/base")
-    IndexStore.writeParams(
-      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), path)
+    IndexStore.writeParams(spark, path, "lo" -> lo, "width" -> width,
+      "nBins" -> nBins)
   }
 
   /** Stored (lo, width, nBins). */
   def loadParams(spark: SparkSession, path: String)
       : (Double, Double, Int) = {
-    val r = IndexStore.paramsRow(spark, path)
-    (r.getDouble(0), r.getDouble(1), r.getInt(2))
+    val p = IndexStore.params(spark, path)
+    (p("lo").toDouble, p("width").toDouble, p("nBins").toInt)
   }
 
   /** Append a batch at the STORED bin spec; `delta_<tag>` overwrite
@@ -96,8 +95,8 @@ object HistIndex {
     val (lo, width, nBins) = loadParams(spark, oldPath)
     IndexStore.writeSingle(loadHistogram(spark, oldPath),
       s"$newPath/base")
-    IndexStore.writeParams(
-      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), newPath)
+    IndexStore.writeParams(spark, newPath, "lo" -> lo, "width" -> width,
+      "nBins" -> nBins)
   }
 
   // ---- per-SEGMENT face (r18 verdict #7): the HLL index's `seg`
@@ -126,11 +125,10 @@ object HistIndex {
                        nBins: Int): Unit = {
     require(width > 0 && nBins > 0, s"bad bin spec: $lo/$width/$nBins")
     val spark = df.sparkSession
-    import spark.implicits._
     IndexStore.writeSingle(segBinCounts(df, seg, value, lo, width, nBins),
       s"$path/base")
-    IndexStore.writeParams(
-      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), path)
+    IndexStore.writeParams(spark, path, "lo" -> lo, "width" -> width,
+      "nBins" -> nBins)
   }
 
   /** Append a batch at the STORED bin spec — tag overwrite carries
@@ -160,8 +158,8 @@ object HistIndex {
     val (lo, width, nBins) = loadParams(spark, oldPath)
     IndexStore.writeSingle(loadHistogramSeg(spark, oldPath),
       s"$newPath/base")
-    IndexStore.writeParams(
-      Seq((lo, width, nBins)).toDF("lo", "width", "nBins"), newPath)
+    IndexStore.writeParams(spark, newPath, "lo" -> lo, "width" -> width,
+      "nBins" -> nBins)
   }
 
   /** Per-SEGMENT quantile read: [[quantileBins]] with every rank

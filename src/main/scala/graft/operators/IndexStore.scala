@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Single-sourced scaffolding for the persisted incremental index
@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions.col
   * contract, three operators:
   *
   * {{{
-  * path/params        one-row frame pinning the sketch geometry
+  * path/params.json   one tiny file pinning the sketch geometry
   * path/base          the first banked batch
   * path/delta_<tag>   one dir per appended batch (OVERWRITTEN on
   *                    replay of the same tag — the idempotence story
@@ -51,18 +51,49 @@ private[operators] object IndexStore {
     s"$path/delta_$tag"
   }
 
-  /** Overwrite-write a small frame as ONE file — params rows and
-    * single-row sketch blobs; never used for per-segment frames. */
+  /** Overwrite-write a small frame as ONE file — single-row sketch
+    * blobs; never used for per-segment frames. */
   def writeSingle(df: DataFrame, dir: String): Unit =
     df.coalesce(1).write.mode("overwrite").parquet(dir)
 
-  /** Persist the one-row geometry frame under `path/params`. */
-  def writeParams(df: DataFrame, path: String): Unit =
-    writeSingle(df, s"$path/params")
+  /** Persist the geometry params as a tiny `path/params.json` written
+    * DIRECTLY by the driver — the params are driver-known values at
+    * save time, so the old one-row parquet frame cost a pointless
+    * Spark job per save (the coalesce(1) write) and another per
+    * append/compact/read (the 1-row collect): two driver round-trips
+    * per blob op at ANY scale, which r20's job counting measured as
+    * the lifecycle rows' dominant cost (guide §2.4 — remove scheduler
+    * round-trips outright). Values are stringified scalars; each
+    * operator owns its typed parse. Double round-trips exactly
+    * (Double.toString is shortest-round-trip by the Java spec). */
+  def writeParams(spark: SparkSession, path: String,
+                  kv: (String, Any)*): Unit = {
+    val p = new Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = kv.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
-  /** The stored geometry row (bounded 1-row collect). */
-  def paramsRow(spark: SparkSession, path: String): Row =
-    spark.read.parquet(s"$path/params").collect()(0)
+  /** The stored geometry (driver-side file read, zero Spark jobs). */
+  def params(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    """"([^"]+)":"([^"]*)"""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
 
   /** `base` plus every `delta_*` dir under `path`, deterministically
     * ordered (sorted by tag). `excludeTags` drops named deltas — the

@@ -280,12 +280,12 @@ object QuantileIndex {
     val spark = df.sparkSession
     import spark.implicits._
     IndexStore.writeSingle(sketchRow(df, value, k), s"$path/base")
-    IndexStore.writeParams(Seq(k).toDF("k"), path)
+    IndexStore.writeParams(spark, path, "k" -> k)
   }
 
   /** Stored k. */
   def loadParams(spark: SparkSession, path: String): Int =
-    IndexStore.paramsRow(spark, path).getInt(0)
+    IndexStore.params(spark, path)("k").toInt
 
   /** Append a batch at the STORED k; `delta_<tag>` overwrite keeps
     * replays idempotent (insertion is not — the CMS caveat). */
@@ -354,6 +354,6 @@ object QuantileIndex {
     val k = loadParams(spark, oldPath)
     IndexStore.writeSingle(
       Seq((merged.toBytes, merged.n)).toDF("sk", "n"), s"$newPath/base")
-    IndexStore.writeParams(Seq(k).toDF("k"), newPath)
+    IndexStore.writeParams(spark, newPath, "k" -> k)
   }
 }

@@ -98,12 +98,11 @@ object SketchOps {
   def saveSketchIndex(df: DataFrame, seg: Column, id: Column,
                       path: String, lgK: Int = 12): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     // per-SEGMENT rows (not a single blob row), so no coalesce(1) —
     // the one index whose base write is not IndexStore.writeSingle
     segmentSketches(df, seg, id, lgK)
       .write.mode("overwrite").parquet(s"$path/base")
-    IndexStore.writeParams(Seq(lgK).toDF("lgK"), path)
+    IndexStore.writeParams(spark, path, "lgK" -> lgK)
   }
 
   /** Append a batch WITHOUT rescanning history: sketch it at the
@@ -113,7 +112,7 @@ object SketchOps {
   def appendSketchIndex(spark: SparkSession, path: String,
                         batch: DataFrame, seg: Column, id: Column,
                         tag: String): Unit = {
-    val lgK = IndexStore.paramsRow(spark, path).getInt(0)
+    val lgK = IndexStore.params(spark, path)("lgK").toInt
     segmentSketches(batch, seg, id, lgK)
       .write.mode("overwrite").parquet(IndexStore.deltaDir(path, tag))
   }
@@ -133,11 +132,10 @@ object SketchOps {
   def compactSketchIndex(spark: SparkSession, oldPath: String,
                          newPath: String): Unit = {
     IndexStore.requireCopyOnWrite(oldPath, newPath)
-    import spark.implicits._
-    val lgK = IndexStore.paramsRow(spark, oldPath).getInt(0)
+    val lgK = IndexStore.params(spark, oldPath)("lgK").toInt
     loadSketchIndex(spark, oldPath)
       .write.mode("overwrite").parquet(s"$newPath/base")
-    IndexStore.writeParams(Seq(lgK).toDF("lgK"), newPath)
+    IndexStore.writeParams(spark, newPath, "lgK" -> lgK)
   }
 
   /** Rolling-window APPROXIMATE distinct counts — the
