@@ -475,11 +475,13 @@ object EventQueries {
     * exact count(DISTINCT). Certifies the 100 TB contract that
     * cross-day distinct profiles union yesterday's blobs instead of
     * rescanning history. */
-  // one-scan + AQE-free eager body (r20; see PipelineQueries.oneScan):
-  // the projection is re-read by every index save/append and exact leg,
-  // and each blob op is scan -> partial agg -> 1-row write
-  def segmentDistinctInc(s: SparkSession, dir: String): DataFrame =
-    QueryOps.withoutAqe(s) {
+  // one-scan (r20; see PipelineQueries.oneScan): the projection is
+  // re-read by every index save/append and exact leg. r21 A/B: the
+  // r20 withoutAqe scope regressed this row on the quiet canonical
+  // (0.87 -> 1.26 s) — unlike the 1-row blob families, the HLL index
+  // banks PER-SEGMENT rows through a real exchange whose tiny-shuffle
+  // coalescing AQE wins (the HistIndex-seg lesson) — so it is removed
+  def segmentDistinctInc(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.SketchOps
     val src = ev(s, dir)
       .filter(col("event_type").isNotNull && col("user_id").isNotNull)

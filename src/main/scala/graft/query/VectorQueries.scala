@@ -243,11 +243,12 @@ object VectorQueries {
     * Certifies the 100 TB contract that corpus growth costs one
     * batch-assignment scan against frozen pay-once centroids, with
     * exactly-once delta persistence. */
-  // AQE-free eager body (r20; see PipelineQueries.oneScan rationale):
-  // the save/append/load lifecycle is blob-sized actions; the returned
-  // comparison frame stays lazy and forces under restored AQE
-  def simIvfAppend(s: SparkSession, dir: String): DataFrame =
-    graft.query.QueryOps.withoutAqe(s) {
+  // r21 A/B probe: the r20 withoutAqe scope here was the round's one
+  // plan-confirmed REAL regression on the quiet canonical (1.85 ->
+  // 2.72 s) — this body's eager segment is parquet-partitioned index
+  // writes whose scan-side coalescing AQE improves, unlike the 1-row
+  // blob writes the scope was designed for
+  def simIvfAppend(s: SparkSession, dir: String): DataFrame = {
     val sub = embs(s, dir).filter(col("vec_id") < 200)
     val batch = embs(s, dir)
       .filter(col("vec_id") >= 200 && col("vec_id") < 300)
