@@ -422,14 +422,24 @@ object TextQueries {
     * cross-day term profiles union yesterday's blobs instead of
     * rescanning history. */
   // one-scan + AQE-free eager body (r20; see PipelineQueries.oneScan):
-  // the exploded token stream is re-derived by every index op and the
-  // exact leg — tokenize once, checkpoint, re-read blocks
+  // tokenize once, checkpoint, re-read blocks for every index op and
+  // the exact leg. r21 (ADVICE): checkpoint the PRE-explode token
+  // ARRAYS, not the exploded per-token rows — the array form holds
+  // one row per doc (tokens stored once, no per-token row overhead or
+  // doc_id duplication), ~2-3x fewer block bytes living across the
+  // eager ops and the bench's min-of-N reruns, while each consumer
+  // re-derives the exploded stream from blocks with a codegen explode.
+  // (The r20 "28s at 8 cores" cell this row carried was adjudicated a
+  // co-tenant bandwidth burst — its own bw1/calib1/load1 samples show
+  // it — not checkpoint memory pressure; see OPTIMIZATION_r21.md.)
   def heavyHittersInc(s: SparkSession, dir: String): DataFrame =
     QueryOps.withoutAqe(s) {
     import graft.operators.CmsIndex
-    val toks = docs(s, dir).select(col("doc_id"),
-      explode(TextAnalysis.tokenize(col("text"))).as("term"))
+    val tokArrays = docs(s, dir).select(col("doc_id"),
+      TextAnalysis.tokenize(col("text")).as("__toks"))
       .localCheckpoint(eager = false)
+    val toks = tokArrays.select(col("doc_id"),
+      explode(col("__toks")).as("term"))
     val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_cmsidx_$tag").toString
