@@ -59,6 +59,15 @@ object SimilarityJoin {
     val freq = sets.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
 
+    // ONE materialization of the ordered-set rebuild (r21, guide
+    // §5/§3.3): `ordered` feeds three consumers — the prefix index and
+    // both candidate-fetch joins — and without a cut each consumer
+    // re-ran the whole explode + df-join + collect_list subtree (the
+    // r21 before-plan shows the subtree triplicated: 50 Exchanges).
+    // A LAZY local checkpoint computes it once; the repo-standard
+    // fault-tolerance caveat applies (executor loss re-runs the job —
+    // see QueryOps.FunnelScan), and the blocks are (id, ordered
+    // tokens)-sized, the same order as the input sets.
     val ordered = sets
       .select(col("id"), explode(col("toks")).as("tok"))
       .join(freq, "tok")
@@ -67,25 +76,45 @@ object SimilarityJoin {
         .as("__o"))
       .select(col("id"),
         transform(col("__o"), e => e("tok")).as("otoks"))
+      .localCheckpoint(false)
 
     // p = n - ceil(t'·n) + 1, integer-exact ceil; always >= 1 for n >= 1.
+    // posexplode keeps each prefix token's 0-based POSITION in the
+    // ordered set — the PPJoin positional filter's input (r21).
     val pref = ordered
       .withColumn("n", size(col("otoks")).cast("long"))
       .withColumn("p",
         col("n") - expr(s"(n * $tNum + 999999) div 1000000") + lit(1L))
       .select(col("id"), col("n"),
-        explode(slice(col("otoks"), lit(1), col("p").cast("int")))
-          .as("tok"))
+        posexplode(slice(col("otoks"), lit(1), col("p").cast("int"))))
+      .toDF("id", "n", "pos", "tok")
 
+    // PPJoin POSITIONAL filter (Xiao et al., WWW'08), exactness-safe:
+    // Jaccard(A,B) >= t  ⇔  overlap I >= t/(1+t)·(|A|+|B|), and all
+    // common tokens sit at or after the pair's FIRST common token in
+    // the shared global order — so I <= min(|A| - i₁, |B| - j₁) where
+    // (i₁, j₁) are that token's 0-based positions. Both sides order
+    // consistently, so the matched prefix row minimizing i also
+    // minimizes j: per-pair min(pos) on each side IS the first common
+    // token, and the groupBy subsumes the old distinct() while the
+    // bound prunes candidates the length filter alone admits. Snapped
+    // t' = tNum/10⁶ <= t only weakens the bound (superset, never a
+    // miss); the exact verification below still applies the caller's
+    // t. Integer form of ubound >= ceil(tNum·(nₐ+n_b)/(10⁶+tNum)):
+    // ubound·(10⁶+tNum) >= tNum·(nₐ+n_b).
     val cand = pref.select(col("tok"), col("id").as("id_a"),
-        col("n").as("n_a"))
+        col("n").as("n_a"), col("pos").as("pa"))
       .join(pref.select(col("tok"), col("id").as("id_b"),
-        col("n").as("n_b")), "tok")
+        col("n").as("n_b"), col("pos").as("pb")), "tok")
       .filter(col("id_a") < col("id_b"))
       // Jaccard >= t  ⇒  t·max(|A|,|B|) <= min(|A|,|B|)
       .filter(greatest(col("n_a"), col("n_b")) * tNum
         <= least(col("n_a"), col("n_b")) * 1000000L)
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(min("pa").as("__i1"), min("pb").as("__j1"))
+      .filter(least(col("n_a") - col("__i1"), col("n_b") - col("__j1"))
+        * (1000000L + tNum) >= (col("n_a") + col("n_b")) * tNum)
+      .select("id_a", "id_b")
 
     cand
       .join(ordered.select(col("id").as("id_a"), col("otoks").as("__ta")),
