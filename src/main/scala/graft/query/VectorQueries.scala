@@ -206,8 +206,14 @@ object VectorQueries {
   def simIvfLoaded(s: SparkSession, dir: String): DataFrame = {
     val sub = embs(s, dir).filter(col("vec_id") < 200)
     val base = sub.select(col("vec_id").as("id"), col("embedding").as("v"))
-    val fresh = Similarity.buildIvfIndex(sub, "vec_id", "embedding",
+    // one assignment scan (r21, VERDICT #7): `fresh.assigned` is
+    // consumed by BOTH the index save and the fresh-search leg — a
+    // lazy local checkpoint materializes it at the save and the search
+    // re-reads blocks instead of re-running the corpus x centroid
+    // rank-1 assignment
+    val fresh0 = Similarity.buildIvfIndex(sub, "vec_id", "embedding",
       nlist = 8)
+    val fresh = fresh0.copy(assigned = fresh0.assigned.localCheckpoint(false))
     val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_ivfidx_$tag").toString
@@ -253,8 +259,12 @@ object VectorQueries {
     val batch = embs(s, dir)
       .filter(col("vec_id") >= 200 && col("vec_id") < 300)
     val base = sub.select(col("vec_id").as("id"), col("embedding").as("v"))
-    val fresh = Similarity.buildIvfIndex(sub, "vec_id", "embedding",
+    // one assignment scan (r21, VERDICT #7): `fresh.assigned` feeds
+    // the save AND the in-memory append's search leg — checkpoint
+    // lazily, pay the scan once
+    val fresh0 = Similarity.buildIvfIndex(sub, "vec_id", "embedding",
       nlist = 8)
+    val fresh = fresh0.copy(assigned = fresh0.assigned.localCheckpoint(false))
     val tag = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft_ivfappend_$tag").toString
