@@ -21,6 +21,15 @@ object ProbeTop {
     val n = args.drop(2).headOption.map(_.toInt).getOrElse(4)
     val spark = GraftSession.getOrCreate("graft-probe-top")
     spark.sparkContext.setLogLevel("WARN")
+    // r21: optional session-conf overrides for A/B probes, e.g.
+    // PROBE_CONF="spark.sql.streaming.stateStore.providerClass=...;k=v"
+    // (probe-tool only — the driver-contract mains never read this)
+    sys.env.get("PROBE_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        println(s"[probe-top] conf override: $k=$v")
+        spark.conf.set(k, v)
+      })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     def jobMs(): Double = {
       spark.range(1).count()
